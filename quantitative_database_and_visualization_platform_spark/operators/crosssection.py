@@ -1,0 +1,74 @@
+"""Cross-sectional operators: per-date slices across all entities.
+
+Reference semantics: pandas groupby(date) ranks/demeaning inside the
+Alpha101 P2/P4 stages (`alpha101_engine.py:90-98`,
+`Project report.md:748-758`). Each op is a pure Column builder over a
+`partitionBy(date)` window — one shuffle per re-partitioning axis, shared
+by every cross-sectional column computed in the same stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from .timeseries import ColumnOrName, _col
+
+
+def date_window(date: str = "trade_date") -> WindowSpec:
+    return Window.partitionBy(date)
+
+
+def cs_rank(x: ColumnOrName, date: str = "trade_date") -> Column:
+    """pandas .rank(pct=True) within one date: average tie rank / count,
+    result in (0, 1] (alpha101_engine.py:90-93). NOTE this is *not*
+    percent_rank() (which is (rank-1)/(n-1)); the average-tie/n convention
+    matches the reference exactly."""
+    c = _col(x)
+    r_min = F.rank().over(Window.partitionBy(date).orderBy(c))
+    ties = F.count(c).over(Window.partitionBy(date, c))
+    n = F.count(c).over(date_window(date))
+    avg_rank = r_min + (ties - 1) / 2.0
+    return F.when(c.isNotNull(), avg_rank / n)
+
+
+def cs_percent_rank(x: ColumnOrName, date: str = "trade_date") -> Column:
+    """SQL percent_rank within a date — used where the oracle is ANSI SQL."""
+    return F.percent_rank().over(Window.partitionBy(date).orderBy(_col(x)))
+
+
+def cs_scale(x: ColumnOrName, a: float = 1.0, date: str = "trade_date") -> Column:
+    """Rescale so sum(|x|) == a per date (alpha101_engine.py:95-98)."""
+    c = _col(x)
+    return c * a / F.sum(F.abs(c)).over(date_window(date))
+
+
+def cs_demean(x: ColumnOrName, date: str = "trade_date", *groups: str) -> Column:
+    """indneutralize: x - mean(x) within (date, group...) —
+    industry-demeaning (`Project report.md:748-757`)."""
+    c = _col(x)
+    return c - F.avg(c).over(Window.partitionBy(date, *groups))
+
+
+def cs_zscore(x: ColumnOrName, date: str = "trade_date") -> Column:
+    c = _col(x)
+    w = date_window(date)
+    return (c - F.avg(c).over(w)) / F.stddev_samp(c).over(w)
+
+
+def cs_ntile(x: ColumnOrName, n: int, date: str = "trade_date", *tie_break: str) -> Column:
+    """Quantile bucket 1..n per date (pd.qcut analog,
+    `pages/5_Alpha lab.py:129`). Pass tie_break columns to make bucket
+    assignment deterministic under ties."""
+    order = [_col(x)] + [F.col(t) for t in tie_break]
+    return F.ntile(n).over(Window.partitionBy(date).orderBy(*order))
+
+
+def histogram_bin(x: ColumnOrName, edges: list[float]) -> Column:
+    """Fixed-edge binning (pd.cut analog, `pages/1_Market overview.py:99-102`).
+    Returns the 1-based bucket index; NULL outside [edges[0], edges[-1])."""
+    c = _col(x)
+    expr = F.lit(None).cast("int")
+    for i in range(len(edges) - 1, 0, -1):
+        expr = F.when((c >= edges[i - 1]) & (c < edges[i]), i).otherwise(expr)
+    return expr

@@ -1,0 +1,246 @@
+"""Per-entity time-series (rolling) operators.
+
+The reference implements these as vectorized pandas rolling ops inside a
+per-stock groupby (reference `database/functions/alpha101_engine.py:17-112`,
+`Project report.md:670-682`). Here each one is a pure Column builder over a
+row-based window frame, so the whole factor DAG stays inside Catalyst /
+whole-stage codegen — no Python in the hot path. Only the recursive EMA
+family needs `applyInPandas` (reference `basic factor_function.md:8-9`).
+
+Frame convention: **row-based** (trading days), `rowsBetween(-(d-1), 0)`,
+never range-based — this matches pandas `rolling(d)` semantics.
+
+Null/min_periods convention: pandas `rolling(d)` emits NaN until the
+window holds `d` observations; Spark window aggregates happily compute
+over short/null-skipping windows. `gate()` reproduces the pandas
+semantics (full window of non-null values required) and the factor suites
+apply it (SURVEY.md §7.3 risk 4).
+
+Scale: a window over `partitionBy(entity).orderBy(time)` shuffles once on
+the entity key; every rolling column after that reuses the same sort, so
+a 50-factor build is one shuffle, not 50. Skewed entities are bounded by
+window length d (state is O(d)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+ColumnOrName = Column | str
+
+
+def _col(x: ColumnOrName) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def entity_window(partition: str = "stock_code", order: str = "trade_date", *extra_order: str) -> WindowSpec:
+    """W = Window.partitionBy(entity).orderBy(time) — the per-stock axis."""
+    return Window.partitionBy(partition).orderBy(order, *extra_order)
+
+
+def rolling(w: WindowSpec, d: int) -> WindowSpec:
+    """Trailing d-row frame (current row inclusive): pandas rolling(d)."""
+    return w.rowsBetween(-(d - 1), 0)
+
+
+def cumulative(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, 0)
+
+
+def gate(expr: Column, x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """NULL unless the trailing d-row frame holds d non-null observations —
+    pandas min_periods=d parity (SURVEY.md §7.3)."""
+    return F.when(F.count(_col(x)).over(rolling(w, d)) == d, expr)
+
+
+# --- direct window-aggregate mappings (alpha101_engine.py:17-45,64-77) ---
+
+
+def delay(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """lag d rows (alpha101_engine.py:17-20)."""
+    return F.lag(_col(x), d).over(w)
+
+
+def delta(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """x - lag(x, d) (alpha101_engine.py:22-25)."""
+    return _col(x) - F.lag(_col(x), d).over(w)
+
+
+def ts_sum(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    return F.sum(_col(x)).over(rolling(w, d))
+
+
+def ts_mean(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    return F.avg(_col(x)).over(rolling(w, d))
+
+
+def ts_min(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    return F.min(_col(x)).over(rolling(w, d))
+
+
+def ts_max(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    return F.max(_col(x)).over(rolling(w, d))
+
+
+def ts_stddev(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Rolling *sample* std (pandas default ddof=1; alpha101_engine.py:74-77)."""
+    return F.stddev_samp(_col(x)).over(rolling(w, d))
+
+
+def ts_corr(x: ColumnOrName, y: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Rolling Pearson correlation (alpha101_engine.py:27-30)."""
+    return F.corr(_col(x), _col(y)).over(rolling(w, d))
+
+
+def ts_cov(x: ColumnOrName, y: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Rolling sample covariance (alpha101_engine.py:32-35)."""
+    return F.covar_samp(_col(x), _col(y)).over(rolling(w, d))
+
+
+def ts_product(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Rolling product via exp(sum(log x)) — the reference's own log trick
+    (alpha101_engine.py:69-72). Sign-safe variant: handles negatives by
+    tracking sign parity; null if any element is 0 handled via log(abs)."""
+    c = _col(x)
+    frame = rolling(w, d)
+    magnitude = F.exp(F.sum(F.log(F.abs(c))).over(frame))
+    neg_cnt = F.sum(F.when(c < 0, 1).otherwise(0)).over(frame)
+    zero_cnt = F.sum(F.when(c == 0, 1).otherwise(0)).over(frame)
+    sign = F.when(neg_cnt % 2 == 1, -1.0).otherwise(1.0)
+    return F.when(zero_cnt > 0, F.lit(0.0)).otherwise(sign * magnitude)
+
+
+def ts_skew(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Rolling skewness (`basic factor_function.md:43`). NOTE: Spark's
+    skewness is the population g1; pandas/scipy skew is sample-adjusted G1
+    = g1 * sqrt(n(n-1))/(n-2). We emit the sample-adjusted value to match
+    the reference's scipy semantics."""
+    n = F.count(_col(x)).over(rolling(w, d)).cast("double")
+    g1 = F.skewness(_col(x)).over(rolling(w, d))
+    return g1 * F.sqrt(n * (n - 1)) / (n - 2)
+
+
+def ts_kurt(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Rolling excess kurtosis, sample-adjusted (pandas .kurt parity):
+    G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)(n-3)) where g2 is Spark's
+    population excess kurtosis."""
+    n = F.count(_col(x)).over(rolling(w, d)).cast("double")
+    g2 = F.kurtosis(_col(x)).over(rolling(w, d))
+    return ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+
+
+def ts_zscore(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """(x - rolling mean) / rolling std — pe_zscore_60 family
+    (`basic factor_function.md:58-59`)."""
+    c = _col(x)
+    return (c - ts_mean(c, d, w)) / ts_stddev(c, d, w)
+
+
+def ts_regr_slope(y: ColumnOrName, d: int, w: WindowSpec, x: ColumnOrName | None = None) -> Column:
+    """Rolling OLS slope of y against time index (linear_reg_slope_20,
+    `factor_db_ddl.md:50`). x defaults to the row_number within the
+    entity, i.e. regression against 0..d-1."""
+    xx = _col(x) if x is not None else F.row_number().over(w).cast("double")
+    return F.regr_slope(_col(y), xx).over(rolling(w, d))
+
+
+def adv(amount: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """adv{d}: rolling mean dollar volume (alpha101_function.md usage)."""
+    return ts_mean(amount, d, w)
+
+
+def cum_sum(x: ColumnOrName, w: WindowSpec) -> Column:
+    return F.sum(_col(x)).over(cumulative(w))
+
+
+def cum_prod(x: ColumnOrName, w: WindowSpec) -> Column:
+    """Cumulative product via exp(sum(log)) — equity curve
+    (`pages/6_Sector rotation.py:154`). Assumes x > 0 (1 + ret)."""
+    return F.exp(F.sum(F.log(_col(x))).over(cumulative(w)))
+
+
+def normalize_to_first(x: ColumnOrName, w: WindowSpec) -> Column:
+    """x / first(x) - 1 — index normalization
+    (`pages/1_Market overview.py:81`)."""
+    return _col(x) / F.first(_col(x), ignorenulls=True).over(cumulative(w)) - 1
+
+
+# --- collect_list + higher-order-function operators (no Spark builtin) ---
+# O(d) per row, evaluated inside codegen'd expression eval — still JVM-side,
+# no Python. For very large d an applyInPandas variant would win; window
+# lengths in the reference are <= 180 so this is the right default.
+
+
+def _frame_array(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    return F.collect_list(_col(x)).over(rolling(w, d))
+
+
+def ts_rank(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Percentile rank of today's value within the trailing d-row window
+    (alpha101_engine.py:57-62). Tie convention: average rank (scipy
+    rankdata default), result in (0, 1]."""
+    c = _col(x)
+    arr = _frame_array(c, d, w)
+    lt = F.aggregate(arr, F.lit(0), lambda acc, v: acc + F.when(v < c, 1).otherwise(0))
+    le = F.aggregate(arr, F.lit(0), lambda acc, v: acc + F.when(v <= c, 1).otherwise(0))
+    avg_rank = (lt + le + 1) / 2.0
+    return avg_rank / F.size(arr)
+
+
+def ts_argmax(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Days since the max of the trailing window: 0 = today is the max.
+    The reference's code returns np.argmax (0 = oldest,
+    alpha101_engine.py:47-50) while its report documents 0 = today
+    (`Project report.md:676`); we implement the report's stated semantics
+    (SURVEY.md §7.3 risk 5). Ties resolve to the earliest occurrence,
+    matching np.argmax."""
+    arr = _frame_array(x, d, w)
+    return (F.size(arr) - F.array_position(arr, F.array_max(arr))).cast("double")
+
+
+def ts_argmin(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    arr = _frame_array(x, d, w)
+    return (F.size(arr) - F.array_position(arr, F.array_min(arr))).cast("double")
+
+
+def decay_linear(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """Linearly-weighted moving average, weights 1..d with d on the most
+    recent row (alpha101_engine.py:79-84)."""
+    arr = _frame_array(x, d, w)
+    n = F.size(arr)
+    weighted = F.zip_with(arr, F.sequence(F.lit(1), n), lambda v, i: v * i)
+    return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v) / (n * (n + 1) / 2.0)
+
+
+# --- recursive EMA family: the one honest pandas-UDF path (SURVEY §7.3) ---
+
+
+def with_ema_columns(
+    df: DataFrame,
+    specs: dict[str, tuple[str, float]],
+    entity: str = "stock_code",
+    order: str = "trade_date",
+) -> DataFrame:
+    """Append exponentially-weighted means, computed per entity.
+
+    specs: {out_col: (src_col, span)} with pandas ewm(span=..,
+    adjust=False) semantics — the recursive EMA the reference uses for
+    MACD/TRIX/force/mass (`basic factor_function.md:8-27`). Recursive ⇒
+    not a finite window aggregate ⇒ applyInPandas per entity, vectorized
+    via pandas ewm inside each group (reference computes it the same way).
+    """
+    import pandas as pd  # noqa: F401  (worker-side)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(name, DoubleType()) for name in specs])
+    items = list(specs.items())
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order, kind="mergesort")
+        for out, (src, span) in items:
+            pdf[out] = pdf[src].ewm(span=span, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(entity).applyInPandas(compute, schema=out_schema)

@@ -1,0 +1,482 @@
+"""Relational core queries (SURVEY.md §2.1–§2.4, §2.7, §2.8).
+
+Each query re-expresses one of the reference's analytical SQL patterns
+(`app/Quantlib/QuantDB.py`, `app/Quantlib/main.py`) on the driver's
+TPC-H-ish tables, per the mapping in FIXTURES.md. Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.crosssection import histogram_bin
+from ..operators.relational import semi_join_pool, star_join, top_k, weighted_euclidean
+from ..sources.catalog import load_table
+from .registry import avg_fixed, o_avg_fixed, o_sum_fixed, query, sum_fixed
+
+
+# ---------------------------------------------------------------------------
+# Global market stats — ungrouped aggregation with count_if/median
+# (reference `QuantDB.py:375-388`: sum(amount), median(pct_chg), countIf up,
+#  countIf down in one pass). One job, partial aggregation map-side; the
+# 100 TB plan is a single scan + tiny exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "global_market_stats",
+    oracle=f"""
+    SELECT {o_sum_fixed('l_extendedprice')} AS total_amount,
+           ROUND(median(l_discount), 6)     AS median_discount,
+           CAST(count_if(l_returnflag = 'R') AS BIGINT)  AS cnt_returned,
+           CAST(count_if(l_returnflag <> 'R') AS BIGINT) AS cnt_kept,
+           CAST(COUNT(*) AS BIGINT)         AS cnt_rows
+    FROM lineitem
+    """,
+)
+def global_market_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        sum_fixed("l_extendedprice").alias("total_amount"),
+        F.round(F.percentile("l_discount", 0.5), 6).alias("median_discount"),
+        F.count_if(F.col("l_returnflag") == "R").alias("cnt_returned"),
+        F.count_if(F.col("l_returnflag") != "R").alias("cnt_kept"),
+        F.count(F.lit(1)).alias("cnt_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary — TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+# (maps the reference's multi-measure sector rollups, `QuantDB.py:293-310`.)
+# Catalyst does partial+final agg; filter pushes to the parquet scan.
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_sum_fixed('l_quantity')}                               AS sum_qty,
+           {o_sum_fixed('l_extendedprice')}                          AS sum_base_price,
+           {o_sum_fixed('l_extendedprice*(1-l_discount)')}           AS sum_disc_price,
+           {o_sum_fixed('l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+           ROUND({o_avg_fixed('l_quantity')}, 6)                     AS avg_qty,
+           ROUND({o_sum_fixed('l_discount', 1000000)}/COUNT(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_fixed("l_quantity").alias("sum_qty"),
+            sum_fixed("l_extendedprice").alias("sum_base_price"),
+            sum_fixed(disc_price).alias("sum_disc_price"),
+            sum_fixed(charge).alias("sum_charge"),
+            F.round(avg_fixed("l_quantity"), 6).alias("avg_qty"),
+            F.round(sum_fixed("l_discount", 1000000) / F.count("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6-way wide-table LEFT JOIN — the screener query (`QuantDB.py:158-179`,
+# LIMIT 8000). Fact side stays un-shuffled: every dimension is broadcast.
+# At 100 TB the lineitem scan is the only big input; TakeOrderedAndProject
+# keeps the top-k per partition, no global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "screener_wide_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           o.o_totalprice, o.o_orderpriority,
+           c.c_name, c.c_mktsegment, n.n_name, r.r_name, p.p_name
+    FROM lineitem l
+    LEFT JOIN orders   o ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+    LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region   r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN part     p ON l.l_partkey  = p.p_partkey
+    ORDER BY l.l_orderkey, l.l_linenumber
+    LIMIT 8000
+    """,
+)
+def screener_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = star_join(
+        li,
+        [
+            (load_table(spark, sf_dir, "orders"), li["l_orderkey"] == F.col("o_orderkey"), "left"),
+            (load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"), "left"),
+            (load_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"), "left"),
+            (load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"), "left"),
+            (load_table(spark, sf_dir, "part"), li["l_partkey"] == F.col("p_partkey"), "left"),
+        ],
+    ).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice",
+        "o_totalprice", "o_orderpriority",
+        "c_name", "c_mktsegment", "n_name", "r_name", "p_name",
+    )
+    return top_k(wide, [F.col("l_orderkey"), F.col("l_linenumber")], 8000)
+
+
+# ---------------------------------------------------------------------------
+# Sector rotation rollup — groupBy + count/sum/avg/median + HAVING + sort
+# (`QuantDB.py:293-310`). THE flagship query (SURVEY.md §7.4).
+# ---------------------------------------------------------------------------
+@query(
+    "sector_rollup",
+    oracle=f"""
+    SELECT n.n_name AS sector_name,
+           CAST(COUNT(*) AS BIGINT)                     AS order_cnt,
+           {o_sum_fixed('o.o_totalprice')}              AS total_amount,
+           ROUND({o_avg_fixed('o.o_totalprice')}, 6)    AS avg_amount,
+           ROUND(median(o.o_totalprice), 6)             AS median_amount,
+           CAST(count_if(o.o_orderstatus = 'F') AS BIGINT) AS finished_cnt
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(*) > 3
+    """,
+)
+def sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = star_join(
+        orders,
+        [
+            (customer, orders["o_custkey"] == customer["c_custkey"], "inner"),
+            (nation, customer["c_nationkey"] == nation["n_nationkey"], "inner"),
+        ],
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("sector_name"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            sum_fixed("o_totalprice").alias("total_amount"),
+            F.round(avg_fixed("o_totalprice"), 6).alias("avg_amount"),
+            F.round(F.percentile("o_totalprice", 0.5), 6).alias("median_amount"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("finished_cnt"),
+        )
+        .filter(F.col("order_cnt") > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join pool — "yesterday's limit-up stocks, today's stats"
+# (`QuantDB.py:443-452`): key IN (SELECT ...) → left-semi join. The pool is
+# tiny → broadcast semi-join, fact side never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "semi_join_pool_stats",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT)                  AS order_cnt,
+           {o_sum_fixed('o_totalprice')}             AS total_amount,
+           ROUND({o_avg_fixed('o_totalprice')}, 6)   AS avg_amount
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-15' AND event_type = 'error'
+    )
+    """,
+)
+def semi_join_pool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pool = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.to_date("ts") == F.lit("2024-01-15")) & (F.col("event_type") == "error"))
+        .select(F.col("user_id").alias("o_custkey"))
+        .distinct()
+    )
+    return semi_join_pool(orders, pool, "o_custkey").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        sum_fixed("o_totalprice").alias("total_amount"),
+        F.round(avg_fixed("o_totalprice"), 6).alias("avg_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prev-trading-day comparison (`QuantDB.py:358-369`): the reference
+# self-joins on a scalar subquery `max(trade_date) < d`; the Spark-first
+# expression is lag() over the (tiny) per-day aggregate — one window,
+# no join. The per-day aggregate is one row per date, so the unpartitioned
+# window is bounded (~thousands of rows even for decades of data).
+# ---------------------------------------------------------------------------
+@query(
+    "prev_day_change",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS trade_date,
+               {o_sum_fixed('o_totalprice')} AS total_amount
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT trade_date, total_amount,
+               LAG(total_amount) OVER (ORDER BY trade_date) AS prev_amount
+        FROM daily
+    )
+    SELECT trade_date, total_amount, prev_amount,
+           CASE WHEN prev_amount > 0
+                THEN ROUND((total_amount - prev_amount) / prev_amount * 100, 6)
+                ELSE 0.0 END AS amount_pct_chg
+    FROM lagged
+    """,
+)
+def prev_day_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("trade_date")).agg(
+        sum_fixed("o_totalprice").alias("total_amount")
+    )
+    w = Window.orderBy("trade_date")
+    prev = F.lag("total_amount").over(w)
+    return daily.select(
+        "trade_date",
+        "total_amount",
+        prev.alias("prev_amount"),
+        F.when(prev > 0, F.round((F.col("total_amount") - prev) / prev * 100, 6))
+        .otherwise(F.lit(0.0))
+        .alias("amount_pct_chg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity top-k — weighted Euclidean distance + ORDER BY dist LIMIT k
+# (`QuantDB.py:181-202`). Squares written as explicit multiplication so
+# both engines produce bit-identical doubles (libm pow() is not correctly
+# rounded everywhere). Spark plans TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "similarity_topk",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice,
+           ROUND(sqrt((p_size - 25.0)*(p_size - 25.0)
+                 + ((p_retailprice - 950.0)*0.1)*((p_retailprice - 950.0)*0.1)), 6) AS dist
+    FROM part
+    WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+    ORDER BY dist, p_partkey
+    LIMIT 5
+    """,
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    dist = weighted_euclidean(
+        [
+            (F.col("p_size").cast("double"), 25.0, 1.0),
+            (F.col("p_retailprice"), 950.0, 0.1),
+        ]
+    )
+    scored = (
+        part.filter(F.col("p_size").isNotNull() & F.col("p_retailprice").isNotNull())
+        .select("p_partkey", "p_name", "p_size", "p_retailprice", F.round(dist, 6).alias("dist"))
+    )
+    return top_k(scored, [F.col("dist"), F.col("p_partkey")], 5)
+
+
+# ---------------------------------------------------------------------------
+# IN-list predicate (`QuantDB.py:394-395`: index codes IN (...)).
+# ---------------------------------------------------------------------------
+@query(
+    "in_list_priority_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)      AS order_cnt,
+           {o_sum_fixed('o_totalprice')} AS total_amount
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def in_list_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            sum_fixed("o_totalprice").alias("total_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE predicate (`QuantDB.py:339`: sector_name LIKE '%..%').
+# ---------------------------------------------------------------------------
+@query(
+    "like_filter_brand_stats",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS part_cnt,
+           MIN(p_retailprice)       AS min_price,
+           MAX(p_retailprice)       AS max_price
+    FROM part
+    WHERE p_name LIKE '%small%'
+    GROUP BY p_brand
+    """,
+)
+def like_filter_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%small%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("part_cnt"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction + numeric coercion (`Project report.md:735`,
+# `pages/2_Sentiment radar.py:80-82`: str.extract(r'(\d+)')).
+# ---------------------------------------------------------------------------
+@query(
+    "regex_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '(\\d+)', 1) AS INT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.count(F.lit(1)).alias("event_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT (`QuantDB.py:333`).
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_segments_nations",
+    oracle="""
+    SELECT DISTINCT c.c_mktsegment, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def distinct_segments_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning (pd.cut, `pages/1_Market overview.py:99-102`) — fixed
+# comparison edges as a CASE chain on both sides (bit-exact, no division).
+# ---------------------------------------------------------------------------
+_EDGES = [0.0, 1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0, 200.0, 500.0]
+
+
+def _o_case_bin(col: str) -> str:
+    whens = "\n".join(
+        f"WHEN {col} >= {_EDGES[i - 1]} AND {col} < {_EDGES[i]} THEN {i}"
+        for i in range(1, len(_EDGES))
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+@query(
+    "histogram_value_bins",
+    oracle=f"""
+    SELECT {_o_case_bin('value')} AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY 1
+    """,
+)
+def histogram_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(histogram_bin(F.col("value"), _EDGES).alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER JOIN sentiment snapshot (`Project report.md:736`): limit-up
+# events ⟗ broken-board events → one row per entity with coalesced flags.
+# ---------------------------------------------------------------------------
+@query(
+    "full_outer_user_activity",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS click_cnt,
+               {o_sum_fixed('value')} AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), errors AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS error_cnt
+        FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+           COALESCE(c.click_cnt, 0)   AS click_cnt,
+           COALESCE(c.click_value, 0.0) AS click_value,
+           COALESCE(e.error_cnt, 0)   AS error_cnt,
+           CAST(c.user_id IS NOT NULL AS INT) AS has_click,
+           CAST(e.user_id IS NOT NULL AS INT) AS has_error
+    FROM clicks c FULL OUTER JOIN errors e ON c.user_id = e.user_id
+    """,
+)
+def full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("click_cnt"), sum_fixed("value").alias("click_value"))
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("error_cnt"))
+    )
+    c, e = clicks.alias("c"), errors.alias("e")
+    return (
+        c.join(e, F.col("c.user_id") == F.col("e.user_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("e.user_id")).alias("user_id"),
+            F.coalesce(F.col("click_cnt"), F.lit(0)).alias("click_cnt"),
+            F.coalesce(F.col("click_value"), F.lit(0.0)).alias("click_value"),
+            F.coalesce(F.col("error_cnt"), F.lit(0)).alias("error_cnt"),
+            F.col("c.user_id").isNotNull().cast("int").alias("has_click"),
+            F.col("e.user_id").isNotNull().cast("int").alias("has_error"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized compute-on-write column (`stock_3tick_db_ddl.md:25`:
+# turnover MATERIALIZED price*volume*100) — the writer computes the column;
+# here expressed as the ingest projection.
+# ---------------------------------------------------------------------------
+@query(
+    "materialized_turnover",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k,
+           value * CAST(regexp_extract(props, '(\\d+)', 1) AS INT) * 100 AS turnover
+    FROM events
+    """,
+)
+def materialized_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        k.alias("k"),
+        (F.col("value") * k * 100).alias("turnover"),
+    )

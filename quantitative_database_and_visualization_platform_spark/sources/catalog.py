@@ -1,0 +1,93 @@
+"""Table catalog over the parquet lakehouse.
+
+The reference's tables live in ClickHouse with declared DDL
+(`database/ddl/*.md` in the reference repo); here the lakehouse is parquet
+and the catalog is this module: one `spark.read.parquet` per table, lazily,
+with column pruning / predicate pushdown left to Catalyst.
+
+Test data layout (TESTDATA.md): ``{sf_dir}/{table}.parquet`` for
+``region nation customer supplier part orders lineitem events documents
+embeddings``.
+
+Scale notes (100 TB design):
+- reads are plain parquet scans -> vectorized reader + pushdown for free.
+- production layout convention (mirrors the reference's
+  PARTITION BY toYear/toYYYYMM + ORDER BY clustering,
+  reference `database/ddl/quant_db_ddl.md:108`, `Project report.md:414-422`):
+  `write_partitioned` writes fact tables partitioned by a date-derived
+  column and sorted within partitions by the cluster key so parquet
+  row-group min/max statistics can skip data on the cluster key.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast when joined to a
+# fact table (the reference's meta_*/rel_* star-schema dims,
+# `Project report.md:428`).
+DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read it as raw long nanos and convert via integer
+        # division (ns values exceed 2^53, so no double arithmetic).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so `spark.sql` queries see the
+    same names the DuckDB oracle uses."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Lakehouse write convention: partition dirs for pruning + sort within
+    partitions for row-group skipping (the Spark analogue of the
+    reference's PARTITION BY + ORDER BY MergeTree layout)."""
+    (
+        df.repartition(*partition_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
