@@ -1,1 +1,302 @@
-"""(filled in below)"""
+"""Time-series window queries (SURVEY.md §2.5) mapped onto the events
+table: entity = user_id, time axis = ts (tie-broken by event_id).
+
+Each exercises the operator library in operators/timeseries.py and has a
+DuckDB oracle. Scale shape: ONE shuffle on the entity key serves every
+rolling column in a query (same window spec), exactly how the 100 TB
+factor build batches 50 factors per partitioning axis.
+
+Float determinism: rolling sums use the fixed-point integer trick
+(order-independent); float-path statistics (stddev/corr/EMA) are rounded
+to 6dp on both sides — cross-engine error is ~1e-10, far below the
+rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as ts
+from ..sources.catalog import load_table
+from .registry import query
+
+_W_SQL = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn(
+        "k", F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    )
+
+
+def _w():
+    return ts.entity_window("user_id", "ts", "event_id")
+
+
+def _cents(c: str = "value") -> F.Column:
+    return F.round(F.col(c) * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# delay/delta + rolling sum/mean/min/max/stddev (alpha101_engine.py:17-45,
+# 64-77). Exact integer window sums; sample stddev rounded 6dp.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_basic_stats",
+    oracle=f"""
+    SELECT event_id, user_id,
+           LAG(value, 3) OVER ({_W_SQL})        AS delay_3,
+           value - LAG(value, 3) OVER ({_W_SQL}) AS delta_3,
+           SUM(CAST(ROUND(value*100,0) AS BIGINT))
+               OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)/100.0 AS sum_5,
+           SUM(CAST(ROUND(value*100,0) AS BIGINT))
+               OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)/100.0
+             / COUNT(value) OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mean_5,
+           MIN(value) OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS min_5,
+           MAX(value) OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS max_5,
+           ROUND(STDDEV_SAMP(value)
+               OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS std_5
+    FROM events
+    """,
+)
+def rolling_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _w()
+    frame5 = ts.rolling(w, 5)
+    cnt5 = F.count("value").over(frame5)
+    sum5 = F.sum(_cents()).over(frame5) / 100.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts.delay("value", 3, w).alias("delay_3"),
+        ts.delta("value", 3, w).alias("delta_3"),
+        sum5.alias("sum_5"),
+        (sum5 / cnt5).alias("mean_5"),
+        ts.ts_min("value", 5, w).alias("min_5"),
+        ts.ts_max("value", 5, w).alias("max_5"),
+        F.round(ts.ts_stddev("value", 5, w), 6).alias("std_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation / covariance (alpha101_engine.py:27-35).
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_corr_cov",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(CORR(value, k)
+               OVER ({_W_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS corr_20,
+           ROUND(COVAR_SAMP(value, k)
+               OVER ({_W_SQL} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS cov_20
+    FROM (SELECT event_id, user_id, ts, value,
+                 CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
+          FROM events)
+    """,
+)
+def rolling_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _w()
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(ts.ts_corr("value", "k", 20, w), 6).alias("corr_20"),
+        F.round(ts.ts_cov("value", "k", 20, w), 6).alias("cov_20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_rank / ts_argmax / ts_argmin / decay_linear — the collect_list +
+# higher-order-function operators (alpha101_engine.py:47-62,79-84).
+# Oracle re-derives them with DuckDB list lambdas over windowed list().
+# ---------------------------------------------------------------------------
+@query(
+    "ts_rank_argmax_decay",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER ({_W_SQL} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND((len(list_filter(l, x -> x < value))
+                  + len(list_filter(l, x -> x <= value)) + 1) / 2.0 / len(l), 6) AS ts_rank_10,
+           CAST(len(l) - list_position(l, list_aggregate(l, 'max')) AS DOUBLE) AS ts_argmax_10,
+           CAST(len(l) - list_position(l, list_aggregate(l, 'min')) AS DOUBLE) AS ts_argmin_10,
+           ROUND(list_sum(list_transform(range(1, len(l)+1), i -> l[i] * i))
+                 / (len(l) * (len(l)+1) / 2.0), 6) AS decay_10
+    FROM framed
+    """,
+)
+def ts_rank_argmax_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _w()
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(ts.ts_rank("value", 10, w), 6).alias("ts_rank_10"),
+        ts.ts_argmax("value", 10, w).alias("ts_argmax_10"),
+        ts.ts_argmin("value", 10, w).alias("ts_argmin_10"),
+        F.round(ts.decay_linear("value", 10, w), 6).alias("decay_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative ops: cumsum (Cumulative_IC, `pages/5_Alpha lab.py:108`) and
+# cumprod equity curve via exp(sum(log)) (`pages/6_Sector rotation.py:154`),
+# plus normalize-to-first (`pages/1_Market overview.py:81`).
+# ---------------------------------------------------------------------------
+@query(
+    "cumulative_ops",
+    oracle=f"""
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value*100,0) AS BIGINT))
+               OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS cum_value,
+           ROUND(EXP(SUM(LN(1 + value/10000))
+               OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS equity_curve,
+           ROUND(value / (FIRST_VALUE(value)
+               OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1, 6) AS norm_to_first
+    FROM events
+    """,
+)
+def cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _w()
+    cum = ts.cumulative(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum(_cents()).over(cum) / 100.0).alias("cum_value"),
+        F.round(ts.cum_prod(1 + F.col("value") / 10000, w), 6).alias("equity_curve"),
+        F.round(ts.normalize_to_first("value", w), 6).alias("norm_to_first"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recursive EMA (MACD family, `basic factor_function.md:8-9`) — computed
+# with applyInPandas per entity (the one honest pandas-UDF operator,
+# SURVEY.md §7.3 risk 2). The oracle uses the closed-form weighted sum
+# over the full history: ewm(span, adjust=False) ≡
+# Σ_i w_i·x_i with w_i = α(1-α)^(n-i) for i>1 and (1-α)^(n-1) for i=1.
+# ---------------------------------------------------------------------------
+@query(
+    "ema_recursive",
+    oracle=f"""
+    WITH framed AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(list_sum(list_transform(range(1, len(l)+1),
+                 i -> l[i] * (CASE WHEN i = 1 THEN power(1 - 2.0/13, len(l) - 1)
+                              ELSE (2.0/13) * power(1 - 2.0/13, len(l) - i) END))), 6) AS ema_12
+    FROM framed
+    """,
+)
+def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = ts.with_ema_columns(ev, {"ema_12_raw": ("value", 12.0)}, entity="user_id", order="ts")
+    return out.select(
+        "event_id", "user_id", F.round("ema_12_raw", 6).alias("ema_12")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-line window slice (`QuantDB.py:204-224`): ±N rows around a per-entity
+# center row, day_offset + normalization to the center value.
+# Center: each user's highest-value event (tie → earliest).
+# ---------------------------------------------------------------------------
+@query(
+    "kline_window_slice",
+    oracle=f"""
+    WITH numbered AS (
+        SELECT event_id, user_id, value,
+               ROW_NUMBER() OVER ({_W_SQL}) AS rn
+        FROM events
+    ), center AS (
+        SELECT user_id, rn AS center_rn, value AS center_val
+        FROM (SELECT user_id, rn, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, rn) AS pick
+              FROM numbered)
+        WHERE pick = 1
+    )
+    SELECT n.event_id, n.user_id,
+           n.rn - c.center_rn AS day_offset,
+           ROUND(n.value / c.center_val, 6) AS norm_value
+    FROM numbered n JOIN center c ON n.user_id = c.user_id
+    WHERE n.rn - c.center_rn BETWEEN -5 AND 5
+    """,
+)
+def kline_window_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = _w()
+    numbered = ev.select("event_id", "user_id", "value", F.row_number().over(w).alias("rn"))
+    pick_w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("rn"))
+    center = (
+        numbered.withColumn("pick", F.row_number().over(pick_w))
+        .filter(F.col("pick") == 1)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("rn").alias("center_rn"),
+            F.col("value").alias("center_val"),
+        )
+    )
+    return (
+        numbered.join(F.broadcast(center), numbered["user_id"] == center["c_user"])
+        .withColumn("day_offset", F.col("rn") - F.col("center_rn"))
+        .filter(F.col("day_offset").between(-5, 5))
+        .select(
+            "event_id",
+            "user_id",
+            "day_offset",
+            F.round(F.col("value") / F.col("center_val"), 6).alias("norm_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (idiomatic Spark extension; tick-stream capability): gap >
+# 30 min starts a new session; emit per-user session counts + avg length.
+# ---------------------------------------------------------------------------
+@query(
+    "sessionization",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER ({_W_SQL}) > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER ({_W_SQL}) IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS session_cnt,
+           CAST(COUNT(*) AS BIGINT) AS event_cnt
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _w()
+    prev_ts = F.lag("ts").over(w)
+    # compare at microsecond precision — cast("long") truncates to seconds
+    # and would disagree with the oracle's INTERVAL comparison on
+    # fractional-second gaps
+    new_session = (
+        prev_ts.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000)
+    ).cast("int")
+    sessions = ev.withColumn(
+        "session_id", F.sum(new_session).over(ts.cumulative(w))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("session_cnt"),
+        F.count(F.lit(1)).alias("event_cnt"),
+    )
