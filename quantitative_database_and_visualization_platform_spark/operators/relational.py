@@ -16,18 +16,25 @@ from pyspark.sql import functions as F
 
 def star_join(
     fact: DataFrame,
-    dims: Sequence[tuple[DataFrame, Sequence[str] | Column, str]],
-    broadcast_dims: bool = True,
+    dims: Sequence[tuple[DataFrame, Sequence[str] | Column, str] | tuple[DataFrame, Sequence[str] | Column, str, bool]],
+    broadcast_dims: bool = False,
 ) -> DataFrame:
     """Chained equi-joins of a fact table to dimension tables — the
     reference's 5/6-way wide-table joins (`QuantDB.py:112-117,169-175`).
 
-    dims: (dim_df, join_on, how). Small dims are broadcast so a 100 TB
-    fact side never shuffles for the join.
+    dims: (dim_df, join_on, how[, broadcast]). Broadcast is opt-in PER
+    DIM (or via the broadcast_dims default for all): an explicit
+    F.broadcast hint overrides AQE, so forcing it on a fact-sized input
+    (orders/customer at 100 TB) would OOM executors. True dimension
+    tables (the reference's meta_*/rel_* star dims; catalog.DIM_TABLES)
+    are hinted; anything fact-sized is left to Catalyst/AQE, which will
+    still broadcast it at runtime when its actual size fits.
     """
     out = fact
-    for dim, on, how in dims:
-        right = F.broadcast(dim) if broadcast_dims else dim
+    for spec in dims:
+        dim, on, how = spec[0], spec[1], spec[2]
+        hint = spec[3] if len(spec) > 3 else broadcast_dims
+        right = F.broadcast(dim) if hint else dim
         out = out.join(right, on=on, how=how)
     return out
 
@@ -59,7 +66,10 @@ def weighted_euclidean(pairs: Sequence[tuple[Column, float, float]]) -> Column:
     (`QuantDB.py:181-202`): per-column probe value and weight."""
     acc = F.lit(0.0)
     for col, probe, weight in pairs:
-        acc = acc + F.pow((col - F.lit(probe)) * F.lit(weight), F.lit(2.0))
+        d = (col - F.lit(probe)) * F.lit(weight)
+        # d * d, not pow(d, 2): libm pow is up to 1 ulp off, plain multiply
+        # is the identical IEEE op DuckDB runs.
+        acc = acc + d * d
     return F.sqrt(acc)
 
 
@@ -105,8 +115,11 @@ def window_slice_around(
         F.col("__rn").alias("__center_rn"),
         *( [F.col(norm_col).alias("__center_val")] if norm_col else [] ),
     )
+    # no broadcast hint: center has one row per entity — unbounded in the
+    # entity count — so a forced broadcast is an OOM at scale; AQE will
+    # still broadcast it at runtime when it actually fits.
     out = (
-        df.join(F.broadcast(center), on=df[entity] == center["__e"], how="inner")
+        df.join(center, on=df[entity] == center["__e"], how="inner")
         .withColumn("day_offset", F.col("__rn") - F.col("__center_rn"))
         .filter((F.col("day_offset") >= -n_before) & (F.col("day_offset") <= n_after))
     )

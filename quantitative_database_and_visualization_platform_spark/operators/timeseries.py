@@ -89,13 +89,24 @@ def ts_stddev(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
 
 
 def ts_corr(x: ColumnOrName, y: ColumnOrName, d: int, w: WindowSpec) -> Column:
-    """Rolling Pearson correlation (alpha101_engine.py:27-30)."""
-    return F.corr(_col(x), _col(y)).over(rolling(w, d))
+    """Rolling Pearson correlation (alpha101_engine.py:27-30).
+
+    NULL when either series is constant over the frame (zero variance) —
+    matching pandas/DuckDB — independent of spark.sql.ansi.enabled (under
+    ANSI the unguarded corr throws DIVIDE_BY_ZERO on such frames)."""
+    frame = rolling(w, d)
+    cx, cy = _col(x), _col(y)
+    ok = (F.stddev_samp(cx).over(frame) > 0) & (F.stddev_samp(cy).over(frame) > 0)
+    return F.when(ok, F.corr(cx, cy).over(frame))
 
 
 def ts_cov(x: ColumnOrName, y: ColumnOrName, d: int, w: WindowSpec) -> Column:
-    """Rolling sample covariance (alpha101_engine.py:32-35)."""
-    return F.covar_samp(_col(x), _col(y)).over(rolling(w, d))
+    """Rolling sample covariance (alpha101_engine.py:32-35). NULL unless
+    the frame holds >= 2 complete (x, y) pairs (sample ddof=1)."""
+    frame = rolling(w, d)
+    cx, cy = _col(x), _col(y)
+    pairs = F.count(F.when(cx.isNotNull() & cy.isNotNull(), 1)).over(frame)
+    return F.when(pairs >= 2, F.covar_samp(cx, cy).over(frame))
 
 
 def ts_product(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
@@ -221,6 +232,7 @@ def with_ema_columns(
     specs: dict[str, tuple[str, float]],
     entity: str = "stock_code",
     order: str = "trade_date",
+    *extra_order: str,
 ) -> DataFrame:
     """Append exponentially-weighted means, computed per entity.
 
@@ -236,9 +248,12 @@ def with_ema_columns(
 
     out_schema = StructType(df.schema.fields + [StructField(name, DoubleType()) for name in specs])
     items = list(specs.items())
+    sort_cols = [order, *extra_order]
 
     def compute(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
+        # tie-break columns keep duplicate (entity, order) rows deterministic,
+        # mirroring entity_window's extra_order
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         for out, (src, span) in items:
             pdf[out] = pdf[src].ewm(span=span, adjust=False).mean()
         return pdf

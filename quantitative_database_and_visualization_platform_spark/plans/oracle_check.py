@@ -82,7 +82,8 @@ def check_query(spark, sf_dir: str, name: str) -> list[str]:
 
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
-        return [] if len(sdf) >= 0 else ["spark query failed"]
+        # rows-only check for non-SQL-expressible ops: must produce data
+        return [] if len(sdf) > 0 else ["rows-only query returned 0 rows"]
     odf = run_oracle(sf_dir, ORACLES[name])
     return compare(sdf, odf)
 

@@ -108,14 +108,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def screener_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # broadcast hints only on the fixed-size dims (nation/region); orders/
+    # customer/part scale with the data, so AQE picks their join strategy
+    # (it still broadcasts them at runtime when they actually fit, as at
+    # this SF) without the forced-hint OOM risk at 100 TB.
     wide = star_join(
         li,
         [
-            (load_table(spark, sf_dir, "orders"), li["l_orderkey"] == F.col("o_orderkey"), "left"),
-            (load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"), "left"),
-            (load_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"), "left"),
-            (load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"), "left"),
-            (load_table(spark, sf_dir, "part"), li["l_partkey"] == F.col("p_partkey"), "left"),
+            (load_table(spark, sf_dir, "orders"), li["l_orderkey"] == F.col("o_orderkey"), "left", False),
+            (load_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"), "left", False),
+            (load_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"), "left", True),
+            (load_table(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"), "left", True),
+            (load_table(spark, sf_dir, "part"), li["l_partkey"] == F.col("p_partkey"), "left", False),
         ],
     ).select(
         "l_orderkey", "l_linenumber", "l_extendedprice",
@@ -149,11 +153,13 @@ def sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # customer scales with the data → no forced broadcast (AQE decides);
+    # nation is a fixed 25-row dim → hint it.
     joined = star_join(
         orders,
         [
-            (customer, orders["o_custkey"] == customer["c_custkey"], "inner"),
-            (nation, customer["c_nationkey"] == nation["n_nationkey"], "inner"),
+            (customer, orders["o_custkey"] == customer["c_custkey"], "inner", False),
+            (nation, customer["c_nationkey"] == nation["n_nationkey"], "inner", True),
         ],
     )
     return (

@@ -197,7 +197,7 @@ def cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    out = ts.with_ema_columns(ev, {"ema_12_raw": ("value", 12.0)}, entity="user_id", order="ts")
+    out = ts.with_ema_columns(ev, {"ema_12_raw": ("value", 12.0)}, "user_id", "ts", "event_id")
     return out.select(
         "event_id", "user_id", F.round("ema_12_raw", 6).alias("ema_12")
     )
@@ -245,8 +245,10 @@ def kline_window_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("center_val"),
         )
     )
+    # center is one row per entity — unbounded in entity count — so no
+    # forced broadcast; AQE broadcasts at runtime when it fits.
     return (
-        numbered.join(F.broadcast(center), numbered["user_id"] == center["c_user"])
+        numbered.join(center, numbered["user_id"] == center["c_user"])
         .withColumn("day_offset", F.col("rn") - F.col("center_rn"))
         .filter(F.col("day_offset").between(-5, 5))
         .select(

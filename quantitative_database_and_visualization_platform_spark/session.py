@@ -35,6 +35,13 @@ def get_spark(app_name: str = "qdvp-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI mode (Spark 4 default) turns zero-variance corr/covar windows
+        # into DIVIDE_BY_ZERO errors; the reference/pandas/DuckDB semantics
+        # are NULL on degenerate windows, so run non-ANSI.
+        .config("spark.sql.ansi.enabled", "false")
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read as long nanos (converted in sources.catalog).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -47,6 +54,8 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our config to a session we did
     not create (the driver hands us one)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -39,10 +39,13 @@ TABLES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast when joined to a
+# Small dimension tables that are safe to broadcast-hint when joined to a
 # fact table (the reference's meta_*/rel_* star-schema dims,
-# `Project report.md:428`).
-DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+# `Project report.md:428`). Only tables whose size is FIXED (independent of
+# the data scale) belong here: customer/supplier/part grow with the scale
+# factor, so forcing a broadcast of them would OOM at 100 TB — they are
+# left to AQE, which broadcasts at runtime only when the actual size fits.
+DIM_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -53,9 +56,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw long nanos and convert via integer
-        # division (ns values exceed 2^53, so no double arithmetic).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reader rejects; spark.sql.legacy.parquet.nanosAsLong (set once in
+        # session.get_spark / tune_existing — not here: a reader must not
+        # mutate session config) surfaces it as raw long nanos, converted
+        # via integer division (ns values exceed 2^53, so no double math).
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
