@@ -1,0 +1,73 @@
+"""Daily OHLCV bar panel derived from the events stream.
+
+The reference's factor layer runs on per-(stock, trade_date) OHLCV rows
+(`database/ddl/quant_db_ddl.md:95-105`). The testdata analog: aggregate
+the events stream into daily bars per user — exactly the reference's
+tick→bar capability (`Project report.md:391-400`): first/max/min/last as
+open/high/low/close, integer-exact volume/amount sums.
+
+Scale shape: one groupBy (code, day) shuffle builds the bars; every factor
+suite afterwards reuses a single partitionBy(code) sort. open/close are
+picked with row_number flags (deterministic under (ts, event_id) order) so
+both engines agree bit-for-bit; no order-dependent first()/last() aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# DuckDB twin of daily_bars, used as a CTE prefix by every factor oracle.
+O_BARS = """
+    bars AS (
+        SELECT user_id AS code, CAST(ts AS DATE) AS d,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+               CAST(SUM(k) AS BIGINT) AS volume,
+               SUM(CAST(ROUND(value*100,0) AS BIGINT) * k)/100.0 AS amount
+        FROM (
+            SELECT user_id, ts, value, event_id,
+                   CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_z
+            FROM events
+        )
+        GROUP BY user_id, CAST(ts AS DATE)
+    )
+"""
+
+
+def daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(code, d, open, high, low, close, volume, amount) daily panel."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    )
+    day = F.to_date("ts")
+    w_asc = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("user_id", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = ev.select(
+        F.col("user_id").alias("code"),
+        day.alias("d"),
+        "value",
+        "k",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_z"),
+    )
+    return flagged.groupBy("code", "d").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("value"))).alias("close"),
+        F.sum("k").alias("volume"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long") * F.col("k")) / 100.0).alias(
+            "amount"
+        ),
+    )

@@ -4,6 +4,7 @@ from .registry import ORACLES, QUERIES, query
 from . import relational_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
 from . import crosssection_queries  # noqa: E402,F401
+from . import factor_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

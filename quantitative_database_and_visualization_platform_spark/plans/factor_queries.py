@@ -1,0 +1,278 @@
+"""Factor-suite queries (SURVEY.md §2.9): technical / momentum / value /
+recursive-EMA factor builds over the daily-bar panel, each checked against
+a DuckDB oracle that re-derives every formula with window SQL (and, for
+the recursive EMAs, the closed-form weighted sum — pandas
+ewm(span, adjust=False) ≡ Σ_i w_i·x_i with w_1=(1-α)^(n-1),
+w_i=α(1-α)^(n-i)).
+
+Reference: `database/functions/basic factor_function.md:6-59`, engine
+`database/functions/alpha101_engine.py`, DDL `factor_db_ddl.md:37-133`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..factors.ema_family import EMA_FAMILY_COLS, with_ema_family
+from ..factors.panel import O_BARS, daily_bars
+from ..factors.suites import (
+    MOMENTUM_GATES,
+    TECHNICAL_GATES,
+    VALUE_GATES,
+    build_suite,
+    momentum_columns,
+    technical_columns,
+    value_columns,
+    with_derived,
+)
+from ..operators.timeseries import entity_window
+from .registry import query
+
+_W = "PARTITION BY code ORDER BY d"
+
+
+def _f(d: int) -> str:
+    return f"{_W} ROWS BETWEEN {d - 1} PRECEDING AND CURRENT ROW"
+
+
+def _o_gate(expr: str, col: str, d: int) -> str:
+    """DuckDB twin of operators.timeseries.gate (min_periods parity)."""
+    return f"CASE WHEN COUNT({col}) OVER ({_f(d)}) = {d} THEN {expr} END"
+
+
+# shared derived-column CTEs (prev_close / ret / tp / tr / up_day)
+_O_EXT = f"""
+    ext AS (
+        SELECT *, LAG(close) OVER ({_W}) AS prev_close FROM bars
+    ), ext2 AS (
+        SELECT *,
+               close/prev_close - 1 AS ret,
+               (high+low+close)/3.0 AS tp,
+               GREATEST(high-low, ABS(high-prev_close), ABS(low-prev_close)) AS tr,
+               CAST(close > prev_close AS INT) AS up_day,
+               CAST(close = prev_close AS INT) AS flat_day
+        FROM ext
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Technical suite (~20 cols; `basic factor_function.md:6-28`).
+# ---------------------------------------------------------------------------
+def _o_technical() -> str:
+    ma20 = f"AVG(close) OVER ({_f(20)})"
+    std20 = f"STDDEV_SAMP(close) OVER ({_f(20)})"
+    avg_up = f"AVG(GREATEST(close - prev_close, 0.0)) OVER ({_f(14)})"
+    avg_down = f"AVG(GREATEST(prev_close - close, 0.0)) OVER ({_f(14)})"
+    h14 = f"MAX(high) OVER ({_f(14)})"
+    l14 = f"MIN(low) OVER ({_f(14)})"
+    pos_mf = f"SUM(tp * volume * tp_up) OVER ({_f(14)})"
+    neg_mf = f"SUM(tp * volume * (1 - tp_up)) OVER ({_f(14)})"
+    return f"""
+    WITH {O_BARS}, {_O_EXT},
+    ext3 AS (
+        SELECT *,
+               CAST(tp > LAG(tp) OVER ({_W}) AS INT) AS tp_up,
+               SUM(SIGN(close - prev_close) * volume)
+                   OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv,
+               list(tp) OVER ({_f(14)}) AS l_tp,
+               AVG(tp) OVER ({_f(14)}) AS m_tp,
+               list(high) OVER ({_f(10)}) AS l_h10,
+               list(low) OVER ({_f(10)}) AS l_l10,
+               (close - MAX(close) OVER ({_f(14)}))
+                   / MAX(close) OVER ({_f(14)}) * 100 AS dd14
+        FROM ext2
+    )
+    SELECT code, d,
+      ROUND({_o_gate(f"AVG(close) OVER ({_f(5)})", 'close', 5)}, 6) AS ma_5,
+      ROUND({_o_gate(ma20, 'close', 20)}, 6) AS ma_20,
+      ROUND({_o_gate(f"(close - {ma20}) / {ma20}", 'close', 20)}, 6) AS bias_20,
+      ROUND({_o_gate(f"{ma20} + 2 * {std20}", 'close', 20)}, 6) AS boll_upper,
+      ROUND({_o_gate(f"{ma20} - 2 * {std20}", 'close', 20)}, 6) AS boll_lower,
+      ROUND({_o_gate(f"100 * {avg_up} / ({avg_up} + {avg_down})", 'prev_close', 14)}, 6) AS rsi_14,
+      ROUND({_o_gate(f"AVG(tr) OVER ({_f(14)})", 'tr', 14)}, 6) AS atr_14,
+      ROUND({_o_gate(
+          f"(tp - m_tp) / (0.015 * (list_sum(list_transform(l_tp, v -> ABS(v - m_tp))) / len(l_tp)))",
+          'tp', 14)}, 6) AS cci_14,
+      ROUND({_o_gate(f"({h14} - close) / ({h14} - {l14}) * -100", 'close', 14)}, 6) AS wr_14,
+      ROUND({_o_gate(f"SUM(up_day) OVER ({_f(12)}) / 12.0 * 100", 'up_day', 12)}, 6) AS psy_12,
+      ROUND(volume / LAG(volume, 5) OVER ({_W}) - 1, 6) AS vroc_5,
+      ROUND((obv - LAG(obv, 5) OVER ({_W})) / 5.0, 6) AS obv_slope_5,
+      ROUND({_o_gate(
+          f"(close - SUM(amount) OVER ({_f(10)}) / SUM(volume) OVER ({_f(10)}))"
+          f" / (SUM(amount) OVER ({_f(10)}) / SUM(volume) OVER ({_f(10)}))",
+          'amount', 10)}, 6) AS vwap_bias_10,
+      ROUND({_o_gate(f"SQRT(AVG(dd14 * dd14) OVER ({_f(14)}))", 'close', 14)}, 6) AS ui_14,
+      ROUND({_o_gate(
+          "(CAST(len(l_l10) - list_position(l_l10, list_aggregate(l_l10, 'min')) AS DOUBLE)"
+          " - CAST(len(l_h10) - list_position(l_h10, list_aggregate(l_h10, 'max')) AS DOUBLE)) * 10.0",
+          'high', 10)}, 6) AS aroon_osc_10,
+      ROUND({_o_gate(
+          f"100 * LOG10(SUM(tr) OVER ({_f(14)}) / (MAX(high) OVER ({_f(14)}) - MIN(low) OVER ({_f(14)})))"
+          f" / LOG10(14.0)",
+          'tr', 14)}, 6) AS chop_14,
+      ROUND({_o_gate(f"100 * {pos_mf} / ({pos_mf} + {neg_mf})", 'tp', 14)}, 6) AS mfi_14,
+      ROUND({_o_gate(f"AVG(ABS(ret) / amount * 1e6) OVER ({_f(10)})", 'ret', 10)}, 6) AS amihud_10,
+      ROUND({_o_gate(f"STDDEV_SAMP(CAST(volume AS DOUBLE)) OVER ({_f(10)})", 'volume', 10)}, 6) AS turnover_std_10,
+      ROUND({_o_gate(f"{std20} / {ma20}", 'close', 20)}, 6) AS cv_20
+    FROM ext3
+    """
+
+
+@query("factor_technical", oracle=_o_technical())
+def factor_technical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived = with_derived(daily_bars(spark, sf_dir))
+    return build_suite(derived, technical_columns(entity_window("code", "d")), TECHNICAL_GATES)
+
+
+# ---------------------------------------------------------------------------
+# Momentum suite (`basic factor_function.md:34-44`).
+# ---------------------------------------------------------------------------
+def _o_momentum() -> str:
+    v_up = f"SUM(volume * up_day) OVER ({_f(10)})"
+    v_down = f"SUM(volume * (1 - up_day) * (1 - flat_day)) OVER ({_f(10)})"
+    v_flat = f"SUM(volume * flat_day) OVER ({_f(10)})"
+    l20 = f"MIN(low) OVER ({_f(20)})"
+    h20 = f"MAX(high) OVER ({_f(20)})"
+    return f"""
+    WITH {O_BARS}, {_O_EXT},
+    m1 AS (
+        SELECT *,
+               close / LAG(close, 5) OVER ({_W}) - 1 AS roc5,
+               CAST(ROW_NUMBER() OVER ({_W}) AS DOUBLE) AS rn
+        FROM ext2
+    )
+    SELECT code, d,
+      ROUND(roc5, 6) AS roc_5,
+      ROUND(close / LAG(close, 20) OVER ({_W}) - 1, 6) AS roc_20,
+      ROUND({_o_gate(f"STDDEV_SAMP(ret) OVER ({_f(10)})", 'ret', 10)}, 6) AS volatility_10,
+      ROUND({_o_gate(f"AVG(CAST(volume AS DOUBLE)) OVER ({_f(5)})", 'volume', 5)}, 6) AS turnover_mean_5,
+      ROUND({_o_gate(f"AVG((high - low) / prev_close) OVER ({_f(5)})", 'prev_close', 5)}, 6) AS amplitude_mean_5,
+      ROUND({_o_gate(f"(close - {l20}) / ({h20} - {l20})", 'close', 20)}, 6) AS pos_20,
+      ROUND(roc5 - LAG(roc5, 5) OVER ({_W}), 6) AS mom_acc_5,
+      ROUND({_o_gate(f"({v_up} + 0.5 * {v_flat}) / ({v_down} + 0.5 * {v_flat})", 'prev_close', 10)}, 6) AS vr_10,
+      ROUND({_o_gate(f"SKEWNESS(ret) OVER ({_f(10)})", 'ret', 10)}, 6) AS skew_10,
+      ROUND({_o_gate(f"KURTOSIS(ret) OVER ({_f(10)})", 'ret', 10)}, 6) AS kurt_10,
+      ROUND({_o_gate(f"REGR_SLOPE(close, rn) OVER ({_f(10)})", 'close', 10)}, 6) AS linreg_slope_10
+    FROM m1
+    """
+
+
+@query("factor_momentum", oracle=_o_momentum())
+def factor_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived = with_derived(daily_bars(spark, sf_dir))
+    return build_suite(derived, momentum_columns(entity_window("code", "d")), MOMENTUM_GATES)
+
+
+# ---------------------------------------------------------------------------
+# Value suite (`basic factor_function.md:50-59`): inverse ratios + ln size
+# + trailing zscores.
+# ---------------------------------------------------------------------------
+def _o_value() -> str:
+    pe, pb = "(close/open)", "(close/low)"
+
+    def z(x: str) -> str:
+        return f"({x} - AVG({x}) OVER ({_f(20)})) / STDDEV_SAMP({x}) OVER ({_f(20)})"
+
+    return f"""
+    WITH {O_BARS}
+    SELECT code, d,
+      ROUND(CASE WHEN close * volume > 0 THEN LN(close * volume) END, 6) AS ln_market_cap,
+      ROUND(1 / {pe}, 6) AS ep_ttm,
+      ROUND(1 / {pb}, 6) AS bp_lr,
+      ROUND((amount / volume) / close, 6) AS sp_ttm,
+      ROUND({pb} / {pe}, 6) AS roe_ttm,
+      ROUND({_o_gate(z(pe), 'close', 20)}, 6) AS pe_zscore_20,
+      ROUND({_o_gate(z(pb), 'close', 20)}, 6) AS pb_zscore_20
+    FROM bars
+    """
+
+
+@query("factor_value", oracle=_o_value())
+def factor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    derived = with_derived(daily_bars(spark, sf_dir))
+    return build_suite(derived, value_columns(entity_window("code", "d")), VALUE_GATES)
+
+
+# ---------------------------------------------------------------------------
+# Recursive-EMA family: MACD diff/dea, KDJ, TRIX, Force — one applyInPandas
+# pass per entity; oracle via the closed-form EMA weighted sums over
+# per-code lists (stage-by-stage CTEs, each O(n^2) list math).
+# ---------------------------------------------------------------------------
+def _o_ema(src: str, alpha: str) -> str:
+    """Closed-form ewm(adjust=False) of a list column, as a list."""
+    return (
+        f"list_transform(range(1, len({src})+1), j -> "
+        f"list_sum(list_transform(range(1, j+1), i -> {src}[i] * "
+        f"(CASE WHEN i = 1 THEN power(1-({alpha}), j-1) "
+        f"ELSE ({alpha}) * power(1-({alpha}), j-i) END))))"
+    )
+
+
+def _o_ema_family() -> str:
+    a12, a26, a9, a5, a13 = "2.0/13.0", "2.0/27.0", "2.0/10.0", "2.0/6.0", "2.0/14.0"
+    return f"""
+    WITH {O_BARS},
+    ext AS (
+        SELECT code, d, close, volume,
+               MIN(low)  OVER ({_f(9)}) AS ln,
+               MAX(high) OVER ({_f(9)}) AS hn,
+               COALESCE(volume * (close - LAG(close) OVER ({_W})), 0.0) AS fc
+        FROM bars
+    ), rsvd AS (
+        SELECT code, d, close, fc,
+               CASE WHEN hn = ln THEN 50.0 ELSE (close - ln)/(hn - ln)*100 END AS rsv
+        FROM ext
+    ), percode AS (
+        SELECT code,
+               list(d ORDER BY d)     AS ds,
+               list(close ORDER BY d) AS c,
+               list(rsv ORDER BY d)   AS rsvl,
+               list(fc ORDER BY d)    AS fcl
+        FROM rsvd GROUP BY code
+    ), s1 AS (
+        SELECT code, ds,
+               {_o_ema('c', a12)}    AS e12,
+               {_o_ema('c', a26)}    AS e26,
+               {_o_ema('rsvl', a5)}  AS kl,
+               {_o_ema('fcl', a13)}  AS forcel,
+               {_o_ema('c', a12)}    AS t1
+        FROM percode
+    ), s2 AS (
+        SELECT code, ds, kl, forcel,
+               list_transform(range(1, len(e12)+1), j -> (e12[j] - e26[j]) * 2) AS diffl,
+               {_o_ema('kl', a5)} AS dl,
+               {_o_ema('t1', a12)} AS t2
+        FROM s1
+    ), s3 AS (
+        SELECT code, ds, kl, dl, forcel, diffl,
+               {_o_ema('diffl', a9)} AS deal,
+               {_o_ema('t2', a12)}   AS t3
+        FROM s2
+    ), s4 AS (
+        SELECT code, ds, kl, dl, forcel, diffl, deal,
+               list_transform(range(1, len(t3)+1),
+                              j -> CASE WHEN j = 1 THEN NULL ELSE t3[j]/t3[j-1] - 1 END) AS trixl,
+               list_transform(range(1, len(kl)+1), j -> 3*kl[j] - 2*dl[j]) AS jl
+        FROM s3
+    )
+    SELECT code,
+           unnest(ds)                           AS d,
+           ROUND(unnest(diffl), 6)              AS macd_diff,
+           ROUND(unnest(deal), 6)               AS macd_dea,
+           ROUND(unnest(kl), 6)                 AS kdj_k,
+           ROUND(unnest(dl), 6)                 AS kdj_d,
+           ROUND(unnest(jl), 6)                 AS kdj_j,
+           ROUND(unnest(trixl), 6)              AS trix_12,
+           ROUND(unnest(forcel), 6)             AS force_13
+    FROM s4
+    """
+
+
+@query("factor_ema_family", oracle=_o_ema_family())
+def factor_ema_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_ema_family(daily_bars(spark, sf_dir))
+    return out.select(
+        "code", "d", *[F.round(c, 6).alias(c) for c in EMA_FAMILY_COLS]
+    )
