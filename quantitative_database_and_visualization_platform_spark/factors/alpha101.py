@@ -1,0 +1,129 @@
+"""Alpha101 pipeline: the reference's 5-stage TS→CS→TS→CS→TS factor DAG
+(`Project report.md:739-773`) for a representative alpha subset; formulas
+from `database/functions/alpha101_function.md:5-105`.
+
+Implemented alphas (chosen to cover every operator class):
+- alpha_101  (close-open)/((high-low)+0.001)            — pure arithmetic
+- alpha_012  sign(delta(volume,1)) * -delta(close,1)    — TS delta/sign
+- alpha_041  sqrt(high*low) - vwap                       — arithmetic + vwap
+- alpha_054  -((low-close)·open^5)/((low-high)·close^5)  — power arithmetic
+- alpha_033  rank(-(1 - open/close))                     — single CS rank
+- alpha_006  -corr(open, volume, 10)                     — TS correlation
+- alpha_003  -corr(rank(open), rank(volume), 10)         — CS rank → TS corr
+- alpha_002  -corr(rank(delta(log(volume),2)), rank((close-open)/open), 6)
+- alpha_001  rank(ts_argmax(signedpower(ret<0 ? stddev(ret,20) : close, 2), 5)) - 0.5
+- alpha_015  -sum(rank(corr(rank(high), rank(volume), 3)), 3)
+             — the full P1(TS)→P2(CS)→P3(TS)→P4(CS)→P5(TS) chain
+
+Null conventions (documented, enforced identically in the DuckDB oracle):
+- alpha_001's ternary falls back to close when returns or its trailing
+  stddev is not yet defined (reference pandas leaves NaN; NaN inside
+  rolling argmax is undefined behavior there — we pick the total
+  convention so every window input is non-null).
+- log(volume) guarded to volume > 0 (DuckDB throws on LN(0)).
+- cross-sectional ranks ignore null inputs (rank null, others unshifted).
+
+Scale shape: the stage alternation is exactly two partitioning axes —
+every TS column of a stage shares the partitionBy(code) sort, every CS
+column shares the partitionBy(date) shuffle. The subset compiles into ONE
+lazy plan (4 exchanges for P1..P5); optional parquet checkpoints between
+stages mirror the reference's p{N}.parquet resumability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import crosssection as cs
+from ..operators import timeseries as ts
+
+ALPHA_COLS = (
+    "alpha_001",
+    "alpha_002",
+    "alpha_003",
+    "alpha_006",
+    "alpha_012",
+    "alpha_015",
+    "alpha_033",
+    "alpha_041",
+    "alpha_054",
+    "alpha_101",
+)
+
+
+def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """Append the alpha subset to a (code, d, open, high, low, close,
+    volume, amount) daily-bar panel via the staged P1–P5 plan."""
+
+    def ckpt(df: DataFrame, stage: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df
+        path = f"{checkpoint_dir}/{stage}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    w = ts.entity_window("code", "d")
+    close, open_, high, low = F.col("close"), F.col("open"), F.col("high"), F.col("low")
+    vol = F.col("volume")
+
+    # ---- P1: time-series primitives (partitionBy code) ----
+    prev_close = ts.delay(close, 1, w)
+    ret = close / prev_close - 1
+    log_v = F.when(vol > 0, F.log(vol))
+    p1 = bars.select(
+        "*",
+        ret.alias("ret"),
+        (F.col("amount") / vol).alias("vwap"),
+        (log_v - F.lag(log_v, 2).over(w)).alias("dlv2"),
+        ((close - open_) / open_).alias("intraday"),
+        ts.ts_stddev(ret, 20, w).alias("std20"),
+        (F.signum(ts.delta(vol, 1, w)) * (-1 * ts.delta(close, 1, w))).alias("alpha_012"),
+        (F.sqrt(high * low) - F.col("amount") / vol).alias("alpha_041"),
+        (
+            (-1 * ((low - close) * F.pow(open_, 5.0)))
+            / ((low - high) * F.pow(close, 5.0))
+        ).alias("alpha_054"),
+        ((close - open_) / ((high - low) + 0.001)).alias("alpha_101"),
+    )
+    a1_base = F.when((F.col("ret") < 0) & F.col("std20").isNotNull(), F.col("std20")).otherwise(
+        close
+    )
+    sp = F.signum(a1_base) * a1_base * a1_base
+    p1 = p1.select("*", ts.ts_argmax(sp, 5, w).alias("a1_argmax"))
+    p1 = ckpt(p1, "p1")
+
+    # ---- P2: cross-sectional ranks (partitionBy date) ----
+    p2 = p1.select(
+        "*",
+        cs.cs_rank("a1_argmax", "d").alias("r_a1"),
+        cs.cs_rank("dlv2", "d").alias("r_dlv2"),
+        cs.cs_rank("intraday", "d").alias("r_intraday"),
+        cs.cs_rank(F.col("open"), "d").alias("r_open"),
+        cs.cs_rank(vol.cast("double"), "d").alias("r_vol"),
+        cs.cs_rank(high, "d").alias("r_high"),
+        (cs.cs_rank(-1 * (1 - open_ / close), "d")).alias("alpha_033"),
+    )
+    p2 = ckpt(p2, "p2")
+
+    # ---- P3: correlations over ranked values (back to code axis) ----
+    p3 = p2.select(
+        "*",
+        (F.col("r_a1") - 0.5).alias("alpha_001"),
+        (-1 * ts.ts_corr("r_dlv2", "r_intraday", 6, w)).alias("alpha_002"),
+        (-1 * ts.ts_corr("r_open", "r_vol", 10, w)).alias("alpha_003"),
+        (-1 * ts.ts_corr(open_, vol.cast("double"), 10, w)).alias("alpha_006"),
+        ts.ts_corr("r_high", "r_vol", 3, w).alias("c_hv3"),
+    )
+    p3 = ckpt(p3, "p3")
+
+    # ---- P4: final cross-sectional rank (date axis) ----
+    # rank the corr at 9dp: correlations of short rank-windows produce
+    # mass ties at ±1.0 etc., and ulp-level float differences would
+    # otherwise split tie groups nondeterministically across engines
+    p4 = p3.select("*", cs.cs_rank(F.round("c_hv3", 9), "d").alias("r_chv3"))
+    p4 = ckpt(p4, "p4")
+
+    # ---- P5: time-series tail (code axis) ----
+    p5 = p4.select("*", (-1 * ts.ts_sum("r_chv3", 3, w)).alias("alpha_015"))
+    return p5

@@ -25,8 +25,15 @@ def cs_rank(x: ColumnOrName, date: str = "trade_date") -> Column:
     percent_rank() (which is (rank-1)/(n-1)); the average-tie/n convention
     matches the reference exactly."""
     c = _col(x)
-    r_min = F.rank().over(Window.partitionBy(date).orderBy(c))
-    ties = F.count(c).over(Window.partitionBy(date, c))
+    # nulls LAST (matching DuckDB/pandas defaults) so non-null ranks start
+    # at 1 even when the column has nulls; null inputs rank as null.
+    ordered = Window.partitionBy(date).orderBy(c.asc_nulls_last())
+    r_min = F.rank().over(ordered)
+    # tie count via the peers frame (RANGE CURRENT ROW..CURRENT ROW) — it
+    # shares the partitionBy(date) exchange of rank() instead of forcing a
+    # second hash partitioning on (date, value) per ranked column; ranking
+    # k columns is then ONE date-axis shuffle + k sorts, not k shuffles.
+    ties = F.count(c).over(ordered.rangeBetween(Window.currentRow, Window.currentRow))
     n = F.count(c).over(date_window(date))
     avg_rank = r_min + (ties - 1) / 2.0
     return F.when(c.isNotNull(), avg_rank / n)

@@ -3,6 +3,7 @@ from .registry import ORACLES, QUERIES, query
 # importing the modules registers their queries
 from . import relational_queries  # noqa: E402,F401
 from . import window_queries  # noqa: E402,F401
+from . import alpha_queries  # noqa: E402,F401
 from . import crosssection_queries  # noqa: E402,F401
 from . import factor_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401

@@ -1,0 +1,99 @@
+"""Alpha101 subset query (SURVEY.md §2.9, `alpha101_function.md:5-105`):
+the staged P1–P5 pipeline from `factors/alpha101.py`, oracle-checked
+against a DuckDB CTE chain that mirrors each stage (window SQL for the TS
+stages, average-tie NULLS-LAST ranks for the CS stages, list math for
+ts_argmax).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..factors.alpha101 import ALPHA_COLS, with_alphas
+from ..factors.panel import O_BARS, daily_bars
+from .registry import query
+
+_W = "PARTITION BY code ORDER BY d"
+
+
+def _f(d: int) -> str:
+    return f"{_W} ROWS BETWEEN {d - 1} PRECEDING AND CURRENT ROW"
+
+
+def _o_rank(x: str) -> str:
+    """Average-tie percentile rank within a date; null in → null out,
+    non-null ranks unshifted (NULLS LAST ordering)."""
+    return (
+        f"CASE WHEN {x} IS NOT NULL THEN "
+        f"(rank() OVER (PARTITION BY d ORDER BY {x}) "
+        f" + (COUNT(*) OVER (PARTITION BY d, {x}) - 1)/2.0) "
+        f" / COUNT({x}) OVER (PARTITION BY d) END"
+    )
+
+
+def _o_alphas() -> str:
+    return f"""
+    WITH {O_BARS},
+    e1 AS (
+        SELECT *, LAG(close) OVER ({_W}) AS prev_close,
+               CASE WHEN volume > 0 THEN LN(volume) END AS log_v
+        FROM bars
+    ), e2 AS (
+        SELECT *, close/prev_close - 1 AS ret,
+               log_v - LAG(log_v, 2) OVER ({_W}) AS dlv2,
+               (close - open)/open AS intraday,
+               SIGN(volume - LAG(volume, 1) OVER ({_W}))
+                   * (-1 * (close - LAG(close, 1) OVER ({_W}))) AS alpha_012,
+               SQRT(high*low) - amount/volume AS alpha_041,
+               (-1 * ((low - close) * power(open, 5.0)))
+                   / ((low - high) * power(close, 5.0)) AS alpha_054,
+               (close - open) / ((high - low) + 0.001) AS alpha_101
+        FROM e1
+    ), e3 AS (
+        SELECT *, STDDEV_SAMP(ret) OVER ({_f(20)}) AS std20 FROM e2
+    ), e4 AS (
+        SELECT *, CASE WHEN ret < 0 AND std20 IS NOT NULL
+                       THEN std20 ELSE close END AS a1b
+        FROM e3
+    ), e5 AS (
+        SELECT *, SIGN(a1b) * a1b * a1b AS sp FROM e4
+    ), p1 AS (
+        SELECT *, list(sp) OVER ({_f(5)}) AS l_sp FROM e5
+    ), p1b AS (
+        SELECT *, CAST(len(l_sp) - list_position(l_sp, list_aggregate(l_sp, 'max'))
+                       AS DOUBLE) AS a1_argmax
+        FROM p1
+    ), p2 AS (
+        SELECT *,
+               {_o_rank('a1_argmax')} AS r_a1,
+               {_o_rank('dlv2')} AS r_dlv2,
+               {_o_rank('intraday')} AS r_intraday,
+               {_o_rank('open')} AS r_open,
+               {_o_rank('volume')} AS r_vol,
+               {_o_rank('high')} AS r_high,
+               {_o_rank('(-1 * (1 - open/close))')} AS alpha_033
+        FROM p1b
+    ), p3 AS (
+        SELECT *,
+               r_a1 - 0.5 AS alpha_001,
+               -1 * CORR(r_dlv2, r_intraday) OVER ({_f(6)}) AS alpha_002,
+               -1 * CORR(r_open, r_vol) OVER ({_f(10)}) AS alpha_003,
+               -1 * CORR(open, volume) OVER ({_f(10)}) AS alpha_006,
+               CORR(r_high, r_vol) OVER ({_f(3)}) AS c_hv3
+        FROM p2
+    ), p4 AS (
+        SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3 FROM p3
+    ), p5 AS (
+        SELECT *, -1 * SUM(r_chv3) OVER ({_f(3)}) AS alpha_015 FROM p4
+    )
+    SELECT code, d,
+           {', '.join(f'ROUND({c}, 6) AS {c}' for c in ALPHA_COLS)}
+    FROM p5
+    """
+
+
+@query("alpha101_subset", oracle=_o_alphas())
+def alpha101_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = with_alphas(daily_bars(spark, sf_dir))
+    return out.select("code", "d", *[F.round(c, 6).alias(c) for c in ALPHA_COLS])
