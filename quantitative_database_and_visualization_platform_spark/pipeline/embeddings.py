@@ -1,0 +1,100 @@
+"""Embedding similarity search: brute-force cosine top-k (the exactness
+baseline) and SRP-bucketed ANN (the scale path).
+
+The SRP (signed random projection) planes are DETERMINISTIC Rademacher
+vectors derived from md5 — plane p, dimension j has weight +1 iff the
+first hex digit of md5('p{p}_{j}') has its high bit set. That keeps the
+bucketing reproducible across engines (the DuckDB oracle re-derives the
+same planes) and across cluster runs (no RNG state to ship).
+
+Scale shape: brute force is one scan + TakeOrderedAndProject per probe —
+fine for a single probe, linear in corpus size. The SRP variant buckets
+the corpus ONCE (a materializable groupBy key), then a probe touches only
+its bucket: candidate set ~ n / 2^planes, and multi-probe (flipping weak
+bits) trades recall for fan-out without ever scanning the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_PLANES = 4
+DIMS = 64
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity of two float-array columns, accumulated in
+    double (cast-first so both engines run the identical IEEE ops)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr(
+            f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            f"aggregate({b}, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+    return dot / (na * nb)
+
+
+def o_cosine(a: str, b: str, dims: int = DIMS) -> str:
+    """DuckDB twin of cosine() (sequential list_sum over the same
+    double-cast products)."""
+    dot = (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform(range(1, {dims + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {dims + 1}), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"{dot} / ({na} * {nb})"
+
+
+def _plane_sign(p: int) -> str:
+    """Spark SQL: +1/-1 weight of plane p at lambda dimension j."""
+    return (
+        f"IF(substring(md5(concat('p{p}_', CAST(j AS STRING))), 1, 1) >= '8',"
+        f" CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))"
+    )
+
+
+def srp_bucket(vec: str, n_planes: int = N_PLANES, dims: int = DIMS) -> Column:
+    """SRP bucket key: one bit per plane = sign of the Rademacher dot."""
+    bits = []
+    for p in range(n_planes):
+        dot = F.expr(
+            f"aggregate(zip_with({vec}, transform(sequence(0, {dims - 1}), j -> {_plane_sign(p)}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def o_srp_bucket(vec: str, n_planes: int = N_PLANES, dims: int = DIMS) -> str:
+    """DuckDB twin of srp_bucket (j is 1-based there: salt uses j-1)."""
+    bits = []
+    for p in range(n_planes):
+        sign = (
+            f"CASE WHEN substring(md5('p{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'"
+            f" THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+        )
+        dot = f"list_sum(list_transform(range(1, {dims + 1}), i -> CAST({vec}[i] AS DOUBLE) * ({sign})))"
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(f"({b})" for b in bits)
+
+
+def topk_cosine(
+    corpus: DataFrame, probe: DataFrame, k: int, vec: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Brute-force cosine top-k against a one-row probe (broadcast: the
+    probe side is bounded by construction)."""
+    p = probe.select(F.col(vec).alias("__probe"))
+    scored = corpus.crossJoin(F.broadcast(p)).withColumn(
+        "cos", F.round(cosine(vec, "__probe"), 6)
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k).drop("__probe")

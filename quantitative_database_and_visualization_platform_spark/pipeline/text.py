@@ -1,0 +1,80 @@
+"""Text analysis operators: tokenization, language ID, quality scoring,
+document fingerprinting — the per-document scoring pass of a training-
+data pipeline. Pure JVM-side expressions (no Python in the hot path);
+one scan, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# function-word list for the n-gram/stopword language heuristic; the
+# corpus' English vocabulary carries these, other languages do not
+EN_STOPWORDS = ("the", "a", "of", "to", "and", "is", "in")
+TOKEN_REGEX = r"\w+|[^\w\s]"  # BPE-ish: words plus standalone punctuation
+
+
+def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Append n_tokens / n_tokens_bpe / avg_token_len / stopword_ratio /
+    lang_pred / quality_score / fingerprint."""
+    t = normalized_text(text)
+    out = df.withColumn("__t", t).withColumn("__w", F.split(F.col("__t"), " "))
+    n = F.size("__w")
+    stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    stop_ratio = F.expr(f"CAST(size(filter(__w, x -> x IN ({stop_list}))) AS DOUBLE)") / n
+    # single-space-normalized text: total token chars = length - (n - 1)
+    avg_len = (F.length("__t").cast("double") - n + 1) / n
+    quality = 0.6 * F.least(n / 100.0, F.lit(1.0)) + 0.4 * F.least(
+        stop_ratio * 10, F.lit(1.0)
+    )
+    return (
+        out.withColumn("n_tokens", n.cast("long"))
+        .withColumn(
+            # F.lit for the pattern: embedding it in a SQL string literal
+            # would strip the backslashes
+            "n_tokens_bpe",
+            F.size(F.regexp_extract_all("__t", F.lit(TOKEN_REGEX), F.lit(0))).cast("long"),
+        )
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("lang_pred", F.when(stop_ratio > 0.03, "en").otherwise("other"))
+        .withColumn("quality_score", quality)
+        .withColumn("fingerprint", F.substring(F.md5("__t"), 1, 16))
+        .drop("__t", "__w")
+    )
+
+
+def o_text_features(stopwords: tuple[str, ...] = EN_STOPWORDS) -> dict[str, str]:
+    """DuckDB twins of each feature expression (over normalized text `t`
+    and word list `w`)."""
+    stop_list = ", ".join(f"'{s}'" for s in stopwords)
+    stop = f"CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) / len(w)"
+    return {
+        "n_tokens": "CAST(len(w) AS BIGINT)",
+        "n_tokens_bpe": f"CAST(len(regexp_extract_all(t, '{TOKEN_REGEX}')) AS BIGINT)",
+        "avg_token_len": "(CAST(length(t) AS DOUBLE) - len(w) + 1) / len(w)",
+        "stopword_ratio": stop,
+        "lang_pred": f"CASE WHEN {stop} > 0.03 THEN 'en' ELSE 'other' END",
+        "quality_score": f"0.6 * LEAST(len(w) / 100.0, 1.0) + 0.4 * LEAST(({stop}) * 10, 1.0)",
+        "fingerprint": "substring(md5(t), 1, 16)",
+    }
+
+
+def token_histogram(df: DataFrame, text: str = "text") -> DataFrame:
+    """Corpus-level token frequency (the vocabulary scan): explode +
+    groupBy — one shuffle keyed by token."""
+    return (
+        df.select(F.explode(F.split(normalized_text(text), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def length_quality_filter(
+    df: DataFrame, min_tokens: int = 5, min_quality: float = 0.2
+) -> Column:
+    """The standard keep/drop mask a curation pass applies."""
+    return (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)

@@ -1,1 +1,320 @@
-"""(filled in below)"""
+"""LLM-data-pipeline queries over the documents/embeddings tables:
+dedup (exact, MinHash-LSH, SimHash), text analysis, embedding similarity
+(brute force + SRP-bucketed ANN), multimodal binary plumbing.
+
+Every query has a DuckDB oracle that recomputes the signatures/buckets
+with the same md5-hex hash constructions, so candidate sets — not just
+final scores — are compared bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..pipeline import dedup as dd
+from ..pipeline.embeddings import (
+    DIMS,
+    N_PLANES,
+    cosine,
+    o_cosine,
+    o_srp_bucket,
+    srp_bucket,
+    topk_cosine,
+)
+from ..pipeline.multimodal import decode_documents
+from ..pipeline.text import o_text_features, with_text_features
+from ..sources.catalog import load_table
+from .registry import query
+
+# normalized text + word/shingle CTEs shared by the dedup oracles
+_O_NORM = """
+    docs_n AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, t, string_split(t, ' ') AS w FROM docs_n
+    )
+"""
+
+_O_SHINGLES = """
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM words WHERE len(w) >= 3
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: normalize → md5 → keep-first per hash group.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_O_NORM}
+    SELECT doc_id, md5(t) AS content_hash,
+           CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(t)) AS INT) AS keep,
+           CAST(COUNT(*) OVER (PARTITION BY md5(t)) AS BIGINT) AS group_size
+    FROM docs_n
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(dd.normalized_text("text"))
+    w = Window.partitionBy(h)
+    return docs.select(
+        "doc_id",
+        h.alias("content_hash"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("keep"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup: shingle → 8 MinHashes → 4 band keys → band-join
+# candidates → exact-Jaccard verify (>= 0.5). Candidates only from
+# colliding buckets — never an all-pairs product.
+# ---------------------------------------------------------------------------
+def _o_minhash() -> str:
+    mh = ",\n               ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS m{i}"
+        for i in range(dd.N_MINHASH)
+    )
+    rows = dd.N_MINHASH // dd.N_BANDS
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ".join(f"m{b * rows + r}" for r in range(rows))
+        + " AS key FROM sigs"
+        for b in range(dd.N_BANDS)
+    )
+    return f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    sigs AS (
+        SELECT doc_id, s,
+               {mh}
+        FROM sh
+    ), bands AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ), verified AS (
+        SELECT a_id, b_id,
+               CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) AS inter,
+               len(sa.s) AS la, len(sb.s) AS lb
+        FROM cand
+        JOIN sh sa ON cand.a_id = sa.doc_id
+        JOIN sh sb ON cand.b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, ROUND(inter / (la + lb - inter), 6) AS jaccard
+    FROM verified
+    WHERE inter / (la + lb - inter) >= 0.5
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_o_minhash())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = dd.with_shingles(docs).filter(F.size("shingles") > 0)
+    sigs = dd.with_minhash_bands(shingled)
+    cand = dd.lsh_candidate_pairs(sigs)
+    return dd.jaccard_verified_pairs(cand, shingled, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: tf-weighted 32-bit signatures, 4-block pigeonhole
+# candidates, exact Hamming verify (<= 6).
+# ---------------------------------------------------------------------------
+def _o_simhash() -> str:
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN substring(h, {p + 1}, 1) >= '8' THEN tf ELSE -tf END) AS s{p}"
+        for p in range(dd.SIMHASH_BITS)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END)" for p in range(dd.SIMHASH_BITS)
+    )
+    block = dd.SIMHASH_BITS // dd.SIMHASH_BLOCKS
+    block_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS blk, substring(sig, {b * block + 1}, {block}) AS key FROM sigs"
+        for b in range(dd.SIMHASH_BLOCKS)
+    )
+    ham = (
+        "list_sum(list_transform(range(1, 33), "
+        "p -> CASE WHEN substring(a_sig, p, 1) = substring(b_sig, p, 1) THEN 0 ELSE 1 END))"
+    )
+    return f"""
+    WITH {_O_NORM},
+    tok AS (SELECT doc_id, unnest(w) AS word FROM words),
+    tf AS (SELECT doc_id, word, md5(word) AS h, COUNT(*) AS tf
+           FROM tok GROUP BY doc_id, word),
+    sums AS (SELECT doc_id,
+               {bit_sums}
+             FROM tf GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM sums),
+    blocks AS (
+        {block_selects}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               x.sig AS a_sig, y.sig AS b_sig
+        FROM blocks x JOIN blocks y
+          ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id, CAST({ham} AS BIGINT) AS hamming
+    FROM cand WHERE {ham} <= 6
+    """
+
+
+@query("dedup_simhash", oracle=_o_simhash())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dd.with_simhash(docs)
+    cand = dd.simhash_candidate_pairs(sigs)
+    ham = dd.hamming("a_sig", "b_sig")
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 6)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: tokenization, language-ID heuristic, quality scoring,
+# fingerprinting — one scan, no shuffle.
+# ---------------------------------------------------------------------------
+def _o_text() -> str:
+    feats = o_text_features()
+    cols = ",\n           ".join(
+        f"ROUND({expr}, 6) AS {name}"
+        if name in ("avg_token_len", "stopword_ratio", "quality_score")
+        else f"{expr} AS {name}"
+        for name, expr in feats.items()
+    )
+    return f"""
+    WITH docs_n AS (
+        SELECT doc_id, lang, lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, lang, t, string_split(t, ' ') AS w FROM docs_n
+    )
+    SELECT doc_id, lang,
+           {cols}
+    FROM words
+    """
+
+
+@query("text_analysis", oracle=_o_text())
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = with_text_features(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_tokens_bpe",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        "fingerprint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k against probe vec_id = 0 (the exactness
+# baseline; one scan + TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_topk",
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({o_cosine('embedding', 'p')}, 6) AS cos
+    FROM embeddings, probe
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    return topk_cosine(emb, probe, 10).select("vec_id", "label", "cos")
+
+
+# ---------------------------------------------------------------------------
+# SRP-bucketed ANN: deterministic Rademacher hyperplanes bucket the
+# corpus; the probe searches only its own bucket (candidates ~ n/2^planes).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_ann_srp",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {o_srp_bucket('embedding', N_PLANES, DIMS)} AS bucket
+        FROM embeddings
+    ), probe AS (
+        SELECT embedding AS p, bucket AS pbucket FROM bucketed WHERE vec_id = 0
+    )
+    SELECT vec_id, label, bucket,
+           ROUND({o_cosine('embedding', 'p')}, 6) AS cos
+    FROM bucketed, probe
+    WHERE bucket = pbucket
+    ORDER BY cos DESC, vec_id
+    LIMIT 5
+    """,
+)
+def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", srp_bucket("embedding"))
+    probe = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__probe"), F.col("bucket").alias("__pbucket")
+    )
+    return (
+        bucketed.join(F.broadcast(probe), F.col("bucket") == F.col("__pbucket"))
+        .withColumn("cos", F.round(cosine("embedding", "__probe"), 6))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", "bucket", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary payload + typed metadata (oracle on the
+# byte-level features), and the Arrow-batch decode stub via mapInPandas
+# (oracle mirrors the stub's deterministic arithmetic).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(substring(text, 1, 4)) AS header_hex
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+        F.hex(F.encode(F.substring("text", 1, 4), "UTF-8")).alias("header_hex"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) // 7) % 64 + 16 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) % 5 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_documents(load_table(spark, sf_dir, "documents"))
