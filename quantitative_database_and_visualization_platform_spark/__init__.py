@@ -14,13 +14,16 @@ builds the logical plan. Pandas UDFs (`applyInPandas`) are used solely for
 genuinely recursive semantics (EMA family).
 
 Layers (see SURVEY.md §7):
-  sources/    - table catalog, schemas, parquet lakehouse conventions
-  operators/  - time-series, cross-sectional, relational, dedup,
-                similarity, text, multimodal operator library
+  sources/    - table catalog, CSV/encoding ingest, lakehouse write
+                conventions, compaction
+  operators/  - time-series, cross-sectional, relational operator library
   functions/  - scalar expression helpers (parsing, codes, money text)
-  factors/    - technical / momentum / value / sentiment / alpha101 suites
+  factors/    - daily-bar panel, technical / momentum / value suites,
+                recursive EMA family, Alpha101 P1-P5 pipeline
+  pipeline/   - LLM-data ops: dedup (exact/MinHash-LSH/SimHash), text
+                analysis, embedding ANN, multimodal binary plumbing
   plans/      - the named analytical queries + DuckDB oracle SQL registry
-  streaming/  - tick->bar structured streaming
+  streaming/  - tick->bar structured streaming (watermarked event time)
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,61 @@
+"""Ingest-side sources and sinks (SURVEY.md §2.1): CSV with encoding
+fallback, bulk CSV sink, and partition compaction.
+
+The reference bulk-loads zipped CSV tick batches with a GB18030→UTF-8
+encoding sniff and bad-line skipping (`Project report.md:453-487`), fans
+out over 28 OS processes, and periodically runs `OPTIMIZE TABLE ...
+FINAL` (`Project report.md:494-507`). In Spark: file-glob reads are
+task-parallel natively, DROPMALFORMED replaces on_bad_lines='skip', and
+compaction is a repartition-on-write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv_with_fallback(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    encodings: tuple[str, ...] = ("GB18030", "UTF-8"),
+    **options,
+) -> DataFrame:
+    """Try each encoding in order; an encoding mismatch surfaces as a
+    parse failure on first materialization, so probe with a 1-row action
+    before committing (two-pass sniff, mirroring the reference's
+    try-GB18030-except-UTF-8 loader)."""
+    last_err: Exception | None = None
+    for enc in encodings:
+        reader = spark.read.option("header", "true").option("mode", "DROPMALFORMED").option(
+            "encoding", enc
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        df = reader.csv(path, schema=schema) if schema else reader.csv(path, inferSchema=True)
+        try:
+            df.limit(1).collect()  # probe: decode failures surface here
+            return df
+        except Exception as exc:  # noqa: BLE001 — try the next encoding
+            last_err = exc
+    raise last_err if last_err else ValueError("no encodings supplied")
+
+
+def write_csv_bulk(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Bulk CSV sink (the reference's CSVWithNames pipe analog): one file
+    per partition, written by executors in parallel — the writer scales
+    with the cluster, not the driver."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def compact_partitions(spark: SparkSession, path: str, n_files: int, sort_cols: list[str] | None = None) -> None:
+    """OPTIMIZE ... FINAL analog: rewrite a parquet dataset into n_files
+    files (sorted within files for row-group skipping when sort_cols is
+    given). Run per-partition-directory at scale so a compaction touches
+    only hot partitions, like the reference's per-partition OPTIMIZE loop."""
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(f"{path}__compacted")

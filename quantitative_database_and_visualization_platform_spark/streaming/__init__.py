@@ -1,0 +1,6 @@
+"""Structured Streaming extensions (SURVEY.md §2.10): the tick→bar
+aggregation the reference's tick store exists to serve, expressed as an
+event-time streaming job with watermarked late-data handling.
+"""
+
+from .tick_bars import stream_events, streaming_minute_bars  # noqa: F401

@@ -1,0 +1,71 @@
+"""Streaming tick→bar aggregation (SURVEY.md §2.10).
+
+The reference ingests 3-second tick snapshots as zip/CSV bulk loads and
+aggregates them in ClickHouse (`Project report.md:449-487,391-400`); the
+idiomatic Spark expression is a Structured Streaming job: file source →
+event-time tumbling window with a watermark → append-mode sink. The
+aggregation body is IDENTICAL to the batch `tick_bars_minute` query
+(plans/longtail_queries.py) — batch and streaming share one logical plan,
+which is the point of Structured Streaming.
+
+Scale notes:
+- the watermark bounds state: closed windows are evicted, so state is
+  O(active windows × entities), not O(stream length).
+- `dropDuplicates(["event_id"])` before aggregation makes replays
+  idempotent (the reference's re-ingest tolerance).
+- materialized turnover is computed in the stream (compute-on-write,
+  `stock_3tick_db_ddl.md:25`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Streaming sources need
+    an explicit schema, so it is pinned from a batch read; the raw file
+    schema (pre-conversion, TIMESTAMP(NANOS) surfaced as long) is what
+    the stream sees, so the same nanos→timestamp conversion applies."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory: stream the sf dir, globbed down
+    # to the events file(s)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def streaming_minute_bars(events: DataFrame, watermark: str = "5 minutes") -> DataFrame:
+    """Watermarked tumbling 1-minute OHLCV bars per entity."""
+    ticks = (
+        events.withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
+        .withColumn("turnover", F.col("value") * F.col("k"))  # compute-on-write
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])  # idempotent replays
+    )
+    return (
+        ticks.groupBy("user_id", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("k").alias("volume"),
+            F.sum("turnover").alias("turnover"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("bar_start"),
+            "low",
+            "high",
+            "n_ticks",
+            "volume",
+            "turnover",
+        )
+    )

@@ -1,0 +1,103 @@
+"""Streaming tick→bar (vs its batch twin), CSV encoding-fallback
+roundtrip, compaction, and the multimodal decode stub."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_minute_bars_match_batch(spark):
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        stream_events,
+        streaming_minute_bars,
+    )
+
+    bars = streaming_minute_bars(stream_events(spark, SF))
+    assert bars.isStreaming
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("bars_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, bar_start, low, high, n_ticks, volume FROM bars_test"
+    ).toPandas()
+    want = (
+        QUERIES["tick_bars_minute"](spark, SF)
+        .select("user_id", "bar_start", "low", "high", "n_ticks", "volume")
+        .toPandas()
+    )
+    # append mode emits only windows CLOSED by the final watermark
+    # (max event time - 5 min); the still-open tail windows are withheld
+    import pandas as pd
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) - pd.Timedelta(minutes=5)
+    want = want[want["bar_start"] + pd.Timedelta(minutes=1) <= cutoff]
+    key = ["user_id", "bar_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+
+def test_csv_roundtrip_with_encoding_fallback(spark):
+    from quantitative_database_and_visualization_platform_spark.sources.ingest import (
+        read_csv_with_fallback,
+        write_csv_bulk,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_csv_")
+    try:
+        part = spark.read.parquet(f"{SF}/part.parquet").select(
+            "p_partkey", "p_name", "p_retailprice"
+        )
+        write_csv_bulk(part, f"{tmp}/part_csv")
+        back = read_csv_with_fallback(spark, f"{tmp}/part_csv", schema=part.schema)
+        assert back.count() == part.count()
+        a = part.orderBy("p_partkey").toPandas()
+        b = back.orderBy("p_partkey").toPandas()
+        assert a.equals(b)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compaction_preserves_rows(spark):
+    from quantitative_database_and_visualization_platform_spark.sources.ingest import (
+        compact_partitions,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_compact_")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        orders.repartition(8).write.parquet(f"{tmp}/orders")
+        compact_partitions(spark, f"{tmp}/orders", 2, sort_cols=["o_orderkey"])
+        compacted = spark.read.parquet(f"{tmp}/orders__compacted")
+        assert compacted.count() == orders.count()
+        files = compacted.select(F.input_file_name()).distinct().count()
+        assert files <= 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_multimodal_decode_stub_batches(spark):
+    from quantitative_database_and_visualization_platform_spark.pipeline.multimodal import (
+        decode_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = decode_documents(docs).toPandas()
+    assert len(out) == docs.count()
+    assert (out["width"].between(16, 79)).all()
+    assert (out["n_frames"].between(1, 5)).all()
