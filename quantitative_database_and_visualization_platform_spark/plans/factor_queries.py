@@ -276,3 +276,71 @@ def factor_ema_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "code", "d", *[F.round(c, 6).alias(c) for c in EMA_FAMILY_COLS]
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean-mask factor screener (`pages/3_Smart screener.py:91-126`):
+# chained factor conditions including the cross-column MA alignment
+# (ma_5 > ma_20), an RSI band, and the micro-cap noise filter — pure
+# filter pushdown over the factor build, then top-k.
+# ---------------------------------------------------------------------------
+def _o_screener() -> str:
+    ma5 = f"AVG(close) OVER ({_f(5)})"
+    ma20 = f"AVG(close) OVER ({_f(20)})"
+    avg_up = f"AVG(GREATEST(close - prev_close, 0.0)) OVER ({_f(14)})"
+    avg_down = f"AVG(GREATEST(prev_close - close, 0.0)) OVER ({_f(14)})"
+    return f"""
+    WITH {O_BARS}, {_O_EXT},
+    factors AS (
+        SELECT code, d, close, volume,
+               {_o_gate(ma5, 'close', 5)} AS ma_5,
+               {_o_gate(ma20, 'close', 20)} AS ma_20,
+               {_o_gate(f"100 * {avg_up} / ({avg_up} + {avg_down})", 'prev_close', 14)} AS rsi_14
+        FROM ext2
+    )
+    SELECT code, d, close,
+           ROUND(ma_5, 6) AS ma_5, ROUND(ma_20, 6) AS ma_20,
+           ROUND(rsi_14, 6) AS rsi_14
+    FROM factors
+    WHERE ma_5 > ma_20            -- MA alignment
+      AND rsi_14 BETWEEN 20 AND 80 -- band filter
+      AND volume > 50             -- micro-cap noise filter
+      AND close > ma_20           -- price above trend
+    ORDER BY close DESC, code, d
+    LIMIT 100
+    """
+
+
+@query("screener_factor_mask", oracle=_o_screener())
+def screener_factor_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries as ts
+    from ..operators.relational import top_k
+
+    w = entity_window("code", "d")
+    derived = with_derived(daily_bars(spark, sf_dir))
+    close, prev = F.col("close"), F.col("prev_close")
+    avg_up = ts.ts_mean(F.greatest(close - prev, F.lit(0.0)), 14, w)
+    avg_down = ts.ts_mean(F.greatest(prev - close, F.lit(0.0)), 14, w)
+    factors = derived.select(
+        "code",
+        "d",
+        "close",
+        "volume",
+        ts.gate(ts.ts_mean(close, 5, w), "close", 5, w).alias("ma_5"),
+        ts.gate(ts.ts_mean(close, 20, w), "close", 20, w).alias("ma_20"),
+        ts.gate(100 * avg_up / (avg_up + avg_down), "prev_close", 14, w).alias("rsi_14"),
+    )
+    screened = factors.filter(
+        (F.col("ma_5") > F.col("ma_20"))
+        & F.col("rsi_14").between(20, 80)
+        & (F.col("volume") > 50)
+        & (F.col("close") > F.col("ma_20"))
+    ).select(
+        "code",
+        "d",
+        "close",
+        F.round("ma_5", 6).alias("ma_5"),
+        F.round("ma_20", 6).alias("ma_20"),
+        F.round("rsi_14", 6).alias("rsi_14"),
+    )
+    return top_k(screened, [F.col("close").desc(), F.col("code"), F.col("d")], 100)

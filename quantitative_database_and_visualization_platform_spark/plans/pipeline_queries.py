@@ -118,19 +118,40 @@ def _o_minhash() -> str:
 @query("dedup_minhash_lsh", oracle=_o_minhash())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = dd.with_shingles(docs).filter(F.size("shingles") > 0)
-    sigs = dd.with_minhash_bands(shingled)
+    # distinct=False: array_distinct is O(len²) per row and redundant here —
+    # MinHash minima are duplicate-insensitive and the aggregate below
+    # rebuilds the shingle SET with collect_set anyway.
+    # Plan shape, measured at 5k docs (each item was individually a
+    # 5-10x regression when absent):
+    # - repartition BEFORE shingling: the one-file corpus is one input
+    #   split, and the interpreted transform would run on one core;
+    # - NO size(shingles)>0 filter: evaluating size() re-runs the whole
+    #   collapsed shingle transform once more; empty arrays simply emit
+    #   nothing at the explode;
+    # - persist shingled: Generate (explode) collapses its child
+    #   projection and re-evaluates the shingle transform PER EMITTED
+    #   ELEMENT (O(len²)/doc) — an exchange between does not stop the
+    #   re-collapse, a persist does. At 100 TB this persist is the
+    #   shingle table a pipeline would checkpoint to parquet.
+    shingled = dd.with_shingles(
+        docs.repartition(spark.sparkContext.defaultParallelism), distinct=False
+    ).persist()
+    # sigs is consumed four times (band explode a/b, verify a/b) → persist
+    # the tiny signature table too (the in-memory form of the signature
+    # materialization a production run would write out).
+    sigs = dd.with_minhash_bands(shingled.select("doc_id", "shingles")).persist()
     cand = dd.lsh_candidate_pairs(sigs)
-    return dd.jaccard_verified_pairs(cand, shingled, threshold=0.5)
+    return dd.jaccard_verified_pairs(cand, sigs.select("doc_id", "shingles"), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup: tf-weighted 32-bit signatures, 4-block pigeonhole
-# candidates, exact Hamming verify (<= 6).
+# SimHash near-dup: tf-weighted 32-bit signatures over shingle features,
+# 4-block pigeonhole candidates, exact Hamming verify (<= 3 — the 4-block
+# split GUARANTEES recall only for distance < 4).
 # ---------------------------------------------------------------------------
 def _o_simhash() -> str:
     bit_sums = ",\n               ".join(
-        f"SUM(CASE WHEN substring(h, {p + 1}, 1) >= '8' THEN tf ELSE -tf END) AS s{p}"
+        f"SUM(CASE WHEN substring(h, {p + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{p}"
         for p in range(dd.SIMHASH_BITS)
     )
     sig = " || ".join(
@@ -147,12 +168,16 @@ def _o_simhash() -> str:
     )
     return f"""
     WITH {_O_NORM},
-    tok AS (SELECT doc_id, unnest(w) AS word FROM words),
-    tf AS (SELECT doc_id, word, md5(word) AS h, COUNT(*) AS tf
-           FROM tok GROUP BY doc_id, word),
+    shl AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+        FROM words WHERE len(w) >= 3
+    ),
+    tok AS (SELECT doc_id, md5(unnest(s)) AS h FROM shl),
     sums AS (SELECT doc_id,
                {bit_sums}
-             FROM tf GROUP BY doc_id),
+             FROM tok GROUP BY doc_id),
     sigs AS (SELECT doc_id, {sig} AS sig FROM sums),
     blocks AS (
         {block_selects}
@@ -163,19 +188,20 @@ def _o_simhash() -> str:
           ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id
     )
     SELECT a_id, b_id, CAST({ham} AS BIGINT) AS hamming
-    FROM cand WHERE {ham} <= 6
+    FROM cand WHERE {ham} <= 3
     """
 
 
 @query("dedup_simhash", oracle=_o_simhash())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = dd.with_simhash(docs)
+    # persist: the block self-join consumes the signature table twice
+    sigs = dd.with_simhash(docs).persist()
     cand = dd.simhash_candidate_pairs(sigs)
     ham = dd.hamming("a_sig", "b_sig")
     return (
         cand.withColumn("hamming", ham.cast("long"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
     )
 

@@ -174,6 +174,30 @@ def cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling product via the log trick (alpha101_engine.py:69-72): the
+# equity-curve compounding primitive. DuckDB's native windowed product()
+# cross-checks the exp(sum(log)) implementation.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_product",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(product(1 + value/10000)
+               OVER ({_W_SQL} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS growth_5
+    FROM events
+    """,
+)
+def rolling_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = _w()
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(ts.ts_product(1 + F.col("value") / 10000, 5, w), 6).alias("growth_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Recursive EMA (MACD family, `basic factor_function.md:8-9`) — computed
 # with applyInPandas per entity (the one honest pandas-UDF operator,
 # SURVEY.md §7.3 risk 2). The oracle uses the closed-form weighted sum
