@@ -27,6 +27,7 @@ EMA_FAMILY_COLS = (
     "kdj_j",
     "trix_12",
     "force_13",
+    "mass_10",
 )
 
 
@@ -68,6 +69,11 @@ def with_ema_family(bars: DataFrame, entity: str = "code", order: str = "d") -> 
         # identically in the oracle so the recursion seeds match)
         fc = (v * c.diff()).fillna(0.0)
         pdf["force_13"] = fc.ewm(span=13, adjust=False).mean()
+        # Mass index: Σ_10 EMA(H-L, 9) / EMA(EMA(H-L, 9), 9)
+        hl = pdf["high"] - pdf["low"]
+        e9 = hl.ewm(span=9, adjust=False).mean()
+        e99 = e9.ewm(span=9, adjust=False).mean()
+        pdf["mass_10"] = (e9 / e99).rolling(10, min_periods=10).sum()
         return pdf
 
     return bars.groupBy(entity).applyInPandas(compute, schema=out_schema)

@@ -212,16 +212,17 @@ def _o_ema(src: str, alpha: str) -> str:
 
 def _o_ema_family() -> str:
     a12, a26, a9, a5, a13 = "2.0/13.0", "2.0/27.0", "2.0/10.0", "2.0/6.0", "2.0/14.0"
+    a9m = "2.0/10.0"  # span-9 EMA for the mass index channel width
     return f"""
     WITH {O_BARS},
     ext AS (
-        SELECT code, d, close, volume,
+        SELECT code, d, close, volume, high - low AS hl,
                MIN(low)  OVER ({_f(9)}) AS ln,
                MAX(high) OVER ({_f(9)}) AS hn,
                COALESCE(volume * (close - LAG(close) OVER ({_W})), 0.0) AS fc
         FROM bars
     ), rsvd AS (
-        SELECT code, d, close, fc,
+        SELECT code, d, close, fc, hl,
                CASE WHEN hn = ln THEN 50.0 ELSE (close - ln)/(hn - ln)*100 END AS rsv
         FROM ext
     ), percode AS (
@@ -229,7 +230,8 @@ def _o_ema_family() -> str:
                list(d ORDER BY d)     AS ds,
                list(close ORDER BY d) AS c,
                list(rsv ORDER BY d)   AS rsvl,
-               list(fc ORDER BY d)    AS fcl
+               list(fc ORDER BY d)    AS fcl,
+               list(hl ORDER BY d) AS hll
         FROM rsvd GROUP BY code
     ), s1 AS (
         SELECT code, ds,
@@ -237,24 +239,32 @@ def _o_ema_family() -> str:
                {_o_ema('c', a26)}    AS e26,
                {_o_ema('rsvl', a5)}  AS kl,
                {_o_ema('fcl', a13)}  AS forcel,
-               {_o_ema('c', a12)}    AS t1
+               {_o_ema('c', a12)}    AS t1,
+               {_o_ema('hll', a9m)}  AS e9m
         FROM percode
     ), s2 AS (
-        SELECT code, ds, kl, forcel,
+        SELECT code, ds, kl, forcel, e9m,
                list_transform(range(1, len(e12)+1), j -> (e12[j] - e26[j]) * 2) AS diffl,
                {_o_ema('kl', a5)} AS dl,
-               {_o_ema('t1', a12)} AS t2
+               {_o_ema('t1', a12)} AS t2,
+               {_o_ema('e9m', a9m)} AS e99m
         FROM s1
     ), s3 AS (
         SELECT code, ds, kl, dl, forcel, diffl,
                {_o_ema('diffl', a9)} AS deal,
-               {_o_ema('t2', a12)}   AS t3
+               {_o_ema('t2', a12)}   AS t3,
+               list_transform(range(1, len(e9m)+1), j -> e9m[j] / e99m[j]) AS rl
         FROM s2
     ), s4 AS (
         SELECT code, ds, kl, dl, forcel, diffl, deal,
                list_transform(range(1, len(t3)+1),
                               j -> CASE WHEN j = 1 THEN NULL ELSE t3[j]/t3[j-1] - 1 END) AS trixl,
-               list_transform(range(1, len(kl)+1), j -> 3*kl[j] - 2*dl[j]) AS jl
+               list_transform(range(1, len(kl)+1), j -> 3*kl[j] - 2*dl[j]) AS jl,
+               list_transform(range(1, len(rl)+1),
+                              j -> CASE WHEN len(list_filter(
+                                       list_slice(rl, greatest(j-9, 1), j),
+                                       x -> x IS NOT NULL)) = 10
+                                   THEN list_sum(list_slice(rl, j-9, j)) END) AS massl
         FROM s3
     )
     SELECT code,
@@ -265,7 +275,8 @@ def _o_ema_family() -> str:
            ROUND(unnest(dl), 6)                 AS kdj_d,
            ROUND(unnest(jl), 6)                 AS kdj_j,
            ROUND(unnest(trixl), 6)              AS trix_12,
-           ROUND(unnest(forcel), 6)             AS force_13
+           ROUND(unnest(forcel), 6)             AS force_13,
+           ROUND(unnest(massl), 6)              AS mass_10
     FROM s4
     """
 
@@ -275,6 +286,66 @@ def factor_ema_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_ema_family(daily_bars(spark, sf_dir))
     return out.select(
         "code", "d", *[F.round(c, 6).alias(c) for c in EMA_FAMILY_COLS]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily → weekly resample (the reference stores daily/weekly/monthly bar
+# tables, `quant_db_ddl.md:38-64`): period rollup with deterministic
+# first/last picks — same pattern as the tick→daily build, one groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "weekly_bars_rollup",
+    oracle=f"""
+    WITH {O_BARS},
+    flagged AS (
+        SELECT code, CAST(date_trunc('week', d) AS DATE) AS wk,
+               open, high, low, close, volume, amount,
+               ROW_NUMBER() OVER (PARTITION BY code, date_trunc('week', d)
+                                  ORDER BY d) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY code, date_trunc('week', d)
+                                  ORDER BY d DESC) AS rn_z
+        FROM bars
+    )
+    SELECT code, wk,
+           MAX(CASE WHEN rn_a = 1 THEN open END)  AS open,
+           MAX(high)                              AS high,
+           MIN(low)                               AS low,
+           MAX(CASE WHEN rn_z = 1 THEN close END) AS close,
+           CAST(SUM(volume) AS BIGINT)            AS volume,
+           SUM(CAST(ROUND(amount*100,0) AS BIGINT))/100.0 AS amount,
+           CAST(COUNT(*) AS BIGINT)               AS n_days
+    FROM flagged
+    GROUP BY code, wk
+    """,
+)
+def weekly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bars = daily_bars(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("d")).cast("date")
+    w_asc = Window.partitionBy("code", wk).orderBy("d")
+    w_desc = Window.partitionBy("code", wk).orderBy(F.col("d").desc())
+    flagged = bars.select(
+        "code",
+        wk.alias("wk"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "amount",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_z"),
+    )
+    return flagged.groupBy("code", "wk").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("open"))).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("close"))).alias("close"),
+        F.sum("volume").alias("volume"),
+        (F.sum(F.round(F.col("amount") * 100, 0).cast("long")) / 100.0).alias("amount"),
+        F.count(F.lit(1)).alias("n_days"),
     )
 
 

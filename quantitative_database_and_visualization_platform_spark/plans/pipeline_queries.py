@@ -307,6 +307,50 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: bucket the corpus ONCE with the SRP planes,
+# self-join within buckets only (the embedding analog of the LSH band
+# join — work is Σ bucket², never n²), exact-cosine verify >= 0.99.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_neardup",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {o_srp_bucket('embedding', N_PLANES, DIMS)} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               a.embedding AS ea, b.embedding AS eb
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, ROUND({o_cosine('ea', 'eb')}, 6) AS cos
+    FROM pairs
+    WHERE {o_cosine('ea', 'eb')} >= 0.99
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # persist: the bucket self-join consumes the bucketed table twice and
+    # the SRP bucket computation is 4x64 interpreted lambda ops per row
+    bucketed = emb.select(
+        "vec_id", "embedding", srp_bucket("embedding").alias("bucket")
+    ).persist()
+    a = bucketed.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("a_id") < F.col("b_id"))
+    cos = cosine("ea", "eb")
+    return (
+        pairs.filter(cos >= 0.99)
+        .select("a_id", "b_id", F.round(cos, 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: opaque binary payload + typed metadata (oracle on the
 # byte-level features), and the Arrow-batch decode stub via mapInPandas
 # (oracle mirrors the stub's deterministic arithmetic).
