@@ -220,7 +220,9 @@ def rolling_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    # trim to the columns the EMA needs before applyInPandas — every
+    # column crosses the Arrow boundary twice
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     out = ts.with_ema_columns(ev, {"ema_12_raw": ("value", 12.0)}, "user_id", "ts", "event_id")
     return out.select(
         "event_id", "user_id", F.round("ema_12_raw", 6).alias("ema_12")
