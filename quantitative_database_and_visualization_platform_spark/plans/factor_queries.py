@@ -290,6 +290,88 @@ def factor_ema_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Similar-K-line search (`QuantDB.py:181-202` end-to-end): the latest
+# cross-section's (rsi_14, cci_14, bias_20) feature vector per entity,
+# weighted-Euclidean distance to a probe entity, top-3 nearest. One
+# factor build + a broadcast one-row probe + TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+def _o_kline_sim() -> str:
+    ma20 = f"AVG(close) OVER ({_f(20)})"
+    avg_up = f"AVG(GREATEST(close - prev_close, 0.0)) OVER ({_f(14)})"
+    avg_down = f"AVG(GREATEST(prev_close - close, 0.0)) OVER ({_f(14)})"
+    return f"""
+    WITH {O_BARS}, {_O_EXT},
+    ext3 AS (
+        SELECT *, list(tp) OVER ({_f(14)}) AS l_tp, AVG(tp) OVER ({_f(14)}) AS m_tp
+        FROM ext2
+    ),
+    feat AS (
+        SELECT code, d,
+               {_o_gate(f"100 * {avg_up} / ({avg_up} + {avg_down})", 'prev_close', 14)} AS rsi_14,
+               {_o_gate(
+                   "(tp - m_tp) / (0.015 * (list_sum(list_transform(l_tp, v -> ABS(v - m_tp))) / len(l_tp)))",
+                   'tp', 14)} AS cci_14,
+               {_o_gate(f"(close - {ma20}) / {ma20}", 'close', 20)} AS bias_20
+        FROM ext3
+    ),
+    latest AS (
+        SELECT * FROM feat
+        WHERE d = (SELECT MAX(d) FROM feat)
+          AND rsi_14 IS NOT NULL AND cci_14 IS NOT NULL AND bias_20 IS NOT NULL
+    ),
+    probe AS (SELECT rsi_14 AS p_rsi, cci_14 AS p_cci, bias_20 AS p_bias
+              FROM latest WHERE code = 0)
+    SELECT code,
+           ROUND(sqrt((rsi_14 - p_rsi) * 1.0 * ((rsi_14 - p_rsi) * 1.0)
+                 + (cci_14 - p_cci) * 0.5 * ((cci_14 - p_cci) * 0.5)
+                 + (bias_20 - p_bias) * 100.0 * ((bias_20 - p_bias) * 100.0)), 6) AS dist
+    FROM latest, probe
+    WHERE code <> 0
+    ORDER BY dist, code LIMIT 3
+    """
+
+
+@query("kline_similarity_search", oracle=_o_kline_sim())
+def kline_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries as ts
+    from ..operators.relational import top_k
+
+    w = entity_window("code", "d")
+    derived = with_derived(daily_bars(spark, sf_dir))
+    cols = technical_columns(w)
+    feat = derived.select(
+        "code",
+        "d",
+        ts.gate(cols["rsi_14"], "prev_close", 14, w).alias("rsi_14"),
+        ts.gate(cols["cci_14"], "tp", 14, w).alias("cci_14"),
+        ts.gate(cols["bias_20"], "close", 20, w).alias("bias_20"),
+    )
+    latest = (
+        feat.join(F.broadcast(feat.agg(F.max("d").alias("d"))), "d", "left_semi")
+        .filter(
+            F.col("rsi_14").isNotNull()
+            & F.col("cci_14").isNotNull()
+            & F.col("bias_20").isNotNull()
+        )
+    )
+    probe = latest.filter(F.col("code") == 0).select(
+        F.col("rsi_14").alias("p_rsi"),
+        F.col("cci_14").alias("p_cci"),
+        F.col("bias_20").alias("p_bias"),
+    )
+    d_rsi = (F.col("rsi_14") - F.col("p_rsi")) * 1.0
+    d_cci = (F.col("cci_14") - F.col("p_cci")) * 0.5
+    d_bias = (F.col("bias_20") - F.col("p_bias")) * 100.0
+    dist = F.sqrt(d_rsi * d_rsi + d_cci * d_cci + d_bias * d_bias)
+    scored = (
+        latest.crossJoin(F.broadcast(probe))
+        .filter(F.col("code") != 0)
+        .select("code", F.round(dist, 6).alias("dist"))
+    )
+    return top_k(scored, [F.col("dist"), F.col("code")], 3)
+
+
+# ---------------------------------------------------------------------------
 # Daily → weekly resample (the reference stores daily/weekly/monthly bar
 # tables, `quant_db_ddl.md:38-64`): period rollup with deterministic
 # first/last picks — same pattern as the tick→daily build, one groupBy.
