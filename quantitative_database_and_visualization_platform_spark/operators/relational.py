@@ -92,6 +92,29 @@ def prev_row_change(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: a hot key concentrates its rows in one
+    shuffle partition; salting splits each left key into `salt` shards
+    and replicates the (small-ish) right side once per shard, so the hot
+    key's work spreads across `salt` tasks. AQE's skew-join handles the
+    sort-merge case at runtime; this is the explicit variant for when the
+    build side must be shuffled anyway (e.g. aggregation follows).
+
+    Output columns = left ⋈ right on `on` (exactly a plain equi-join).
+    """
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    shards = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    salted_r = right.select("*", shards)
+    out = salted_l.join(salted_r, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def window_slice_around(
     df: DataFrame,
     entity: str,

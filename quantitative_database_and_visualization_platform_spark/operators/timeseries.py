@@ -184,6 +184,12 @@ def normalize_to_first(x: ColumnOrName, w: WindowSpec) -> Column:
 
 
 def _frame_array(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
+    """CONTRACT: the input column must be non-null — collect_list drops
+    nulls (unlike DuckDB's list() OVER, which keeps them), so a null
+    would silently shift frame positions for ts_rank/ts_argmax/
+    decay_linear. Callers feed raw panel columns (never null) or
+    coalesce first; gate() on the same column restores min_periods
+    semantics where needed."""
     return F.collect_list(_col(x)).over(rolling(w, d))
 
 

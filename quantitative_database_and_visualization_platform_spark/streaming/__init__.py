@@ -3,4 +3,5 @@ aggregation the reference's tick store exists to serve, expressed as an
 event-time streaming job with watermarked late-data handling.
 """
 
+from .stateful import running_user_stats  # noqa: F401
 from .tick_bars import stream_events, streaming_minute_bars  # noqa: F401

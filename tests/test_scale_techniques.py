@@ -1,0 +1,82 @@
+"""Scale-technique tests: bucketed co-located joins (no exchange) and
+salted skew joins (identical results to a plain join)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """bucketBy co-locates both sides on the join key at WRITE time, so
+    the join plans with zero shuffles — the lakehouse move that makes a
+    repeated 100 TB fact⋈fact join affordable."""
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        (
+            orders.write.bucketBy(4, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("orders_b")
+        )
+        (
+            lineitem.write.bucketBy(4, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("lineitem_b")
+        )
+        # at test scale the planner would broadcast (and skip bucketing);
+        # disable broadcast to exercise the co-located sort-merge path a
+        # fact⋈fact join takes at 100 TB
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("lineitem_b").join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:3000]
+            assert "Bucketed: true" in plan, plan[:3000]
+            expected = lineitem.join(
+                orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+            ).count()
+            assert joined.count() == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        # warehouse dir is a static config; tables land in the session's
+        # default spark-warehouse — drop them and remove the leftovers
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        for t in ("orders_b", "lineitem_b"):
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from quantitative_database_and_visualization_platform_spark.operators.relational import (
+        salted_join,
+    )
+
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    salted = salted_join(lineitem, orders, "l_orderkey")
+    plain = lineitem.join(orders, "l_orderkey")
+    key = ["l_orderkey", "l_linenumber"]
+    a = salted.orderBy(key).toPandas().reset_index(drop=True)
+    b = plain.orderBy(key).toPandas().reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert sorted(a.columns) == sorted(b.columns)
+    a = a[sorted(a.columns)]
+    b = b[sorted(b.columns)]
+    assert a.equals(b)

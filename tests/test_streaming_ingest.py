@@ -52,6 +52,45 @@ def test_streaming_minute_bars_match_batch(spark):
     assert got.equals(want)
 
 
+def test_stateful_running_stats_match_batch(spark):
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        running_user_stats,
+        stream_events,
+    )
+
+    stats = running_user_stats(stream_events(spark, SF))
+    assert stats.isStreaming
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, event_cnt, value_cents, max_value FROM stateful_test"
+    ).toPandas()
+    # update mode may emit one row per user per micro-batch; the LAST row
+    # per user is the final state
+    got = got.groupby("user_id").tail(1).sort_values("user_id").reset_index(drop=True)
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    want = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
+
+
 def test_csv_roundtrip_with_encoding_fallback(spark):
     from quantitative_database_and_visualization_platform_spark.sources.ingest import (
         read_csv_with_fallback,
