@@ -42,8 +42,13 @@ ALPHA_COLS = (
     "alpha_001",
     "alpha_002",
     "alpha_003",
+    "alpha_004",
+    "alpha_005",
     "alpha_006",
+    "alpha_008",
+    "alpha_009",
     "alpha_012",
+    "alpha_013",
     "alpha_015",
     "alpha_033",
     "alpha_041",
@@ -71,6 +76,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     prev_close = ts.delay(close, 1, w)
     ret = close / prev_close - 1
     log_v = F.when(vol > 0, F.log(vol))
+    d1 = ts.delta(close, 1, w)
     p1 = bars.select(
         "*",
         ret.alias("ret"),
@@ -78,19 +84,33 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (log_v - F.lag(log_v, 2).over(w)).alias("dlv2"),
         ((close - open_) / open_).alias("intraday"),
         ts.ts_stddev(ret, 20, w).alias("std20"),
-        (F.signum(ts.delta(vol, 1, w)) * (-1 * ts.delta(close, 1, w))).alias("alpha_012"),
+        (F.signum(ts.delta(vol, 1, w)) * (-1 * d1)).alias("alpha_012"),
         (F.sqrt(high * low) - F.col("amount") / vol).alias("alpha_041"),
         (
             (-1 * ((low - close) * F.pow(open_, 5.0)))
             / ((low - high) * F.pow(close, 5.0))
         ).alias("alpha_054"),
         ((close - open_) / ((high - low) + 0.001)).alias("alpha_101"),
+        # alpha_009: trend-confirming conditional on the Δclose channel
+        F.when(ts.ts_min(d1, 5, w) > 0, d1)
+        .when(ts.ts_max(d1, 5, w) < 0, d1)
+        .otherwise(-d1)
+        .alias("alpha_009"),
     )
     a1_base = F.when((F.col("ret") < 0) & F.col("std20").isNotNull(), F.col("std20")).otherwise(
         close
     )
     sp = F.signum(a1_base) * a1_base * a1_base
-    p1 = p1.select("*", ts.ts_argmax(sp, 5, w).alias("a1_argmax"))
+    so5 = ts.ts_sum(open_, 5, w)
+    sr5 = ts.ts_sum("ret", 5, w)
+    mom = so5 * sr5
+    p1 = p1.select(
+        "*",
+        ts.ts_argmax(sp, 5, w).alias("a1_argmax"),
+        (mom - F.lag(mom, 10).over(w)).alias("a8_raw"),
+        (open_ - ts.ts_sum("vwap", 10, w) / 10).alias("a5_dev"),
+        (close - F.col("vwap")).alias("a5_cv"),
+    )
     p1 = ckpt(p1, "p1")
 
     # ---- P2: cross-sectional ranks (partitionBy date) ----
@@ -102,11 +122,18 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank(F.col("open"), "d").alias("r_open"),
         cs.cs_rank(vol.cast("double"), "d").alias("r_vol"),
         cs.cs_rank(high, "d").alias("r_high"),
+        cs.cs_rank(low, "d").alias("r_low"),
+        cs.cs_rank(close, "d").alias("r_close"),
+        cs.cs_rank("a5_dev", "d").alias("r_a5dev"),
+        cs.cs_rank("a5_cv", "d").alias("r_a5cv"),
         (cs.cs_rank(-1 * (1 - open_ / close), "d")).alias("alpha_033"),
+        (-1 * cs.cs_rank("a8_raw", "d")).alias("alpha_008"),
     )
+    # alpha_005: pure arithmetic on the P2 ranks (no further window)
+    p2 = p2.select("*", (F.col("r_a5dev") * (-1 * F.abs(F.col("r_a5cv")))).alias("alpha_005"))
     p2 = ckpt(p2, "p2")
 
-    # ---- P3: correlations over ranked values (back to code axis) ----
+    # ---- P3: correlations/rolling ops over ranked values (code axis) ----
     p3 = p2.select(
         "*",
         (F.col("r_a1") - 0.5).alias("alpha_001"),
@@ -114,14 +141,20 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (-1 * ts.ts_corr("r_open", "r_vol", 10, w)).alias("alpha_003"),
         (-1 * ts.ts_corr(open_, vol.cast("double"), 10, w)).alias("alpha_006"),
         ts.ts_corr("r_high", "r_vol", 3, w).alias("c_hv3"),
+        (-1 * ts.ts_rank("r_low", 9, w)).alias("alpha_004"),
+        ts.ts_cov("r_close", "r_vol", 5, w).alias("cov_cv5"),
     )
     p3 = ckpt(p3, "p3")
 
     # ---- P4: final cross-sectional rank (date axis) ----
-    # rank the corr at 9dp: correlations of short rank-windows produce
-    # mass ties at ±1.0 etc., and ulp-level float differences would
-    # otherwise split tie groups nondeterministically across engines
-    p4 = p3.select("*", cs.cs_rank(F.round("c_hv3", 9), "d").alias("r_chv3"))
+    # rank corr/cov outputs at 9dp: short rank-windows produce mass ties
+    # at ±1.0 etc., and ulp-level float differences would otherwise split
+    # average-tie groups nondeterministically across engines
+    p4 = p3.select(
+        "*",
+        cs.cs_rank(F.round("c_hv3", 9), "d").alias("r_chv3"),
+        (-1 * cs.cs_rank(F.round("cov_cv5", 9), "d")).alias("alpha_013"),
+    )
     p4 = ckpt(p4, "p4")
 
     # ---- P5: time-series tail (code axis) ----

@@ -37,27 +37,42 @@ def _o_alphas() -> str:
     WITH {O_BARS},
     e1 AS (
         SELECT *, LAG(close) OVER ({_W}) AS prev_close,
-               CASE WHEN volume > 0 THEN LN(volume) END AS log_v
+               CASE WHEN volume > 0 THEN LN(volume) END AS log_v,
+               close - LAG(close, 1) OVER ({_W}) AS d1,
+               amount/volume AS vwap
         FROM bars
     ), e2 AS (
         SELECT *, close/prev_close - 1 AS ret,
                log_v - LAG(log_v, 2) OVER ({_W}) AS dlv2,
                (close - open)/open AS intraday,
-               SIGN(volume - LAG(volume, 1) OVER ({_W}))
-                   * (-1 * (close - LAG(close, 1) OVER ({_W}))) AS alpha_012,
+               SIGN(volume - LAG(volume, 1) OVER ({_W})) * (-1 * d1) AS alpha_012,
                SQRT(high*low) - amount/volume AS alpha_041,
                (-1 * ((low - close) * power(open, 5.0)))
                    / ((low - high) * power(close, 5.0)) AS alpha_054,
                (close - open) / ((high - low) + 0.001) AS alpha_101
         FROM e1
     ), e3 AS (
-        SELECT *, STDDEV_SAMP(ret) OVER ({_f(20)}) AS std20 FROM e2
+        SELECT *, STDDEV_SAMP(ret) OVER ({_f(20)}) AS std20,
+               MIN(d1) OVER ({_f(5)}) AS tmin5,
+               MAX(d1) OVER ({_f(5)}) AS tmax5,
+               SUM(open) OVER ({_f(5)}) AS so5,
+               SUM(ret) OVER ({_f(5)}) AS sr5,
+               SUM(vwap) OVER ({_f(10)}) AS sv10
+        FROM e2
     ), e4 AS (
         SELECT *, CASE WHEN ret < 0 AND std20 IS NOT NULL
-                       THEN std20 ELSE close END AS a1b
+                       THEN std20 ELSE close END AS a1b,
+               CASE WHEN tmin5 > 0 THEN d1
+                    WHEN tmax5 < 0 THEN d1
+                    ELSE -d1 END AS alpha_009,
+               so5 * sr5 AS mom,
+               open - sv10/10 AS a5_dev,
+               close - vwap AS a5_cv
         FROM e3
     ), e5 AS (
-        SELECT *, SIGN(a1b) * a1b * a1b AS sp FROM e4
+        SELECT *, SIGN(a1b) * a1b * a1b AS sp,
+               mom - LAG(mom, 10) OVER ({_W}) AS a8_raw
+        FROM e4
     ), p1 AS (
         SELECT *, list(sp) OVER ({_f(5)}) AS l_sp FROM e5
     ), p1b AS (
@@ -72,18 +87,35 @@ def _o_alphas() -> str:
                {_o_rank('open')} AS r_open,
                {_o_rank('volume')} AS r_vol,
                {_o_rank('high')} AS r_high,
-               {_o_rank('(-1 * (1 - open/close))')} AS alpha_033
+               {_o_rank('low')} AS r_low,
+               {_o_rank('close')} AS r_close,
+               {_o_rank('a5_dev')} AS r_a5dev,
+               {_o_rank('a5_cv')} AS r_a5cv,
+               {_o_rank('(-1 * (1 - open/close))')} AS alpha_033,
+               -1 * ({_o_rank('a8_raw')}) AS alpha_008
         FROM p1b
+    ), p2b AS (
+        SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005 FROM p2
     ), p3 AS (
         SELECT *,
                r_a1 - 0.5 AS alpha_001,
                -1 * CORR(r_dlv2, r_intraday) OVER ({_f(6)}) AS alpha_002,
                -1 * CORR(r_open, r_vol) OVER ({_f(10)}) AS alpha_003,
                -1 * CORR(open, volume) OVER ({_f(10)}) AS alpha_006,
-               CORR(r_high, r_vol) OVER ({_f(3)}) AS c_hv3
-        FROM p2
+               CORR(r_high, r_vol) OVER ({_f(3)}) AS c_hv3,
+               COVAR_SAMP(r_close, r_vol) OVER ({_f(5)}) AS cov_cv5,
+               list(r_low) OVER ({_f(9)}) AS l_rlow
+        FROM p2b
+    ), p3b AS (
+        SELECT *,
+               -1 * ((len(list_filter(l_rlow, x -> x < r_low))
+                     + len(list_filter(l_rlow, x -> x <= r_low)) + 1) / 2.0
+                     / len(l_rlow)) AS alpha_004
+        FROM p3
     ), p4 AS (
-        SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3 FROM p3
+        SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3,
+               -1 * ({_o_rank('ROUND(cov_cv5, 9)')}) AS alpha_013
+        FROM p3b
     ), p5 AS (
         SELECT *, -1 * SUM(r_chv3) OVER ({_f(3)}) AS alpha_015 FROM p4
     )

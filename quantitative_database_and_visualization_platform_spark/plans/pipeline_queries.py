@@ -307,6 +307,72 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus curation: quality/length filters + exact-dedup keep
+# flags composed into the per-source retention report a training-data
+# pipeline ships — one scan for features, one hash window for dedup,
+# one rollup.
+# ---------------------------------------------------------------------------
+def _o_curation() -> str:
+    feats = o_text_features()
+    return f"""
+    WITH docs_n AS (
+        SELECT doc_id, source, lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, source, t, string_split(t, ' ') AS w FROM docs_n
+    ), scored AS (
+        SELECT doc_id, source, t,
+               {feats['n_tokens']} AS n_tokens,
+               {feats['quality_score']} AS quality_score
+        FROM words
+    ), flagged AS (
+        SELECT *,
+               CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(t)) AS INT) AS keep_dedup,
+               CAST(n_tokens >= 5 AND quality_score >= 0.2 AS INT) AS keep_quality
+        FROM scored
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(keep_dedup * keep_quality) AS BIGINT) AS kept_docs,
+           ROUND(SUM(CAST(ROUND(quality_score*1000000,0) AS BIGINT))/1000000.0
+                 / COUNT(*), 6) AS avg_quality,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM flagged
+    GROUP BY source
+    """
+
+
+@query("corpus_curation", oracle=_o_curation())
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import length_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = with_text_features(docs)
+    h = F.md5(dd.normalized_text("text"))
+    hw = Window.partitionBy(h)
+    flagged = scored.select(
+        "source",
+        "n_tokens",
+        "quality_score",
+        (F.col("doc_id") == F.min("doc_id").over(hw)).cast("int").alias("keep_dedup"),
+        length_quality_filter(scored, min_tokens=5, min_quality=0.2)
+        .cast("int")
+        .alias("keep_quality"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.col("keep_dedup") * F.col("keep_quality")).alias("kept_docs"),
+        F.round(
+            F.sum(F.round(F.col("quality_score") * 1_000_000, 0).cast("long"))
+            / 1_000_000.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup: bucket the corpus ONCE with the SRP planes,
 # self-join within buckets only (the embedding analog of the LSH band
 # join — work is Σ bucket², never n²), exact-cosine verify >= 0.99.
