@@ -1,0 +1,123 @@
+"""Property tests (SURVEY.md §5.4): operator invariants that hold for
+arbitrary panels — rank range, scale normalization, demean zero-mean,
+log-trick product exactness, parser totality."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _panel(spark, values):
+    pdf = pd.DataFrame(
+        {
+            "d": [v[0] for v in values],
+            "x": [v[1] for v in values],
+            "e": range(len(values)),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+values_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # date bucket
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(values_strategy)
+def test_cs_rank_in_unit_interval(spark, values):
+    from quantitative_database_and_visualization_platform_spark.operators.crosssection import cs_rank
+
+    out = _panel(spark, values).select(cs_rank("x", "d").alias("r")).toPandas()["r"]
+    assert ((out > 0) & (out <= 1)).all()
+
+
+@settings(max_examples=12, deadline=None)
+@given(values_strategy)
+def test_cs_scale_sums_abs_to_a(spark, values):
+    from quantitative_database_and_visualization_platform_spark.operators.crosssection import cs_scale
+
+    df = _panel(spark, values)
+    out = df.select("d", cs_scale("x", 2.5, "d").alias("s")).toPandas()
+    for _, grp in out.groupby("d"):
+        total = grp["s"].abs().sum()
+        if not math.isnan(total) and total > 0:
+            assert abs(total - 2.5) < 1e-6
+
+
+@settings(max_examples=12, deadline=None)
+@given(values_strategy)
+def test_cs_demean_zero_mean(spark, values):
+    from quantitative_database_and_visualization_platform_spark.operators.crosssection import cs_demean
+
+    df = _panel(spark, values)
+    out = df.select("d", cs_demean("x", "d").alias("m")).toPandas()
+    for _, grp in out.groupby("d"):
+        scale = max(1.0, grp["m"].abs().max())
+        assert abs(grp["m"].mean()) / scale < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=16),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ts_product_matches_direct_multiply(spark, xs):
+    from quantitative_database_and_visualization_platform_spark.operators import timeseries as ts
+
+    pdf = pd.DataFrame({"e": [1] * len(xs), "t": range(len(xs)), "x": xs})
+    w = ts.entity_window("e", "t")
+    out = (
+        spark.createDataFrame(pdf)
+        .select("t", ts.ts_product("x", len(xs), w).alias("p"))
+        .orderBy("t")
+        .toPandas()["p"]
+        .iloc[-1]
+    )
+    direct = 1.0
+    for v in xs:
+        direct *= v
+    if direct == 0:
+        assert out == 0
+    else:
+        assert abs(out - direct) <= 1e-9 * max(1.0, abs(direct))
+
+
+def test_parser_totality(spark):
+    """streak/monetary parsers never throw and hit the documented cases."""
+    from quantitative_database_and_visualization_platform_spark.functions.scalar import (
+        monetary_text_to_double,
+        streak_height,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "streak": ["3连板", "5天4板", "首板", "garbage", "", "12连板"],
+            "money": ["1.2亿", "5000万", "42", "-3.5亿", "junk", ""],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            streak_height(F.col("streak")).alias("h"),
+            monetary_text_to_double(F.col("money")).alias("m"),
+        )
+        .toPandas()
+    )
+    assert out["h"].tolist() == [3, 4, 1, 1, 1, 12]
+    m = out["m"].tolist()
+    assert m[0] == 1.2e8 and m[1] == 5e7 and m[2] == 42.0 and m[3] == -3.5e8
+    assert pd.isna(m[4]) and pd.isna(m[5])
