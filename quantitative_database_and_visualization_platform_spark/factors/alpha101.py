@@ -47,12 +47,20 @@ ALPHA_COLS = (
     "alpha_006",
     "alpha_008",
     "alpha_009",
+    "alpha_010",
     "alpha_012",
     "alpha_013",
     "alpha_015",
+    "alpha_020",
+    "alpha_023",
+    "alpha_025",
+    "alpha_026",
     "alpha_033",
+    "alpha_034",
     "alpha_041",
+    "alpha_053",
     "alpha_054",
+    "alpha_060",
     "alpha_101",
 )
 
@@ -79,6 +87,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     d1 = ts.delta(close, 1, w)
     p1 = bars.select(
         "*",
+        d1.alias("d1"),
         ret.alias("ret"),
         (F.col("amount") / vol).alias("vwap"),
         (log_v - F.lag(log_v, 2).over(w)).alias("dlv2"),
@@ -96,6 +105,32 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         .when(ts.ts_max(d1, 5, w) < 0, d1)
         .otherwise(-d1)
         .alias("alpha_009"),
+        # alpha_010 core: same conditional, 4-day channel (ranked in P2)
+        F.when(ts.ts_min(d1, 4, w) > 0, d1)
+        .when(ts.ts_max(d1, 4, w) < 0, d1)
+        .otherwise(-d1)
+        .alias("a10_core"),
+        # alpha_020 gap terms: today's open vs yesterday's H/C/L
+        (open_ - ts.delay(high, 1, w)).alias("a20_h"),
+        (open_ - ts.delay(close, 1, w)).alias("a20_c"),
+        (open_ - ts.delay(low, 1, w)).alias("a20_l"),
+        # alpha_023: fade the high only above the 20-day high average
+        F.when(ts.ts_mean(high, 20, w) < high, -1 * ts.delta(high, 2, w))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_023"),
+        # alpha_053: reversal of the close-location-value delta
+        (
+            -1
+            * ts.delta(
+                ((close - low) - (high - close)) / (close - low), 9, w
+            )
+        ).alias("alpha_053"),
+        # alpha_026 chain: ts_rank both, correlate, roll max (all P1-axis)
+        ts.ts_rank(vol.cast("double"), 5, w).alias("a26_trv"),
+        ts.ts_rank(high, 5, w).alias("a26_trh"),
+        # alpha_060 raw: signed close-location value weighted by volume
+        (((close - low) - (high - close)) / (high - low) * vol).alias("a60_raw"),
+        ts.ts_argmax(close, 10, w).alias("a60_argmax"),
     )
     a1_base = F.when((F.col("ret") < 0) & F.col("std20").isNotNull(), F.col("std20")).otherwise(
         close
@@ -104,13 +139,19 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     so5 = ts.ts_sum(open_, 5, w)
     sr5 = ts.ts_sum("ret", 5, w)
     mom = so5 * sr5
+    adv20 = ts.ts_mean(vol.cast("double"), 20, w)
     p1 = p1.select(
         "*",
         ts.ts_argmax(sp, 5, w).alias("a1_argmax"),
         (mom - F.lag(mom, 10).over(w)).alias("a8_raw"),
         (open_ - ts.ts_sum("vwap", 10, w) / 10).alias("a5_dev"),
         (close - F.col("vwap")).alias("a5_cv"),
+        ((((-1 * F.col("ret")) * adv20) * F.col("vwap")) * (high - close)).alias("a25_raw"),
+        ts.ts_corr("a26_trv", "a26_trh", 5, w).alias("c26"),
+        (ts.ts_stddev("ret", 2, w) / ts.ts_stddev("ret", 5, w)).alias("a34_ratio"),
     )
+    # third TS pass: rolling max over the (windowed) correlation column
+    p1 = p1.select("*", (-1 * ts.ts_max("c26", 3, w)).alias("alpha_026"))
     p1 = ckpt(p1, "p1")
 
     # ---- P2: cross-sectional ranks (partitionBy date) ----
@@ -128,9 +169,29 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank("a5_cv", "d").alias("r_a5cv"),
         (cs.cs_rank(-1 * (1 - open_ / close), "d")).alias("alpha_033"),
         (-1 * cs.cs_rank("a8_raw", "d")).alias("alpha_008"),
+        cs.cs_rank("a10_core", "d").alias("alpha_010"),
+        cs.cs_rank("a20_h", "d").alias("r20_h"),
+        cs.cs_rank("a20_c", "d").alias("r20_c"),
+        cs.cs_rank("a20_l", "d").alias("r20_l"),
+        cs.cs_rank("a25_raw", "d").alias("alpha_025"),
+        cs.cs_rank("a34_ratio", "d").alias("r_a34ratio"),
+        cs.cs_rank("d1", "d").alias("r_a34d1"),
+        cs.cs_rank("a60_raw", "d").alias("r60_a"),
+        cs.cs_rank("a60_argmax", "d").alias("r60_b"),
     )
-    # alpha_005: pure arithmetic on the P2 ranks (no further window)
-    p2 = p2.select("*", (F.col("r_a5dev") * (-1 * F.abs(F.col("r_a5cv")))).alias("alpha_005"))
+    # rank arithmetic on the P2 outputs (no further window for 005/020;
+    # scale() for 060 — another date-axis pass sharing the same exchange)
+    p2 = p2.select(
+        "*",
+        (F.col("r_a5dev") * (-1 * F.abs(F.col("r_a5cv")))).alias("alpha_005"),
+        ((-1 * F.col("r20_h")) * F.col("r20_c") * F.col("r20_l")).alias("alpha_020"),
+    )
+    p2 = p2.select(
+        "*",
+        (
+            -1 * (2 * cs.cs_scale("r60_a", 1.0, "d") - cs.cs_scale("r60_b", 1.0, "d"))
+        ).alias("alpha_060"),
+    )
     p2 = ckpt(p2, "p2")
 
     # ---- P3: correlations/rolling ops over ranked values (code axis) ----
@@ -154,6 +215,9 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         "*",
         cs.cs_rank(F.round("c_hv3", 9), "d").alias("r_chv3"),
         (-1 * cs.cs_rank(F.round("cov_cv5", 9), "d")).alias("alpha_013"),
+        # alpha_034's outer rank: inputs are exact rank rationals, so no
+        # pre-rounding is needed for cross-engine tie stability
+        cs.cs_rank((1 - F.col("r_a34ratio")) + (1 - F.col("r_a34d1")), "d").alias("alpha_034"),
     )
     p4 = ckpt(p4, "p4")
 

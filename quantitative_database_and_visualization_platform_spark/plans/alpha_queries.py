@@ -39,7 +39,9 @@ def _o_alphas() -> str:
         SELECT *, LAG(close) OVER ({_W}) AS prev_close,
                CASE WHEN volume > 0 THEN LN(volume) END AS log_v,
                close - LAG(close, 1) OVER ({_W}) AS d1,
-               amount/volume AS vwap
+               amount/volume AS vwap,
+               ((close - low) - (high - close)) / (close - low) AS clv,
+               ((close - low) - (high - close)) / (high - low) * volume AS a60_raw
         FROM bars
     ), e2 AS (
         SELECT *, close/prev_close - 1 AS ret,
@@ -49,15 +51,26 @@ def _o_alphas() -> str:
                SQRT(high*low) - amount/volume AS alpha_041,
                (-1 * ((low - close) * power(open, 5.0)))
                    / ((low - high) * power(close, 5.0)) AS alpha_054,
-               (close - open) / ((high - low) + 0.001) AS alpha_101
+               (close - open) / ((high - low) + 0.001) AS alpha_101,
+               open - LAG(high, 1) OVER ({_W}) AS a20_h,
+               open - LAG(close, 1) OVER ({_W}) AS a20_c,
+               open - LAG(low, 1) OVER ({_W}) AS a20_l,
+               -1 * (clv - LAG(clv, 9) OVER ({_W})) AS alpha_053
         FROM e1
     ), e3 AS (
         SELECT *, STDDEV_SAMP(ret) OVER ({_f(20)}) AS std20,
                MIN(d1) OVER ({_f(5)}) AS tmin5,
                MAX(d1) OVER ({_f(5)}) AS tmax5,
+               MIN(d1) OVER ({_f(4)}) AS tmin4,
+               MAX(d1) OVER ({_f(4)}) AS tmax4,
                SUM(open) OVER ({_f(5)}) AS so5,
                SUM(ret) OVER ({_f(5)}) AS sr5,
-               SUM(vwap) OVER ({_f(10)}) AS sv10
+               SUM(vwap) OVER ({_f(10)}) AS sv10,
+               AVG(volume) OVER ({_f(20)}) AS adv20,
+               AVG(high) OVER ({_f(20)}) AS mh20,
+               high - LAG(high, 2) OVER ({_W}) AS dh2,
+               STDDEV_SAMP(ret) OVER ({_f(2)}) AS s2r,
+               STDDEV_SAMP(ret) OVER ({_f(5)}) AS s5r
         FROM e2
     ), e4 AS (
         SELECT *, CASE WHEN ret < 0 AND std20 IS NOT NULL
@@ -65,20 +78,45 @@ def _o_alphas() -> str:
                CASE WHEN tmin5 > 0 THEN d1
                     WHEN tmax5 < 0 THEN d1
                     ELSE -d1 END AS alpha_009,
+               CASE WHEN tmin4 > 0 THEN d1
+                    WHEN tmax4 < 0 THEN d1
+                    ELSE -d1 END AS a10_core,
+               CASE WHEN mh20 < high THEN -1 * dh2 ELSE 0.0 END AS alpha_023,
                so5 * sr5 AS mom,
                open - sv10/10 AS a5_dev,
-               close - vwap AS a5_cv
+               close - vwap AS a5_cv,
+               ((((-1 * ret) * adv20) * vwap) * (high - close)) AS a25_raw,
+               s2r / s5r AS a34_ratio
         FROM e3
     ), e5 AS (
         SELECT *, SIGN(a1b) * a1b * a1b AS sp,
                mom - LAG(mom, 10) OVER ({_W}) AS a8_raw
         FROM e4
     ), p1 AS (
-        SELECT *, list(sp) OVER ({_f(5)}) AS l_sp FROM e5
+        SELECT *, list(sp) OVER ({_f(5)}) AS l_sp,
+               list(volume) OVER ({_f(5)}) AS l_v5,
+               list(high) OVER ({_f(5)}) AS l_h5,
+               list(close) OVER ({_f(10)}) AS l_c10
+        FROM e5
     ), p1b AS (
         SELECT *, CAST(len(l_sp) - list_position(l_sp, list_aggregate(l_sp, 'max'))
-                       AS DOUBLE) AS a1_argmax
+                       AS DOUBLE) AS a1_argmax,
+               (len(list_filter(l_v5, x -> x < volume))
+                + len(list_filter(l_v5, x -> x <= volume)) + 1) / 2.0
+                / len(l_v5) AS a26_trv,
+               (len(list_filter(l_h5, x -> x < high))
+                + len(list_filter(l_h5, x -> x <= high)) + 1) / 2.0
+                / len(l_h5) AS a26_trh,
+               CAST(len(l_c10) - list_position(l_c10, list_aggregate(l_c10, 'max'))
+                    AS DOUBLE) AS a60_argmax
         FROM p1
+    ), p1c AS (
+        SELECT *, CASE WHEN STDDEV_SAMP(a26_trv) OVER ({_f(5)}) > 0
+                        AND STDDEV_SAMP(a26_trh) OVER ({_f(5)}) > 0
+                       THEN CORR(a26_trv, a26_trh) OVER ({_f(5)}) END AS c26
+        FROM p1b
+    ), p1d AS (
+        SELECT *, -1 * MAX(c26) OVER ({_f(3)}) AS alpha_026 FROM p1c
     ), p2 AS (
         SELECT *,
                {_o_rank('a1_argmax')} AS r_a1,
@@ -92,10 +130,23 @@ def _o_alphas() -> str:
                {_o_rank('a5_dev')} AS r_a5dev,
                {_o_rank('a5_cv')} AS r_a5cv,
                {_o_rank('(-1 * (1 - open/close))')} AS alpha_033,
-               -1 * ({_o_rank('a8_raw')}) AS alpha_008
-        FROM p1b
+               -1 * ({_o_rank('a8_raw')}) AS alpha_008,
+               {_o_rank('a10_core')} AS alpha_010,
+               {_o_rank('a20_h')} AS r20_h,
+               {_o_rank('a20_c')} AS r20_c,
+               {_o_rank('a20_l')} AS r20_l,
+               {_o_rank('a25_raw')} AS alpha_025,
+               {_o_rank('a34_ratio')} AS r_a34ratio,
+               {_o_rank('d1')} AS r_a34d1,
+               {_o_rank('a60_raw')} AS r60_a,
+               {_o_rank('a60_argmax')} AS r60_b
+        FROM p1d
     ), p2b AS (
-        SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005 FROM p2
+        SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005,
+               (-1 * r20_h) * r20_c * r20_l AS alpha_020,
+               -1 * (2 * (r60_a * 1.0 / SUM(ABS(r60_a)) OVER (PARTITION BY d))
+                     - (r60_b * 1.0 / SUM(ABS(r60_b)) OVER (PARTITION BY d))) AS alpha_060
+        FROM p2
     ), p3 AS (
         SELECT *,
                r_a1 - 0.5 AS alpha_001,
@@ -114,7 +165,8 @@ def _o_alphas() -> str:
         FROM p3
     ), p4 AS (
         SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3,
-               -1 * ({_o_rank('ROUND(cov_cv5, 9)')}) AS alpha_013
+               -1 * ({_o_rank('ROUND(cov_cv5, 9)')}) AS alpha_013,
+               {_o_rank('((1 - r_a34ratio) + (1 - r_a34d1))')} AS alpha_034
         FROM p3b
     ), p5 AS (
         SELECT *, -1 * SUM(r_chv3) OVER ({_f(3)}) AS alpha_015 FROM p4
