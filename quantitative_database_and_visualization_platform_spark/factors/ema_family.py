@@ -32,48 +32,73 @@ EMA_FAMILY_COLS = (
 
 
 def with_ema_family(bars: DataFrame, entity: str = "code", order: str = "d") -> DataFrame:
-    """Append the chained EMA factor columns to a daily-bar panel."""
+    """Append the chained EMA factor columns to a daily-bar panel.
+
+    Shape: mapInPandas over hash-partitioned entities, with pandas'
+    C-implemented GROUPED ewm/rolling/diff inside each partition — NOT
+    groupBy().applyInPandas: that issues one Python call (plus Arrow
+    batch + DataFrame construction) PER GROUP, which at 1500 entities
+    costs ~3 ms × groups of pure overhead (measured ~9 s vs ~2 s at
+    sf0.1). One partition = one call; group boundaries are handled by
+    the cython groupby kernels.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     out_schema = StructType(
         bars.schema.fields + [StructField(name, DoubleType()) for name in EMA_FAMILY_COLS]
     )
 
-    def compute(pdf):
-        pdf = pdf.sort_values(order, kind="mergesort")
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)  # a partition may arrive as several Arrow
+        if not chunks:  # batches; an entity never spans partitions
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values([entity, order], kind="mergesort", ignore_index=True)
+        g = pdf.groupby(entity, sort=False)
         c, v = pdf["close"], pdf["volume"]
+
+        def gewm(s: pd.Series, span: float) -> pd.Series:
+            return (
+                s.groupby(pdf[entity], sort=False)
+                .ewm(span=span, adjust=False)
+                .mean()
+                .reset_index(drop=True)
+            )
+
         # MACD: diff = (EMA12 - EMA26) * 2, dea = EMA(diff, 9)
-        e12 = c.ewm(span=12, adjust=False).mean()
-        e26 = c.ewm(span=26, adjust=False).mean()
-        diff = (e12 - e26) * 2
+        diff = (gewm(c, 12) - gewm(c, 26)) * 2
         pdf["macd_diff"] = diff
-        pdf["macd_dea"] = diff.ewm(span=9, adjust=False).mean()
+        pdf["macd_dea"] = gewm(diff, 9)
         # KDJ: RSV over 9-day channel (neutral 50 on a degenerate channel),
         # K/D = successive α=1/3 smoothings (span 5), J = 3K - 2D
-        ln = pdf["low"].rolling(9, min_periods=1).min()
-        hn = pdf["high"].rolling(9, min_periods=1).max()
+        ln = g["low"].rolling(9, min_periods=1).min().reset_index(drop=True)
+        hn = g["high"].rolling(9, min_periods=1).max().reset_index(drop=True)
         denom = hn - ln
         rsv = ((c - ln) / denom * 100).where(denom != 0, 50.0)
-        k = rsv.ewm(span=5, adjust=False).mean()
-        d = k.ewm(span=5, adjust=False).mean()
+        k = gewm(rsv, 5)
+        d = gewm(k, 5)
         pdf["kdj_k"], pdf["kdj_d"], pdf["kdj_j"] = k, d, 3 * k - 2 * d
         # TRIX: triple EMA(12), then 1-step rate of change
-        e3 = (
-            c.ewm(span=12, adjust=False)
-            .mean()
-            .ewm(span=12, adjust=False)
-            .mean()
-            .ewm(span=12, adjust=False)
-            .mean()
-        )
-        pdf["trix_12"] = e3 / e3.shift(1) - 1
-        # Force index: EMA(volume * Δclose, 13); first Δ is 0 (defined
-        # identically in the oracle so the recursion seeds match)
-        fc = (v * c.diff()).fillna(0.0)
-        pdf["force_13"] = fc.ewm(span=13, adjust=False).mean()
+        e3 = gewm(gewm(gewm(c, 12), 12), 12)
+        pdf["trix_12"] = e3 / e3.groupby(pdf[entity], sort=False).shift(1) - 1
+        # Force index: EMA(volume * Δclose, 13); first Δ per entity is 0
+        # (defined identically in the oracle so the recursion seeds match)
+        fc = (v * g["close"].diff().reset_index(drop=True)).fillna(0.0)
+        pdf["force_13"] = gewm(fc, 13)
         # Mass index: Σ_10 EMA(H-L, 9) / EMA(EMA(H-L, 9), 9)
         hl = pdf["high"] - pdf["low"]
-        e9 = hl.ewm(span=9, adjust=False).mean()
-        e99 = e9.ewm(span=9, adjust=False).mean()
-        pdf["mass_10"] = (e9 / e99).rolling(10, min_periods=10).sum()
-        return pdf
+        e9 = gewm(hl, 9)
+        e99 = gewm(e9, 9)
+        r = e9 / e99
+        pdf["mass_10"] = (
+            r.groupby(pdf[entity], sort=False)
+            .rolling(10, min_periods=10)
+            .sum()
+            .reset_index(drop=True)
+        )
+        yield pdf
 
-    return bars.groupBy(entity).applyInPandas(compute, schema=out_schema)
+    partitioned = bars.repartition(bars.sparkSession.sparkContext.defaultParallelism, entity)
+    return partitioned.mapInPandas(compute, schema=out_schema)

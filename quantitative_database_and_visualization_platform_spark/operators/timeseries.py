@@ -245,23 +245,39 @@ def with_ema_columns(
     specs: {out_col: (src_col, span)} with pandas ewm(span=..,
     adjust=False) semantics — the recursive EMA the reference uses for
     MACD/TRIX/force/mass (`basic factor_function.md:8-27`). Recursive ⇒
-    not a finite window aggregate ⇒ applyInPandas per entity, vectorized
-    via pandas ewm inside each group (reference computes it the same way).
+    not a finite window aggregate ⇒ pandas on the executor; shaped as
+    mapInPandas over hash-partitioned entities with the C-implemented
+    GROUPED ewm (one Python call per partition), not per-group
+    applyInPandas (whose per-group Arrow/DataFrame overhead dominates
+    when entities are many and short).
     """
-    import pandas as pd  # noqa: F401  (worker-side)
+    from collections.abc import Iterator
+
+    import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     out_schema = StructType(df.schema.fields + [StructField(name, DoubleType()) for name in specs])
     items = list(specs.items())
-    sort_cols = [order, *extra_order]
+    sort_cols = [entity, order, *extra_order]
 
-    def compute(pdf):
-        # tie-break columns keep duplicate (entity, order) rows deterministic,
-        # mirroring entity_window's extra_order
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)  # whole partition; an entity never spans
+        if not chunks:  # partitions (hash-partitioned below)
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        # tie-break columns keep duplicate (entity, order) rows
+        # deterministic, mirroring entity_window's extra_order
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
         for out, (src, span) in items:
-            pdf[out] = pdf[src].ewm(span=span, adjust=False).mean()
-        return pdf
+            pdf[out] = (
+                pdf[src]
+                .groupby(pdf[entity], sort=False)
+                .ewm(span=span, adjust=False)
+                .mean()
+                .reset_index(drop=True)
+            )
+        yield pdf
 
-    return df.groupBy(entity).applyInPandas(compute, schema=out_schema)
+    partitioned = df.repartition(df.sparkSession.sparkContext.defaultParallelism, entity)
+    return partitioned.mapInPandas(compute, schema=out_schema)
