@@ -48,16 +48,26 @@ ALPHA_COLS = (
     "alpha_008",
     "alpha_009",
     "alpha_010",
+    "alpha_011",
     "alpha_012",
     "alpha_013",
+    "alpha_014",
     "alpha_015",
+    "alpha_016",
+    "alpha_018",
+    "alpha_019",
     "alpha_020",
+    "alpha_022",
     "alpha_023",
+    "alpha_024",
     "alpha_025",
     "alpha_026",
+    "alpha_030",
     "alpha_033",
     "alpha_034",
+    "alpha_035",
     "alpha_041",
+    "alpha_043",
     "alpha_053",
     "alpha_054",
     "alpha_060",
@@ -88,6 +98,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     p1 = bars.select(
         "*",
         d1.alias("d1"),
+        ts.delta(close, 7, w).alias("d7"),
         ret.alias("ret"),
         (F.col("amount") / vol).alias("vwap"),
         (log_v - F.lag(log_v, 2).over(w)).alias("dlv2"),
@@ -149,9 +160,62 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ((((-1 * F.col("ret")) * adv20) * F.col("vwap")) * (high - close)).alias("a25_raw"),
         ts.ts_corr("a26_trv", "a26_trh", 5, w).alias("c26"),
         (ts.ts_stddev("ret", 2, w) / ts.ts_stddev("ret", 5, w)).alias("a34_ratio"),
+        adv20.alias("adv20"),
+        # alpha_011 terms: vwap-close channel extremes + volume delta
+        ts.ts_max(F.col("vwap") - close, 3, w).alias("a11_max"),
+        ts.ts_min(F.col("vwap") - close, 3, w).alias("a11_min"),
+        ts.delta(vol, 3, w).alias("a11_dv"),
+        ts.delta("ret", 3, w).alias("a14_dr3"),
+        # alpha_018 raw: intraday-vol std + body + close/open correlation
+        (
+            ts.ts_stddev(F.abs(close - open_), 5, w)
+            + (close - open_)
+            + ts.ts_corr(close, open_, 10, w)
+        ).alias("a18_raw"),
+        (-1 * F.signum((close - ts.delay(close, 7, w)) + ts.delta(close, 7, w))).alias(
+            "a19_sign"
+        ),
+        ts.ts_sum("ret", 250, w).alias("a19_sum"),
+        ts.ts_corr(high, vol.cast("double"), 5, w).alias("c_hv5corr"),
+        ts.ts_stddev(close, 20, w).alias("std20c"),
+        ts.ts_mean(close, 100, w).alias("m100"),
+        ts.ts_min(close, 100, w).alias("tmin100"),
+        ts.delta(close, 3, w).alias("d3c"),
+        (F.signum(d1) + F.signum(ts.delay(d1, 1, w)) + F.signum(ts.delay(d1, 2, w))).alias(
+            "a30_sgn"
+        ),
+        ts.ts_sum(vol, 5, w).alias("sv5"),
+        ts.ts_sum(vol, 20, w).alias("sv20"),
+        ts.ts_rank(vol.cast("double"), 32, w).alias("a35_trv"),
+        ts.ts_rank(close + high - low, 16, w).alias("a35_trchl"),
+        # null-safe ts_rank: collect_list drops the nulls; gate the rows
+        # whose own value is null so both engines emit NULL there
+        F.when(F.col("ret").isNotNull(), ts.ts_rank("ret", 32, w)).alias("a35_trret"),
     )
-    # third TS pass: rolling max over the (windowed) correlation column
-    p1 = p1.select("*", (-1 * ts.ts_max("c26", 3, w)).alias("alpha_026"))
+    # third TS pass: windows over windowed columns
+    nd7 = -1 * F.col("d7")
+    p1 = p1.select(
+        "*",
+        (-1 * ts.ts_max("c26", 3, w)).alias("alpha_026"),
+        (F.col("c_hv5corr") - F.lag("c_hv5corr", 5).over(w)).alias("a22_d"),
+        ((F.col("m100") - F.lag("m100", 100).over(w)) / F.lag(close, 100).over(w)).alias(
+            "ratio24"
+        ),
+        (F.col("a35_trv") * (1 - F.col("a35_trchl")) * (1 - F.col("a35_trret"))).alias(
+            "alpha_035"
+        ),
+        ts.ts_rank(vol.cast("double") / F.col("adv20"), 20, w).alias("a43_a"),
+        F.when(nd7.isNotNull(), ts.ts_rank(nd7, 8, w)).alias("a43_b"),
+    )
+    p1 = p1.select(
+        "*",
+        F.when(
+            F.col("ratio24") <= 0.05, -1 * (close - F.col("tmin100"))
+        )
+        .otherwise(-1 * F.col("d3c"))
+        .alias("alpha_024"),
+        (F.col("a43_a") * F.col("a43_b")).alias("alpha_043"),
+    )
     p1 = ckpt(p1, "p1")
 
     # ---- P2: cross-sectional ranks (partitionBy date) ----
@@ -178,6 +242,14 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank("d1", "d").alias("r_a34d1"),
         cs.cs_rank("a60_raw", "d").alias("r60_a"),
         cs.cs_rank("a60_argmax", "d").alias("r60_b"),
+        cs.cs_rank("a11_max", "d").alias("r11_max"),
+        cs.cs_rank("a11_min", "d").alias("r11_min"),
+        cs.cs_rank("a11_dv", "d").alias("r11_dv"),
+        cs.cs_rank("a14_dr3", "d").alias("r_dr3"),
+        (-1 * cs.cs_rank("a18_raw", "d")).alias("alpha_018"),
+        cs.cs_rank(1 + F.col("a19_sum"), "d").alias("r_a19"),
+        cs.cs_rank(F.round("std20c", 9), "d").alias("r_std20c"),
+        cs.cs_rank("a30_sgn", "d").alias("r_a30"),
     )
     # rank arithmetic on the P2 outputs (no further window for 005/020;
     # scale() for 060 — another date-axis pass sharing the same exchange)
@@ -185,6 +257,10 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         "*",
         (F.col("r_a5dev") * (-1 * F.abs(F.col("r_a5cv")))).alias("alpha_005"),
         ((-1 * F.col("r20_h")) * F.col("r20_c") * F.col("r20_l")).alias("alpha_020"),
+        ((F.col("r11_max") + F.col("r11_min")) * F.col("r11_dv")).alias("alpha_011"),
+        (F.col("a19_sign") * (1 + F.col("r_a19"))).alias("alpha_019"),
+        (-1 * (F.col("a22_d") * F.col("r_std20c"))).alias("alpha_022"),
+        ((1.0 - F.col("r_a30")) * F.col("sv5") / F.col("sv20")).alias("alpha_030"),
     )
     p2 = p2.select(
         "*",
@@ -204,7 +280,11 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_corr("r_high", "r_vol", 3, w).alias("c_hv3"),
         (-1 * ts.ts_rank("r_low", 9, w)).alias("alpha_004"),
         ts.ts_cov("r_close", "r_vol", 5, w).alias("cov_cv5"),
+        ts.ts_cov("r_high", "r_vol", 5, w).alias("cov_hv5"),
     )
+    # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
+    # is -alpha_006, so the product is rank · alpha_006
+    p3 = p3.select("*", (F.col("r_dr3") * F.col("alpha_006")).alias("alpha_014"))
     p3 = ckpt(p3, "p3")
 
     # ---- P4: final cross-sectional rank (date axis) ----
@@ -218,6 +298,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # alpha_034's outer rank: inputs are exact rank rationals, so no
         # pre-rounding is needed for cross-engine tie stability
         cs.cs_rank((1 - F.col("r_a34ratio")) + (1 - F.col("r_a34d1")), "d").alias("alpha_034"),
+        (-1 * cs.cs_rank(F.round("cov_hv5", 9), "d")).alias("alpha_016"),
     )
     p4 = ckpt(p4, "p4")
 

@@ -21,6 +21,14 @@ def _f(d: int) -> str:
     return f"{_W} ROWS BETWEEN {d - 1} PRECEDING AND CURRENT ROW"
 
 
+def _o_tsr(lst: str, v: str) -> str:
+    """ts_rank over a windowed list (average-tie, matches ts.ts_rank)."""
+    return (
+        f"(len(list_filter({lst}, y -> y < {v}))"
+        f" + len(list_filter({lst}, y -> y <= {v})) + 1) / 2.0 / len({lst})"
+    )
+
+
 def _o_rank(x: str) -> str:
     """Average-tie percentile rank within a date; null in → null out,
     non-null ranks unshifted (NULLS LAST ordering)."""
@@ -39,6 +47,8 @@ def _o_alphas() -> str:
         SELECT *, LAG(close) OVER ({_W}) AS prev_close,
                CASE WHEN volume > 0 THEN LN(volume) END AS log_v,
                close - LAG(close, 1) OVER ({_W}) AS d1,
+               close - LAG(close, 7) OVER ({_W}) AS d7,
+               LAG(close, 7) OVER ({_W}) AS lag7c,
                amount/volume AS vwap,
                ((close - low) - (high - close)) / (close - low) AS clv,
                ((close - low) - (high - close)) / (high - low) * volume AS a60_raw
@@ -55,7 +65,8 @@ def _o_alphas() -> str:
                open - LAG(high, 1) OVER ({_W}) AS a20_h,
                open - LAG(close, 1) OVER ({_W}) AS a20_c,
                open - LAG(low, 1) OVER ({_W}) AS a20_l,
-               -1 * (clv - LAG(clv, 9) OVER ({_W})) AS alpha_053
+               -1 * (clv - LAG(clv, 9) OVER ({_W})) AS alpha_053,
+               vwap - close AS vc
         FROM e1
     ), e3 AS (
         SELECT *, STDDEV_SAMP(ret) OVER ({_f(20)}) AS std20,
@@ -70,7 +81,31 @@ def _o_alphas() -> str:
                AVG(high) OVER ({_f(20)}) AS mh20,
                high - LAG(high, 2) OVER ({_W}) AS dh2,
                STDDEV_SAMP(ret) OVER ({_f(2)}) AS s2r,
-               STDDEV_SAMP(ret) OVER ({_f(5)}) AS s5r
+               STDDEV_SAMP(ret) OVER ({_f(5)}) AS s5r,
+               MAX(vc) OVER ({_f(3)}) AS a11_max,
+               MIN(vc) OVER ({_f(3)}) AS a11_min,
+               volume - LAG(volume, 3) OVER ({_W}) AS a11_dv,
+               ret - LAG(ret, 3) OVER ({_W}) AS a14_dr3,
+               STDDEV_SAMP(ABS(close - open)) OVER ({_f(5)}) + (close - open)
+                   + (CASE WHEN STDDEV_SAMP(close) OVER ({_f(10)}) > 0
+                            AND STDDEV_SAMP(open) OVER ({_f(10)}) > 0
+                           THEN CORR(close, open) OVER ({_f(10)}) END) AS a18_raw,
+               -1 * SIGN((close - lag7c) + d7) AS a19_sign,
+               SUM(ret) OVER ({_f(250)}) AS a19_sum,
+               CASE WHEN STDDEV_SAMP(high) OVER ({_f(5)}) > 0
+                     AND STDDEV_SAMP(volume) OVER ({_f(5)}) > 0
+                    THEN CORR(high, volume) OVER ({_f(5)}) END AS c_hv5corr,
+               STDDEV_SAMP(close) OVER ({_f(20)}) AS std20c,
+               AVG(close) OVER ({_f(100)}) AS m100,
+               MIN(close) OVER ({_f(100)}) AS tmin100,
+               close - LAG(close, 3) OVER ({_W}) AS d3c,
+               SIGN(d1) + SIGN(LAG(d1, 1) OVER ({_W}))
+                   + SIGN(LAG(d1, 2) OVER ({_W})) AS a30_sgn,
+               SUM(volume) OVER ({_f(5)}) AS sv5,
+               SUM(volume) OVER ({_f(20)}) AS sv20,
+               list(volume) OVER ({_f(32)}) AS l_v32,
+               list(close + high - low) OVER ({_f(16)}) AS l_chl16,
+               list(ret) FILTER (ret IS NOT NULL) OVER ({_f(32)}) AS l_ret32
         FROM e2
     ), e4 AS (
         SELECT *, CASE WHEN ret < 0 AND std20 IS NOT NULL
@@ -86,17 +121,34 @@ def _o_alphas() -> str:
                open - sv10/10 AS a5_dev,
                close - vwap AS a5_cv,
                ((((-1 * ret) * adv20) * vwap) * (high - close)) AS a25_raw,
-               s2r / s5r AS a34_ratio
+               s2r / s5r AS a34_ratio,
+               {_o_tsr('l_v32', 'volume')} AS a35_trv,
+               {_o_tsr('l_chl16', '(close + high - low)')} AS a35_trchl,
+               CASE WHEN ret IS NOT NULL
+                    THEN {_o_tsr('l_ret32', 'ret')} END AS a35_trret,
+               c_hv5corr - LAG(c_hv5corr, 5) OVER ({_W}) AS a22_d,
+               (m100 - LAG(m100, 100) OVER ({_W}))
+                   / LAG(close, 100) OVER ({_W}) AS ratio24,
+               list(volume/adv20) FILTER ((volume/adv20) IS NOT NULL)
+                   OVER ({_f(20)}) AS l_va20,
+               list(-1*d7) FILTER ((-1*d7) IS NOT NULL) OVER ({_f(8)}) AS l_nd7
         FROM e3
     ), e5 AS (
         SELECT *, SIGN(a1b) * a1b * a1b AS sp,
-               mom - LAG(mom, 10) OVER ({_W}) AS a8_raw
+               mom - LAG(mom, 10) OVER ({_W}) AS a8_raw,
+               a35_trv * (1 - a35_trchl) * (1 - a35_trret) AS alpha_035,
+               {_o_tsr('l_va20', '(volume/adv20)')} AS a43_a,
+               CASE WHEN (-1*d7) IS NOT NULL
+                    THEN {_o_tsr('l_nd7', '(-1*d7)')} END AS a43_b,
+               CASE WHEN ratio24 <= 0.05 THEN -1 * (close - tmin100)
+                    ELSE -1 * d3c END AS alpha_024
         FROM e4
     ), p1 AS (
         SELECT *, list(sp) OVER ({_f(5)}) AS l_sp,
                list(volume) OVER ({_f(5)}) AS l_v5,
                list(high) OVER ({_f(5)}) AS l_h5,
-               list(close) OVER ({_f(10)}) AS l_c10
+               list(close) OVER ({_f(10)}) AS l_c10,
+               a43_a * a43_b AS alpha_043
         FROM e5
     ), p1b AS (
         SELECT *, CAST(len(l_sp) - list_position(l_sp, list_aggregate(l_sp, 'max'))
@@ -139,13 +191,25 @@ def _o_alphas() -> str:
                {_o_rank('a34_ratio')} AS r_a34ratio,
                {_o_rank('d1')} AS r_a34d1,
                {_o_rank('a60_raw')} AS r60_a,
-               {_o_rank('a60_argmax')} AS r60_b
+               {_o_rank('a60_argmax')} AS r60_b,
+               {_o_rank('a11_max')} AS r11_max,
+               {_o_rank('a11_min')} AS r11_min,
+               {_o_rank('a11_dv')} AS r11_dv,
+               {_o_rank('a14_dr3')} AS r_dr3,
+               -1 * ({_o_rank('a18_raw')}) AS alpha_018,
+               {_o_rank('(1 + a19_sum)')} AS r_a19,
+               {_o_rank('ROUND(std20c, 9)')} AS r_std20c,
+               {_o_rank('a30_sgn')} AS r_a30
         FROM p1d
     ), p2b AS (
         SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005,
                (-1 * r20_h) * r20_c * r20_l AS alpha_020,
                -1 * (2 * (r60_a * 1.0 / SUM(ABS(r60_a)) OVER (PARTITION BY d))
-                     - (r60_b * 1.0 / SUM(ABS(r60_b)) OVER (PARTITION BY d))) AS alpha_060
+                     - (r60_b * 1.0 / SUM(ABS(r60_b)) OVER (PARTITION BY d))) AS alpha_060,
+               (r11_max + r11_min) * r11_dv AS alpha_011,
+               a19_sign * (1 + r_a19) AS alpha_019,
+               -1 * (a22_d * r_std20c) AS alpha_022,
+               (1.0 - r_a30) * sv5 / sv20 AS alpha_030
         FROM p2
     ), p3 AS (
         SELECT *,
@@ -155,24 +219,27 @@ def _o_alphas() -> str:
                -1 * CORR(open, volume) OVER ({_f(10)}) AS alpha_006,
                CORR(r_high, r_vol) OVER ({_f(3)}) AS c_hv3,
                COVAR_SAMP(r_close, r_vol) OVER ({_f(5)}) AS cov_cv5,
+               COVAR_SAMP(r_high, r_vol) OVER ({_f(5)}) AS cov_hv5,
                list(r_low) OVER ({_f(9)}) AS l_rlow
         FROM p2b
     ), p3b AS (
         SELECT *,
                -1 * ((len(list_filter(l_rlow, x -> x < r_low))
                      + len(list_filter(l_rlow, x -> x <= r_low)) + 1) / 2.0
-                     / len(l_rlow)) AS alpha_004
+                     / len(l_rlow)) AS alpha_004,
+               r_dr3 * alpha_006 AS alpha_014
         FROM p3
     ), p4 AS (
         SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3,
                -1 * ({_o_rank('ROUND(cov_cv5, 9)')}) AS alpha_013,
-               {_o_rank('((1 - r_a34ratio) + (1 - r_a34d1))')} AS alpha_034
+               {_o_rank('((1 - r_a34ratio) + (1 - r_a34d1))')} AS alpha_034,
+               -1 * ({_o_rank('ROUND(cov_hv5, 9)')}) AS alpha_016
         FROM p3b
     ), p5 AS (
         SELECT *, -1 * SUM(r_chv3) OVER ({_f(3)}) AS alpha_015 FROM p4
     )
     SELECT code, d,
-           {', '.join(f'ROUND({c}, 6) AS {c}' for c in ALPHA_COLS)}
+           {', '.join(f'FLOOR({c} * 1000000 + 0.5) / 1000000.0 AS {c}' for c in ALPHA_COLS)}
     FROM p5
     """
 
@@ -180,4 +247,14 @@ def _o_alphas() -> str:
 @query("alpha101_subset", oracle=_o_alphas())
 def alpha101_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_alphas(daily_bars(spark, sf_dir))
-    return out.select("code", "d", *[F.round(c, 6).alias(c) for c in ALPHA_COLS])
+    # floor-based 6dp rounding, not ROUND: alpha values are products of
+    # rank rationals whose shortest decimal representation often ends in
+    # a literal "...5" right at the rounding boundary, and Spark
+    # (BigDecimal of the shortest repr, HALF_UP) disagrees with DuckDB
+    # (multiply-then-round on the raw double) on exactly those values.
+    # floor(x*1e6 + 0.5)/1e6 runs the identical IEEE ops on both engines.
+    return out.select(
+        "code",
+        "d",
+        *[(F.floor(F.col(c) * 1_000_000 + 0.5) / 1_000_000.0).alias(c) for c in ALPHA_COLS],
+    )
