@@ -54,6 +54,7 @@ ALPHA_COLS = (
     "alpha_014",
     "alpha_015",
     "alpha_016",
+    "alpha_017",
     "alpha_018",
     "alpha_019",
     "alpha_020",
@@ -70,7 +71,9 @@ ALPHA_COLS = (
     "alpha_043",
     "alpha_053",
     "alpha_054",
+    "alpha_057",
     "alpha_060",
+    "alpha_084",
     "alpha_101",
 )
 
@@ -191,6 +194,17 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # null-safe ts_rank: collect_list drops the nulls; gate the rows
         # whose own value is null so both engines emit NULL there
         F.when(F.col("ret").isNotNull(), ts.ts_rank("ret", 32, w)).alias("a35_trret"),
+        ts.ts_rank(close, 10, w).alias("a17_trc"),
+        (ts.delta(d1, 1, w)).alias("a17_dd1"),
+        ts.ts_argmax(close, 30, w).alias("a57_argmax"),
+        (F.col("vwap") - ts.ts_max("vwap", 15, w)).alias("a84_dev"),
+        # exponent is the RELATIVE 5-day change clamped to ±3: the
+        # synthetic panel's raw deltas reach ±50 on near-zero closes, and
+        # signedpower with such exponents explodes past double range; on
+        # real price data delta(close,5) is percent-scale anyway
+        F.greatest(F.least(ts.delta(close, 5, w) / close, F.lit(3.0)), F.lit(-3.0)).alias(
+            "rd5"
+        ),
     )
     # third TS pass: windows over windowed columns
     nd7 = -1 * F.col("d7")
@@ -206,6 +220,11 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ),
         ts.ts_rank(vol.cast("double") / F.col("adv20"), 20, w).alias("a43_a"),
         F.when(nd7.isNotNull(), ts.ts_rank(nd7, 8, w)).alias("a43_b"),
+        F.when(
+            (vol.cast("double") / F.col("adv20")).isNotNull(),
+            ts.ts_rank(vol.cast("double") / F.col("adv20"), 5, w),
+        ).alias("a17_trva"),
+        F.when(F.col("a84_dev").isNotNull(), ts.ts_rank("a84_dev", 21, w)).alias("a84_tr"),
     )
     p1 = p1.select(
         "*",
@@ -215,6 +234,8 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         .otherwise(-1 * F.col("d3c"))
         .alias("alpha_024"),
         (F.col("a43_a") * F.col("a43_b")).alias("alpha_043"),
+        # signedpower(ts_rank(vwap deviation), relative Δ5 close)
+        (F.signum("a84_tr") * F.pow(F.abs("a84_tr"), F.col("rd5"))).alias("alpha_084"),
     )
     p1 = ckpt(p1, "p1")
 
@@ -250,6 +271,10 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank(1 + F.col("a19_sum"), "d").alias("r_a19"),
         cs.cs_rank(F.round("std20c", 9), "d").alias("r_std20c"),
         cs.cs_rank("a30_sgn", "d").alias("r_a30"),
+        cs.cs_rank("a17_trc", "d").alias("r_a17trc"),
+        cs.cs_rank("a17_dd1", "d").alias("r_a17dd1"),
+        cs.cs_rank("a17_trva", "d").alias("r_a17trva"),
+        cs.cs_rank("a57_argmax", "d").alias("r_a57argmax"),
     )
     # rank arithmetic on the P2 outputs (no further window for 005/020;
     # scale() for 060 — another date-axis pass sharing the same exchange)
@@ -261,6 +286,9 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (F.col("a19_sign") * (1 + F.col("r_a19"))).alias("alpha_019"),
         (-1 * (F.col("a22_d") * F.col("r_std20c"))).alias("alpha_022"),
         ((1.0 - F.col("r_a30")) * F.col("sv5") / F.col("sv20")).alias("alpha_030"),
+        ((-1 * F.col("r_a17trc")) * F.col("r_a17dd1") * F.col("r_a17trva")).alias(
+            "alpha_017"
+        ),
     )
     p2 = p2.select(
         "*",
@@ -283,8 +311,16 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_cov("r_high", "r_vol", 5, w).alias("cov_hv5"),
     )
     # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
-    # is -alpha_006, so the product is rank · alpha_006
-    p3 = p3.select("*", (F.col("r_dr3") * F.col("alpha_006")).alias("alpha_014"))
+    # is -alpha_006, so the product is rank · alpha_006.
+    # alpha_057: close-vwap deviation scaled by the linearly-decayed
+    # rank of days-since-high (decay_linear inside the DAG).
+    p3 = p3.select(
+        "*",
+        (F.col("r_dr3") * F.col("alpha_006")).alias("alpha_014"),
+        (
+            0 - (1 * ((close - F.col("vwap")) / ts.decay_linear("r_a57argmax", 2, w)))
+        ).alias("alpha_057"),
+    )
     p3 = ckpt(p3, "p3")
 
     # ---- P4: final cross-sectional rank (date axis) ----

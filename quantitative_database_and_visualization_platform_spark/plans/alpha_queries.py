@@ -105,7 +105,11 @@ def _o_alphas() -> str:
                SUM(volume) OVER ({_f(20)}) AS sv20,
                list(volume) OVER ({_f(32)}) AS l_v32,
                list(close + high - low) OVER ({_f(16)}) AS l_chl16,
-               list(ret) FILTER (ret IS NOT NULL) OVER ({_f(32)}) AS l_ret32
+               list(ret) FILTER (ret IS NOT NULL) OVER ({_f(32)}) AS l_ret32,
+               d1 - LAG(d1, 1) OVER ({_W}) AS a17_dd1,
+               list(close) OVER ({_f(30)}) AS l_c30,
+               vwap - MAX(vwap) OVER ({_f(15)}) AS a84_dev,
+               GREATEST(LEAST((close - LAG(close, 5) OVER ({_W})) / close, 3.0), -3.0) AS rd5
         FROM e2
     ), e4 AS (
         SELECT *, CASE WHEN ret < 0 AND std20 IS NOT NULL
@@ -131,7 +135,10 @@ def _o_alphas() -> str:
                    / LAG(close, 100) OVER ({_W}) AS ratio24,
                list(volume/adv20) FILTER ((volume/adv20) IS NOT NULL)
                    OVER ({_f(20)}) AS l_va20,
-               list(-1*d7) FILTER ((-1*d7) IS NOT NULL) OVER ({_f(8)}) AS l_nd7
+               list(-1*d7) FILTER ((-1*d7) IS NOT NULL) OVER ({_f(8)}) AS l_nd7,
+               list(volume/adv20) FILTER ((volume/adv20) IS NOT NULL)
+                   OVER ({_f(5)}) AS l_va5,
+               list(a84_dev) FILTER (a84_dev IS NOT NULL) OVER ({_f(21)}) AS l_dev21
         FROM e3
     ), e5 AS (
         SELECT *, SIGN(a1b) * a1b * a1b AS sp,
@@ -141,14 +148,19 @@ def _o_alphas() -> str:
                CASE WHEN (-1*d7) IS NOT NULL
                     THEN {_o_tsr('l_nd7', '(-1*d7)')} END AS a43_b,
                CASE WHEN ratio24 <= 0.05 THEN -1 * (close - tmin100)
-                    ELSE -1 * d3c END AS alpha_024
+                    ELSE -1 * d3c END AS alpha_024,
+               CASE WHEN (volume/adv20) IS NOT NULL
+                    THEN {_o_tsr('l_va5', '(volume/adv20)')} END AS a17_trva,
+               CASE WHEN a84_dev IS NOT NULL
+                    THEN {_o_tsr('l_dev21', 'a84_dev')} END AS a84_tr
         FROM e4
     ), p1 AS (
         SELECT *, list(sp) OVER ({_f(5)}) AS l_sp,
                list(volume) OVER ({_f(5)}) AS l_v5,
                list(high) OVER ({_f(5)}) AS l_h5,
                list(close) OVER ({_f(10)}) AS l_c10,
-               a43_a * a43_b AS alpha_043
+               a43_a * a43_b AS alpha_043,
+               SIGN(a84_tr) * POWER(ABS(a84_tr), rd5) AS alpha_084
         FROM e5
     ), p1b AS (
         SELECT *, CAST(len(l_sp) - list_position(l_sp, list_aggregate(l_sp, 'max'))
@@ -160,7 +172,10 @@ def _o_alphas() -> str:
                 + len(list_filter(l_h5, x -> x <= high)) + 1) / 2.0
                 / len(l_h5) AS a26_trh,
                CAST(len(l_c10) - list_position(l_c10, list_aggregate(l_c10, 'max'))
-                    AS DOUBLE) AS a60_argmax
+                    AS DOUBLE) AS a60_argmax,
+               {_o_tsr('l_c10', 'close')} AS a17_trc,
+               CAST(len(l_c30) - list_position(l_c30, list_aggregate(l_c30, 'max'))
+                    AS DOUBLE) AS a57_argmax
         FROM p1
     ), p1c AS (
         SELECT *, CASE WHEN STDDEV_SAMP(a26_trv) OVER ({_f(5)}) > 0
@@ -199,7 +214,11 @@ def _o_alphas() -> str:
                -1 * ({_o_rank('a18_raw')}) AS alpha_018,
                {_o_rank('(1 + a19_sum)')} AS r_a19,
                {_o_rank('ROUND(std20c, 9)')} AS r_std20c,
-               {_o_rank('a30_sgn')} AS r_a30
+               {_o_rank('a30_sgn')} AS r_a30,
+               {_o_rank('a17_trc')} AS r_a17trc,
+               {_o_rank('a17_dd1')} AS r_a17dd1,
+               {_o_rank('a17_trva')} AS r_a17trva,
+               {_o_rank('a57_argmax')} AS r_a57argmax
         FROM p1d
     ), p2b AS (
         SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005,
@@ -209,7 +228,8 @@ def _o_alphas() -> str:
                (r11_max + r11_min) * r11_dv AS alpha_011,
                a19_sign * (1 + r_a19) AS alpha_019,
                -1 * (a22_d * r_std20c) AS alpha_022,
-               (1.0 - r_a30) * sv5 / sv20 AS alpha_030
+               (1.0 - r_a30) * sv5 / sv20 AS alpha_030,
+               (-1 * r_a17trc) * r_a17dd1 * r_a17trva AS alpha_017
         FROM p2
     ), p3 AS (
         SELECT *,
@@ -220,14 +240,18 @@ def _o_alphas() -> str:
                CORR(r_high, r_vol) OVER ({_f(3)}) AS c_hv3,
                COVAR_SAMP(r_close, r_vol) OVER ({_f(5)}) AS cov_cv5,
                COVAR_SAMP(r_high, r_vol) OVER ({_f(5)}) AS cov_hv5,
-               list(r_low) OVER ({_f(9)}) AS l_rlow
+               list(r_low) OVER ({_f(9)}) AS l_rlow,
+               list(r_a57argmax) OVER ({_f(2)}) AS l_r57
         FROM p2b
     ), p3b AS (
         SELECT *,
                -1 * ((len(list_filter(l_rlow, x -> x < r_low))
                      + len(list_filter(l_rlow, x -> x <= r_low)) + 1) / 2.0
                      / len(l_rlow)) AS alpha_004,
-               r_dr3 * alpha_006 AS alpha_014
+               r_dr3 * alpha_006 AS alpha_014,
+               0 - (1 * ((close - vwap)
+                   / (list_sum(list_transform(range(1, len(l_r57)+1), i -> l_r57[i] * i))
+                      / (len(l_r57) * (len(l_r57)+1) / 2.0)))) AS alpha_057
         FROM p3
     ), p4 AS (
         SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3,
