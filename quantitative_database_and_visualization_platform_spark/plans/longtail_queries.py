@@ -204,13 +204,20 @@ def union_active_delisted(spark: SparkSession, sf_dir: str) -> DataFrame:
                {o_sum_fixed('seal_amt', 1)} AS seal_total
         FROM parsed WHERE event_type = 'click' GROUP BY user_id
     ), downs AS (
-        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS broken_cnt
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS broken_cnt,
+               {o_sum_fixed('seal_amt', 1)} AS broken_total
         FROM parsed WHERE event_type = 'error' GROUP BY user_id
     )
     SELECT COALESCE(u.user_id, d.user_id) AS user_id,
            COALESCE(u.max_streak, 0) AS max_streak,
            COALESCE(u.seal_total, 0.0) AS seal_total,
-           COALESCE(d.broken_cnt, 0) AS broken_cnt
+           COALESCE(d.broken_cnt, 0) AS broken_cnt,
+           CAST(u.user_id IS NOT NULL AS INT) AS is_limit_up,
+           CAST(d.user_id IS NOT NULL AS INT) AS is_limit_broken,
+           ROUND(COALESCE(u.seal_total, 0.0)
+                 / (COALESCE(u.seal_total, 0.0) + COALESCE(d.broken_total, 0.0)), 6)
+               AS net_buy_ratio,
+           COALESCE(u.seal_total, 0.0) - COALESCE(d.broken_total, 0.0) AS money_flow_main
     FROM ups u FULL OUTER JOIN downs d ON u.user_id = d.user_id
     """,
 )
@@ -249,14 +256,23 @@ def sentiment_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     downs = (
         parsed.filter(F.col("event_type") == "error")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("broken_cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("broken_cnt"),
+            sum_fixed("seal_amt", 1).alias("broken_total"),
+        )
     )
     u, d = ups.alias("u"), downs.alias("d")
+    seal = F.coalesce(F.col("seal_total"), F.lit(0.0))
+    broken = F.coalesce(F.col("broken_total"), F.lit(0.0))
     return u.join(d, F.col("u.user_id") == F.col("d.user_id"), "full_outer").select(
         F.coalesce(F.col("u.user_id"), F.col("d.user_id")).alias("user_id"),
         F.coalesce(F.col("max_streak"), F.lit(0)).alias("max_streak"),
-        F.coalesce(F.col("seal_total"), F.lit(0.0)).alias("seal_total"),
+        seal.alias("seal_total"),
         F.coalesce(F.col("broken_cnt"), F.lit(0)).alias("broken_cnt"),
+        F.col("u.user_id").isNotNull().cast("int").alias("is_limit_up"),
+        F.col("d.user_id").isNotNull().cast("int").alias("is_limit_broken"),
+        F.round(seal / (seal + broken), 6).alias("net_buy_ratio"),
+        (seal - broken).alias("money_flow_main"),
     )
 
 
