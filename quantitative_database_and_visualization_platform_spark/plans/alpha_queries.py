@@ -268,6 +268,109 @@ def _o_alphas() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Alpha-lab IC scan over the WHOLE alpha table (`pages/5_Alpha lab.py:44-55`,
+# the 101-column corrwith): unpivot every alpha to long, average-tie rank
+# per (date, factor), one groupBy corr per factor — the entire factor set's
+# Spearman IC in a single date-axis shuffle instead of a per-column loop.
+# ---------------------------------------------------------------------------
+def _o_alpha_ic() -> str:
+    melt = "\n        UNION ALL ".join(
+        f"SELECT code, d, '{c}' AS factor, {c} AS fval FROM alphas" for c in ALPHA_COLS
+    )
+    rank = (
+        "CASE WHEN {x} IS NOT NULL THEN "
+        "(rank() OVER (PARTITION BY d, factor ORDER BY {x}) "
+        " + (COUNT(*) OVER (PARTITION BY d, factor, {x}) - 1)/2.0) "
+        " / COUNT({x}) OVER (PARTITION BY d, factor) END"
+    )
+    return f"""
+    WITH alphas AS ({_o_alphas()}),
+    {O_BARS},
+    fwd AS (
+        SELECT code, d,
+               LEAD(close) OVER (PARTITION BY code ORDER BY d) / close - 1 AS fwd_ret
+        FROM bars
+    ),
+    long AS (
+        {melt}
+    ),
+    joined AS (
+        SELECT l.code, l.d, l.factor, l.fval, f.fwd_ret
+        FROM long l JOIN fwd f ON l.code = f.code AND l.d = f.d
+        WHERE f.fwd_ret IS NOT NULL
+    ),
+    ranked AS (
+        SELECT factor, d,
+               {rank.format(x='fval')} AS r_f,
+               {rank.format(x='fwd_ret')} AS r_r
+        FROM joined
+    ),
+    per_date AS (
+        -- degenerate-date gate on DISTINCT COUNTS, not stddev: with
+        -- mass-tied ranks the variance is numerically zero on one engine
+        -- and a 1e-17 Welford residue on the other, so a stddev>0 gate
+        -- (and the engines' own NULL-vs-NaN corr behavior) diverges;
+        -- distinct counts are exact integers on both
+        SELECT factor, d,
+               CASE WHEN COUNT(DISTINCT r_f) > 1
+                     AND COUNT(DISTINCT CASE WHEN r_f IS NOT NULL THEN r_r END) > 1
+                    THEN CORR(r_f, r_r) END AS ic
+        FROM ranked GROUP BY factor, d
+    )
+    SELECT factor,
+           ROUND(SUM(CAST(ROUND(ic*1000000,0) AS BIGINT))/1000000.0
+                 / COUNT(ic), 6) AS mean_ic,
+           CAST(COUNT(ic) AS BIGINT) AS n_days
+    FROM per_date GROUP BY factor
+    """
+
+
+@query("alpha_ic_scan", oracle=_o_alpha_ic())
+def alpha_ic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bars = daily_bars(spark, sf_dir)
+    alphas = alpha101_subset(spark, sf_dir)
+    fwd = bars.select(
+        "code",
+        "d",
+        (
+            F.lead("close").over(Window.partitionBy("code").orderBy("d")) / F.col("close") - 1
+        ).alias("fwd_ret"),
+    ).filter(F.col("fwd_ret").isNotNull())
+    stack_expr = "stack({}, {}) AS (factor, fval)".format(
+        len(ALPHA_COLS), ", ".join(f"'{c}', {c}" for c in ALPHA_COLS)
+    )
+    long = alphas.selectExpr("code", "d", stack_expr).join(fwd, ["code", "d"])
+
+    def avg_rank(c: str):
+        col = F.col(c)
+        ordered = Window.partitionBy("d", "factor").orderBy(col.asc_nulls_last())
+        r_min = F.rank().over(ordered)
+        ties = F.count(col).over(ordered.rangeBetween(Window.currentRow, Window.currentRow))
+        n = F.count(col).over(Window.partitionBy("d", "factor"))
+        return F.when(col.isNotNull(), (r_min + (ties - 1) / 2.0) / n)
+
+    ranked = long.select(
+        "factor", "d", avg_rank("fval").alias("r_f"), avg_rank("fwd_ret").alias("r_r")
+    )
+    per_date = ranked.groupBy("factor", "d").agg(
+        F.when(
+            (F.count_distinct("r_f") > 1)
+            & (F.count_distinct(F.when(F.col("r_f").isNotNull(), F.col("r_r"))) > 1),
+            F.corr("r_f", "r_r"),
+        ).alias("ic")
+    )
+    return per_date.groupBy("factor").agg(
+        F.round(
+            F.sum(F.round(F.col("ic") * 1_000_000, 0).cast("long")) / 1_000_000.0 / F.count("ic"),
+            6,
+        ).alias("mean_ic"),
+        F.count("ic").alias("n_days"),
+    )
+
+
 @query("alpha101_subset", oracle=_o_alphas())
 def alpha101_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_alphas(daily_bars(spark, sf_dir))
