@@ -50,6 +50,21 @@ def test_no_forced_broadcast_of_scaling_tables(spark):
     assert len(hints) <= 2, hints
 
 
+def test_alpha_dag_exchange_budget(spark):
+    """The 36-alpha P1–P5 DAG must stay at one shuffle per axis
+    alternation: bars build (≤3) + code→date→code→date→code (4). A
+    regression here usually means a cross-sectional op re-introduced a
+    per-column partitioning (e.g. rank tie-counts partitioned by value)."""
+    import re
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    df = QUERIES["alpha101_subset"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert exchanges <= 8, f"{exchanges} exchanges in alpha DAG:\n{plan[:2000]}"
+
+
 def test_write_partitioned_prunes(spark):
     from quantitative_database_and_visualization_platform_spark.sources.catalog import (
         load_table,
