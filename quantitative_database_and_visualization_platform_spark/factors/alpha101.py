@@ -58,17 +58,27 @@ ALPHA_COLS = (
     "alpha_018",
     "alpha_019",
     "alpha_020",
+    "alpha_021",
     "alpha_022",
     "alpha_023",
     "alpha_024",
     "alpha_025",
     "alpha_026",
+    "alpha_027",
+    "alpha_028",
     "alpha_030",
+    "alpha_032",
     "alpha_033",
     "alpha_034",
     "alpha_035",
+    "alpha_037",
+    "alpha_038",
+    "alpha_040",
     "alpha_041",
     "alpha_043",
+    "alpha_044",
+    "alpha_045",
+    "alpha_046",
     "alpha_053",
     "alpha_054",
     "alpha_057",
@@ -205,6 +215,23 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         F.greatest(F.least(ts.delta(close, 5, w) / close, F.lit(3.0)), F.lit(-3.0)).alias(
             "rd5"
         ),
+        # alpha_021 bollinger ternary channels
+        ts.ts_mean(close, 8, w).alias("m8"),
+        ts.ts_stddev(close, 8, w).alias("s8"),
+        ts.ts_mean(close, 2, w).alias("m2"),
+        # alpha_037/038/040/045/046 bases
+        (open_ - close).alias("d_oc"),
+        (close / open_).alias("a38_co"),
+        ts.ts_stddev(high, 10, w).alias("a40_std"),
+        ts.ts_mean(ts.delay(close, 5, w), 20, w).alias("a45_m"),
+        ts.ts_corr(close, vol.cast("double"), 2, w).alias("a45_c1"),
+        ts.ts_sum(close, 5, w).alias("s5c"),
+        ts.ts_sum(close, 20, w).alias("s20c"),
+        (
+            (ts.delay(close, 20, w) - ts.delay(close, 10, w)) / 10
+            - (ts.delay(close, 10, w) - close) / 10
+        ).alias("a46_sd"),
+        ts.delay(close, 5, w).alias("lag5c"),
     )
     # third TS pass: windows over windowed columns
     nd7 = -1 * F.col("d7")
@@ -225,6 +252,21 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
             ts.ts_rank(vol.cast("double") / F.col("adv20"), 5, w),
         ).alias("a17_trva"),
         F.when(F.col("a84_dev").isNotNull(), ts.ts_rank("a84_dev", 21, w)).alias("a84_tr"),
+        F.when(F.col("m8") + F.col("s8") < F.col("m2"), F.lit(-1.0))
+        .when(F.col("m2") < F.col("m8") - F.col("s8"), F.lit(1.0))
+        .when(vol / F.col("adv20") < 1, F.lit(-1.0))
+        .otherwise(F.lit(1.0))
+        .alias("alpha_021"),
+        (ts.ts_corr("adv20", low, 5, w) + (high + low) / 2 - close).alias("a28_x"),
+        ts.ts_corr("s5c", "s20c", 2, w).alias("a45_c2"),
+        (ts.ts_sum(close, 7, w) / 7 - close).alias("a32_x"),
+        ts.ts_corr("vwap", "lag5c", 230, w).alias("a32_c"),
+        ts.ts_corr(high, vol.cast("double"), 10, w).alias("a40_c"),
+        F.lag("d_oc", 1).over(w).alias("lag_doc"),
+        F.when(F.col("a46_sd") > 0.25, F.lit(-1.0))
+        .when(F.col("a46_sd") < 0, F.lit(1.0))
+        .otherwise(-1 * F.col("d1"))
+        .alias("alpha_046"),
     )
     p1 = p1.select(
         "*",
@@ -236,6 +278,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (F.col("a43_a") * F.col("a43_b")).alias("alpha_043"),
         # signedpower(ts_rank(vwap deviation), relative Δ5 close)
         (F.signum("a84_tr") * F.pow(F.abs("a84_tr"), F.col("rd5"))).alias("alpha_084"),
+        ts.ts_corr("lag_doc", close, 200, w).alias("a37_c"),
     )
     p1 = ckpt(p1, "p1")
 
@@ -275,6 +318,17 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank("a17_dd1", "d").alias("r_a17dd1"),
         cs.cs_rank("a17_trva", "d").alias("r_a17trva"),
         cs.cs_rank("a57_argmax", "d").alias("r_a57argmax"),
+        cs.cs_rank("vwap", "d").alias("r_vwap"),
+        cs.cs_scale("a28_x", 1.0, "d").alias("alpha_028"),
+        (cs.cs_scale("a32_x", 1.0, "d") + 20 * cs.cs_scale("a32_c", 1.0, "d")).alias(
+            "alpha_032"
+        ),
+        cs.cs_rank(F.round("a37_c", 9), "d").alias("r37_a"),
+        cs.cs_rank("d_oc", "d").alias("r37_b"),
+        cs.cs_rank("a38_co", "d").alias("r_co"),
+        cs.cs_rank(F.round("a40_std", 9), "d").alias("r40"),
+        cs.cs_rank("a45_m", "d").alias("r45_a"),
+        cs.cs_rank(F.round("a45_c2", 9), "d").alias("r45_b"),
     )
     # rank arithmetic on the P2 outputs (no further window for 005/020;
     # scale() for 060 — another date-axis pass sharing the same exchange)
@@ -284,11 +338,15 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ((-1 * F.col("r20_h")) * F.col("r20_c") * F.col("r20_l")).alias("alpha_020"),
         ((F.col("r11_max") + F.col("r11_min")) * F.col("r11_dv")).alias("alpha_011"),
         (F.col("a19_sign") * (1 + F.col("r_a19"))).alias("alpha_019"),
-        (-1 * (F.col("a22_d") * F.col("r_std20c"))).alias("alpha_022"),
+        (-1 * (F.round("a22_d", 9) * F.col("r_std20c"))).alias("alpha_022"),
         ((1.0 - F.col("r_a30")) * F.col("sv5") / F.col("sv20")).alias("alpha_030"),
         ((-1 * F.col("r_a17trc")) * F.col("r_a17dd1") * F.col("r_a17trva")).alias(
             "alpha_017"
         ),
+        (F.col("r37_a") + F.col("r37_b")).alias("alpha_037"),
+        ((-1 * F.col("r_a17trc")) * F.col("r_co")).alias("alpha_038"),
+        ((-1 * F.col("r40")) * F.round("a40_c", 9)).alias("alpha_040"),
+        (-1 * ((F.col("r45_a") * F.round("a45_c1", 9)) * F.col("r45_b"))).alias("alpha_045"),
     )
     p2 = p2.select(
         "*",
@@ -309,6 +367,8 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (-1 * ts.ts_rank("r_low", 9, w)).alias("alpha_004"),
         ts.ts_cov("r_close", "r_vol", 5, w).alias("cov_cv5"),
         ts.ts_cov("r_high", "r_vol", 5, w).alias("cov_hv5"),
+        ts.ts_corr("r_vol", "r_vwap", 6, w).alias("a27_c"),
+        (-1 * ts.ts_corr(high, "r_vol", 5, w)).alias("alpha_044"),
     )
     # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
     # is -alpha_006, so the product is rank · alpha_006.
@@ -316,10 +376,11 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     # rank of days-since-high (decay_linear inside the DAG).
     p3 = p3.select(
         "*",
-        (F.col("r_dr3") * F.col("alpha_006")).alias("alpha_014"),
+        (F.col("r_dr3") * F.round("alpha_006", 9)).alias("alpha_014"),
         (
             0 - (1 * ((close - F.col("vwap")) / ts.decay_linear("r_a57argmax", 2, w)))
         ).alias("alpha_057"),
+        (ts.ts_sum("a27_c", 2, w) / 2.0).alias("a27_s2"),
     )
     p3 = ckpt(p3, "p3")
 
@@ -335,9 +396,14 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # pre-rounding is needed for cross-engine tie stability
         cs.cs_rank((1 - F.col("r_a34ratio")) + (1 - F.col("r_a34d1")), "d").alias("alpha_034"),
         (-1 * cs.cs_rank(F.round("cov_hv5", 9), "d")).alias("alpha_016"),
+        cs.cs_rank(F.round("a27_s2", 9), "d").alias("r27"),
     )
     p4 = ckpt(p4, "p4")
 
-    # ---- P5: time-series tail (code axis) ----
-    p5 = p4.select("*", (-1 * ts.ts_sum("r_chv3", 3, w)).alias("alpha_015"))
+    # ---- P5: time-series tail (code axis) + rank-threshold ternaries ----
+    p5 = p4.select(
+        "*",
+        (-1 * ts.ts_sum("r_chv3", 3, w)).alias("alpha_015"),
+        F.when(F.col("r27") > 0.5, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("alpha_027"),
+    )
     return p5

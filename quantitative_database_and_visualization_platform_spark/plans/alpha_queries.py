@@ -29,6 +29,15 @@ def _o_tsr(lst: str, v: str) -> str:
     )
 
 
+def _o_gcorr(x: str, y: str, n: int) -> str:
+    """Variance-gated windowed corr — the DuckDB twin of ts.ts_corr."""
+    return (
+        f"CASE WHEN STDDEV_SAMP({x}) OVER ({_f(n)}) > 0"
+        f" AND STDDEV_SAMP({y}) OVER ({_f(n)}) > 0"
+        f" THEN CORR({x}, {y}) OVER ({_f(n)}) END"
+    )
+
+
 def _o_rank(x: str) -> str:
     """Average-tie percentile rank within a date; null in → null out,
     non-null ranks unshifted (NULLS LAST ordering)."""
@@ -51,7 +60,10 @@ def _o_alphas() -> str:
                LAG(close, 7) OVER ({_W}) AS lag7c,
                amount/volume AS vwap,
                ((close - low) - (high - close)) / (close - low) AS clv,
-               ((close - low) - (high - close)) / (high - low) * volume AS a60_raw
+               ((close - low) - (high - close)) / (high - low) * volume AS a60_raw,
+               LAG(close, 5) OVER ({_W}) AS lag5c,
+               open - close AS d_oc,
+               close / open AS a38_co
         FROM bars
     ), e2 AS (
         SELECT *, close/prev_close - 1 AS ret,
@@ -109,7 +121,21 @@ def _o_alphas() -> str:
                d1 - LAG(d1, 1) OVER ({_W}) AS a17_dd1,
                list(close) OVER ({_f(30)}) AS l_c30,
                vwap - MAX(vwap) OVER ({_f(15)}) AS a84_dev,
-               GREATEST(LEAST((close - LAG(close, 5) OVER ({_W})) / close, 3.0), -3.0) AS rd5
+               GREATEST(LEAST((close - LAG(close, 5) OVER ({_W})) / close, 3.0), -3.0) AS rd5,
+               AVG(close) OVER ({_f(8)}) AS m8,
+               STDDEV_SAMP(close) OVER ({_f(8)}) AS s8,
+               AVG(close) OVER ({_f(2)}) AS m2,
+               STDDEV_SAMP(high) OVER ({_f(10)}) AS a40_std,
+               AVG(lag5c) OVER ({_f(20)}) AS a45_m,
+               {_o_gcorr('close', 'volume', 2)} AS a45_c1,
+               SUM(close) OVER ({_f(5)}) AS s5c,
+               SUM(close) OVER ({_f(20)}) AS s20c,
+               (LAG(close, 20) OVER ({_W}) - LAG(close, 10) OVER ({_W})) / 10
+                   - (LAG(close, 10) OVER ({_W}) - close) / 10 AS a46_sd,
+               LAG(d_oc, 1) OVER ({_W}) AS lag_doc,
+               SUM(close) OVER ({_f(7)}) / 7 - close AS a32_x,
+               {_o_gcorr('vwap', 'lag5c', 230)} AS a32_c,
+               {_o_gcorr('high', 'volume', 10)} AS a40_c
         FROM e2
     ), e4 AS (
         SELECT *, CASE WHEN ret < 0 AND std20 IS NOT NULL
@@ -152,7 +178,17 @@ def _o_alphas() -> str:
                CASE WHEN (volume/adv20) IS NOT NULL
                     THEN {_o_tsr('l_va5', '(volume/adv20)')} END AS a17_trva,
                CASE WHEN a84_dev IS NOT NULL
-                    THEN {_o_tsr('l_dev21', 'a84_dev')} END AS a84_tr
+                    THEN {_o_tsr('l_dev21', 'a84_dev')} END AS a84_tr,
+               CASE WHEN m8 + s8 < m2 THEN -1.0
+                    WHEN m2 < m8 - s8 THEN 1.0
+                    WHEN volume / adv20 < 1 THEN -1.0
+                    ELSE 1.0 END AS alpha_021,
+               {_o_gcorr('adv20', 'low', 5)} + (high + low) / 2 - close AS a28_x,
+               {_o_gcorr('s5c', 's20c', 2)} AS a45_c2,
+               {_o_gcorr('lag_doc', 'close', 200)} AS a37_c,
+               CASE WHEN a46_sd > 0.25 THEN -1.0
+                    WHEN a46_sd < 0 THEN 1.0
+                    ELSE -1 * d1 END AS alpha_046
         FROM e4
     ), p1 AS (
         SELECT *, list(sp) OVER ({_f(5)}) AS l_sp,
@@ -218,7 +254,17 @@ def _o_alphas() -> str:
                {_o_rank('a17_trc')} AS r_a17trc,
                {_o_rank('a17_dd1')} AS r_a17dd1,
                {_o_rank('a17_trva')} AS r_a17trva,
-               {_o_rank('a57_argmax')} AS r_a57argmax
+               {_o_rank('a57_argmax')} AS r_a57argmax,
+               {_o_rank('vwap')} AS r_vwap,
+               a28_x * 1.0 / SUM(ABS(a28_x)) OVER (PARTITION BY d) AS alpha_028,
+               (a32_x * 1.0 / SUM(ABS(a32_x)) OVER (PARTITION BY d))
+                   + 20 * (a32_c * 1.0 / SUM(ABS(a32_c)) OVER (PARTITION BY d)) AS alpha_032,
+               {_o_rank('ROUND(a37_c, 9)')} AS r37_a,
+               {_o_rank('d_oc')} AS r37_b,
+               {_o_rank('a38_co')} AS r_co,
+               {_o_rank('ROUND(a40_std, 9)')} AS r40,
+               {_o_rank('a45_m')} AS r45_a,
+               {_o_rank('ROUND(a45_c2, 9)')} AS r45_b
         FROM p1d
     ), p2b AS (
         SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005,
@@ -227,9 +273,13 @@ def _o_alphas() -> str:
                      - (r60_b * 1.0 / SUM(ABS(r60_b)) OVER (PARTITION BY d))) AS alpha_060,
                (r11_max + r11_min) * r11_dv AS alpha_011,
                a19_sign * (1 + r_a19) AS alpha_019,
-               -1 * (a22_d * r_std20c) AS alpha_022,
+               -1 * (ROUND(a22_d, 9) * r_std20c) AS alpha_022,
                (1.0 - r_a30) * sv5 / sv20 AS alpha_030,
-               (-1 * r_a17trc) * r_a17dd1 * r_a17trva AS alpha_017
+               (-1 * r_a17trc) * r_a17dd1 * r_a17trva AS alpha_017,
+               r37_a + r37_b AS alpha_037,
+               (-1 * r_a17trc) * r_co AS alpha_038,
+               (-1 * r40) * ROUND(a40_c, 9) AS alpha_040,
+               -1 * ((r45_a * ROUND(a45_c1, 9)) * r45_b) AS alpha_045
         FROM p2
     ), p3 AS (
         SELECT *,
@@ -241,26 +291,32 @@ def _o_alphas() -> str:
                COVAR_SAMP(r_close, r_vol) OVER ({_f(5)}) AS cov_cv5,
                COVAR_SAMP(r_high, r_vol) OVER ({_f(5)}) AS cov_hv5,
                list(r_low) OVER ({_f(9)}) AS l_rlow,
-               list(r_a57argmax) OVER ({_f(2)}) AS l_r57
+               list(r_a57argmax) OVER ({_f(2)}) AS l_r57,
+               {_o_gcorr('r_vol', 'r_vwap', 6)} AS a27_c,
+               -1 * ({_o_gcorr('high', 'r_vol', 5)}) AS alpha_044
         FROM p2b
     ), p3b AS (
         SELECT *,
                -1 * ((len(list_filter(l_rlow, x -> x < r_low))
                      + len(list_filter(l_rlow, x -> x <= r_low)) + 1) / 2.0
                      / len(l_rlow)) AS alpha_004,
-               r_dr3 * alpha_006 AS alpha_014,
+               r_dr3 * ROUND(alpha_006, 9) AS alpha_014,
                0 - (1 * ((close - vwap)
                    / (list_sum(list_transform(range(1, len(l_r57)+1), i -> l_r57[i] * i))
-                      / (len(l_r57) * (len(l_r57)+1) / 2.0)))) AS alpha_057
+                      / (len(l_r57) * (len(l_r57)+1) / 2.0)))) AS alpha_057,
+               SUM(a27_c) OVER ({_f(2)}) / 2.0 AS a27_s2
         FROM p3
     ), p4 AS (
         SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3,
                -1 * ({_o_rank('ROUND(cov_cv5, 9)')}) AS alpha_013,
                {_o_rank('((1 - r_a34ratio) + (1 - r_a34d1))')} AS alpha_034,
-               -1 * ({_o_rank('ROUND(cov_hv5, 9)')}) AS alpha_016
+               -1 * ({_o_rank('ROUND(cov_hv5, 9)')}) AS alpha_016,
+               {_o_rank('ROUND(a27_s2, 9)')} AS r27
         FROM p3b
     ), p5 AS (
-        SELECT *, -1 * SUM(r_chv3) OVER ({_f(3)}) AS alpha_015 FROM p4
+        SELECT *, -1 * SUM(r_chv3) OVER ({_f(3)}) AS alpha_015,
+               CASE WHEN r27 > 0.5 THEN -1.0 ELSE 1.0 END AS alpha_027
+        FROM p4
     )
     SELECT code, d,
            {', '.join(f'FLOOR({c} * 1000000 + 0.5) / 1000000.0 AS {c}' for c in ALPHA_COLS)}
