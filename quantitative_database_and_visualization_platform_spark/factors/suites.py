@@ -209,15 +209,19 @@ def build_suite(
     derived: DataFrame,
     columns: dict[str, Column],
     gates: dict[str, tuple[str, int]],
-    round_dp: int = 6,
 ) -> DataFrame:
     """Attach a factor suite: gate (min_periods parity) + round (cross-
-    engine float determinism) each factor, keep the panel key."""
+    engine float determinism) each factor, keep the panel key. Rounding is
+    the floor-based fixed-point convention (`registry.round6`) — plain
+    ROUND(x, 6) diverges from DuckDB on "...5"-boundary doubles and can
+    emit a −0.0 that hashes differently from the other engine's 0.0."""
+    from ..plans.registry import round6
+
     w = _bars_window()
     out_cols: list[Column] = [F.col("code"), F.col("d")]
     for name, expr in columns.items():
         if name in gates:
             gate_col, gate_d = gates[name]
             expr = ts.gate(expr, gate_col, gate_d, w)
-        out_cols.append(F.round(expr, round_dp).alias(name))
+        out_cols.append(round6(expr).alias(name))
     return derived.select(*out_cols)

@@ -27,7 +27,7 @@ from ..factors.suites import (
     with_derived,
 )
 from ..operators.timeseries import entity_window
-from .registry import query
+from .registry import o_round6, query
 
 _W = "PARTITION BY code ORDER BY d"
 
@@ -85,37 +85,37 @@ def _o_technical() -> str:
         FROM ext2
     )
     SELECT code, d,
-      ROUND({_o_gate(f"AVG(close) OVER ({_f(5)})", 'close', 5)}, 6) AS ma_5,
-      ROUND({_o_gate(ma20, 'close', 20)}, 6) AS ma_20,
-      ROUND({_o_gate(f"(close - {ma20}) / {ma20}", 'close', 20)}, 6) AS bias_20,
-      ROUND({_o_gate(f"{ma20} + 2 * {std20}", 'close', 20)}, 6) AS boll_upper,
-      ROUND({_o_gate(f"{ma20} - 2 * {std20}", 'close', 20)}, 6) AS boll_lower,
-      ROUND({_o_gate(f"100 * {avg_up} / ({avg_up} + {avg_down})", 'prev_close', 14)}, 6) AS rsi_14,
-      ROUND({_o_gate(f"AVG(tr) OVER ({_f(14)})", 'tr', 14)}, 6) AS atr_14,
-      ROUND({_o_gate(
+      {o_round6(_o_gate(f"AVG(close) OVER ({_f(5)})", 'close', 5))} AS ma_5,
+      {o_round6(_o_gate(ma20, 'close', 20))} AS ma_20,
+      {o_round6(_o_gate(f"(close - {ma20}) / {ma20}", 'close', 20))} AS bias_20,
+      {o_round6(_o_gate(f"{ma20} + 2 * {std20}", 'close', 20))} AS boll_upper,
+      {o_round6(_o_gate(f"{ma20} - 2 * {std20}", 'close', 20))} AS boll_lower,
+      {o_round6(_o_gate(f"100 * {avg_up} / ({avg_up} + {avg_down})", 'prev_close', 14))} AS rsi_14,
+      {o_round6(_o_gate(f"AVG(tr) OVER ({_f(14)})", 'tr', 14))} AS atr_14,
+      {o_round6(_o_gate(
           f"(tp - m_tp) / (0.015 * (list_sum(list_transform(l_tp, v -> ABS(v - m_tp))) / len(l_tp)))",
-          'tp', 14)}, 6) AS cci_14,
-      ROUND({_o_gate(f"({h14} - close) / ({h14} - {l14}) * -100", 'close', 14)}, 6) AS wr_14,
-      ROUND({_o_gate(f"SUM(up_day) OVER ({_f(12)}) / 12.0 * 100", 'up_day', 12)}, 6) AS psy_12,
-      ROUND(volume / LAG(volume, 5) OVER ({_W}) - 1, 6) AS vroc_5,
-      ROUND((obv - LAG(obv, 5) OVER ({_W})) / 5.0, 6) AS obv_slope_5,
-      ROUND({_o_gate(
+          'tp', 14))} AS cci_14,
+      {o_round6(_o_gate(f"({h14} - close) / ({h14} - {l14}) * -100", 'close', 14))} AS wr_14,
+      {o_round6(_o_gate(f"SUM(up_day) OVER ({_f(12)}) / 12.0 * 100", 'up_day', 12))} AS psy_12,
+      {o_round6(f"volume / LAG(volume, 5) OVER ({_W}) - 1")} AS vroc_5,
+      {o_round6(f"(obv - LAG(obv, 5) OVER ({_W})) / 5.0")} AS obv_slope_5,
+      {o_round6(_o_gate(
           f"(close - SUM(amount) OVER ({_f(10)}) / SUM(volume) OVER ({_f(10)}))"
           f" / (SUM(amount) OVER ({_f(10)}) / SUM(volume) OVER ({_f(10)}))",
-          'amount', 10)}, 6) AS vwap_bias_10,
-      ROUND({_o_gate(f"SQRT(AVG(dd14 * dd14) OVER ({_f(14)}))", 'close', 14)}, 6) AS ui_14,
-      ROUND({_o_gate(
+          'amount', 10))} AS vwap_bias_10,
+      {o_round6(_o_gate(f"SQRT(AVG(dd14 * dd14) OVER ({_f(14)}))", 'close', 14))} AS ui_14,
+      {o_round6(_o_gate(
           "(CAST(len(l_l10) - list_position(l_l10, list_aggregate(l_l10, 'min')) AS DOUBLE)"
           " - CAST(len(l_h10) - list_position(l_h10, list_aggregate(l_h10, 'max')) AS DOUBLE)) * 10.0",
-          'high', 10)}, 6) AS aroon_osc_10,
-      ROUND({_o_gate(
+          'high', 10))} AS aroon_osc_10,
+      {o_round6(_o_gate(
           f"100 * LOG10(SUM(tr) OVER ({_f(14)}) / (MAX(high) OVER ({_f(14)}) - MIN(low) OVER ({_f(14)})))"
           f" / LOG10(14.0)",
-          'tr', 14)}, 6) AS chop_14,
-      ROUND({_o_gate(f"100 * {pos_mf} / ({pos_mf} + {neg_mf})", 'tp', 14)}, 6) AS mfi_14,
-      ROUND({_o_gate(f"AVG(ABS(ret) / amount * 1e6) OVER ({_f(10)})", 'ret', 10)}, 6) AS amihud_10,
-      ROUND({_o_gate(f"STDDEV_SAMP(CAST(volume AS DOUBLE)) OVER ({_f(10)})", 'volume', 10)}, 6) AS turnover_std_10,
-      ROUND({_o_gate(f"{std20} / {ma20}", 'close', 20)}, 6) AS cv_20
+          'tr', 14))} AS chop_14,
+      {o_round6(_o_gate(f"100 * {pos_mf} / ({pos_mf} + {neg_mf})", 'tp', 14))} AS mfi_14,
+      {o_round6(_o_gate(f"AVG(ABS(ret) / amount * 1e6) OVER ({_f(10)})", 'ret', 10))} AS amihud_10,
+      {o_round6(_o_gate(f"STDDEV_SAMP(CAST(volume AS DOUBLE)) OVER ({_f(10)})", 'volume', 10))} AS turnover_std_10,
+      {o_round6(_o_gate(f"{std20} / {ma20}", 'close', 20))} AS cv_20
     FROM ext3
     """
 
@@ -144,17 +144,17 @@ def _o_momentum() -> str:
         FROM ext2
     )
     SELECT code, d,
-      ROUND(roc5, 6) AS roc_5,
-      ROUND(close / LAG(close, 20) OVER ({_W}) - 1, 6) AS roc_20,
-      ROUND({_o_gate(f"STDDEV_SAMP(ret) OVER ({_f(10)})", 'ret', 10)}, 6) AS volatility_10,
-      ROUND({_o_gate(f"AVG(CAST(volume AS DOUBLE)) OVER ({_f(5)})", 'volume', 5)}, 6) AS turnover_mean_5,
-      ROUND({_o_gate(f"AVG((high - low) / prev_close) OVER ({_f(5)})", 'prev_close', 5)}, 6) AS amplitude_mean_5,
-      ROUND({_o_gate(f"(close - {l20}) / ({h20} - {l20})", 'close', 20)}, 6) AS pos_20,
-      ROUND(roc5 - LAG(roc5, 5) OVER ({_W}), 6) AS mom_acc_5,
-      ROUND({_o_gate(f"({v_up} + 0.5 * {v_flat}) / ({v_down} + 0.5 * {v_flat})", 'prev_close', 10)}, 6) AS vr_10,
-      ROUND({_o_gate(f"SKEWNESS(ret) OVER ({_f(10)})", 'ret', 10)}, 6) AS skew_10,
-      ROUND({_o_gate(f"KURTOSIS(ret) OVER ({_f(10)})", 'ret', 10)}, 6) AS kurt_10,
-      ROUND({_o_gate(f"REGR_SLOPE(close, rn) OVER ({_f(10)})", 'close', 10)}, 6) AS linreg_slope_10
+      {o_round6("roc5")} AS roc_5,
+      {o_round6(f"close / LAG(close, 20) OVER ({_W}) - 1")} AS roc_20,
+      {o_round6(_o_gate(f"STDDEV_SAMP(ret) OVER ({_f(10)})", 'ret', 10))} AS volatility_10,
+      {o_round6(_o_gate(f"AVG(CAST(volume AS DOUBLE)) OVER ({_f(5)})", 'volume', 5))} AS turnover_mean_5,
+      {o_round6(_o_gate(f"AVG((high - low) / prev_close) OVER ({_f(5)})", 'prev_close', 5))} AS amplitude_mean_5,
+      {o_round6(_o_gate(f"(close - {l20}) / ({h20} - {l20})", 'close', 20))} AS pos_20,
+      {o_round6(f"roc5 - LAG(roc5, 5) OVER ({_W})")} AS mom_acc_5,
+      {o_round6(_o_gate(f"({v_up} + 0.5 * {v_flat}) / ({v_down} + 0.5 * {v_flat})", 'prev_close', 10))} AS vr_10,
+      {o_round6(_o_gate(f"SKEWNESS(ret) OVER ({_f(10)})", 'ret', 10))} AS skew_10,
+      {o_round6(_o_gate(f"KURTOSIS(ret) OVER ({_f(10)})", 'ret', 10))} AS kurt_10,
+      {o_round6(_o_gate(f"REGR_SLOPE(close, rn) OVER ({_f(10)})", 'close', 10))} AS linreg_slope_10
     FROM m1
     """
 
@@ -178,13 +178,13 @@ def _o_value() -> str:
     return f"""
     WITH {O_BARS}
     SELECT code, d,
-      ROUND(CASE WHEN close * volume > 0 THEN LN(close * volume) END, 6) AS ln_market_cap,
-      ROUND(1 / {pe}, 6) AS ep_ttm,
-      ROUND(1 / {pb}, 6) AS bp_lr,
-      ROUND((amount / volume) / close, 6) AS sp_ttm,
-      ROUND({pb} / {pe}, 6) AS roe_ttm,
-      ROUND({_o_gate(z(pe), 'close', 20)}, 6) AS pe_zscore_20,
-      ROUND({_o_gate(z(pb), 'close', 20)}, 6) AS pb_zscore_20
+      {o_round6("CASE WHEN close * volume > 0 THEN LN(close * volume) END")} AS ln_market_cap,
+      {o_round6(f"1 / {pe}")} AS ep_ttm,
+      {o_round6(f"1 / {pb}")} AS bp_lr,
+      {o_round6("(amount / volume) / close")} AS sp_ttm,
+      {o_round6(f"{pb} / {pe}")} AS roe_ttm,
+      {o_round6(_o_gate(z(pe), 'close', 20))} AS pe_zscore_20,
+      {o_round6(_o_gate(z(pb), 'close', 20))} AS pb_zscore_20
     FROM bars
     """
 
@@ -267,25 +267,39 @@ def _o_ema_family() -> str:
                                    THEN list_sum(list_slice(rl, j-9, j)) END) AS massl
         FROM s3
     )
-    SELECT code,
-           unnest(ds)                           AS d,
-           ROUND(unnest(diffl), 6)              AS macd_diff,
-           ROUND(unnest(deal), 6)               AS macd_dea,
-           ROUND(unnest(kl), 6)                 AS kdj_k,
-           ROUND(unnest(dl), 6)                 AS kdj_d,
-           ROUND(unnest(jl), 6)                 AS kdj_j,
-           ROUND(unnest(trixl), 6)              AS trix_12,
-           ROUND(unnest(forcel), 6)             AS force_13,
-           ROUND(unnest(massl), 6)              AS mass_10
-    FROM s4
+    , un AS (
+        SELECT code,
+               unnest(ds)     AS d,
+               unnest(diffl)  AS macd_diff,
+               unnest(deal)   AS macd_dea,
+               unnest(kl)     AS kdj_k,
+               unnest(dl)     AS kdj_d,
+               unnest(jl)     AS kdj_j,
+               unnest(trixl)  AS trix_12,
+               unnest(forcel) AS force_13,
+               unnest(massl)  AS mass_10
+        FROM s4
+    )
+    SELECT code, d,
+           {o_round6('macd_diff')} AS macd_diff,
+           {o_round6('macd_dea')}  AS macd_dea,
+           {o_round6('kdj_k')}     AS kdj_k,
+           {o_round6('kdj_d')}     AS kdj_d,
+           {o_round6('kdj_j')}     AS kdj_j,
+           {o_round6('trix_12')}   AS trix_12,
+           {o_round6('force_13')}  AS force_13,
+           {o_round6('mass_10')}   AS mass_10
+    FROM un
     """
 
 
 @query("factor_ema_family", oracle=_o_ema_family())
 def factor_ema_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
     out = with_ema_family(daily_bars(spark, sf_dir))
     return out.select(
-        "code", "d", *[F.round(c, 6).alias(c) for c in EMA_FAMILY_COLS]
+        "code", "d", *[round6(c).alias(c) for c in EMA_FAMILY_COLS]
     )
 
 

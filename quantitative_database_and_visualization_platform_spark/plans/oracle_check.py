@@ -2,88 +2,104 @@
 query on Spark AND its DuckDB oracle on the same parquet tables, compare
 row count, column names, and values (order-insensitive).
 
+The comparison is STRICT — strictly stronger than float ``==``:
+
+- NULL and NaN are distinct (a pandas-based comparer can't tell them
+  apart because both arrive as ``NaN`` in a float64 column — which is how
+  a NaN-vs-NULL engine divergence once passed locally yet failed the
+  driver's value hash);
+- −0.0 and 0.0 are distinct (``==`` says equal; a value hash does not);
+- everything is compared via Arrow (Spark ``toArrow()`` / DuckDB
+  ``.arrow()``) so null masks survive the transfer.
+
 Used by tests/test_oracle_parity.py and by `python -m
 quantitative_database_and_visualization_platform_spark.plans.oracle_check`.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal
 import math
 
 import duckdb
-import pandas as pd
+import pyarrow as pa
 
 from ..sources.catalog import TABLES
 
 
-def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+def run_oracle(sf_dir: str, sql: str) -> pa.Table:
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
             )
-        return con.execute(sql).fetchdf()
+        return con.execute(sql).arrow()
     finally:
         con.close()
 
 
-def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1).copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
-        elif pd.api.types.is_extension_array_dtype(s):
-            df[c] = s.to_numpy()
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-    if len(df.columns):
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+def _encode(v: object) -> str:
+    """Canonical string for one cell: engine-independent, bit-distinct for
+    NULL vs NaN and 0.0 vs −0.0."""
+    if v is None:
+        return "∅"  # ∅
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)  # repr keeps the sign of -0.0
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_encode(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_encode(x)}" for k, x in sorted(v.items())) + "}"
+    return repr(v)
 
 
-def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+def _encode_table(t: pa.Table) -> tuple[list[str], list[tuple[str, ...]]]:
+    cols = sorted(t.column_names)
+    data = [t.column(c).to_pylist() for c in cols]
+    # encode BEFORE sorting: raw rows may hold None/NaN, which Python
+    # cannot order; encoded strings sort deterministically on both sides
+    encoded = [tuple(_encode(v) for v in row) for row in zip(*data)] if cols else []
+    return cols, sorted(encoded)
+
+
+def compare(spark_t: pa.Table, oracle_t: pa.Table) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
+    a_cols, a_rows = _encode_table(spark_t)
+    b_cols, b_rows = _encode_table(oracle_t)
+    if a_cols != b_cols:
+        return [f"columns differ: spark={a_cols} oracle={b_cols}"]
+    if len(a_rows) != len(b_rows):
+        return [f"row count differs: spark={len(a_rows)} oracle={len(b_rows)}"]
+    # both sides are sorted by the same encoded key, so positional
+    # equality IS multiset equality; per-column reporting for readability
     problems: list[str] = []
-    a, b = canonicalize(spark_df), canonicalize(oracle_df)
-    if list(a.columns) != list(b.columns):
-        return [f"columns differ: spark={list(a.columns)} oracle={list(b.columns)}"]
-    if len(a) != len(b):
-        return [f"row count differs: spark={len(a)} oracle={len(b)}"]
-    for c in a.columns:
-        av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = av.astype("float64")
-            bv = bv.astype("float64")
-            both_nan = av.isna() & bv.isna()
-            eq = (av == bv) | both_nan
-            if not eq.all():
-                bad = (~eq).to_numpy().nonzero()[0][:5]
-                diffs = [
-                    f"row{i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}"
-                    f" (Δ={abs((av.iloc[i] or 0) - (bv.iloc[i] or 0)) if not (math.isnan(av.iloc[i]) or math.isnan(bv.iloc[i])) else 'nan'})"
-                    for i in bad
-                ]
-                problems.append(f"col {c}: {(~eq).sum()} value mismatches; e.g. {diffs}")
-        else:
-            eq = (av == bv) | (av.isna() & bv.isna())
-            if not eq.all():
-                bad = (~eq).to_numpy().nonzero()[0][:5]
-                diffs = [f"row{i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}" for i in bad]
-                problems.append(f"col {c}: {(~eq).sum()} value mismatches; e.g. {diffs}")
+    for j, c in enumerate(a_cols):
+        av = [r[j] for r in a_rows]
+        bv = [r[j] for r in b_rows]
+        if av != bv:
+            bad = [i for i, (x, y) in enumerate(zip(av, bv)) if x != y][:5]
+            diffs = [f"row{i}: {av[i]} vs {bv[i]}" for i in bad]
+            n_bad = sum(1 for x, y in zip(av, bv) if x != y)
+            problems.append(f"col {c}: {n_bad} value mismatches; e.g. {diffs}")
     return problems
 
 
 def check_query(spark, sf_dir: str, name: str) -> list[str]:
     from . import ORACLES, QUERIES
 
-    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    sdf = QUERIES[name](spark, sf_dir).toArrow()
     if name not in ORACLES:
         # rows-only check for non-SQL-expressible ops: must produce data
-        return [] if len(sdf) > 0 else ["rows-only query returned 0 rows"]
+        return [] if sdf.num_rows > 0 else ["rows-only query returned 0 rows"]
     odf = run_oracle(sf_dir, ORACLES[name])
     return compare(sdf, odf)
 

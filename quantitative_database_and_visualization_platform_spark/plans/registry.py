@@ -61,3 +61,28 @@ def o_sum_fixed(expr: str, scale: int = 100) -> str:
 
 def o_avg_fixed(expr: str, scale: int = 100) -> str:
     return f"{o_sum_fixed(expr, scale)}/COUNT({expr})"
+
+
+def round6(c: Column | str) -> Column:
+    """Cross-engine-deterministic 6-dp rounding: ``FLOOR(x*1e6+0.5)/1e6``
+    (identical IEEE ops on both engines) instead of ``ROUND`` (Spark
+    rounds the shortest BigDecimal repr HALF_UP, DuckDB multiplies the raw
+    double — they disagree whenever the shortest repr ends in "...5" at
+    the boundary). Non-finite inputs are normalized to NULL first: Spark's
+    FLOOR returns a LONG so NaN would silently become 0 (and ±Inf a
+    saturated long) while DuckDB keeps NaN/Inf, and −0.0 vs 0.0 hash
+    differently even though they compare equal. Floor output is an exact
+    integer, so the quotient can never be −0.0 or a boundary case."""
+    col = F.col(c) if isinstance(c, str) else c
+    finite = F.when(
+        F.isnan(col) | (col == float("inf")) | (col == float("-inf")), F.lit(None)
+    ).otherwise(col)
+    return F.floor(finite * 1_000_000 + F.lit(0.5)) / 1_000_000.0
+
+
+def o_round6(expr: str) -> str:
+    """Oracle-side twin of :func:`round6`."""
+    return (
+        f"CASE WHEN isnan({expr}) OR isinf({expr}) THEN NULL "
+        f"ELSE FLOOR(({expr})*1000000 + 0.5)/1000000.0 END"
+    )
