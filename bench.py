@@ -18,7 +18,10 @@ import sys
 import time
 
 from quantitative_database_and_visualization_platform_spark.plans import QUERIES
-from quantitative_database_and_visualization_platform_spark.session import get_spark
+from quantitative_database_and_visualization_platform_spark.session import (
+    get_spark,
+    release_managed,
+)
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -51,6 +54,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — a broken query must not kill the bench
             print(f"# bench error in {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # drop per-query managed caches so a 55-query session does not
+            # accumulate cached blocks (the shared alpha table is exempt)
+            release_managed()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

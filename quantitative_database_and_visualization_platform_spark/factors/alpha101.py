@@ -45,6 +45,7 @@ ALPHA_COLS = (
     "alpha_004",
     "alpha_005",
     "alpha_006",
+    "alpha_007",
     "alpha_008",
     "alpha_009",
     "alpha_010",
@@ -66,26 +67,79 @@ ALPHA_COLS = (
     "alpha_026",
     "alpha_027",
     "alpha_028",
+    "alpha_029",
     "alpha_030",
+    "alpha_031",
     "alpha_032",
     "alpha_033",
     "alpha_034",
     "alpha_035",
+    "alpha_036",
     "alpha_037",
     "alpha_038",
+    "alpha_039",
     "alpha_040",
     "alpha_041",
+    "alpha_042",
     "alpha_043",
     "alpha_044",
     "alpha_045",
     "alpha_046",
+    "alpha_047",
+    "alpha_048",
+    "alpha_049",
+    "alpha_050",
+    "alpha_051",
+    "alpha_052",
     "alpha_053",
     "alpha_054",
+    "alpha_055",
+    "alpha_056",
     "alpha_057",
+    "alpha_058",
+    "alpha_059",
     "alpha_060",
+    "alpha_061",
+    "alpha_062",
+    "alpha_065",
+    "alpha_066",
+    "alpha_071",
+    "alpha_072",
+    "alpha_073",
+    "alpha_074",
+    "alpha_075",
+    "alpha_077",
+    "alpha_083",
     "alpha_084",
+    "alpha_085",
+    "alpha_086",
+    "alpha_088",
+    "alpha_092",
+    "alpha_094",
+    "alpha_095",
+    "alpha_098",
+    "alpha_099",
     "alpha_101",
 )
+
+# Documented deviations from the canonical WorldQuant formulas (each
+# mirrored identically in the DuckDB oracle, so the parity row validates
+# the variant as implemented — flagged here so consumers know):
+# - alpha_084: exponent is delta(close,5)/close clamped to ±3, not raw
+#   delta(close,5) — the synthetic panel's raw deltas on near-zero closes
+#   overflow signedpower past double range; percent-scale on real prices.
+# - alpha_007/alpha_043: the reference's own corrected "amount" variant
+#   (its formula table notes the original paper's volume unit is wrong);
+#   alpha_007 compares amount against a 20-day mean of amount.
+ALPHA_VARIANTS = {
+    "alpha_084": "signedpower exponent clamped relative 5d change (±3)",
+    "alpha_007": "amount-based adv20 per reference's corrected formula",
+    "alpha_043": "volume/adv20 ratio (reference formula uses amount/adv20)",
+    "alpha_048": "synthetic IndClass (code mod 20 subindustry) — testdata has no industry dim",
+    "alpha_058": "synthetic IndClass (code mod 5 sector)",
+    "alpha_059": "synthetic IndClass (code mod 10 industry)",
+    "alpha_056": "cap proxied by close*volume (testdata has no market-cap table)",
+}
 
 
 def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
@@ -155,6 +209,40 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # alpha_060 raw: signed close-location value weighted by volume
         (((close - low) - (high - close)) / (high - low) * vol).alias("a60_raw"),
         ts.ts_argmax(close, 10, w).alias("a60_argmax"),
+        # batch-A bases
+        ((high + low) / 2).alias("hl2"),
+        ts.ts_min(low, 5, w).alias("tmin_low5"),
+        # alpha_055 stochastic position within the 12-day range
+        (
+            (close - ts.ts_min(low, 12, w))
+            / (ts.ts_max(high, 12, w) - ts.ts_min(low, 12, w))
+        ).alias("a55_stoch"),
+        # alpha_083 range over 5-day mean close
+        ((high - low) / (ts.ts_sum(close, 5, w) / 5)).alias("a83_hlr"),
+        ts.ts_mean(vol.cast("double"), 180, w).alias("adv180"),
+        ts.ts_mean(vol.cast("double"), 60, w).alias("adv60"),
+        # amount-based adv20 (the reference's corrected alpha_007 unit)
+        ts.ts_mean("amount", 20, w).alias("adv20a"),
+        (ts.ts_sum(high, 5, w) / 5).alias("a47_sh5"),
+        # synthetic IndClass levels: the reference neutralizes against
+        # meta_stock_info.industry (QuantDB.py:48); testdata has no
+        # industry dim, so classification is derived from the code key —
+        # deterministic and identical on both engines
+        (F.col("code") % 5).alias("sector"),
+        (F.col("code") % 10).alias("industry"),
+        (F.col("code") % 20).alias("subind"),
+        # batch-C bases
+        ts.delta(close, 5, w).alias("d5c"),
+        ts.delta(close, 10, w).alias("d10c"),
+        F.lag(vol, 1).over(w).alias("lag_vol"),
+        ts.ts_mean(vol.cast("double"), 30, w).alias("adv30"),
+        ts.ts_mean(vol.cast("double"), 40, w).alias("adv40"),
+        ts.ts_mean(vol.cast("double"), 50, w).alias("adv50"),
+        ts.ts_mean(vol.cast("double"), 5, w).alias("adv5"),
+        ts.ts_mean(vol.cast("double"), 15, w).alias("adv15"),
+        ((-1 * ts.delta(open_, 2, w)) / open_).alias("a73_r"),
+        # alpha_092 K-line condition as a 0/1 series
+        (((high + low) / 2 + close) < (low + open_)).cast("double").alias("a92_b"),
     )
     a1_base = F.when((F.col("ret") < 0) & F.col("std20").isNotNull(), F.col("std20")).otherwise(
         close
@@ -188,7 +276,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (-1 * F.signum((close - ts.delay(close, 7, w)) + ts.delta(close, 7, w))).alias(
             "a19_sign"
         ),
-        ts.ts_sum("ret", 250, w).alias("a19_sum"),
+        ts.ts_sum_fixed("ret", 250, w).alias("a19_sum"),
         ts.ts_corr(high, vol.cast("double"), 5, w).alias("c_hv5corr"),
         ts.ts_stddev(close, 20, w).alias("std20c"),
         ts.ts_mean(close, 100, w).alias("m100"),
@@ -232,6 +320,63 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
             - (ts.delay(close, 10, w) - close) / 10
         ).alias("a46_sd"),
         ts.delay(close, 5, w).alias("lag5c"),
+        # batch-A second-pass terms (windows over pass-1 columns)
+        ts.delta("vwap", 5, w).alias("a47_dv"),
+        (-1 * F.col("tmin_low5") + ts.delay("tmin_low5", 5, w)).alias("a52_low"),
+        # (sum(ret,240) - sum(ret,20)) / 220: both via the exact
+        # fixed-point running sums (the 240-window would otherwise be a
+        # second O(rows*240) sliding re-aggregation)
+        (
+            (ts.ts_sum_fixed("ret", 240, w) - ts.ts_sum_fixed("ret", 20, w)) / 220
+        ).alias("a52_r"),
+        (F.col("vwap") - ts.ts_min("vwap", 16, w)).alias("a61_dev"),
+        ts.ts_corr_fixed("vwap", "adv180", 17, w).alias("a61_c"),
+        F.lag("a83_hlr", 2).over(w).alias("a83_lag"),
+        ts.ts_sum_fixed("hl2", 19, w).alias("a99_s1"),
+        ts.ts_sum_fixed("adv60", 19, w).alias("a99_s2"),
+        ts.ts_corr_fixed(low, vol.cast("double"), 6, w).alias("a99_c2"),
+        # alpha_007: ts_rank of |Δ7 close| over 60 (null-gated like a43_b)
+        F.when(F.col("d7").isNotNull(), ts.ts_rank(F.abs("d7"), 60, w)).alias("a7_tr"),
+        # alpha_048 terms: lagged Δclose for the 250-day autocorrelation,
+        # and the squared-return normalizer (delta(close,1)/delay(close,1)
+        # IS the daily return)
+        F.lag("d1", 1).over(w).alias("a48_ld1"),
+        ts.ts_sum_fixed(F.col("ret") * F.col("ret"), 250, w).alias("a48_den"),
+        # batch-C second-pass terms
+        (-1 * ts.delay("ret", 6, w)).alias("a29_d"),
+        (ts.ts_sum_fixed(close, 200, w) / 200).alias("a36_m200"),
+        ts.ts_sum("ret", 2, w).alias("a56_s2"),
+        ts.ts_sum_fixed("ret", 10, w).alias("a56_s10"),
+        # cap proxied by close*volume (ALPHA_VARIANTS)
+        (F.col("ret") * (close * vol)).alias("a56_rc"),
+        ts.ts_sum_fixed("adv60", 8, w, scale=1_000_000).alias("a65_s"),
+        (open_ - ts.ts_min(open_, 13, w)).alias("a65_dev"),
+        ((low - F.col("vwap")) / (open_ - F.col("hl2"))).alias("a66_r"),
+        ts.delta("vwap", 3, w).alias("a66_dv"),
+        ts.ts_rank(close, 3, w).alias("a71_t1"),
+        ts.ts_rank("adv180", 12, w).alias("a71_t2"),
+        # vwap is NULL on zero-volume days — gate its ts_ranks
+        F.when(F.col("vwap").isNotNull(), ts.ts_rank("vwap", 3, w)).alias("a72_t1"),
+        ts.ts_rank(vol.cast("double"), 18, w).alias("a72_t2"),
+        ts.ts_corr_fixed("hl2", "adv40", 8, w).alias("a72_c1"),
+        ts.delta("vwap", 4, w).alias("a73_d"),
+        ts.ts_sum_fixed("adv30", 37, w, scale=1_000_000).alias("a74_s"),
+        (high * 0.0261661 + F.col("vwap") * (1 - 0.0261661)).alias("a74_wp"),
+        ts.ts_corr_fixed("vwap", vol.cast("double"), 4, w).alias("a75_c1"),
+        (F.col("hl2") - F.col("vwap")).alias("a77_x"),
+        ts.ts_corr_fixed("hl2", "adv40", 3, w).alias("a77_c"),
+        (high * 0.876703 + close * (1 - 0.876703)).alias("a85_wp"),
+        ts.ts_rank("hl2", 3, w).alias("a85_t1"),
+        ts.ts_rank(vol.cast("double"), 10, w).alias("a85_t2"),
+        ts.ts_rank(close, 8, w).alias("a88_t1"),
+        ts.ts_rank("adv60", 20, w).alias("a88_t2"),
+        ts.decay_linear("a92_b", 14, w).alias("a92_dec1"),
+        (F.col("vwap") - ts.ts_min("vwap", 11, w)).alias("a94_dev"),
+        F.when(F.col("vwap").isNotNull(), ts.ts_rank("vwap", 19, w)).alias("a94_t1"),
+        ts.ts_rank("adv60", 4, w).alias("a94_t2"),
+        ts.ts_sum_fixed("adv40", 19, w, scale=1_000_000).alias("a95_s2"),
+        (open_ - ts.ts_min(open_, 12, w)).alias("a95_dev"),
+        ts.ts_sum_fixed("adv5", 26, w, scale=1_000_000).alias("a98_s"),
     )
     # third TS pass: windows over windowed columns
     nd7 = -1 * F.col("d7")
@@ -260,13 +405,59 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (ts.ts_corr("adv20", low, 5, w) + (high + low) / 2 - close).alias("a28_x"),
         ts.ts_corr("s5c", "s20c", 2, w).alias("a45_c2"),
         (ts.ts_sum(close, 7, w) / 7 - close).alias("a32_x"),
-        ts.ts_corr("vwap", "lag5c", 230, w).alias("a32_c"),
+        ts.ts_corr_fixed("vwap", "lag5c", 230, w).alias("a32_c"),
         ts.ts_corr(high, vol.cast("double"), 10, w).alias("a40_c"),
         F.lag("d_oc", 1).over(w).alias("lag_doc"),
         F.when(F.col("a46_sd") > 0.25, F.lit(-1.0))
         .when(F.col("a46_sd") < 0, F.lit(1.0))
         .otherwise(-1 * F.col("d1"))
         .alias("alpha_046"),
+        # alpha_049/051: same MA-divergence ternary, different thresholds
+        F.when(F.col("a46_sd") < -0.1, F.lit(1.0)).otherwise(-1 * F.col("d1")).alias(
+            "alpha_049"
+        ),
+        F.when(F.col("a46_sd") < -0.05, F.lit(1.0)).otherwise(-1 * F.col("d1")).alias(
+            "alpha_051"
+        ),
+        # alpha_007: amount expansion gates the |Δ7| ts_rank reversal
+        F.when(
+            F.col("adv20a") < F.col("amount"),
+            (-1 * F.col("a7_tr")) * F.signum("d7"),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("alpha_007"),
+        ts.ts_corr_fixed("a99_s1", "a99_s2", 8, w).alias("a99_c1"),
+        # sum(adv20,14) kept exact: sum the INTEGER 20-day volume sums,
+        # divide once — order-independent on both engines
+        (ts.ts_sum("sv20", 14, w) / 20.0).alias("a86_s"),
+        ts.ts_corr_fixed("d1", "a48_ld1", 250, w).alias("a48_c"),
+        # batch-C third-pass terms
+        F.when(F.col("a29_d").isNotNull(), ts.ts_rank("a29_d", 5, w)).alias("a29_tr"),
+        ts.ts_corr_fixed(-F.col("d_oc"), "lag_vol", 15, w).alias("a36_c1"),
+        ts.ts_corr_fixed("vwap", "adv20", 6, w).alias("a36_c2"),
+        ((F.col("a36_m200") - open_) * (close - open_)).alias("a36_t"),
+        (vol.cast("double") / F.col("adv20")).alias("a39_va"),
+        ts.ts_sum("a56_s2", 3, w).alias("a56_ss"),
+        (ts.ts_sum("sv20", 22, w) / 20.0).alias("a62_s"),
+        ts.ts_corr_fixed(open_, "a65_s", 6, w).alias("a65_c"),
+        ts.decay_linear("a66_dv", 7, w).alias("a66_dec1"),
+        ts.decay_linear("a66_r", 11, w).alias("a66_dec2"),
+        ts.ts_corr_fixed("a71_t1", "a71_t2", 18, w, scale=100_000_000).alias("a71_c"),
+        ts.ts_corr_fixed("a72_t1", "a72_t2", 6, w, scale=100_000_000).alias("a72_c2"),
+        ts.decay_linear("a72_c1", 10, w).alias("a72_dec1"),
+        ts.decay_linear("a73_d", 2, w).alias("a73_dec1"),
+        ts.decay_linear("a73_r", 3, w).alias("a73_dec2"),
+        ts.ts_corr_fixed(close, "a74_s", 15, w).alias("a74_c1"),
+        ts.decay_linear("a77_x", 20, w).alias("a77_dec1"),
+        ts.decay_linear("a77_c", 5, w).alias("a77_dec2"),
+        ts.ts_corr_fixed("a85_wp", "adv30", 9, w).alias("a85_c1"),
+        ts.ts_corr_fixed("a85_t1", "a85_t2", 7, w, scale=100_000_000).alias("a85_c2"),
+        ts.ts_corr_fixed("a88_t1", "a88_t2", 8, w, scale=100_000_000).alias("a88_c2"),
+        ts.ts_rank("a92_dec1", 18, w).alias("a92_x"),
+        ts.ts_corr_fixed("a94_t1", "a94_t2", 18, w, scale=100_000_000).alias("a94_c"),
+        ts.ts_corr_fixed("a99_s1", "a95_s2", 12, w).alias("a95_c"),
+        ts.ts_corr_fixed("vwap", "a98_s", 4, w).alias("a98_c1"),
+        ts.ts_corr_fixed("adv20", low, 12, w).alias("a31_c"),
     )
     p1 = p1.select(
         "*",
@@ -278,7 +469,34 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (F.col("a43_a") * F.col("a43_b")).alias("alpha_043"),
         # signedpower(ts_rank(vwap deviation), relative Δ5 close)
         (F.signum("a84_tr") * F.pow(F.abs("a84_tr"), F.col("rd5"))).alias("alpha_084"),
-        ts.ts_corr("lag_doc", close, 200, w).alias("a37_c"),
+        ts.ts_corr_fixed("lag_doc", "close", 200, w).alias("a37_c"),
+        ts.ts_corr_fixed("close", "a86_s", 6, w).alias("a86_c"),
+        ((F.col("a48_c") * F.col("d1")) / close).alias("a48_num"),
+        # batch-C fourth-pass terms
+        ts.decay_linear("a39_va", 9, w).alias("a39_dec"),
+        (F.col("a56_s10") / F.col("a56_ss")).alias("a56_ratio"),
+        ts.ts_corr_fixed("vwap", "a62_s", 9, w).alias("a62_c"),
+        F.when(F.col("a66_dec2").isNotNull(), ts.ts_rank("a66_dec2", 6, w)).alias(
+            "a66_tr"
+        ),
+        ts.decay_linear("a71_c", 4, w).alias("a71_dec1"),
+        ts.decay_linear("a72_c2", 2, w).alias("a72_dec2"),
+        F.when(F.col("a73_dec2").isNotNull(), ts.ts_rank("a73_dec2", 16, w)).alias(
+            "a73_tr"
+        ),
+        ts.decay_linear("a88_c2", 6, w).alias("a88_dec2"),
+        F.when(F.col("a94_c").isNotNull(), ts.ts_rank("a94_c", 2, w)).alias("a94_tr"),
+        ts.decay_linear("a98_c1", 7, w).alias("a98_dec1"),
+    )
+    p1 = p1.select(
+        "*",
+        F.when(F.col("a86_c").isNotNull(), ts.ts_rank("a86_c", 20, w)).alias("a86_tr"),
+        F.when(F.col("a71_dec1").isNotNull(), ts.ts_rank("a71_dec1", 15, w)).alias(
+            "a71_x"
+        ),
+        F.when(F.col("a88_dec2").isNotNull(), ts.ts_rank("a88_dec2", 2, w)).alias(
+            "a88_y"
+        ),
     )
     p1 = ckpt(p1, "p1")
 
@@ -329,6 +547,67 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank(F.round("a40_std", 9), "d").alias("r40"),
         cs.cs_rank("a45_m", "d").alias("r45_a"),
         cs.cs_rank(F.round("a45_c2", 9), "d").alias("r45_b"),
+        # batch-A cross-sectional ranks (fixed-point corr outputs are
+        # engine-exact, so their ranks need no pre-rounding)
+        cs.cs_rank(F.col("vwap") - close, "d").alias("r42_a"),
+        cs.cs_rank(F.col("vwap") + close, "d").alias("r42_b"),
+        cs.cs_rank(F.lit(1) / close, "d").alias("r47_a"),
+        cs.cs_rank(high - close, "d").alias("r47_b"),
+        cs.cs_rank("a47_dv", "d").alias("r47_c"),
+        cs.cs_rank("a52_r", "d").alias("r52"),
+        cs.cs_rank("a55_stoch", "d").alias("r55"),
+        cs.cs_rank("a83_lag", "d").alias("r83"),
+        F.when(cs.cs_rank("a61_dev", "d") < cs.cs_rank("a61_c", "d"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_061"),
+        F.when(cs.cs_rank("a99_c1", "d") < cs.cs_rank("a99_c2", "d"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_099"),
+        # indneutralize family: (date, group) demeans ride the date-axis
+        # exchange (hashpartitioning(d) satisfies the clustered
+        # distribution on (d, grp) — sort-only, no extra shuffle)
+        cs.cs_demean_fixed("vwap", "d", "sector").alias("nv58"),
+        cs.cs_demean_fixed("vwap", "d", "industry").alias("nv59"),
+        (cs.cs_demean_fixed("a48_num", "d", "subind") / F.col("a48_den")).alias(
+            "alpha_048"
+        ),
+        # batch-C cross-sectional ranks
+        cs.cs_rank("hl2", "d").alias("r_hl2"),
+        cs.cs_rank("d5c", "d").alias("r29a"),
+        cs.cs_rank("d10c", "d").alias("r31a"),
+        cs.cs_rank(-1 * F.col("d3c"), "d").alias("r31c"),
+        F.signum(cs.cs_scale("a31_c", 1.0, "d")).alias("s31"),
+        cs.cs_rank("a36_c1", "d").alias("r36a"),
+        cs.cs_rank("a29_tr", "d").alias("r36c"),
+        cs.cs_rank(F.abs("a36_c2"), "d").alias("r36d"),
+        cs.cs_rank("a36_t", "d").alias("r36e"),
+        cs.cs_rank("a39_dec", "d").alias("r39a"),
+        cs.cs_rank("a19_sum", "d").alias("r39c"),
+        cs.cs_rank("a56_ratio", "d").alias("r56a"),
+        cs.cs_rank("a56_rc", "d").alias("r56b"),
+        cs.cs_rank("a62_c", "d").alias("r62a"),
+        F.when(cs.cs_rank("a65_c", "d") < cs.cs_rank("a65_dev", "d"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_065"),
+        cs.cs_rank("a66_dec1", "d").alias("r66a"),
+        cs.cs_rank((low + open_) - 2 * F.col("vwap"), "d").alias("r71"),
+        cs.cs_rank("a72_dec1", "d").alias("r72a"),
+        cs.cs_rank("a72_dec2", "d").alias("r72b"),
+        cs.cs_rank("a73_dec1", "d").alias("r73a"),
+        cs.cs_rank("a74_wp", "d").alias("r74w"),
+        cs.cs_rank("a74_c1", "d").alias("r74a"),
+        cs.cs_rank("a75_c1", "d").alias("r75a"),
+        cs.cs_rank("adv50", "d").alias("r75adv"),
+        cs.cs_rank("a77_dec1", "d").alias("r77a"),
+        cs.cs_rank("a77_dec2", "d").alias("r77b"),
+        cs.cs_rank("a85_c1", "d").alias("r85a"),
+        cs.cs_rank("a85_c2", "d").alias("r85b"),
+        cs.cs_rank("adv30", "d").alias("r92adv"),
+        cs.cs_rank("a94_dev", "d").alias("r94"),
+        cs.cs_rank("a95_dev", "d").alias("r95a"),
+        cs.cs_rank("a95_c", "d").alias("r95c"),
+        cs.cs_rank("a98_dec1", "d").alias("r98a"),
+        cs.cs_rank("adv15", "d").alias("r98adv"),
     )
     # rank arithmetic on the P2 outputs (no further window for 005/020;
     # scale() for 060 — another date-axis pass sharing the same exchange)
@@ -347,12 +626,58 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ((-1 * F.col("r_a17trc")) * F.col("r_co")).alias("alpha_038"),
         ((-1 * F.col("r40")) * F.round("a40_c", 9)).alias("alpha_040"),
         (-1 * ((F.col("r45_a") * F.round("a45_c1", 9)) * F.col("r45_b"))).alias("alpha_045"),
+        (F.col("r42_a") / F.col("r42_b")).alias("alpha_042"),
+        # alpha_047: low-price effect x amount expansion x intraday
+        # strength, less the vwap momentum rank
+        (
+            ((F.col("r47_a") * (F.col("amount") / F.col("adv20a"))) * (high * F.col("r47_b")))
+            / F.col("a47_sh5")
+            - F.col("r47_c")
+        ).alias("alpha_047"),
+        ((F.col("a52_low") * F.col("r52")) * F.col("a26_trv")).alias("alpha_052"),
+        # alpha_083: rank(rank(volume)) == rank(volume) for average-tie
+        # pct ranks (order- and tie-preserving), so r_vol serves directly
+        (
+            (F.col("r83") * F.col("r_vol"))
+            / (F.col("a83_hlr") / ((F.col("vwap") - close) + 0.001))
+        ).alias("alpha_083"),
+        F.when(F.col("a86_tr") < F.col("r_a5cv"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_086"),
+        # batch-C rank arithmetic
+        (-1 * F.col("r29a")).alias("a29_neg"),
+        (-1 * F.col("r31a")).alias("a31_neg"),
+        (
+            (((2.21 * F.col("r36a")) + (0.7 * F.col("r37_b"))) + (0.73 * F.col("r36c")))
+            + F.col("r36d")
+            + (0.6 * F.col("r36e"))
+        ).alias("alpha_036"),
+        (F.col("d7") * (1 - F.col("r39a"))).alias("a39_in"),
+        (-1 * (F.col("r56a") * F.col("r56b"))).alias("alpha_056"),
+        ((F.col("r_open") * 2) < (F.col("r_hl2") + F.col("r_high")))
+        .cast("double")
+        .alias("b62"),
+        ((F.col("r66a") + F.col("a66_tr")) * -1).alias("alpha_066"),
+        (F.col("r71") * F.col("r71")).alias("a71_sq"),
+        (F.col("r72a") / F.col("r72b")).alias("alpha_072"),
+        (F.greatest("r73a", "a73_tr") * -1).alias("alpha_073"),
+        F.least("r77a", "r77b").alias("alpha_077"),
+        F.pow(F.col("r85a"), F.col("r85b")).alias("alpha_085"),
+        (F.pow(F.col("r94"), F.col("a94_tr")) * -1).alias("alpha_094"),
+        (((F.col("r_open") + F.col("r_low")) - F.col("r_high")) - F.col("r_close")).alias(
+            "a88_comb"
+        ),
     )
     p2 = p2.select(
         "*",
         (
             -1 * (2 * cs.cs_scale("r60_a", 1.0, "d") - cs.cs_scale("r60_b", 1.0, "d"))
         ).alias("alpha_060"),
+        cs.cs_rank("a29_neg", "d").alias("r29b"),
+        ((-1 * cs.cs_rank("a39_in", "d")) * (1 + F.col("r39c"))).alias("alpha_039"),
+        F.when(F.col("r62a") < cs.cs_rank("b62", "d"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_062"),
     )
     p2 = ckpt(p2, "p2")
 
@@ -369,6 +694,24 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_cov("r_high", "r_vol", 5, w).alias("cov_hv5"),
         ts.ts_corr("r_vol", "r_vwap", 6, w).alias("a27_c"),
         (-1 * ts.ts_corr(high, "r_vol", 5, w)).alias("alpha_044"),
+        # batch-A TS-over-rank correlations (exact fixed-point: rank
+        # rationals quantized at 1e-8)
+        (-1 * ts.ts_corr_fixed("r55", "r_vol", 6, w, scale=100_000_000)).alias(
+            "alpha_055"
+        ),
+        ts.ts_corr_fixed("r_vol", "r_vwap", 5, w, scale=100_000_000).alias("a50_c"),
+        ts.ts_corr_fixed("nv58", vol.cast("double"), 3, w).alias("a58_c"),
+        ts.ts_corr_fixed("nv59", vol.cast("double"), 4, w).alias("a59_c"),
+        # batch-C TS-over-rank stage
+        ts.ts_min("r29b", 2, w).alias("a29_min2"),
+        ts.decay_linear("a31_neg", 10, w).alias("a31_dec"),
+        ts.decay_linear("a71_sq", 16, w).alias("a71_dec2"),
+        ts.ts_corr_fixed("r_low", "r92adv", 7, w, scale=100_000_000).alias("a92_c"),
+        ts.ts_corr_fixed("r74w", "r_vol", 11, w, scale=100_000_000).alias("a74_c2"),
+        ts.ts_corr_fixed("r_low", "r75adv", 12, w, scale=100_000_000).alias("a75_c2"),
+        ts.ts_corr_fixed("r_open", "r98adv", 20, w, scale=100_000_000).alias("a98_c2"),
+        F.pow(F.col("r95c"), F.lit(5.0)).alias("a95_p"),
+        ts.decay_linear("a88_comb", 8, w).alias("a88_dec1"),
     )
     # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
     # is -alpha_006, so the product is rank · alpha_006.
@@ -381,6 +724,39 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
             0 - (1 * ((close - F.col("vwap")) / ts.decay_linear("r_a57argmax", 2, w)))
         ).alias("alpha_057"),
         (ts.ts_sum("a27_c", 2, w) / 2.0).alias("a27_s2"),
+        # alpha_058/059 decay stage (nulls in the gated corr are dropped
+        # from the frame list — mirrored by the oracle's FILTERed list)
+        ts.decay_linear("a58_c", 7, w).alias("a58_dec"),
+        ts.decay_linear("a59_c", 16, w).alias("a59_dec"),
+        F.log("a29_min2").alias("a29_log"),
+        ts.decay_linear("a92_c", 6, w).alias("a92_dec2"),
+        ts.ts_rank("a71_dec2", 4, w).alias("a71_y"),
+        ts.ts_argmin("a98_c2", 8, w).alias("a98_am"),
+        F.when(F.col("a95_p").isNotNull(), ts.ts_rank("a95_p", 11, w)).alias("a95_tr"),
+    )
+    p3 = p3.select(
+        "*",
+        F.when(
+            F.col("a58_dec").isNotNull(), -1 * ts.ts_rank("a58_dec", 5, w)
+        ).alias("alpha_058"),
+        F.when(
+            F.col("a59_dec").isNotNull(), -1 * ts.ts_rank("a59_dec", 8, w)
+        ).alias("alpha_059"),
+        F.when(F.col("a92_dec2").isNotNull(), ts.ts_rank("a92_dec2", 6, w)).alias(
+            "a92_y"
+        ),
+        F.when(F.col("a98_am").isNotNull(), ts.ts_rank("a98_am", 6, w)).alias(
+            "a98_tr"
+        ),
+        F.when(F.col("r95a") < F.col("a95_tr"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_095"),
+        F.greatest("a71_x", "a71_y").alias("alpha_071"),
+    )
+    p3 = p3.select(
+        "*",
+        F.least("a92_x", "a92_y").alias("alpha_092"),
+        ts.decay_linear("a98_tr", 8, w).alias("a98_dec2"),
     )
     p3 = ckpt(p3, "p3")
 
@@ -397,6 +773,22 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank((1 - F.col("r_a34ratio")) + (1 - F.col("r_a34d1")), "d").alias("alpha_034"),
         (-1 * cs.cs_rank(F.round("cov_hv5", 9), "d")).alias("alpha_016"),
         cs.cs_rank(F.round("a27_s2", 9), "d").alias("r27"),
+        cs.cs_rank("a50_c", "d").alias("r50"),
+        # batch-C final cross-sectional stage
+        cs.cs_scale("a29_log", 1.0, "d").alias("a29_s"),
+        (cs.cs_rank("a31_dec", "d") + F.col("r31c") + F.col("s31")).alias("alpha_031"),
+        F.least(cs.cs_rank("a88_dec1", "d"), F.col("a88_y")).alias("alpha_088"),
+        F.when(F.col("r74a") < cs.cs_rank("a74_c2", "d"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_074"),
+        F.when(F.col("r75a") < cs.cs_rank("a75_c2", "d"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_075"),
+        (F.col("r98a") - cs.cs_rank("a98_dec2", "d")).alias("alpha_098"),
+    )
+    p4 = p4.select(
+        "*",
+        cs.cs_rank("a29_s", "d").alias("r29c"),
     )
     p4 = ckpt(p4, "p4")
 
@@ -405,5 +797,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         "*",
         (-1 * ts.ts_sum("r_chv3", 3, w)).alias("alpha_015"),
         F.when(F.col("r27") > 0.5, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("alpha_027"),
+        (-1 * ts.ts_max("r50", 5, w)).alias("alpha_050"),
+        (ts.ts_min("r29c", 5, w) + F.col("a29_tr")).alias("alpha_029"),
     )
     return p5

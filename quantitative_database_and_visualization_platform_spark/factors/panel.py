@@ -43,6 +43,65 @@ O_BARS = """
 """
 
 
+# Synthetic monthly fundamentals fixture: the reference's dividend_yield /
+# yoy_net_profit factors read a fundamentals table (`basic
+# factor_function.md:50-59`, `factor_db_ddl.md:123-125`) that the testdata
+# does not ship, so the fixture derives deterministic per-(code, month)
+# rows from pure integer arithmetic — identical on both engines — covering
+# 24 months (2023-01..2024-12) so a year-over-year lag exists for the
+# panel's dates. The *operators* (fundamentals join, ratio-to-price, YoY
+# growth) are the reference's; only the data is synthetic.
+O_FUND = """
+    fund AS (
+        SELECT c.code, CAST(m.mi AS INT) AS mi,
+               CAST(DATE '2023-01-01' + (m.mi * INTERVAL 1 MONTH) AS DATE) AS mo,
+               CAST((c.code * 37 + m.mi * 13) % 11 AS DOUBLE) / 10.0 * 0.5 AS dps,
+               CAST(1000 + (c.code * 53 + m.mi * 17) % 997 AS DOUBLE) AS net_profit
+        FROM (SELECT DISTINCT code FROM bars) c, range(24) m(mi)
+    ), fundy AS (
+        SELECT f.code, f.mo, f.dps, f.net_profit,
+               f.net_profit / p.net_profit - 1 AS yoy_np
+        FROM fund f LEFT JOIN fund p ON f.code = p.code AND f.mi = p.mi + 12
+    )
+"""
+
+
+def fundamentals(bars: DataFrame) -> DataFrame:
+    """(code, mo, dps, net_profit, yoy_np) — see O_FUND for provenance."""
+    spark = bars.sparkSession
+    codes = bars.select("code").distinct()
+    months = spark.range(24).select(
+        F.col("id").cast("int").alias("mi"),
+        F.add_months(F.lit("2023-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "mo"
+        ),
+    )
+    f = codes.crossJoin(F.broadcast(months)).select(
+        "code",
+        "mo",
+        "mi",
+        (((F.col("code") * 37 + F.col("mi") * 13) % 11).cast("double") / 10.0 * 0.5).alias(
+            "dps"
+        ),
+        ((F.lit(1000) + (F.col("code") * 53 + F.col("mi") * 17) % 997).cast("double")).alias(
+            "net_profit"
+        ),
+    )
+    prev = f.select(
+        "code", (F.col("mi") + 12).alias("mi"), F.col("net_profit").alias("np_prev")
+    )
+    return (
+        f.join(prev, ["code", "mi"], "left")
+        .select(
+            "code",
+            "mo",
+            "dps",
+            "net_profit",
+            (F.col("net_profit") / F.col("np_prev") - 1).alias("yoy_np"),
+        )
+    )
+
+
 def daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(code, d, open, high, low, close, volume, amount) daily panel."""
     ev = load_table(spark, sf_dir, "events").withColumn(

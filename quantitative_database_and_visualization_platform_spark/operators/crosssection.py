@@ -57,6 +57,27 @@ def cs_demean(x: ColumnOrName, date: str = "trade_date", *groups: str) -> Column
     return c - F.avg(c).over(Window.partitionBy(date, *groups))
 
 
+def cs_demean_fixed(
+    x: ColumnOrName, date: str = "trade_date", *groups: str, scale: int = 100_000_000
+) -> Column:
+    """indneutralize with engine-exact arithmetic: the group mean is taken
+    over fixed-point-quantized values (integer sum — order-independent —
+    then two IEEE divisions), so Spark and a SQL oracle produce the same
+    bits where a plain AVG's summation order could differ. Used by the
+    alpha DAG's industry-neutralized factors.
+
+    Scale note: the (date, group...) window needs rows clustered by
+    (date, group); hashpartitioning(date) from the surrounding
+    cross-sectional stage already satisfies that ClusteredDistribution,
+    so this adds a sort, not a shuffle."""
+    c = _col(x)
+    q = F.floor(c * scale + F.lit(0.5)).cast("decimal(38,0)")
+    win = Window.partitionBy(date, *groups)
+    s = F.sum(F.when(c.isNotNull(), q)).over(win).cast("double")
+    n = F.count(c).over(win).cast("double")
+    return c - s / n / scale
+
+
 def cs_zscore(x: ColumnOrName, date: str = "trade_date") -> Column:
     c = _col(x)
     w = date_window(date)

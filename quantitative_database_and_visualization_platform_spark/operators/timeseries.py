@@ -177,6 +177,67 @@ def normalize_to_first(x: ColumnOrName, w: WindowSpec) -> Column:
     return _col(x) / F.first(_col(x), ignorenulls=True).over(cumulative(w)) - 1
 
 
+# --- long-window rolling aggregates in O(rows): fixed-point running sums ---
+# Spark's WindowExec re-aggregates the whole frame per output row for a
+# sliding frame (no retraction), so a 250-day corr costs O(rows × 250).
+# For long windows we instead take CUMULATIVE sums (computed incrementally,
+# O(rows)) and difference them at distance d. Plain double cumsums would
+# lose bit-parity with the oracle (summation order differs between
+# engines), so each term is quantized to a fixed-point integer first —
+# integer addition is associative, making the trailing sums EXACT and
+# engine-identical; the final corr/sum arithmetic is then the same IEEE
+# double ops on both sides. Cost of the quantization: inputs are rounded
+# at 1/scale, so the result is the exact statistic of the quantized
+# series (~1e-8 relative fidelity at the default scale), not of the raw
+# doubles. alpha_queries._o_corr_fixed / _o_sum_fixed are the oracle twins.
+
+
+def _cum_fixed(x: Column, both: Column, d: int, w: WindowSpec) -> Column:
+    """Trailing-d sum of integer expression x (counted only where `both`),
+    via cumulative sum minus its lag — exact decimal arithmetic, cast to
+    double only after the subtraction."""
+    cum = F.sum(F.when(both, x).otherwise(F.lit(0).cast("decimal(38,0)"))).over(cumulative(w))
+    prev = F.coalesce(F.lag(cum, d).over(w), F.lit(0).cast("decimal(38,0)"))
+    return (cum - prev).cast("double")
+
+
+def _quantize(x: Column, scale: int) -> Column:
+    # floor(x*scale + 0.5): identical IEEE ops on both engines (ROUND
+    # diverges at "...5" boundaries); decimal(19,0) so products reach
+    # decimal(38,0) without overflow
+    return F.floor(x * scale + F.lit(0.5)).cast("decimal(19,0)")
+
+
+def ts_sum_fixed(x: ColumnOrName, d: int, w: WindowSpec, scale: int = 100_000_000) -> Column:
+    """O(rows) trailing-d sum for long windows, on the scale-quantized
+    series. NULL inputs contribute nothing (matches SUM's null-skipping)."""
+    c = _col(x)
+    s = _cum_fixed(_quantize(c, scale), c.isNotNull(), d, w)
+    return s / float(scale)
+
+
+def ts_corr_fixed(
+    x: ColumnOrName, y: ColumnOrName, d: int, w: WindowSpec, scale: int = 1_000_000
+) -> Column:
+    """O(rows) trailing-d Pearson correlation for long windows, computed
+    from exact fixed-point running sums (pairwise-complete, sample
+    semantics, variance-gated like ts_corr). Scale-invariant, so the
+    quantized-series corr needs no un-scaling."""
+    cx, cy = _col(x), _col(y)
+    both = cx.isNotNull() & cy.isNotNull()
+    qx, qy = _quantize(cx, scale), _quantize(cy, scale)
+    n = _cum_fixed(F.lit(1).cast("decimal(19,0)"), both, d, w)
+    sx = _cum_fixed(qx, both, d, w)
+    sy = _cum_fixed(qy, both, d, w)
+    sxx = _cum_fixed(qx * qx, both, d, w)
+    syy = _cum_fixed(qy * qy, both, d, w)
+    sxy = _cum_fixed(qx * qy, both, d, w)
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    cov = sxy - sx * sy / n
+    return F.when((n >= 2) & (varx > 0) & (vary > 0), cov / F.sqrt(varx * vary))
+
+
 # --- collect_list + higher-order-function operators (no Spark builtin) ---
 # O(d) per row, evaluated inside codegen'd expression eval — still JVM-side,
 # no Python. For very large d an applyInPandas variant would win; window
@@ -279,5 +340,18 @@ def with_ema_columns(
             )
         yield pdf
 
-    partitioned = df.repartition(df.sparkSession.sparkContext.defaultParallelism, entity)
+    # partition count derived from DATA SIZE, not core count: compute()
+    # concatenates a whole partition into one pandas frame, so memory is
+    # O(partition bytes). Catalyst's size estimate / a ~64 MB target keeps
+    # partitions pandas-sized at any input scale; the core count is only
+    # the floor (so a small input still uses every core).
+    floor_n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        n_parts = min(max(floor_n, size_bytes // (64 * 1024 * 1024) + 1), 4096)
+    except Exception:  # noqa: BLE001 — stats unavailable: fall back to cores
+        n_parts = floor_n
+    partitioned = df.repartition(n_parts, entity)
     return partitioned.mapInPandas(compute, schema=out_schema)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import managed_persist
+
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = N_MINHASH / N_BANDS = 2
 SIMHASH_BITS = 32
@@ -138,7 +140,9 @@ def with_simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
     shingle-building projection per emitted element (O(len²) per doc);
     pinning the arrays first makes the explode a plain iteration
     (measured ~20x on a 5k-doc corpus)."""
-    shingled = with_shingles(df.select(id_col, text), text=text, distinct=False).persist()
+    shingled = managed_persist(
+        with_shingles(df.select(id_col, text), text=text, distinct=False)
+    )
     tokens = shingled.select(F.col(id_col), F.explode("shingles").alias("word"))
     tokens = tokens.withColumn("h", F.md5("word"))
     bit_sums = [

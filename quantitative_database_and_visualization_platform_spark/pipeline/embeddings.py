@@ -88,6 +88,75 @@ def o_srp_bucket(vec: str, n_planes: int = N_PLANES, dims: int = DIMS) -> str:
     return " || ".join(f"({b})" for b in bits)
 
 
+def srp_probe_buckets(vec: str, n_probes: int = 2, n_planes: int = N_PLANES, dims: int = DIMS) -> Column:
+    """Multi-probe SRP: the primary bucket plus `n_probes` variants, each
+    flipping ONE of the weakest bits (the planes whose projection has the
+    smallest |dot| — exactly the ones a near-boundary neighbor would land
+    on the other side of). Probing w extra buckets multiplies the
+    candidate set by (1+w)/1 at fixed bucketing cost — the recall knob a
+    production ANN run tunes instead of re-bucketing with fewer planes."""
+    dots = []
+    for p in range(n_planes):
+        dots.append(
+            F.expr(
+                f"aggregate(zip_with({vec}, transform(sequence(0, {dims - 1}), j -> {_plane_sign(p)}),"
+                f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        )
+    primary = F.concat(
+        *[F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")) for d in dots]
+    )
+    # planes ordered by |dot| ascending (ties by plane id): the flip order
+    ordered = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("a"), F.lit(p).alias("p"))
+                for p, d in enumerate(dots)
+            ]
+        )
+    )
+    weakest = F.slice(F.transform(ordered, lambda s: s["p"]), 1, n_probes)
+
+    def flip(j: Column) -> Column:
+        ch = F.substr(primary, j + 1, F.lit(1))
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(
+            F.substr(primary, F.lit(1), j),
+            flipped,
+            F.substr(primary, j + 2, F.lit(n_planes)),
+        )
+
+    return F.concat(F.array(primary), F.transform(weakest, flip))
+
+
+def ann_multiprobe(
+    corpus: DataFrame,
+    probe: DataFrame,
+    k: int,
+    n_probes: int = 2,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SRP ANN with multi-probe: corpus bucketed ONCE (materializable),
+    probe fans out to its primary + n_probes weakest-bit buckets, exact
+    cosine only over the candidate union. Candidate cost ~ (1+n_probes) *
+    n / 2^planes."""
+    bucketed = corpus.withColumn("bucket", srp_bucket(vec))
+    probes = (
+        probe.select(
+            F.col(vec).alias("__probe"),
+            F.explode(srp_probe_buckets(vec, n_probes)).alias("bucket"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .withColumn("cos", F.round(cosine(vec, "__probe"), 6))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__probe")
+    )
+
+
 def topk_cosine(
     corpus: DataFrame, probe: DataFrame, k: int, vec: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..factors.ema_family import EMA_FAMILY_COLS, with_ema_family
-from ..factors.panel import O_BARS, daily_bars
+from ..factors.panel import O_BARS, O_FUND, daily_bars, fundamentals
 from ..factors.suites import (
     MOMENTUM_GATES,
     TECHNICAL_GATES,
@@ -176,7 +176,12 @@ def _o_value() -> str:
         return f"({x} - AVG({x}) OVER ({_f(20)})) / STDDEV_SAMP({x}) OVER ({_f(20)})"
 
     return f"""
-    WITH {O_BARS}
+    WITH {O_BARS}, {O_FUND},
+    vb AS (
+        SELECT b.*, fy.dps, fy.yoy_np
+        FROM bars b LEFT JOIN fundy fy
+          ON b.code = fy.code AND CAST(date_trunc('month', b.d) AS DATE) = fy.mo
+    )
     SELECT code, d,
       {o_round6("CASE WHEN close * volume > 0 THEN LN(close * volume) END")} AS ln_market_cap,
       {o_round6(f"1 / {pe}")} AS ep_ttm,
@@ -184,15 +189,25 @@ def _o_value() -> str:
       {o_round6("(amount / volume) / close")} AS sp_ttm,
       {o_round6(f"{pb} / {pe}")} AS roe_ttm,
       {o_round6(_o_gate(z(pe), 'close', 20))} AS pe_zscore_20,
-      {o_round6(_o_gate(z(pb), 'close', 20))} AS pb_zscore_20
-    FROM bars
+      {o_round6(_o_gate(z(pb), 'close', 20))} AS pb_zscore_20,
+      {o_round6("dps / close")} AS dividend_yield,
+      {o_round6("yoy_np")} AS yoy_net_profit
+    FROM vb
     """
 
 
 @query("factor_value", oracle=_o_value())
 def factor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    derived = with_derived(daily_bars(spark, sf_dir))
-    return build_suite(derived, value_columns(entity_window("code", "d")), VALUE_GATES)
+    bars = daily_bars(spark, sf_dir)
+    joined = bars.withColumn("mo", F.date_trunc("month", F.col("d")).cast("date")).join(
+        F.broadcast(fundamentals(bars)), ["code", "mo"], "left"
+    )
+    derived = with_derived(joined)
+    cols = value_columns(entity_window("code", "d"))
+    # fundamentals-driven factors (synthetic fixture, see panel.O_FUND)
+    cols["dividend_yield"] = F.col("dps") / F.col("close")
+    cols["yoy_net_profit"] = F.col("yoy_np")
+    return build_suite(derived, cols, VALUE_GATES)
 
 
 # ---------------------------------------------------------------------------
@@ -390,6 +405,64 @@ def kline_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tables, `quant_db_ddl.md:38-64`): period rollup with deterministic
 # first/last picks — same pattern as the tick→daily build, one groupBy.
 # ---------------------------------------------------------------------------
+@query(
+    "monthly_bars_rollup",
+    oracle=f"""
+    WITH {O_BARS},
+    flagged AS (
+        SELECT code, CAST(date_trunc('month', d) AS DATE) AS mo,
+               open, high, low, close, volume, amount,
+               ROW_NUMBER() OVER (PARTITION BY code, date_trunc('month', d)
+                                  ORDER BY d) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY code, date_trunc('month', d)
+                                  ORDER BY d DESC) AS rn_z
+        FROM bars
+    )
+    SELECT code, mo,
+           MAX(CASE WHEN rn_a = 1 THEN open END)  AS open,
+           MAX(high)                              AS high,
+           MIN(low)                               AS low,
+           MAX(CASE WHEN rn_z = 1 THEN close END) AS close,
+           CAST(SUM(volume) AS BIGINT)            AS volume,
+           SUM(CAST(ROUND(amount*100,0) AS BIGINT))/100.0 AS amount,
+           CAST(COUNT(*) AS BIGINT)               AS n_days
+    FROM flagged
+    GROUP BY code, mo
+    """,
+)
+def monthly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily → monthly resample (the reference stores daily/weekly/monthly
+    bar tables, `quant_db_ddl.md:38-64`): the weekly rollup operator with
+    a month bucket — deterministic open/close picks, integer-exact sums."""
+    from pyspark.sql import Window
+
+    bars = daily_bars(spark, sf_dir)
+    mo = F.date_trunc("month", F.col("d")).cast("date")
+    w_asc = Window.partitionBy("code", mo).orderBy("d")
+    w_desc = Window.partitionBy("code", mo).orderBy(F.col("d").desc())
+    flagged = bars.select(
+        "code",
+        mo.alias("mo"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        "amount",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_z"),
+    )
+    return flagged.groupBy("code", "mo").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("open"))).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max(F.when(F.col("rn_z") == 1, F.col("close"))).alias("close"),
+        F.sum("volume").alias("volume"),
+        (F.sum(F.round(F.col("amount") * 100, 0).cast("long")) / 100.0).alias("amount"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 @query(
     "weekly_bars_rollup",
     oracle=f"""

@@ -31,6 +31,12 @@ from ..sources.catalog import TABLES
 def run_oracle(sf_dir: str, sql: str) -> pa.Table:
     con = duckdb.connect()
     try:
+        # bound the oracle's memory and let it spill: the alpha CTE chain
+        # carries wide list columns, and the checker often runs next to a
+        # large Spark JVM — without a temp_directory DuckDB aborts with
+        # OutOfMemory instead of spilling
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        con.execute("SET memory_limit='24GB'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -95,8 +101,12 @@ def compare(spark_t: pa.Table, oracle_t: pa.Table) -> list[str]:
 
 def check_query(spark, sf_dir: str, name: str) -> list[str]:
     from . import ORACLES, QUERIES
+    from ..session import release_managed
 
-    sdf = QUERIES[name](spark, sf_dir).toArrow()
+    try:
+        sdf = QUERIES[name](spark, sf_dir).toArrow()
+    finally:
+        release_managed()
     if name not in ORACLES:
         # rows-only check for non-SQL-expressible ops: must produce data
         return [] if sdf.num_rows > 0 else ["rows-only query returned 0 rows"]

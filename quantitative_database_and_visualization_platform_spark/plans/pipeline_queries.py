@@ -24,6 +24,7 @@ from ..pipeline.embeddings import (
 )
 from ..pipeline.multimodal import decode_documents
 from ..pipeline.text import o_text_features, with_text_features
+from ..session import managed_persist
 from ..sources.catalog import load_table
 from .registry import query
 
@@ -133,13 +134,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   ELEMENT (O(len²)/doc) — an exchange between does not stop the
     #   re-collapse, a persist does. At 100 TB this persist is the
     #   shingle table a pipeline would checkpoint to parquet.
-    shingled = dd.with_shingles(
+    shingled = managed_persist(dd.with_shingles(
         docs.repartition(spark.sparkContext.defaultParallelism), distinct=False
-    ).persist()
+    ))
     # sigs is consumed four times (band explode a/b, verify a/b) → persist
     # the tiny signature table too (the in-memory form of the signature
     # materialization a production run would write out).
-    sigs = dd.with_minhash_bands(shingled.select("doc_id", "shingles")).persist()
+    sigs = managed_persist(dd.with_minhash_bands(shingled.select("doc_id", "shingles")))
     cand = dd.lsh_candidate_pairs(sigs)
     return dd.jaccard_verified_pairs(cand, sigs.select("doc_id", "shingles"), threshold=0.5)
 
@@ -196,7 +197,7 @@ def _o_simhash() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # persist: the block self-join consumes the signature table twice
-    sigs = dd.with_simhash(docs).persist()
+    sigs = managed_persist(dd.with_simhash(docs))
     cand = dd.simhash_candidate_pairs(sigs)
     ham = dd.hamming("a_sig", "b_sig")
     return (
@@ -399,9 +400,9 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # persist: the bucket self-join consumes the bucketed table twice and
     # the SRP bucket computation is 4x64 interpreted lambda ops per row
-    bucketed = emb.select(
+    bucketed = managed_persist(emb.select(
         "vec_id", "embedding", srp_bucket("embedding").alias("bucket")
-    ).persist()
+    ))
     a = bucketed.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "bucket"
     )

@@ -50,6 +50,32 @@ def get_spark(app_name: str = "qdvp-spark", shuffle_partitions: int | None = Non
     return builder.getOrCreate()
 
 
+# --- managed persist registry -----------------------------------------------
+# Query builders persist() intermediates (dedup signatures, bucketed
+# tables) that the CALLER materializes; in a long-lived session running
+# many queries those cached blocks would otherwise accumulate and pressure
+# executor memory. Builders register via managed_persist; harnesses
+# (bench.py, oracle_check) call release_managed() after each query's
+# action completes. Deliberately-session-lived caches (the materialized
+# alpha table) use a plain persist() and are NOT registered.
+
+_MANAGED: list = []
+
+
+def managed_persist(df):
+    df = df.persist()
+    _MANAGED.append(df)
+    return df
+
+
+def release_managed() -> None:
+    while _MANAGED:
+        try:
+            _MANAGED.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our config to a session we did
     not create (the driver hands us one)."""

@@ -22,21 +22,30 @@ def read_csv_with_fallback(
     encodings: tuple[str, ...] = ("GB18030", "UTF-8"),
     **options,
 ) -> DataFrame:
-    """Try each encoding in order; an encoding mismatch surfaces as a
-    parse failure on first materialization, so probe with a 1-row action
-    before committing (two-pass sniff, mirroring the reference's
-    try-GB18030-except-UTF-8 loader)."""
+    """Try each encoding in order (two-pass sniff, mirroring the
+    reference's try-GB18030-except-UTF-8 loader).
+
+    The PROBE reads with mode=FAILFAST: under DROPMALFORMED a wrong
+    encoding usually decodes to mojibake or silently dropped lines rather
+    than raising, so a lenient probe would accept the first encoding for
+    any input and the fallback would never trigger. Only after an
+    encoding survives the strict probe is the real (lenient,
+    DROPMALFORMED) reader returned for the full scan."""
     last_err: Exception | None = None
     for enc in encodings:
-        reader = spark.read.option("header", "true").option("mode", "DROPMALFORMED").option(
-            "encoding", enc
-        )
-        for k, v in options.items():
-            reader = reader.option(k, v)
-        df = reader.csv(path, schema=schema) if schema else reader.csv(path, inferSchema=True)
+        def _reader(mode: str):
+            r = spark.read.option("header", "true").option("mode", mode).option(
+                "encoding", enc
+            )
+            for k, v in options.items():
+                r = r.option(k, v)
+            return r.csv(path, schema=schema) if schema else r.csv(path, inferSchema=True)
+
         try:
-            df.limit(1).collect()  # probe: decode failures surface here
-            return df
+            # strict probe over a bounded prefix: decode/parse failures
+            # surface here instead of being silently dropped
+            _reader("FAILFAST").limit(100).collect()
+            return _reader("DROPMALFORMED")
         except Exception as exc:  # noqa: BLE001 — try the next encoding
             last_err = exc
     raise last_err if last_err else ValueError("no encodings supplied")

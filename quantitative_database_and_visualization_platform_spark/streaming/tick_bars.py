@@ -43,13 +43,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_minute_bars(events: DataFrame, watermark: str = "5 minutes") -> DataFrame:
-    """Watermarked tumbling 1-minute OHLCV bars per entity."""
+    """Watermarked tumbling 1-minute OHLCV bars per entity.
+
+    Dedup state note: a plain dropDuplicates(["event_id"]) after
+    withWatermark keeps its state FOREVER (state is only evicted when the
+    event-time column is part of the dedup key), so replay-idempotence
+    uses dropDuplicatesWithinWatermark — duplicates arriving within the
+    watermark delay are dropped and state older than the watermark is
+    evicted, bounding state by O(events per watermark window)."""
     ticks = (
         events.withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
         .withColumn("turnover", F.col("value") * F.col("k"))  # compute-on-write
         .withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])  # idempotent replays
     )
+    if events.isStreaming:
+        ticks = ticks.dropDuplicatesWithinWatermark(["event_id"])
+    else:  # batch twin for parity tests: no state to bound
+        ticks = ticks.dropDuplicates(["event_id"])
     return (
         ticks.groupBy("user_id", F.window("ts", "1 minute").alias("w"))
         .agg(

@@ -80,3 +80,36 @@ def test_salted_join_matches_plain_join(spark):
     a = a[sorted(a.columns)]
     b = b[sorted(b.columns)]
     assert a.equals(b)
+
+
+def test_srp_multiprobe_recall(spark):
+    """Multi-probe SRP ANN must dominate single-probe recall against the
+    brute-force cosine top-k at the same bucketing, and flipping the two
+    weakest bits should recover a solid fraction of the true neighbors."""
+    from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
+        ann_multiprobe,
+        topk_cosine,
+    )
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    k = 10
+    truth = {r.vec_id for r in topk_cosine(emb, probe, k).select("vec_id").collect()}
+
+    def recall(n_probes: int) -> float:
+        got = {
+            r.vec_id
+            for r in ann_multiprobe(emb, probe, k, n_probes=n_probes)
+            .select("vec_id")
+            .collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, (r0, r2)
+    # synthetic embeddings are near-uniform (no cluster structure), so
+    # true neighbors scatter across buckets: probing 3/16 buckets (~19%
+    # of the corpus) recovering >=30% of the exact top-k is the
+    # above-chance bar; real clustered embeddings sit far higher
+    assert r2 >= 0.3, f"multi-probe recall too low: {r2}"
