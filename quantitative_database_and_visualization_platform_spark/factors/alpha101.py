@@ -1,8 +1,8 @@
 """Alpha101 pipeline: the reference's 5-stage TS→CS→TS→CS→TS factor DAG
-(`Project report.md:739-773`) for a representative alpha subset; formulas
-from `database/functions/alpha101_function.md:5-105`.
+(`Project report.md:739-773`) for ALL 101 alphas; formulas from
+`database/functions/alpha101_function.md:5-105`.
 
-Implemented alphas (chosen to cover every operator class):
+Representative operator-class examples:
 - alpha_101  (close-open)/((high-low)+0.001)            — pure arithmetic
 - alpha_012  sign(delta(volume,1)) * -delta(close,1)    — TS delta/sign
 - alpha_041  sqrt(high*low) - vwap                       — arithmetic + vwap
@@ -101,24 +101,44 @@ ALPHA_COLS = (
     "alpha_060",
     "alpha_061",
     "alpha_062",
+    "alpha_063",
+    "alpha_064",
     "alpha_065",
     "alpha_066",
+    "alpha_067",
+    "alpha_068",
+    "alpha_069",
+    "alpha_070",
     "alpha_071",
     "alpha_072",
     "alpha_073",
     "alpha_074",
     "alpha_075",
+    "alpha_076",
     "alpha_077",
+    "alpha_078",
+    "alpha_079",
+    "alpha_080",
+    "alpha_081",
+    "alpha_082",
     "alpha_083",
     "alpha_084",
     "alpha_085",
     "alpha_086",
+    "alpha_087",
     "alpha_088",
+    "alpha_089",
+    "alpha_090",
+    "alpha_091",
     "alpha_092",
+    "alpha_093",
     "alpha_094",
     "alpha_095",
+    "alpha_096",
+    "alpha_097",
     "alpha_098",
     "alpha_099",
+    "alpha_100",
     "alpha_101",
 )
 
@@ -131,14 +151,21 @@ ALPHA_COLS = (
 # - alpha_007/alpha_043: the reference's own corrected "amount" variant
 #   (its formula table notes the original paper's volume unit is wrong);
 #   alpha_007 compares amount against a 20-day mean of amount.
+_SYN_IND = "synthetic IndClass (code mod 5/10/20 = sector/industry/subindustry) — testdata has no industry dim"
 ALPHA_VARIANTS = {
     "alpha_084": "signedpower exponent clamped relative 5d change (±3)",
     "alpha_007": "amount-based adv20 per reference's corrected formula",
     "alpha_043": "volume/adv20 ratio (reference formula uses amount/adv20)",
-    "alpha_048": "synthetic IndClass (code mod 20 subindustry) — testdata has no industry dim",
-    "alpha_058": "synthetic IndClass (code mod 5 sector)",
-    "alpha_059": "synthetic IndClass (code mod 10 industry)",
+    "alpha_048": _SYN_IND,
+    "alpha_058": _SYN_IND,
+    "alpha_059": _SYN_IND,
     "alpha_056": "cap proxied by close*volume (testdata has no market-cap table)",
+    # the full indneutralize family rides the same synthetic classification
+    **{
+        f"alpha_{n:03d}": _SYN_IND
+        for n in (63, 67, 69, 70, 76, 79, 80, 82, 87, 89, 90, 91, 93, 97, 100)
+    },
+    "alpha_100": _SYN_IND + "; amount/adv20a weighting (reference's corrected-unit formula)",
 }
 
 
@@ -243,6 +270,21 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ((-1 * ts.delta(open_, 2, w)) / open_).alias("a73_r"),
         # alpha_092 K-line condition as a 0/1 series
         (((high + low) / 2 + close) < (low + open_)).cast("double").alias("a92_b"),
+        # batch-D bases (alphas 63-100 completion)
+        ts.ts_mean(vol.cast("double"), 10, w).alias("adv10"),
+        ts.ts_mean(vol.cast("double"), 81, w).alias("adv81"),
+        ts.ts_mean(vol.cast("double"), 120, w).alias("adv120"),
+        ts.ts_mean(vol.cast("double"), 150, w).alias("adv150"),
+        (high - ts.ts_min(high, 2, w)).alias("a67_dev"),
+        (close - ts.ts_max(close, 4, w)).alias("a90_dev"),
+        ts.delta((high + low) / 2, 3, w).alias("d_hl3"),
+        ts.delta(open_, 1, w).alias("a82_d"),
+        (close * 0.60733 + open_ * (1 - 0.60733)).alias("wp79"),
+        (open_ * 0.868128 + high * (1 - 0.868128)).alias("wp80"),
+        ts.ts_rank(close, 7, w).alias("a96_tc"),
+        ts.ts_rank(low, 7, w).alias("a97_tl"),
+        ts.ts_argmin(close, 30, w).alias("a100_am"),
+        ts.ts_sum_fixed(open_, 12, w).alias("a64_s1"),
     )
     a1_base = F.when((F.col("ret") < 0) & F.col("std20").isNotNull(), F.col("std20")).otherwise(
         close
@@ -377,6 +419,23 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_sum_fixed("adv40", 19, w, scale=1_000_000).alias("a95_s2"),
         (open_ - ts.ts_min(open_, 12, w)).alias("a95_dev"),
         ts.ts_sum_fixed("adv5", 26, w, scale=1_000_000).alias("a98_s"),
+        # batch-D second-pass terms
+        ts.ts_rank("adv60", 17, w).alias("a97_ta"),
+        ts.ts_rank("adv150", 9, w).alias("a79_t2"),
+        ts.ts_sum_fixed("adv120", 12, w, scale=1_000_000).alias("a64_s2"),
+        ts.ts_sum_fixed("adv180", 37, w, scale=1_000_000).alias("a63_s"),
+        ts.ts_sum_fixed("adv10", 49, w, scale=1_000_000).alias("a81_s"),
+        ts.ts_sum_fixed(low * 0.352233 + F.col("vwap") * (1 - 0.352233), 19, w).alias(
+            "a78_s1"
+        ),
+        ts.delta("vwap", 1, w).alias("a70_dv"),
+        (close * 0.369701 + F.col("vwap") * (1 - 0.369701)).alias("wp87"),
+        (close * 0.524434 + F.col("vwap") * (1 - 0.524434)).alias("wp93"),
+        (low * 0.721001 + F.col("vwap") * (1 - 0.721001)).alias("wp97"),
+        ts.decay_linear("a82_d", 14, w).alias("a82_dec"),
+        ts.ts_corr_fixed(high, "adv10", 5, w).alias("a80_c"),
+        ts.ts_corr_fixed(low, "adv10", 6, w).alias("a89_c"),
+        ts.ts_corr_fixed("vwap", "adv30", 4, w).alias("a91_c2"),
     )
     # third TS pass: windows over windowed columns
     nd7 = -1 * F.col("d7")
@@ -458,6 +517,21 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_corr_fixed("a99_s1", "a95_s2", 12, w).alias("a95_c"),
         ts.ts_corr_fixed("vwap", "a98_s", 4, w).alias("a98_c1"),
         ts.ts_corr_fixed("adv20", low, 12, w).alias("a31_c"),
+        # batch-D third-pass terms
+        ts.ts_corr_fixed(close, "adv20", 4, w).alias("a69_c"),
+        ts.ts_corr_fixed("vwap", "a63_s", 13, w).alias("a63_c"),
+        ts.ts_corr_fixed("a64_s1", "a64_s2", 16, w).alias("a64_c"),
+        ts.ts_corr_fixed("vwap", "a81_s", 8, w).alias("a81_c"),
+        ts.ts_corr_fixed("a78_s1", "a95_s2", 6, w).alias("a78_c"),
+        ts.ts_corr_fixed("a96_tc", "a94_t2", 3, w, scale=100_000_000).alias("a96_c"),
+        ts.ts_corr_fixed("a72_t1", "a79_t2", 14, w, scale=100_000_000).alias("a79_c"),
+        ts.ts_corr_fixed("a97_tl", "a97_ta", 4, w, scale=100_000_000).alias("a97_c"),
+        ts.decay_linear("a70_dv", 11, w).alias("a76_dec"),
+        ts.decay_linear("a89_c", 5, w).alias("a89_dec5"),
+        F.when(F.col("a80_c").isNotNull(), ts.ts_rank("a80_c", 5, w)).alias("a80_tr"),
+        ts.decay_linear("a91_c2", 2, w).alias("a91_dec2"),
+        ts.delta("wp87", 1, w).alias("a87_d"),
+        ts.delta("wp93", 2, w).alias("a93_d"),
     )
     p1 = p1.select(
         "*",
@@ -487,6 +561,18 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.decay_linear("a88_c2", 6, w).alias("a88_dec2"),
         F.when(F.col("a94_c").isNotNull(), ts.ts_rank("a94_c", 2, w)).alias("a94_tr"),
         ts.decay_linear("a98_c1", 7, w).alias("a98_dec1"),
+        # batch-D fourth-pass terms
+        F.when(F.col("a69_c").isNotNull(), ts.ts_rank("a69_c", 9, w)).alias("a69_tr"),
+        ts.ts_argmax("a96_c", 12, w).alias("a96_am"),
+        F.when(F.col("a97_c").isNotNull(), ts.ts_rank("a97_c", 18, w)).alias(
+            "a97_tr18"
+        ),
+        F.when(F.col("a89_dec5").isNotNull(), ts.ts_rank("a89_dec5", 3, w)).alias(
+            "a89_tr3"
+        ),
+        ts.decay_linear("a87_d", 2, w).alias("a87_dec"),
+        ts.decay_linear("a93_d", 16, w).alias("a93_dec"),
+        ts.decay_linear("a63_c", 12, w).alias("a63_dec"),
     )
     p1 = p1.select(
         "*",
@@ -496,6 +582,17 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ),
         F.when(F.col("a88_dec2").isNotNull(), ts.ts_rank("a88_dec2", 2, w)).alias(
             "a88_y"
+        ),
+        ts.decay_linear("a96_am", 14, w).alias("a96_dec"),
+        ts.decay_linear("a97_tr18", 15, w).alias("a97_dec15"),
+    )
+    p1 = p1.select(
+        "*",
+        F.when(F.col("a96_dec").isNotNull(), ts.ts_rank("a96_dec", 13, w)).alias(
+            "a96_tr13"
+        ),
+        F.when(F.col("a97_dec15").isNotNull(), ts.ts_rank("a97_dec15", 6, w)).alias(
+            "a97_tr6"
         ),
     )
     p1 = ckpt(p1, "p1")
@@ -608,6 +705,32 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_rank("a95_c", "d").alias("r95c"),
         cs.cs_rank("a98_dec1", "d").alias("r98a"),
         cs.cs_rank("adv15", "d").alias("r98adv"),
+        # batch-D cross-sectional ranks / indneutralize demeans
+        cs.cs_rank("a63_dec", "d").alias("r63b"),
+        cs.cs_rank("a64_c", "d").alias("r64a"),
+        cs.cs_rank("d_hl3", "d").alias("r64b"),
+        cs.cs_rank("a67_dev", "d").alias("r67a"),
+        cs.cs_rank("a70_dv", "d").alias("r70a"),
+        cs.cs_rank("a76_dec", "d").alias("r76a"),
+        cs.cs_rank("a78_c", "d").alias("r78a"),
+        cs.cs_rank("a79_c", "d").alias("r79b"),
+        cs.cs_rank("a81_c", "d").alias("r81c"),
+        cs.cs_rank("a82_dec", "d").alias("r82a"),
+        cs.cs_rank("a87_dec", "d").alias("r87a"),
+        cs.cs_rank("a90_dev", "d").alias("r90a"),
+        cs.cs_rank("a91_dec2", "d").alias("r91b"),
+        cs.cs_rank("a93_dec", "d").alias("r93b"),
+        cs.cs_rank("adv20", "d").alias("r_adv20"),
+        cs.cs_rank("a100_am", "d").alias("r100b"),
+        cs.cs_demean_fixed("adv20", "d", "subind").alias("n67"),
+        cs.cs_demean_fixed("close", "d", "industry").alias("n70"),
+        cs.cs_demean_fixed("low", "d", "sector").alias("n76"),
+        cs.cs_demean_fixed("wp79", "d", "sector").alias("n79"),
+        cs.cs_demean_fixed("wp80", "d", "industry").alias("n80"),
+        cs.cs_demean_fixed(vol.cast("double"), "d", "sector").alias("n82"),
+        cs.cs_demean_fixed("adv81", "d", "industry").alias("n87"),
+        cs.cs_demean_fixed("adv40", "d", "subind").alias("n90"),
+        cs.cs_demean_fixed("wp97", "d", "industry").alias("n97v"),
     )
     # rank arithmetic on the P2 outputs (no further window for 005/020;
     # scale() for 060 — another date-axis pass sharing the same exchange)
@@ -667,6 +790,9 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (((F.col("r_open") + F.col("r_low")) - F.col("r_high")) - F.col("r_close")).alias(
             "a88_comb"
         ),
+        F.when(F.col("r64a") < F.col("r64b"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_064"),
     )
     p2 = p2.select(
         "*",
@@ -678,6 +804,18 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         F.when(F.col("r62a") < cs.cs_rank("b62", "d"), F.lit(-1.0))
         .otherwise(F.lit(0.0))
         .alias("alpha_062"),
+        # alpha_100 part A: double subindustry demean of the CLV-volume
+        # rank (demeaning an already-demeaned series is the formula as
+        # written; with fixed-point means both passes are engine-exact)
+        cs.cs_demean_fixed("r60_a", "d", "subind").alias("n100a"),
+    )
+    p2 = p2.select(
+        "*",
+        cs.cs_demean_fixed("n100a", "d", "subind").alias("n100b"),
+    )
+    p2 = p2.select(
+        "*",
+        cs.cs_scale("n100b", 1.0, "d").alias("sA100"),
     )
     p2 = ckpt(p2, "p2")
 
@@ -712,6 +850,28 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_corr_fixed("r_open", "r98adv", 20, w, scale=100_000_000).alias("a98_c2"),
         F.pow(F.col("r95c"), F.lit(5.0)).alias("a95_p"),
         ts.decay_linear("a88_comb", 8, w).alias("a88_dec1"),
+        # batch-D TS-over-CS stage: corrs against the neutralized series
+        ts.ts_corr_fixed("n70", "adv50", 17, w).alias("c70"),
+        ts.ts_corr_fixed("n76", "adv81", 8, w).alias("c76"),
+        ts.ts_corr_fixed("n82", open_, 17, w).alias("c82"),
+        F.abs(ts.ts_corr_fixed("n87", close, 13, w)).alias("c87a"),
+        ts.ts_corr_fixed("n90", low, 5, w).alias("c90"),
+        ts.ts_corr_fixed("n70", vol.cast("double"), 9, w).alias("c91n"),
+        ts.ts_corr_fixed("nv59", "adv81", 17, w).alias("c93"),
+        ts.ts_corr_fixed("nv58", "n67", 6, w).alias("c67"),
+        ts.ts_corr_fixed("r_vwap", "r_vol", 3, w, scale=100_000_000).alias("c96b"),
+        ts.ts_corr_fixed("r_high", "r98adv", 8, w, scale=100_000_000).alias("c68x"),
+        ts.ts_corr_fixed(close, "r_adv20", 5, w).alias("c100"),
+        ts.delta("n70", 2, w).alias("a63_d"),
+        ts.delta("nv59", 2, w).alias("a69_d"),
+        ts.delta("n79", 1, w).alias("a79_d"),
+        F.signum(ts.delta("n80", 4, w)).alias("a80_sgn"),
+        ts.delta("nv59", 3, w).alias("a89_d"),
+        ts.delta("n97v", 3, w).alias("a97_d"),
+        # alpha_081: rank((rank(corr))^4) == rank(corr) (x^4 is monotone and
+        # tie-preserving on (0,1]), so product(·,14) has argument r81c and
+        # log(product) = Σ log(r81c) — an exact fixed-point rolling sum
+        ts.ts_sum_fixed(F.log("r81c"), 14, w).alias("a81_lp"),
     )
     # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
     # is -alpha_006, so the product is rank · alpha_006.
@@ -733,6 +893,21 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_rank("a71_dec2", 4, w).alias("a71_y"),
         ts.ts_argmin("a98_c2", 8, w).alias("a98_am"),
         F.when(F.col("a95_p").isNotNull(), ts.ts_rank("a95_p", 11, w)).alias("a95_tr"),
+        # batch-D second TS pass over the neutralized-corr chains
+        F.when(F.col("c70").isNotNull(), ts.ts_rank("c70", 17, w)).alias("a70_tr"),
+        F.when(F.col("c76").isNotNull(), ts.ts_rank("c76", 19, w)).alias("a76_tr19"),
+        ts.decay_linear("c82", 6, w).alias("a82_dec6"),
+        ts.decay_linear("c87a", 4, w).alias("a87_dec4"),
+        F.when(F.col("c90").isNotNull(), ts.ts_rank("c90", 3, w)).alias("a90_tr"),
+        ts.decay_linear("c91n", 16, w).alias("a91_deca"),
+        ts.decay_linear("c93", 19, w).alias("a93_dec19"),
+        ts.decay_linear("c96b", 4, w).alias("a96_dec4"),
+        F.when(F.col("c68x").isNotNull(), ts.ts_rank("c68x", 13, w)).alias("a68_tr"),
+        ts.decay_linear("a63_d", 8, w).alias("a63_dec8"),
+        ts.ts_max("a69_d", 4, w).alias("a69_m"),
+        ts.decay_linear("a89_d", 10, w).alias("a89_dec10"),
+        ts.decay_linear("a97_d", 20, w).alias("a97_dec20"),
+        (F.col("c100") - F.col("r100b")).alias("b100"),
     )
     p3 = p3.select(
         "*",
@@ -752,11 +927,46 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         .otherwise(F.lit(0.0))
         .alias("alpha_095"),
         F.greatest("a71_x", "a71_y").alias("alpha_071"),
+        # batch-D third TS pass
+        ts.decay_linear("a76_tr19", 17, w).alias("a76_dec17"),
+        F.when(F.col("a82_dec6").isNotNull(), ts.ts_rank("a82_dec6", 13, w)).alias(
+            "a82_tr13"
+        ),
+        F.when(F.col("a87_dec4").isNotNull(), ts.ts_rank("a87_dec4", 14, w)).alias(
+            "a87_tr14"
+        ),
+        F.when(F.col("a89_dec10").isNotNull(), ts.ts_rank("a89_dec10", 15, w)).alias(
+            "a89_tr15"
+        ),
+        ts.decay_linear("a91_deca", 3, w).alias("a91_decb"),
+        F.when(F.col("a93_dec19").isNotNull(), ts.ts_rank("a93_dec19", 7, w)).alias(
+            "a93_tr7"
+        ),
+        F.when(F.col("a96_dec4").isNotNull(), ts.ts_rank("a96_dec4", 8, w)).alias(
+            "a96_tr8"
+        ),
+        F.when(F.col("a68_tr") < F.col("r_a34d1"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_068"),
+        (F.pow(F.col("r70a"), F.col("a70_tr")) * -1).alias("alpha_070"),
+        (F.pow(F.col("r90a"), F.col("a90_tr")) * -1).alias("alpha_090"),
     )
     p3 = p3.select(
         "*",
         F.least("a92_x", "a92_y").alias("alpha_092"),
         ts.decay_linear("a98_tr", 8, w).alias("a98_dec2"),
+        # batch-D fourth TS pass
+        F.when(F.col("a76_dec17").isNotNull(), ts.ts_rank("a76_dec17", 19, w)).alias(
+            "a76_tr19b"
+        ),
+        F.when(F.col("a91_decb").isNotNull(), ts.ts_rank("a91_decb", 4, w)).alias(
+            "a91_tr4"
+        ),
+        (F.least("r82a", "a82_tr13") * -1).alias("alpha_082"),
+        (F.greatest("r87a", "a87_tr14") * -1).alias("alpha_087"),
+        (F.col("a89_tr3") - F.col("a89_tr15")).alias("alpha_089"),
+        (F.col("a93_tr7") / F.col("r93b")).alias("alpha_093"),
+        (F.greatest("a96_tr8", "a96_tr13") * -1).alias("alpha_096"),
     )
     p3 = ckpt(p3, "p3")
 
@@ -785,10 +995,28 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         .otherwise(F.lit(0.0))
         .alias("alpha_075"),
         (F.col("r98a") - cs.cs_rank("a98_dec2", "d")).alias("alpha_098"),
+        # batch-D final cross-sectional stage
+        ((cs.cs_rank("a63_dec8", "d") - F.col("r63b")) * -1).alias("alpha_063"),
+        (F.pow(F.col("r67a"), cs.cs_rank("c67", "d")) * -1).alias("alpha_067"),
+        (F.pow(cs.cs_rank("a69_m", "d"), F.col("a69_tr")) * -1).alias("alpha_069"),
+        (F.greatest("r76a", "a76_tr19b") * -1).alias("alpha_076"),
+        F.when(cs.cs_rank("a79_d", "d") < F.col("r79b"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_079"),
+        (F.pow(cs.cs_rank("a80_sgn", "d"), F.col("a80_tr")) * -1).alias("alpha_080"),
+        ((F.col("a91_tr4") - F.col("r91b")) * -1).alias("alpha_091"),
+        ((cs.cs_rank("a97_dec20", "d") - F.col("a97_tr6")) * -1).alias("alpha_097"),
+        cs.cs_demean_fixed("b100", "d", "subind").alias("nB100"),
+        cs.cs_rank("a81_lp", "d").alias("r81lp"),
     )
     p4 = p4.select(
         "*",
         cs.cs_rank("a29_s", "d").alias("r29c"),
+        F.pow(F.col("r78a"), F.col("r50")).alias("alpha_078"),
+        F.when(F.col("r81lp") < F.col("r50"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_081"),
+        cs.cs_scale("nB100", 1.0, "d").alias("sB100"),
     )
     p4 = ckpt(p4, "p4")
 
@@ -799,5 +1027,15 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         F.when(F.col("r27") > 0.5, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("alpha_027"),
         (-1 * ts.ts_max("r50", 5, w)).alias("alpha_050"),
         (ts.ts_min("r29c", 5, w) + F.col("a29_tr")).alias("alpha_029"),
+        # alpha_100: scaled double-neutralized CLV rank minus scaled
+        # neutralized (corr - argmin-rank), weighted by amount expansion
+        # against the amount-based adv20 (reference's corrected-unit form)
+        (
+            -1
+            * (
+                (1.5 * F.col("sA100") - F.col("sB100"))
+                * (F.col("amount") / F.col("adv20a"))
+            )
+        ).alias("alpha_100"),
     )
     return p5

@@ -79,8 +79,22 @@ def _o_cums_sum(tag: str, x: str, scale: int = 100_000_000) -> dict[str, str]:
     }
 
 
+def _o_hugeint_to_double(x: str) -> str:
+    """Correctly-rounded HUGEINT→DOUBLE. DuckDB's native cast converts in
+    two pieces and can be off by 1 ulp for |x| > 2^53 (observed:
+    -11291163633310834 → …832e16, not the nearest …834e16), while Spark's
+    BigDecimal cast rounds correctly — a 1-ulp oracle skew that splits
+    rank ties. Splitting at 2^32 makes both pieces exact doubles and the
+    final add the ONLY rounding, which IEEE does to-nearest-even —
+    bit-identical to Spark for any |x| < ~2^85."""
+    hi = f"CAST((({x}) - (({x}) % 4294967296)) // 4294967296 AS DOUBLE)"
+    lo = f"CAST(({x}) % 4294967296 AS DOUBLE)"
+    return f"({hi} * 4294967296.0 + {lo})"
+
+
 def _o_cumdiff(col: str, d: int) -> str:
-    return f"CAST({col} - COALESCE(LAG({col}, {d}) OVER ({_W}), CAST(0 AS HUGEINT)) AS DOUBLE)"
+    diff = f"({col} - COALESCE(LAG({col}, {d}) OVER ({_W}), CAST(0 AS HUGEINT)))"
+    return _o_hugeint_to_double(diff)
 
 
 def _o_sum_fixed_expr(tag: str, d: int, scale: int = 100_000_000) -> str:
@@ -107,9 +121,8 @@ def _o_demean_fixed(x: str, part: str, scale: int = 100_000_000) -> str:
     """Oracle twin of crosssection.cs_demean_fixed: group mean from exact
     quantized-integer sums, so both engines demean with identical bits."""
     q = f"CAST(FLOOR(({x})*{scale} + 0.5) AS HUGEINT)"
-    s = (
-        f"CAST(SUM(CASE WHEN ({x}) IS NOT NULL THEN {q} END)"
-        f" OVER (PARTITION BY {part}) AS DOUBLE)"
+    s = _o_hugeint_to_double(
+        f"SUM(CASE WHEN ({x}) IS NOT NULL THEN {q} END) OVER (PARTITION BY {part})"
     )
     n = f"CAST(COUNT({x}) OVER (PARTITION BY {part}) AS DOUBLE)"
     return f"(({x}) - {s} / {n} / {scale})"
@@ -185,7 +198,19 @@ def _o_alphas() -> str:
                list(amount/volume) FILTER ((amount/volume) IS NOT NULL)
                    OVER ({_f(3)}) AS l_vw3,
                list(amount/volume) FILTER ((amount/volume) IS NOT NULL)
-                   OVER ({_f(19)}) AS l_vw19
+                   OVER ({_f(19)}) AS l_vw19,
+               AVG(CAST(volume AS DOUBLE)) OVER ({_f(10)}) AS adv10,
+               AVG(CAST(volume AS DOUBLE)) OVER ({_f(81)}) AS adv81,
+               AVG(CAST(volume AS DOUBLE)) OVER ({_f(120)}) AS adv120,
+               AVG(CAST(volume AS DOUBLE)) OVER ({_f(150)}) AS adv150,
+               high - MIN(high) OVER ({_f(2)}) AS a67_dev,
+               close - MAX(close) OVER ({_f(4)}) AS a90_dev,
+               (high + low)/2 - LAG((high + low)/2, 3) OVER ({_W}) AS d_hl3,
+               open - LAG(open, 1) OVER ({_W}) AS a82_d,
+               close * 0.60733 + open * (1 - 0.60733) AS wp79,
+               open * 0.868128 + high * (1 - 0.868128) AS wp80,
+               list(close) OVER ({_f(7)}) AS l_c7,
+               list(low) OVER ({_f(7)}) AS l_low7
         FROM bars
     ), e2 AS (
         SELECT *, close/prev_close - 1 AS ret,
@@ -224,7 +249,17 @@ def _o_alphas() -> str:
                list(adv60) OVER ({_f(4)}) AS l_a60_4,
                list(a92_b) OVER ({_f(14)}) AS l_a92b,
                list(a73_r) FILTER (a73_r IS NOT NULL) OVER ({_f(3)}) AS l_a73r,
-               list(a77_x) FILTER (a77_x IS NOT NULL) OVER ({_f(20)}) AS l_a77x
+               list(a77_x) FILTER (a77_x IS NOT NULL) OVER ({_f(20)}) AS l_a77x,
+               {_o_tsr('l_c7', 'close')} AS a96_tc,
+               {_o_tsr('l_low7', 'low')} AS a97_tl,
+               vwap - LAG(vwap, 1) OVER ({_W}) AS a70_dv,
+               close * 0.369701 + vwap * (1 - 0.369701) AS wp87,
+               close * 0.524434 + vwap * (1 - 0.524434) AS wp93,
+               low * 0.721001 + vwap * (1 - 0.721001) AS wp97,
+               low * 0.352233 + vwap * (1 - 0.352233) AS a78_wp,
+               list(adv60) OVER ({_f(17)}) AS l_a60_17,
+               list(adv150) OVER ({_f(9)}) AS l_a150_9,
+               list(a82_d) FILTER (a82_d IS NOT NULL) OVER ({_f(14)}) AS l_a82d
         FROM e1
     ), e2b AS (
         -- cumulative exact-integer sums for the O(rows) long-window ops
@@ -241,6 +276,20 @@ def _o_alphas() -> str:
                {_o_decay('l_a77x')} AS a77_dec1,
                list(a66_dv) FILTER (a66_dv IS NOT NULL) OVER ({_f(7)}) AS l_a66dv,
                list(a66_r) FILTER (a66_r IS NOT NULL) OVER ({_f(11)}) AS l_a66r,
+               {_o_tsr('l_a60_17', 'adv60')} AS a97_ta,
+               {_o_tsr('l_a150_9', 'adv150')} AS a79_t2,
+               {_o_decay('l_a82d')} AS a82_dec,
+               {', '.join(f'{expr} AS {name}' for name, expr in {
+                   **_o_cums_sum('q64a', 'open'),
+                   **_o_cums_sum('q64b', 'adv120', scale=1_000_000),
+                   **_o_cums_sum('q63s', 'adv180', scale=1_000_000),
+                   **_o_cums_sum('q81s', 'adv10', scale=1_000_000),
+                   **_o_cums_sum('q78s', 'a78_wp'),
+                   **_o_cums_corr('q80', 'high', 'adv10'),
+                   **_o_cums_corr('q89', 'low', 'adv10'),
+                   **_o_cums_corr('q91', 'vwap', 'adv30'),
+                   **_o_cums_corr('q69', 'close', 'adv20x'),
+               }.items())},
                {', '.join(f'{expr} AS {name}' for name, expr in {
                    **_o_cums_sum('c19', 'ret'),
                    **_o_cums_corr('c32', 'vwap', 'lag5c'),
@@ -350,10 +399,25 @@ def _o_alphas() -> str:
                list(a92_dec1) FILTER (a92_dec1 IS NOT NULL) OVER ({_f(18)}) AS l_a92d1,
                {_o_decay('l_a66dv')} AS a66_dec1,
                {_o_decay('l_a66r')} AS a66_dec2,
+               {_o_sum_fixed_expr('q64a', 12)} AS a64_s1,
+               {_o_sum_fixed_expr('q64b', 12, 1_000_000)} AS a64_s2,
+               {_o_sum_fixed_expr('q63s', 37, 1_000_000)} AS a63_s,
+               {_o_sum_fixed_expr('q81s', 49, 1_000_000)} AS a81_s,
+               {_o_sum_fixed_expr('q78s', 19)} AS a78_s1,
+               {_o_corr_fixed_expr('q80', 5)} AS a80_c,
+               {_o_corr_fixed_expr('q89', 6)} AS a89_c,
+               {_o_corr_fixed_expr('q91', 4)} AS a91_c2,
+               {_o_corr_fixed_expr('q69', 4)} AS a69_c,
+               wp87 - LAG(wp87, 1) OVER ({_W}) AS a87_d,
+               wp93 - LAG(wp93, 2) OVER ({_W}) AS a93_d,
+               list(a70_dv) FILTER (a70_dv IS NOT NULL) OVER ({_f(11)}) AS l_a70dv,
                {', '.join(f'{expr} AS {name}' for name, expr in {
                    **_o_cums_corr('c88', 'a88_t1', 'a88_t2', scale=100_000_000),
                    **_o_cums_corr('c94', 'a94_t1', 'a94_t2', scale=100_000_000),
                    **_o_cums_corr('c71', 'a71_t1', 'a71_t2', scale=100_000_000),
+                   **_o_cums_corr('q96', 'a96_tc', 'a94_t2', scale=100_000_000),
+                   **_o_cums_corr('q79', 'a72_t1', 'a79_t2', scale=100_000_000),
+                   **_o_cums_corr('q97', 'a97_tl', 'a97_ta', scale=100_000_000),
                }.items())}
         FROM e2b
     ), e4 AS (
@@ -405,12 +469,28 @@ def _o_alphas() -> str:
                list(a73_d) FILTER (a73_d IS NOT NULL) OVER ({_f(2)}) AS l_a73d,
                list(a73_dec2) FILTER (a73_dec2 IS NOT NULL) OVER ({_f(16)}) AS l_a73dec,
                list(a77_c) FILTER (a77_c IS NOT NULL) OVER ({_f(5)}) AS l_a77c,
+               {_o_decay('l_a70dv')} AS a76_dec,
+               {_o_corr_fixed_expr('q96', 3)} AS a96_c,
+               {_o_corr_fixed_expr('q79', 14)} AS a79_c,
+               {_o_corr_fixed_expr('q97', 4)} AS a97_c,
+               CAST(len(l_c30) - list_position(l_c30, list_aggregate(l_c30, 'min'))
+                    AS DOUBLE) AS a100_am,
+               list(a89_c) FILTER (a89_c IS NOT NULL) OVER ({_f(5)}) AS l_a89c,
+               list(a80_c) FILTER (a80_c IS NOT NULL) OVER ({_f(5)}) AS l_a80c,
+               list(a91_c2) FILTER (a91_c2 IS NOT NULL) OVER ({_f(2)}) AS l_a91c,
+               list(a87_d) FILTER (a87_d IS NOT NULL) OVER ({_f(2)}) AS l_a87d,
+               list(a93_d) FILTER (a93_d IS NOT NULL) OVER ({_f(16)}) AS l_a93dd,
+               list(a69_c) FILTER (a69_c IS NOT NULL) OVER ({_f(9)}) AS l_a69c,
                {', '.join(f'{expr} AS {name}' for name, expr in {
                    **_o_cums_corr('c74a', 'close', 'a74_s'),
                    **_o_cums_corr('c65', 'open', 'a65_s'),
                    **_o_cums_corr('c95', 'a99_s1', 'a95_s2'),
                    **_o_cums_corr('c98a', 'vwap', 'a98_s'),
                    **_o_cums_corr('c99', 'a99_s1', 'a99_s2'),
+                   **_o_cums_corr('q63', 'vwap', 'a63_s'),
+                   **_o_cums_corr('q64', 'a64_s1', 'a64_s2'),
+                   **_o_cums_corr('q81', 'vwap', 'a81_s'),
+                   **_o_cums_corr('q78', 'a78_s1', 'a95_s2'),
                }.items())}
         FROM e3
     ), e5 AS (
@@ -456,6 +536,20 @@ def _o_alphas() -> str:
                list(a88_c2) FILTER (a88_c2 IS NOT NULL) OVER ({_f(6)}) AS l_a88c2,
                list(a94_c) FILTER (a94_c IS NOT NULL) OVER ({_f(2)}) AS l_a94c,
                list(a39_va) FILTER (a39_va IS NOT NULL) OVER ({_f(9)}) AS l_a39,
+               {_o_corr_fixed_expr('q63', 13)} AS a63_c,
+               {_o_corr_fixed_expr('q64', 16)} AS a64_c,
+               {_o_corr_fixed_expr('q81', 8)} AS a81_c,
+               {_o_corr_fixed_expr('q78', 6)} AS a78_c,
+               {_o_decay('l_a89c')} AS a89_dec5,
+               CASE WHEN a80_c IS NOT NULL
+                    THEN {_o_tsr('l_a80c', 'a80_c')} END AS a80_tr,
+               {_o_decay('l_a91c')} AS a91_dec2,
+               {_o_decay('l_a87d')} AS a87_dec,
+               {_o_decay('l_a93dd')} AS a93_dec,
+               CASE WHEN a69_c IS NOT NULL
+                    THEN {_o_tsr('l_a69c', 'a69_c')} END AS a69_tr,
+               list(a96_c) FILTER (a96_c IS NOT NULL) OVER ({_f(12)}) AS l_a96c,
+               list(a97_c) FILTER (a97_c IS NOT NULL) OVER ({_f(18)}) AS l_a97c,
                {', '.join(f'{expr} AS {name}' for name, expr in {
                    **_o_cums_corr('c86', 'close', 's86'),
                    **_o_cums_corr('c62', 'vwap', 'a62_s'),
@@ -475,7 +569,13 @@ def _o_alphas() -> str:
                {_o_decay('l_a88c2')} AS a88_dec2,
                CASE WHEN a94_c IS NOT NULL
                     THEN {_o_tsr('l_a94c', 'a94_c')} END AS a94_tr,
-               list(a98_c1) FILTER (a98_c1 IS NOT NULL) OVER ({_f(7)}) AS l_a98c1
+               list(a98_c1) FILTER (a98_c1 IS NOT NULL) OVER ({_f(7)}) AS l_a98c1,
+               CAST(len(l_a96c) - list_position(l_a96c, list_aggregate(l_a96c, 'max'))
+                    AS DOUBLE) AS a96_am,
+               CASE WHEN a97_c IS NOT NULL
+                    THEN {_o_tsr('l_a97c', 'a97_c')} END AS a97_tr18,
+               list(a89_dec5) FILTER (a89_dec5 IS NOT NULL) OVER ({_f(3)}) AS l_a89d5,
+               list(a63_c) FILTER (a63_c IS NOT NULL) OVER ({_f(12)}) AS l_a63c
         FROM e5
     ), p1b AS (
         SELECT *, CAST(len(l_sp) - list_position(l_sp, list_aggregate(l_sp, 'max'))
@@ -494,7 +594,12 @@ def _o_alphas() -> str:
                list(a86_c) FILTER (a86_c IS NOT NULL) OVER ({_f(20)}) AS l_c86,
                list(a71_dec1) FILTER (a71_dec1 IS NOT NULL) OVER ({_f(15)}) AS l_a71d1,
                list(a88_dec2) FILTER (a88_dec2 IS NOT NULL) OVER ({_f(2)}) AS l_a88d2,
-               {_o_decay('l_a98c1')} AS a98_dec1
+               {_o_decay('l_a98c1')} AS a98_dec1,
+               CASE WHEN a89_dec5 IS NOT NULL
+                    THEN {_o_tsr('l_a89d5', 'a89_dec5')} END AS a89_tr3,
+               {_o_decay('l_a63c')} AS a63_dec,
+               list(a96_am) FILTER (a96_am IS NOT NULL) OVER ({_f(14)}) AS l_a96am,
+               list(a97_tr18) FILTER (a97_tr18 IS NOT NULL) OVER ({_f(15)}) AS l_a97tr
         FROM p1
     ), p1c AS (
         SELECT *, CASE WHEN STDDEV_SAMP(a26_trv) OVER ({_f(5)}) > 0
@@ -505,10 +610,21 @@ def _o_alphas() -> str:
                CASE WHEN a71_dec1 IS NOT NULL
                     THEN {_o_tsr('l_a71d1', 'a71_dec1')} END AS a71_x,
                CASE WHEN a88_dec2 IS NOT NULL
-                    THEN {_o_tsr('l_a88d2', 'a88_dec2')} END AS a88_y
+                    THEN {_o_tsr('l_a88d2', 'a88_dec2')} END AS a88_y,
+               {_o_decay('l_a96am')} AS a96_dec,
+               {_o_decay('l_a97tr')} AS a97_dec15
         FROM p1b
     ), p1d AS (
-        SELECT *, -1 * MAX(c26) OVER ({_f(3)}) AS alpha_026 FROM p1c
+        SELECT *, -1 * MAX(c26) OVER ({_f(3)}) AS alpha_026,
+               list(a96_dec) FILTER (a96_dec IS NOT NULL) OVER ({_f(13)}) AS l_a96dec,
+               list(a97_dec15) FILTER (a97_dec15 IS NOT NULL) OVER ({_f(6)}) AS l_a97dec
+        FROM p1c
+    ), p1e AS (
+        SELECT *, CASE WHEN a96_dec IS NOT NULL
+                       THEN {_o_tsr('l_a96dec', 'a96_dec')} END AS a96_tr13,
+               CASE WHEN a97_dec15 IS NOT NULL
+                    THEN {_o_tsr('l_a97dec', 'a97_dec15')} END AS a97_tr6
+        FROM p1d
     ), p2 AS (
         SELECT *,
                {_o_rank('a1_argmax')} AS r_a1,
@@ -603,8 +719,33 @@ def _o_alphas() -> str:
                {_o_rank('a95_dev')} AS r95a,
                {_o_rank('a95_c')} AS r95c,
                {_o_rank('a98_dec1')} AS r98a,
-               {_o_rank('adv15')} AS r98adv
-        FROM p1d
+               {_o_rank('adv15')} AS r98adv,
+               {_o_rank('a63_dec')} AS r63b,
+               {_o_rank('a64_c')} AS r64a,
+               {_o_rank('d_hl3')} AS r64b,
+               {_o_rank('a67_dev')} AS r67a,
+               {_o_rank('a70_dv')} AS r70a,
+               {_o_rank('a76_dec')} AS r76a,
+               {_o_rank('a78_c')} AS r78a,
+               {_o_rank('a79_c')} AS r79b,
+               {_o_rank('a81_c')} AS r81c,
+               {_o_rank('a82_dec')} AS r82a,
+               {_o_rank('a87_dec')} AS r87a,
+               {_o_rank('a90_dev')} AS r90a,
+               {_o_rank('a91_dec2')} AS r91b,
+               {_o_rank('a93_dec')} AS r93b,
+               {_o_rank('adv20x')} AS r_adv20,
+               {_o_rank('a100_am')} AS r100b,
+               {_o_demean_fixed('adv20x', 'd, subind')} AS n67,
+               {_o_demean_fixed('close', 'd, industry')} AS n70,
+               {_o_demean_fixed('low', 'd, sector')} AS n76,
+               {_o_demean_fixed('wp79', 'd, sector')} AS n79,
+               {_o_demean_fixed('wp80', 'd, industry')} AS n80,
+               {_o_demean_fixed('volume', 'd, sector')} AS n82,
+               {_o_demean_fixed('adv81', 'd, industry')} AS n87,
+               {_o_demean_fixed('adv40', 'd, subind')} AS n90,
+               {_o_demean_fixed('wp97', 'd, industry')} AS n97v
+        FROM p1e
     ), p2b AS (
         SELECT *, r_a5dev * (-1 * ABS(r_a5cv)) AS alpha_005,
                (-1 * r20_h) * r20_c * r20_l AS alpha_020,
@@ -639,14 +780,22 @@ def _o_alphas() -> str:
                LEAST(r77a, r77b) AS alpha_077,
                POWER(r85a, r85b) AS alpha_085,
                POWER(r94, a94_tr) * -1 AS alpha_094,
-               ((r_open + r_low) - r_high) - r_close AS a88_comb
+               ((r_open + r_low) - r_high) - r_close AS a88_comb,
+               CASE WHEN r64a < r64b THEN -1.0 ELSE 0.0 END AS alpha_064
         FROM p2
     ), p2c AS (
         SELECT *,
                {_o_rank('a29_neg')} AS r29b,
                (-1 * ({_o_rank('a39_in')})) * (1 + r39c) AS alpha_039,
-               CASE WHEN r62a < {_o_rank('b62')} THEN -1.0 ELSE 0.0 END AS alpha_062
+               CASE WHEN r62a < {_o_rank('b62')} THEN -1.0 ELSE 0.0 END AS alpha_062,
+               {_o_demean_fixed('r60_a', 'd, subind')} AS n100a
         FROM p2b
+    ), p2d AS (
+        SELECT *, {_o_demean_fixed('n100a', 'd, subind')} AS n100b
+        FROM p2c
+    ), p2e AS (
+        SELECT *, n100b * 1.0 / SUM(ABS(n100b)) OVER (PARTITION BY d) AS sA100
+        FROM p2d
     ), p3 AS (
         SELECT *,
                r_a1 - 0.5 AS alpha_001,
@@ -664,6 +813,12 @@ def _o_alphas() -> str:
                list(a31_neg) FILTER (a31_neg IS NOT NULL) OVER ({_f(10)}) AS l_a31n,
                list(a71_sq) FILTER (a71_sq IS NOT NULL) OVER ({_f(16)}) AS l_a71sq,
                list(a88_comb) FILTER (a88_comb IS NOT NULL) OVER ({_f(8)}) AS l_a88comb,
+               n70 - LAG(n70, 2) OVER ({_W}) AS a63_d,
+               nv59 - LAG(nv59, 2) OVER ({_W}) AS a69_d,
+               n79 - LAG(n79, 1) OVER ({_W}) AS a79_d,
+               SIGN(n80 - LAG(n80, 4) OVER ({_W})) AS a80_sgn,
+               nv59 - LAG(nv59, 3) OVER ({_W}) AS a89_d,
+               n97v - LAG(n97v, 3) OVER ({_W}) AS a97_d,
                {', '.join(f'{expr} AS {name}' for name, expr in {
                    **_o_cums_corr('c50', 'r_vol', 'r_vwap', scale=100_000_000),
                    **_o_cums_corr('c55', 'r55', 'r_vol', scale=100_000_000),
@@ -673,8 +828,20 @@ def _o_alphas() -> str:
                    **_o_cums_corr('c74b', 'r74w', 'r_vol', scale=100_000_000),
                    **_o_cums_corr('c75b', 'r_low', 'r75adv', scale=100_000_000),
                    **_o_cums_corr('c98b', 'r_open', 'r98adv', scale=100_000_000),
+                   **_o_cums_corr('q70', 'n70', 'adv50'),
+                   **_o_cums_corr('q76', 'n76', 'adv81'),
+                   **_o_cums_corr('q82', 'n82', 'open'),
+                   **_o_cums_corr('q87', 'n87', 'close'),
+                   **_o_cums_corr('q90', 'n90', 'low'),
+                   **_o_cums_corr('q91n', 'n70', 'volume'),
+                   **_o_cums_corr('q93', 'nv59', 'adv81'),
+                   **_o_cums_corr('q67', 'nv58', 'n67'),
+                   **_o_cums_corr('q96b', 'r_vwap', 'r_vol', scale=100_000_000),
+                   **_o_cums_corr('q68', 'r_high', 'r98adv', scale=100_000_000),
+                   **_o_cums_corr('q100', 'close', 'r_adv20'),
+                   **_o_cums_sum('q81l', 'LN(r81c)'),
                }.items())}
-        FROM p2c
+        FROM p2e
     ), p3b AS (
         SELECT *,
                -1 * ((len(list_filter(l_rlow, x -> x < r_low))
@@ -697,7 +864,23 @@ def _o_alphas() -> str:
                {_o_decay('l_a31n')} AS a31_dec,
                {_o_decay('l_a71sq')} AS a71_dec2,
                {_o_decay('l_a88comb')} AS a88_dec1,
-               LN(a29_min2) AS a29_log
+               LN(a29_min2) AS a29_log,
+               {_o_corr_fixed_expr('q70', 17)} AS a70_c,
+               {_o_corr_fixed_expr('q76', 8)} AS a76_c,
+               {_o_corr_fixed_expr('q82', 17)} AS a82_c,
+               ABS({_o_corr_fixed_expr('q87', 13)}) AS a87_c,
+               {_o_corr_fixed_expr('q90', 5)} AS a90_c,
+               {_o_corr_fixed_expr('q91n', 9)} AS a91_cn,
+               {_o_corr_fixed_expr('q93', 17)} AS a93_c,
+               {_o_corr_fixed_expr('q67', 6)} AS a67_c,
+               {_o_corr_fixed_expr('q96b', 3)} AS a96_cb,
+               {_o_corr_fixed_expr('q68', 8)} AS a68_cx,
+               {_o_corr_fixed_expr('q100', 5)} AS a100_c,
+               {_o_sum_fixed_expr('q81l', 14)} AS a81_lp,
+               MAX(a69_d) OVER ({_f(4)}) AS a69_m,
+               list(a63_d) FILTER (a63_d IS NOT NULL) OVER ({_f(8)}) AS l_a63d,
+               list(a89_d) FILTER (a89_d IS NOT NULL) OVER ({_f(10)}) AS l_a89d10,
+               list(a97_d) FILTER (a97_d IS NOT NULL) OVER ({_f(20)}) AS l_a97d20
         FROM p3
     ), p3c AS (
         SELECT *,
@@ -706,7 +889,20 @@ def _o_alphas() -> str:
                list(a92_c) FILTER (a92_c IS NOT NULL) OVER ({_f(6)}) AS l_a92c,
                list(a95_p) FILTER (a95_p IS NOT NULL) OVER ({_f(11)}) AS l_a95p,
                list(a98_c2) FILTER (a98_c2 IS NOT NULL) OVER ({_f(8)}) AS l_a98c2,
-               list(a71_dec2) FILTER (a71_dec2 IS NOT NULL) OVER ({_f(4)}) AS l_a71d2
+               list(a71_dec2) FILTER (a71_dec2 IS NOT NULL) OVER ({_f(4)}) AS l_a71d2,
+               {_o_decay('l_a63d')} AS a63_dec8,
+               {_o_decay('l_a89d10')} AS a89_dec10,
+               {_o_decay('l_a97d20')} AS a97_dec20,
+               a100_c - r100b AS b100,
+               list(a70_c) FILTER (a70_c IS NOT NULL) OVER ({_f(17)}) AS l_a70c,
+               list(a76_c) FILTER (a76_c IS NOT NULL) OVER ({_f(19)}) AS l_a76c,
+               list(a82_c) FILTER (a82_c IS NOT NULL) OVER ({_f(6)}) AS l_a82c,
+               list(a87_c) FILTER (a87_c IS NOT NULL) OVER ({_f(4)}) AS l_a87c2,
+               list(a90_c) FILTER (a90_c IS NOT NULL) OVER ({_f(3)}) AS l_a90c,
+               list(a91_cn) FILTER (a91_cn IS NOT NULL) OVER ({_f(16)}) AS l_a91cn,
+               list(a93_c) FILTER (a93_c IS NOT NULL) OVER ({_f(19)}) AS l_a93c,
+               list(a96_cb) FILTER (a96_cb IS NOT NULL) OVER ({_f(4)}) AS l_a96cb,
+               list(a68_cx) FILTER (a68_cx IS NOT NULL) OVER ({_f(13)}) AS l_a68c
         FROM p3b
     ), p3d AS (
         SELECT *,
@@ -717,15 +913,70 @@ def _o_alphas() -> str:
                     THEN {_o_tsr('l_a95p', 'a95_p')} END AS a95_tr,
                CAST(len(l_a98c2) - list_position(l_a98c2, list_aggregate(l_a98c2, 'min'))
                     AS DOUBLE) AS a98_am,
-               {_o_tsr('l_a71d2', 'a71_dec2')} AS a71_y
+               {_o_tsr('l_a71d2', 'a71_dec2')} AS a71_y,
+               CASE WHEN a70_c IS NOT NULL
+                    THEN {_o_tsr('l_a70c', 'a70_c')} END AS a70_tr,
+               CASE WHEN a76_c IS NOT NULL
+                    THEN {_o_tsr('l_a76c', 'a76_c')} END AS a76_tr19,
+               {_o_decay('l_a82c')} AS a82_dec6,
+               {_o_decay('l_a87c2')} AS a87_dec4,
+               CASE WHEN a90_c IS NOT NULL
+                    THEN {_o_tsr('l_a90c', 'a90_c')} END AS a90_tr,
+               {_o_decay('l_a91cn')} AS a91_deca,
+               {_o_decay('l_a93c')} AS a93_dec19,
+               {_o_decay('l_a96cb')} AS a96_dec4,
+               CASE WHEN a68_cx IS NOT NULL
+                    THEN {_o_tsr('l_a68c', 'a68_cx')} END AS a68_tr
         FROM p3c
     ), p3e AS (
         SELECT *,
                list(a58_dec) FILTER (a58_dec IS NOT NULL) OVER ({_f(5)}) AS l_d58,
                list(a59_dec) FILTER (a59_dec IS NOT NULL) OVER ({_f(8)}) AS l_d59,
                list(a92_dec2) FILTER (a92_dec2 IS NOT NULL) OVER ({_f(6)}) AS l_a92d2,
-               list(a98_am) FILTER (a98_am IS NOT NULL) OVER ({_f(6)}) AS l_a98am
+               list(a98_am) FILTER (a98_am IS NOT NULL) OVER ({_f(6)}) AS l_a98am,
+               list(a76_tr19) FILTER (a76_tr19 IS NOT NULL) OVER ({_f(17)}) AS l_a76tr,
+               list(a82_dec6) FILTER (a82_dec6 IS NOT NULL) OVER ({_f(13)}) AS l_a82d6,
+               list(a87_dec4) FILTER (a87_dec4 IS NOT NULL) OVER ({_f(14)}) AS l_a87d4,
+               list(a89_dec10) FILTER (a89_dec10 IS NOT NULL) OVER ({_f(15)}) AS l_a89dec,
+               list(a91_deca) FILTER (a91_deca IS NOT NULL) OVER ({_f(3)}) AS l_a91da,
+               list(a93_dec19) FILTER (a93_dec19 IS NOT NULL) OVER ({_f(7)}) AS l_a93dec,
+               list(a96_dec4) FILTER (a96_dec4 IS NOT NULL) OVER ({_f(8)}) AS l_a96d4
         FROM p3d
+    ), p3f AS (
+        SELECT *,
+               {_o_decay('l_a76tr')} AS a76_dec17,
+               CASE WHEN a82_dec6 IS NOT NULL
+                    THEN {_o_tsr('l_a82d6', 'a82_dec6')} END AS a82_tr13,
+               CASE WHEN a87_dec4 IS NOT NULL
+                    THEN {_o_tsr('l_a87d4', 'a87_dec4')} END AS a87_tr14,
+               CASE WHEN a89_dec10 IS NOT NULL
+                    THEN {_o_tsr('l_a89dec', 'a89_dec10')} END AS a89_tr15,
+               {_o_decay('l_a91da')} AS a91_decb,
+               CASE WHEN a93_dec19 IS NOT NULL
+                    THEN {_o_tsr('l_a93dec', 'a93_dec19')} END AS a93_tr7,
+               CASE WHEN a96_dec4 IS NOT NULL
+                    THEN {_o_tsr('l_a96d4', 'a96_dec4')} END AS a96_tr8,
+               CASE WHEN a68_tr < r_a34d1 THEN -1.0 ELSE 0.0 END AS alpha_068,
+               POWER(r70a, a70_tr) * -1 AS alpha_070,
+               POWER(r90a, a90_tr) * -1 AS alpha_090
+        FROM p3e
+    ), p3g AS (
+        SELECT *,
+               list(a76_dec17) FILTER (a76_dec17 IS NOT NULL) OVER ({_f(19)}) AS l_a76d17,
+               list(a91_decb) FILTER (a91_decb IS NOT NULL) OVER ({_f(4)}) AS l_a91db
+        FROM p3f
+    ), p3h AS (
+        SELECT *,
+               CASE WHEN a76_dec17 IS NOT NULL
+                    THEN {_o_tsr('l_a76d17', 'a76_dec17')} END AS a76_tr19b,
+               CASE WHEN a91_decb IS NOT NULL
+                    THEN {_o_tsr('l_a91db', 'a91_decb')} END AS a91_tr4,
+               LEAST(r82a, a82_tr13) * -1 AS alpha_082,
+               GREATEST(r87a, a87_tr14) * -1 AS alpha_087,
+               a89_tr3 - a89_tr15 AS alpha_089,
+               a93_tr7 / r93b AS alpha_093,
+               GREATEST(a96_tr8, a96_tr13) * -1 AS alpha_096
+        FROM p3g
     ), p4 AS (
         SELECT *, {_o_rank('ROUND(c_hv3, 9)')} AS r_chv3,
                -1 * ({_o_rank('ROUND(cov_cv5, 9)')}) AS alpha_013,
@@ -749,13 +1000,27 @@ def _o_alphas() -> str:
                CASE WHEN r74a < {_o_rank('a74_c2')}
                     THEN -1.0 ELSE 0.0 END AS alpha_074,
                CASE WHEN r75a < {_o_rank('a75_c2')}
-                    THEN 1.0 ELSE 0.0 END AS alpha_075
-        FROM p3e
+                    THEN 1.0 ELSE 0.0 END AS alpha_075,
+               ({_o_rank('a63_dec8')} - r63b) * -1 AS alpha_063,
+               POWER(r67a, {_o_rank('a67_c')}) * -1 AS alpha_067,
+               POWER({_o_rank('a69_m')}, a69_tr) * -1 AS alpha_069,
+               GREATEST(r76a, a76_tr19b) * -1 AS alpha_076,
+               CASE WHEN {_o_rank('a79_d')} < r79b
+                    THEN 1.0 ELSE 0.0 END AS alpha_079,
+               POWER({_o_rank('a80_sgn')}, a80_tr) * -1 AS alpha_080,
+               (a91_tr4 - r91b) * -1 AS alpha_091,
+               ({_o_rank('a97_dec20')} - a97_tr6) * -1 AS alpha_097,
+               {_o_demean_fixed('b100', 'd, subind')} AS nB100,
+               {_o_rank('a81_lp')} AS r81lp
+        FROM p3h
     ), p4b AS (
         SELECT *,
                LEAST(a92_x, a92_y) AS alpha_092,
                list(a98_tr) FILTER (a98_tr IS NOT NULL) OVER ({_f(8)}) AS l_a98tr,
-               {_o_rank('a29_s')} AS r29c
+               {_o_rank('a29_s')} AS r29c,
+               POWER(r78a, r50) AS alpha_078,
+               CASE WHEN r81lp < r50 THEN -1.0 ELSE 0.0 END AS alpha_081,
+               nB100 * 1.0 / SUM(ABS(nB100)) OVER (PARTITION BY d) AS sB100
         FROM p4
     ), p4c AS (
         SELECT *,
@@ -766,7 +1031,8 @@ def _o_alphas() -> str:
                CASE WHEN r27 > 0.5 THEN -1.0 ELSE 1.0 END AS alpha_027,
                -1 * MAX(r50) OVER ({_f(5)}) AS alpha_050,
                MIN(r29c) OVER ({_f(5)}) + a29_tr AS alpha_029,
-               r98a - ({_o_rank('a98_dec2')}) AS alpha_098
+               r98a - ({_o_rank('a98_dec2')}) AS alpha_098,
+               -1 * ((1.5 * sA100 - sB100) * (amount / adv20a)) AS alpha_100
         FROM p4c
     )
     SELECT code, d,
@@ -782,7 +1048,7 @@ def _o_alphas() -> str:
 # Spearman IC in a single date-axis shuffle instead of a per-column loop.
 # ---------------------------------------------------------------------------
 def _o_alpha_ic() -> str:
-    # single-scan melt: UNNEST of one struct list per row (81 UNION ALL
+    # single-scan melt: UNNEST of one struct list per row (101 UNION ALL
     # branches would re-scan the whole alpha CTE per factor and OOM the
     # oracle; UNPIVOT is also out — it drops NULL fvals, which must stay
     # so the fwd-ret rank denominators match Spark's stack())
@@ -888,7 +1154,7 @@ def alpha_ic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by alpha101_subset and alpha_ic_scan — the Spark analog of the
 # reference's precomputed factor_db (`database_schema.md:271`): the IC
 # scan reads the factor table, it does not re-run the factor DAG. The
-# cached table is (code, d, 81 doubles) — a few MB at bench scale — and
+# cached table is (code, d, 101 doubles) — a few MB at bench scale — and
 # is deliberately kept for the life of the session.
 _ALPHA_CACHE: dict[tuple[int, str], DataFrame] = {}
 

@@ -36,7 +36,13 @@ def run_oracle(sf_dir: str, sql: str) -> pa.Table:
         # large Spark JVM — without a temp_directory DuckDB aborts with
         # OutOfMemory instead of spilling
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
-        con.execute("SET memory_limit='24GB'")
+        # the alpha CTE chain evaluates hundreds of window expressions with
+        # list state; give DuckDB most of the free RAM (the Spark driver is
+        # capped at 8g) and fewer threads — each window thread buffers its
+        # own partition state, so 16 threads roughly halves peak memory
+        # versus 32 at no measurable wall-clock cost for this workload
+        con.execute("SET memory_limit='80GB'")
+        con.execute("SET threads=16")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

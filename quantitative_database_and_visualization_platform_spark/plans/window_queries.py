@@ -317,9 +317,16 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compare at microsecond precision — cast("long") truncates to seconds
     # and would disagree with the oracle's INTERVAL comparison on
     # fractional-second gaps
+    # cast("timestamp") first: the driver's parquet may carry ts as
+    # TIMESTAMP_NTZ, which unix_micros rejects; with the session TZ pinned
+    # to UTC the cast is value-preserving for both timestamp flavors
     new_session = (
         prev_ts.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts) > 1_800_000_000)
+        | (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev_ts.cast("timestamp"))
+            > 1_800_000_000
+        )
     ).cast("int")
     sessions = ev.withColumn(
         "session_id", F.sum(new_session).over(ts.cumulative(w))
