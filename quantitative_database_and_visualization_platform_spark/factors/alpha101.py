@@ -597,69 +597,35 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     )
     p1 = ckpt(p1, "p1")
 
-    # ---- P2: cross-sectional ranks (partitionBy date) ----
+    # ---- P2: cross-sectional stage (partitionBy date) ----
+    # Window pass: everything that is NOT a pct rank — the indneutralize
+    # demeans, the scale()s, and materialized SOURCE columns for
+    # expression-input ranks. This pass owns the stage's single
+    # hashpartitioning(d) exchange; the rank blocks below are
+    # mapInPandas passes that ride the same physical clustering
+    # (with_cs_rank_block contract), so ranking ~85 columns costs ONE
+    # vectorized pass instead of ~85 Sort+Window plan passes each
+    # buffering the full ~300-column row width.
     p2 = p1.select(
         "*",
-        cs.cs_rank("a1_argmax", "d").alias("r_a1"),
-        cs.cs_rank("dlv2", "d").alias("r_dlv2"),
-        cs.cs_rank("intraday", "d").alias("r_intraday"),
-        cs.cs_rank(F.col("open"), "d").alias("r_open"),
-        cs.cs_rank(vol.cast("double"), "d").alias("r_vol"),
-        cs.cs_rank(high, "d").alias("r_high"),
-        cs.cs_rank(low, "d").alias("r_low"),
-        cs.cs_rank(close, "d").alias("r_close"),
-        cs.cs_rank("a5_dev", "d").alias("r_a5dev"),
-        cs.cs_rank("a5_cv", "d").alias("r_a5cv"),
-        (cs.cs_rank(-1 * (1 - open_ / close), "d")).alias("alpha_033"),
-        (-1 * cs.cs_rank("a8_raw", "d")).alias("alpha_008"),
-        cs.cs_rank("a10_core", "d").alias("alpha_010"),
-        cs.cs_rank("a20_h", "d").alias("r20_h"),
-        cs.cs_rank("a20_c", "d").alias("r20_c"),
-        cs.cs_rank("a20_l", "d").alias("r20_l"),
-        cs.cs_rank("a25_raw", "d").alias("alpha_025"),
-        cs.cs_rank("a34_ratio", "d").alias("r_a34ratio"),
-        cs.cs_rank("d1", "d").alias("r_a34d1"),
-        cs.cs_rank("a60_raw", "d").alias("r60_a"),
-        cs.cs_rank("a60_argmax", "d").alias("r60_b"),
-        cs.cs_rank("a11_max", "d").alias("r11_max"),
-        cs.cs_rank("a11_min", "d").alias("r11_min"),
-        cs.cs_rank("a11_dv", "d").alias("r11_dv"),
-        cs.cs_rank("a14_dr3", "d").alias("r_dr3"),
-        (-1 * cs.cs_rank("a18_raw", "d")).alias("alpha_018"),
-        cs.cs_rank(1 + F.col("a19_sum"), "d").alias("r_a19"),
-        cs.cs_rank(F.round("std20c", 9), "d").alias("r_std20c"),
-        cs.cs_rank("a30_sgn", "d").alias("r_a30"),
-        cs.cs_rank("a17_trc", "d").alias("r_a17trc"),
-        cs.cs_rank("a17_dd1", "d").alias("r_a17dd1"),
-        cs.cs_rank("a17_trva", "d").alias("r_a17trva"),
-        cs.cs_rank("a57_argmax", "d").alias("r_a57argmax"),
-        cs.cs_rank("vwap", "d").alias("r_vwap"),
+        (-1 * (1 - open_ / close)).alias("rk_a33"),
+        (1 + F.col("a19_sum")).alias("rk_a19"),
+        F.round("std20c", 9).alias("rk_std20c"),
+        F.round("a37_c", 9).alias("rk_a37"),
+        F.round("a40_std", 9).alias("rk_a40"),
+        F.round("a45_c2", 9).alias("rk_a45"),
+        (F.col("vwap") - close).alias("rk_42a"),
+        (F.col("vwap") + close).alias("rk_42b"),
+        (F.lit(1) / close).alias("rk_47a"),
+        (high - close).alias("rk_47b"),
+        (-1 * F.col("d3c")).alias("rk_31c"),
+        F.abs("a36_c2").alias("rk_36d"),
+        ((low + open_) - 2 * F.col("vwap")).alias("rk_71"),
         cs.cs_scale("a28_x", 1.0, "d").alias("alpha_028"),
         (cs.cs_scale("a32_x", 1.0, "d") + 20 * cs.cs_scale("a32_c", 1.0, "d")).alias(
             "alpha_032"
         ),
-        cs.cs_rank(F.round("a37_c", 9), "d").alias("r37_a"),
-        cs.cs_rank("d_oc", "d").alias("r37_b"),
-        cs.cs_rank("a38_co", "d").alias("r_co"),
-        cs.cs_rank(F.round("a40_std", 9), "d").alias("r40"),
-        cs.cs_rank("a45_m", "d").alias("r45_a"),
-        cs.cs_rank(F.round("a45_c2", 9), "d").alias("r45_b"),
-        # batch-A cross-sectional ranks (fixed-point corr outputs are
-        # engine-exact, so their ranks need no pre-rounding)
-        cs.cs_rank(F.col("vwap") - close, "d").alias("r42_a"),
-        cs.cs_rank(F.col("vwap") + close, "d").alias("r42_b"),
-        cs.cs_rank(F.lit(1) / close, "d").alias("r47_a"),
-        cs.cs_rank(high - close, "d").alias("r47_b"),
-        cs.cs_rank("a47_dv", "d").alias("r47_c"),
-        cs.cs_rank("a52_r", "d").alias("r52"),
-        cs.cs_rank("a55_stoch", "d").alias("r55"),
-        cs.cs_rank("a83_lag", "d").alias("r83"),
-        F.when(cs.cs_rank("a61_dev", "d") < cs.cs_rank("a61_c", "d"), F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("alpha_061"),
-        F.when(cs.cs_rank("a99_c1", "d") < cs.cs_rank("a99_c2", "d"), F.lit(-1.0))
-        .otherwise(F.lit(0.0))
-        .alias("alpha_099"),
+        F.signum(cs.cs_scale("a31_c", 1.0, "d")).alias("s31"),
         # indneutralize family: (date, group) demeans ride the date-axis
         # exchange (hashpartitioning(d) satisfies the clustered
         # distribution on (d, grp) — sort-only, no extra shuffle)
@@ -668,60 +634,6 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (cs.cs_demean_fixed("a48_num", "d", "subind") / F.col("a48_den")).alias(
             "alpha_048"
         ),
-        # batch-C cross-sectional ranks
-        cs.cs_rank("hl2", "d").alias("r_hl2"),
-        cs.cs_rank("d5c", "d").alias("r29a"),
-        cs.cs_rank("d10c", "d").alias("r31a"),
-        cs.cs_rank(-1 * F.col("d3c"), "d").alias("r31c"),
-        F.signum(cs.cs_scale("a31_c", 1.0, "d")).alias("s31"),
-        cs.cs_rank("a36_c1", "d").alias("r36a"),
-        cs.cs_rank("a29_tr", "d").alias("r36c"),
-        cs.cs_rank(F.abs("a36_c2"), "d").alias("r36d"),
-        cs.cs_rank("a36_t", "d").alias("r36e"),
-        cs.cs_rank("a39_dec", "d").alias("r39a"),
-        cs.cs_rank("a19_sum", "d").alias("r39c"),
-        cs.cs_rank("a56_ratio", "d").alias("r56a"),
-        cs.cs_rank("a56_rc", "d").alias("r56b"),
-        cs.cs_rank("a62_c", "d").alias("r62a"),
-        F.when(cs.cs_rank("a65_c", "d") < cs.cs_rank("a65_dev", "d"), F.lit(-1.0))
-        .otherwise(F.lit(0.0))
-        .alias("alpha_065"),
-        cs.cs_rank("a66_dec1", "d").alias("r66a"),
-        cs.cs_rank((low + open_) - 2 * F.col("vwap"), "d").alias("r71"),
-        cs.cs_rank("a72_dec1", "d").alias("r72a"),
-        cs.cs_rank("a72_dec2", "d").alias("r72b"),
-        cs.cs_rank("a73_dec1", "d").alias("r73a"),
-        cs.cs_rank("a74_wp", "d").alias("r74w"),
-        cs.cs_rank("a74_c1", "d").alias("r74a"),
-        cs.cs_rank("a75_c1", "d").alias("r75a"),
-        cs.cs_rank("adv50", "d").alias("r75adv"),
-        cs.cs_rank("a77_dec1", "d").alias("r77a"),
-        cs.cs_rank("a77_dec2", "d").alias("r77b"),
-        cs.cs_rank("a85_c1", "d").alias("r85a"),
-        cs.cs_rank("a85_c2", "d").alias("r85b"),
-        cs.cs_rank("adv30", "d").alias("r92adv"),
-        cs.cs_rank("a94_dev", "d").alias("r94"),
-        cs.cs_rank("a95_dev", "d").alias("r95a"),
-        cs.cs_rank("a95_c", "d").alias("r95c"),
-        cs.cs_rank("a98_dec1", "d").alias("r98a"),
-        cs.cs_rank("adv15", "d").alias("r98adv"),
-        # batch-D cross-sectional ranks / indneutralize demeans
-        cs.cs_rank("a63_dec", "d").alias("r63b"),
-        cs.cs_rank("a64_c", "d").alias("r64a"),
-        cs.cs_rank("d_hl3", "d").alias("r64b"),
-        cs.cs_rank("a67_dev", "d").alias("r67a"),
-        cs.cs_rank("a70_dv", "d").alias("r70a"),
-        cs.cs_rank("a76_dec", "d").alias("r76a"),
-        cs.cs_rank("a78_c", "d").alias("r78a"),
-        cs.cs_rank("a79_c", "d").alias("r79b"),
-        cs.cs_rank("a81_c", "d").alias("r81c"),
-        cs.cs_rank("a82_dec", "d").alias("r82a"),
-        cs.cs_rank("a87_dec", "d").alias("r87a"),
-        cs.cs_rank("a90_dev", "d").alias("r90a"),
-        cs.cs_rank("a91_dec2", "d").alias("r91b"),
-        cs.cs_rank("a93_dec", "d").alias("r93b"),
-        cs.cs_rank("adv20", "d").alias("r_adv20"),
-        cs.cs_rank("a100_am", "d").alias("r100b"),
         cs.cs_demean_fixed("adv20", "d", "subind").alias("n67"),
         cs.cs_demean_fixed("close", "d", "industry").alias("n70"),
         cs.cs_demean_fixed("low", "d", "sector").alias("n76"),
@@ -732,10 +644,131 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         cs.cs_demean_fixed("adv40", "d", "subind").alias("n90"),
         cs.cs_demean_fixed("wp97", "d", "industry").alias("n97v"),
     )
-    # rank arithmetic on the P2 outputs (no further window for 005/020;
-    # scale() for 060 — another date-axis pass sharing the same exchange)
+    # Rank block: every first-level pct rank in one vectorized pass.
+    p2 = cs.with_cs_rank_block(
+        p2,
+        {
+            "r_a1": "a1_argmax",
+            "r_dlv2": "dlv2",
+            "r_intraday": "intraday",
+            "r_open": "open",
+            "r_vol": "volume",
+            "r_high": "high",
+            "r_low": "low",
+            "r_close": "close",
+            "r_a5dev": "a5_dev",
+            "r_a5cv": "a5_cv",
+            "alpha_033": "rk_a33",
+            "r08": "a8_raw",
+            "alpha_010": "a10_core",
+            "r20_h": "a20_h",
+            "r20_c": "a20_c",
+            "r20_l": "a20_l",
+            "alpha_025": "a25_raw",
+            "r_a34ratio": "a34_ratio",
+            "r_a34d1": "d1",
+            "r60_a": "a60_raw",
+            "r60_b": "a60_argmax",
+            "r11_max": "a11_max",
+            "r11_min": "a11_min",
+            "r11_dv": "a11_dv",
+            "r_dr3": "a14_dr3",
+            "r18": "a18_raw",
+            "r_a19": "rk_a19",
+            "r_std20c": "rk_std20c",
+            "r_a30": "a30_sgn",
+            "r_a17trc": "a17_trc",
+            "r_a17dd1": "a17_dd1",
+            "r_a17trva": "a17_trva",
+            "r_a57argmax": "a57_argmax",
+            "r_vwap": "vwap",
+            "r37_a": "rk_a37",
+            "r37_b": "d_oc",
+            "r_co": "a38_co",
+            "r40": "rk_a40",
+            "r45_a": "a45_m",
+            "r45_b": "rk_a45",
+            # fixed-point corr outputs are engine-exact, so their ranks
+            # need no pre-rounding
+            "r42_a": "rk_42a",
+            "r42_b": "rk_42b",
+            "r47_a": "rk_47a",
+            "r47_b": "rk_47b",
+            "r47_c": "a47_dv",
+            "r52": "a52_r",
+            "r55": "a55_stoch",
+            "r83": "a83_lag",
+            "r61a": "a61_dev",
+            "r61b": "a61_c",
+            "r99a": "a99_c1",
+            "r99b": "a99_c2",
+            "r_hl2": "hl2",
+            "r29a": "d5c",
+            "r31a": "d10c",
+            "r31c": "rk_31c",
+            "r36a": "a36_c1",
+            "r36c": "a29_tr",
+            "r36d": "rk_36d",
+            "r36e": "a36_t",
+            "r39a": "a39_dec",
+            "r39c": "a19_sum",
+            "r56a": "a56_ratio",
+            "r56b": "a56_rc",
+            "r62a": "a62_c",
+            "r65a": "a65_c",
+            "r65b": "a65_dev",
+            "r66a": "a66_dec1",
+            "r71": "rk_71",
+            "r72a": "a72_dec1",
+            "r72b": "a72_dec2",
+            "r73a": "a73_dec1",
+            "r74w": "a74_wp",
+            "r74a": "a74_c1",
+            "r75a": "a75_c1",
+            "r75adv": "adv50",
+            "r77a": "a77_dec1",
+            "r77b": "a77_dec2",
+            "r85a": "a85_c1",
+            "r85b": "a85_c2",
+            "r92adv": "adv30",
+            "r94": "a94_dev",
+            "r95a": "a95_dev",
+            "r95c": "a95_c",
+            "r98a": "a98_dec1",
+            "r98adv": "adv15",
+            "r63b": "a63_dec",
+            "r64a": "a64_c",
+            "r64b": "d_hl3",
+            "r67a": "a67_dev",
+            "r70a": "a70_dv",
+            "r76a": "a76_dec",
+            "r78a": "a78_c",
+            "r79b": "a79_c",
+            "r81c": "a81_c",
+            "r82a": "a82_dec",
+            "r87a": "a87_dec",
+            "r90a": "a90_dev",
+            "r91b": "a91_dec2",
+            "r93b": "a93_dec",
+            "r_adv20": "adv20",
+            "r100b": "a100_am",
+        },
+        "d",
+    )
+    # rank arithmetic on the block outputs (pure projections, no windows)
     p2 = p2.select(
         "*",
+        (-1 * F.col("r08")).alias("alpha_008"),
+        (-1 * F.col("r18")).alias("alpha_018"),
+        F.when(F.col("r61a") < F.col("r61b"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_061"),
+        F.when(F.col("r99a") < F.col("r99b"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_099"),
+        F.when(F.col("r65a") < F.col("r65b"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_065"),
         (F.col("r_a5dev") * (-1 * F.abs(F.col("r_a5cv")))).alias("alpha_005"),
         ((-1 * F.col("r20_h")) * F.col("r20_c") * F.col("r20_l")).alias("alpha_020"),
         ((F.col("r11_max") + F.col("r11_min")) * F.col("r11_dv")).alias("alpha_011"),
@@ -767,7 +800,6 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         F.when(F.col("a86_tr") < F.col("r_a5cv"), F.lit(-1.0))
         .otherwise(F.lit(0.0))
         .alias("alpha_086"),
-        # batch-C rank arithmetic
         (-1 * F.col("r29a")).alias("a29_neg"),
         (-1 * F.col("r31a")).alias("a31_neg"),
         (
@@ -794,29 +826,21 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         .otherwise(F.lit(0.0))
         .alias("alpha_064"),
     )
+    # second-level ranks (ranks of rank arithmetic): another pandas pass
+    # on the same clustering — still no new exchange
+    p2 = cs.with_cs_rank_block(
+        p2, {"r29b": "a29_neg", "r39x": "a39_in", "r62b": "b62"}, "d"
+    )
     p2 = p2.select(
         "*",
-        (
-            -1 * (2 * cs.cs_scale("r60_a", 1.0, "d") - cs.cs_scale("r60_b", 1.0, "d"))
-        ).alias("alpha_060"),
-        cs.cs_rank("a29_neg", "d").alias("r29b"),
-        ((-1 * cs.cs_rank("a39_in", "d")) * (1 + F.col("r39c"))).alias("alpha_039"),
-        F.when(F.col("r62a") < cs.cs_rank("b62", "d"), F.lit(-1.0))
+        ((-1 * F.col("r39x")) * (1 + F.col("r39c"))).alias("alpha_039"),
+        F.when(F.col("r62a") < F.col("r62b"), F.lit(-1.0))
         .otherwise(F.lit(0.0))
         .alias("alpha_062"),
-        # alpha_100 part A: double subindustry demean of the CLV-volume
-        # rank (demeaning an already-demeaned series is the formula as
-        # written; with fixed-point means both passes are engine-exact)
-        cs.cs_demean_fixed("r60_a", "d", "subind").alias("n100a"),
     )
-    p2 = p2.select(
-        "*",
-        cs.cs_demean_fixed("n100a", "d", "subind").alias("n100b"),
-    )
-    p2 = p2.select(
-        "*",
-        cs.cs_scale("n100b", 1.0, "d").alias("sA100"),
-    )
+    # alpha_060's scale() and alpha_100's part-A demean chain consume
+    # block outputs but are window ops — they moved to the P4 date-axis
+    # window pass so P2 keeps a single exchange.
     p2 = ckpt(p2, "p2")
 
     # ---- P3: correlations/rolling ops over ranked values (code axis) ----
@@ -970,53 +994,93 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     )
     p3 = ckpt(p3, "p3")
 
-    # ---- P4: final cross-sectional rank (date axis) ----
-    # rank corr/cov outputs at 9dp: short rank-windows produce mass ties
-    # at ±1.0 etc., and ulp-level float differences would otherwise split
-    # average-tie groups nondeterministically across engines
+    # ---- P4: final cross-sectional stage (date axis) ----
+    # Window pass (owns the date exchange): scale()/demean chains — incl.
+    # alpha_060 and alpha_100 part A deferred from P2 — plus materialized
+    # rank sources. Corr/cov outputs of the NON-fixed windowed corr are
+    # pre-rounded to 9dp: short rank-windows produce mass ties at ±1.0
+    # etc., and ulp-level float differences would otherwise split
+    # average-tie groups nondeterministically across engines; fixed-point
+    # corr outputs are engine-exact and rank unrounded.
     p4 = p3.select(
         "*",
-        cs.cs_rank(F.round("c_hv3", 9), "d").alias("r_chv3"),
-        (-1 * cs.cs_rank(F.round("cov_cv5", 9), "d")).alias("alpha_013"),
-        # alpha_034's outer rank: inputs are exact rank rationals, so no
-        # pre-rounding is needed for cross-engine tie stability
-        cs.cs_rank((1 - F.col("r_a34ratio")) + (1 - F.col("r_a34d1")), "d").alias("alpha_034"),
-        (-1 * cs.cs_rank(F.round("cov_hv5", 9), "d")).alias("alpha_016"),
-        cs.cs_rank(F.round("a27_s2", 9), "d").alias("r27"),
-        cs.cs_rank("a50_c", "d").alias("r50"),
-        # batch-C final cross-sectional stage
+        F.round("c_hv3", 9).alias("rk_chv3"),
+        F.round("cov_cv5", 9).alias("rk_cov_cv5"),
+        ((1 - F.col("r_a34ratio")) + (1 - F.col("r_a34d1"))).alias("rk_a34"),
+        F.round("cov_hv5", 9).alias("rk_cov_hv5"),
+        F.round("a27_s2", 9).alias("rk_a27"),
         cs.cs_scale("a29_log", 1.0, "d").alias("a29_s"),
-        (cs.cs_rank("a31_dec", "d") + F.col("r31c") + F.col("s31")).alias("alpha_031"),
-        F.least(cs.cs_rank("a88_dec1", "d"), F.col("a88_y")).alias("alpha_088"),
-        F.when(F.col("r74a") < cs.cs_rank("a74_c2", "d"), F.lit(-1.0))
-        .otherwise(F.lit(0.0))
-        .alias("alpha_074"),
-        F.when(F.col("r75a") < cs.cs_rank("a75_c2", "d"), F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("alpha_075"),
-        (F.col("r98a") - cs.cs_rank("a98_dec2", "d")).alias("alpha_098"),
-        # batch-D final cross-sectional stage
-        ((cs.cs_rank("a63_dec8", "d") - F.col("r63b")) * -1).alias("alpha_063"),
-        (F.pow(F.col("r67a"), cs.cs_rank("c67", "d")) * -1).alias("alpha_067"),
-        (F.pow(cs.cs_rank("a69_m", "d"), F.col("a69_tr")) * -1).alias("alpha_069"),
-        (F.greatest("r76a", "a76_tr19b") * -1).alias("alpha_076"),
-        F.when(cs.cs_rank("a79_d", "d") < F.col("r79b"), F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("alpha_079"),
-        (F.pow(cs.cs_rank("a80_sgn", "d"), F.col("a80_tr")) * -1).alias("alpha_080"),
-        ((F.col("a91_tr4") - F.col("r91b")) * -1).alias("alpha_091"),
-        ((cs.cs_rank("a97_dec20", "d") - F.col("a97_tr6")) * -1).alias("alpha_097"),
         cs.cs_demean_fixed("b100", "d", "subind").alias("nB100"),
-        cs.cs_rank("a81_lp", "d").alias("r81lp"),
+        (
+            -1 * (2 * cs.cs_scale("r60_a", 1.0, "d") - cs.cs_scale("r60_b", 1.0, "d"))
+        ).alias("alpha_060"),
+        # alpha_100 part A: double subindustry demean of the CLV-volume
+        # rank (demeaning an already-demeaned series is the formula as
+        # written; with fixed-point means both passes are engine-exact)
+        cs.cs_demean_fixed("r60_a", "d", "subind").alias("n100a"),
     )
     p4 = p4.select(
         "*",
-        cs.cs_rank("a29_s", "d").alias("r29c"),
+        cs.cs_scale("nB100", 1.0, "d").alias("sB100"),
+        cs.cs_demean_fixed("n100a", "d", "subind").alias("n100b"),
+    )
+    p4 = p4.select(
+        "*",
+        cs.cs_scale("n100b", 1.0, "d").alias("sA100"),
+    )
+    # rank block: one vectorized pass for the final-stage ranks
+    p4 = cs.with_cs_rank_block(
+        p4,
+        {
+            "r_chv3": "rk_chv3",
+            "r13": "rk_cov_cv5",
+            "alpha_034": "rk_a34",
+            "r16": "rk_cov_hv5",
+            "r27": "rk_a27",
+            "r50": "a50_c",
+            "r29c": "a29_s",
+            "r31dec": "a31_dec",
+            "r88dec": "a88_dec1",
+            "r74c2": "a74_c2",
+            "r75c2": "a75_c2",
+            "r98d2": "a98_dec2",
+            "r63a": "a63_dec8",
+            "r67c": "c67",
+            "r69m": "a69_m",
+            "r79d": "a79_d",
+            "r80s": "a80_sgn",
+            "r97d": "a97_dec20",
+            "r81lp": "a81_lp",
+        },
+        "d",
+    )
+    p4 = p4.select(
+        "*",
+        (-1 * F.col("r13")).alias("alpha_013"),
+        (-1 * F.col("r16")).alias("alpha_016"),
+        (F.col("r31dec") + F.col("r31c") + F.col("s31")).alias("alpha_031"),
+        F.least(F.col("r88dec"), F.col("a88_y")).alias("alpha_088"),
+        F.when(F.col("r74a") < F.col("r74c2"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_074"),
+        F.when(F.col("r75a") < F.col("r75c2"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_075"),
+        (F.col("r98a") - F.col("r98d2")).alias("alpha_098"),
+        ((F.col("r63a") - F.col("r63b")) * -1).alias("alpha_063"),
+        (F.pow(F.col("r67a"), F.col("r67c")) * -1).alias("alpha_067"),
+        (F.pow(F.col("r69m"), F.col("a69_tr")) * -1).alias("alpha_069"),
+        (F.greatest("r76a", "a76_tr19b") * -1).alias("alpha_076"),
+        F.when(F.col("r79d") < F.col("r79b"), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_079"),
+        (F.pow(F.col("r80s"), F.col("a80_tr")) * -1).alias("alpha_080"),
+        ((F.col("a91_tr4") - F.col("r91b")) * -1).alias("alpha_091"),
+        ((F.col("r97d") - F.col("a97_tr6")) * -1).alias("alpha_097"),
         F.pow(F.col("r78a"), F.col("r50")).alias("alpha_078"),
         F.when(F.col("r81lp") < F.col("r50"), F.lit(-1.0))
         .otherwise(F.lit(0.0))
         .alias("alpha_081"),
-        cs.cs_scale("nB100", 1.0, "d").alias("sB100"),
     )
     p4 = ckpt(p4, "p4")
 
