@@ -169,6 +169,93 @@ ALPHA_VARIANTS = {
 }
 
 
+# Columns each rank block must pass through: everything the DAG still
+# references AFTER that block (MapInPandas is a Catalyst pruning barrier —
+# see with_cs_rank_block). Generated mechanically from the function source
+# (quoted column references after each block call, intersected with
+# columns defined before it); a stale entry that drops a needed column
+# fails analysis loudly, an extra entry only costs width.
+_P2_RANK_KEEP = (
+    "a100_am", "a10_core", "a11_dv", "a11_max", "a11_min", "a14_dr3",
+    "a17_dd1", "a17_trc", "a17_trva", "a18_raw", "a19_sign", "a19_sum",
+    "a1_argmax", "a20_c", "a20_h", "a20_l", "a22_d", "a25_raw",
+    "a26_trv", "a29_tr", "a30_sgn", "a34_ratio", "a36_c1", "a36_t",
+    "a38_co", "a39_dec", "a40_c", "a45_c1", "a45_m", "a47_dv",
+    "a47_sh5", "a52_low", "a52_r", "a55_stoch", "a56_ratio", "a56_rc",
+    "a57_argmax", "a5_cv", "a5_dev", "a60_argmax", "a60_raw", "a61_c",
+    "a61_dev", "a62_c", "a63_dec", "a64_c", "a65_c", "a65_dev",
+    "a66_dec1", "a66_tr", "a67_dev", "a69_tr", "a70_dv", "a71_x",
+    "a72_dec1", "a72_dec2", "a73_dec1", "a73_tr", "a74_c1", "a74_wp",
+    "a75_c1", "a76_dec", "a77_dec1", "a77_dec2", "a78_c", "a79_c",
+    "a80_tr", "a81_c", "a82_dec", "a83_hlr", "a83_lag", "a85_c1",
+    "a85_c2", "a86_tr", "a87_dec", "a88_y", "a89_tr3", "a8_raw",
+    "a90_dev", "a91_dec2", "a92_x", "a93_dec", "a94_dev", "a94_tr",
+    "a95_c", "a95_dev", "a96_tr13", "a97_tr6", "a98_dec1", "a99_c1",
+    "a99_c2", "adv15", "adv20", "adv20a", "adv30", "adv50",
+    "adv81", "alpha_007", "alpha_009", "alpha_012", "alpha_021", "alpha_023",
+    "alpha_024", "alpha_026", "alpha_028", "alpha_032", "alpha_035", "alpha_041",
+    "alpha_043", "alpha_046", "alpha_048", "alpha_049", "alpha_051", "alpha_053",
+    "alpha_054", "alpha_084", "alpha_101", "amount", "close", "code",
+    "d", "d1", "d10c", "d5c", "d7", "d_hl3",
+    "d_oc", "dlv2", "high", "hl2", "intraday", "low",
+    "n67", "n70", "n76", "n79", "n80", "n82",
+    "n87", "n90", "n97v", "nv58", "nv59", "open",
+    "rk_31c", "rk_36d", "rk_42a", "rk_42b", "rk_47a", "rk_47b",
+    "rk_71", "rk_a19", "rk_a33", "rk_a37", "rk_a40", "rk_a45",
+    "rk_std20c", "s31", "subind", "sv20", "sv5", "volume",
+    "vwap",
+)
+_P2B_RANK_KEEP = (
+    "a29_neg", "a29_tr", "a31_neg", "a39_in", "a69_tr", "a71_sq",
+    "a71_x", "a80_tr", "a88_comb", "a88_y", "a89_tr3", "a92_x",
+    "a96_tr13", "a97_tr6", "adv20a", "adv50", "adv81", "alpha_005",
+    "alpha_007", "alpha_008", "alpha_009", "alpha_010", "alpha_011", "alpha_012",
+    "alpha_017", "alpha_018", "alpha_019", "alpha_020", "alpha_021", "alpha_022",
+    "alpha_023", "alpha_024", "alpha_025", "alpha_026", "alpha_028", "alpha_030",
+    "alpha_032", "alpha_033", "alpha_035", "alpha_036", "alpha_037", "alpha_038",
+    "alpha_040", "alpha_041", "alpha_042", "alpha_043", "alpha_045", "alpha_046",
+    "alpha_047", "alpha_048", "alpha_049", "alpha_051", "alpha_052", "alpha_053",
+    "alpha_054", "alpha_056", "alpha_061", "alpha_064", "alpha_065", "alpha_066",
+    "alpha_072", "alpha_073", "alpha_077", "alpha_083", "alpha_084", "alpha_085",
+    "alpha_086", "alpha_094", "alpha_099", "alpha_101", "amount", "b62",
+    "close", "code", "d", "high", "low", "n67",
+    "n70", "n76", "n79", "n80", "n82", "n87",
+    "n90", "n97v", "nv58", "nv59", "open", "r100b",
+    "r31c", "r39c", "r55", "r60_a", "r60_b", "r62a",
+    "r63b", "r67a", "r70a", "r74a", "r74w", "r75a",
+    "r75adv", "r76a", "r78a", "r79b", "r81c", "r82a",
+    "r87a", "r90a", "r91b", "r92adv", "r93b", "r95a",
+    "r95c", "r98a", "r98adv", "r_a1", "r_a34d1", "r_a34ratio",
+    "r_a57argmax", "r_adv20", "r_close", "r_dlv2", "r_dr3", "r_high",
+    "r_intraday", "r_low", "r_open", "r_vol", "r_vwap", "s31",
+    "subind", "volume", "vwap",
+)
+_P4_RANK_KEEP = (
+    "a29_s", "a29_tr", "a31_dec", "a50_c", "a63_dec8", "a69_m",
+    "a69_tr", "a74_c2", "a75_c2", "a76_tr19b", "a79_d", "a80_sgn",
+    "a80_tr", "a81_lp", "a88_dec1", "a88_y", "a91_tr4", "a97_dec20",
+    "a97_tr6", "a98_dec2", "adv20a", "alpha_001", "alpha_002", "alpha_003",
+    "alpha_004", "alpha_005", "alpha_006", "alpha_007", "alpha_008", "alpha_009",
+    "alpha_010", "alpha_011", "alpha_012", "alpha_014", "alpha_017", "alpha_018",
+    "alpha_019", "alpha_020", "alpha_021", "alpha_022", "alpha_023", "alpha_024",
+    "alpha_025", "alpha_026", "alpha_028", "alpha_030", "alpha_032", "alpha_033",
+    "alpha_035", "alpha_036", "alpha_037", "alpha_038", "alpha_039", "alpha_040",
+    "alpha_041", "alpha_042", "alpha_043", "alpha_044", "alpha_045", "alpha_046",
+    "alpha_047", "alpha_048", "alpha_049", "alpha_051", "alpha_052", "alpha_053",
+    "alpha_054", "alpha_055", "alpha_056", "alpha_057", "alpha_058", "alpha_059",
+    "alpha_060", "alpha_061", "alpha_062", "alpha_064", "alpha_065", "alpha_066",
+    "alpha_068", "alpha_070", "alpha_071", "alpha_072", "alpha_073", "alpha_077",
+    "alpha_082", "alpha_083", "alpha_084", "alpha_085", "alpha_086", "alpha_087",
+    "alpha_089", "alpha_090", "alpha_092", "alpha_093", "alpha_094", "alpha_095",
+    "alpha_096", "alpha_099", "alpha_101", "amount", "c67", "close",
+    "code", "d", "high", "low", "open", "r31c",
+    "r63b", "r67a", "r74a", "r75a", "r76a", "r78a",
+    "r79b", "r91b", "r98a", "rk_a27", "rk_a34", "rk_chv3",
+    "rk_cov_cv5", "rk_cov_hv5", "s31", "sA100", "sB100", "volume",
+)
+
+
+
 def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Append the alpha subset to a (code, d, open, high, low, close,
     volume, amount) daily-bar panel via the staged P1–P5 plan."""
@@ -754,6 +841,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
             "r100b": "a100_am",
         },
         "d",
+        keep=_P2_RANK_KEEP,
     )
     # rank arithmetic on the block outputs (pure projections, no windows)
     p2 = p2.select(
@@ -829,7 +917,10 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
     # second-level ranks (ranks of rank arithmetic): another pandas pass
     # on the same clustering — still no new exchange
     p2 = cs.with_cs_rank_block(
-        p2, {"r29b": "a29_neg", "r39x": "a39_in", "r62b": "b62"}, "d"
+        p2,
+        {"r29b": "a29_neg", "r39x": "a39_in", "r62b": "b62"},
+        "d",
+        keep=_P2B_RANK_KEEP,
     )
     p2 = p2.select(
         "*",
@@ -1053,6 +1144,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
             "r81lp": "a81_lp",
         },
         "d",
+        keep=_P4_RANK_KEEP,
     )
     p4 = p4.select(
         "*",

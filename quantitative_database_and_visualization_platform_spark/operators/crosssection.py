@@ -44,7 +44,9 @@ def cs_percent_rank(x: ColumnOrName, date: str = "trade_date") -> Column:
     return F.percent_rank().over(Window.partitionBy(date).orderBy(_col(x)))
 
 
-def with_cs_rank_block(df, specs: dict[str, str], date: str = "trade_date"):
+def with_cs_rank_block(
+    df, specs: dict[str, str], date: str = "trade_date", keep: tuple[str, ...] | None = None
+):
     """Compute MANY cross-sectional pct-average ranks in ONE vectorized
     pass: {out_col: src_col} → each out_col is cs_rank(src_col) within the
     date, with identical numerics (average tie rank (r_min+r_max)/2 is an
@@ -68,6 +70,15 @@ def with_cs_rank_block(df, specs: dict[str, str], date: str = "trade_date"):
     NaN caveat: a true NaN input ranks as null here (pandas skips NaN),
     while the window cs_rank counts it as the greatest value; callers
     feed NULL-or-finite columns (SQL arithmetic yields NULL, not NaN).
+
+    `keep`: MapInPandas is a column-pruning BARRIER — Catalyst cannot see
+    through the Python function, so without help every upstream
+    intermediate flows through the block (and through every downstream
+    exchange) even when nothing ever reads it again. Pass the set of
+    columns genuinely referenced downstream and the block projects down
+    to keep ∪ sources first, restoring pruning for the whole upstream
+    plan. Dropping a needed column fails analysis loudly at build time,
+    so the list is safe to maintain mechanically.
     """
     from collections.abc import Iterator
 
@@ -75,6 +86,9 @@ def with_cs_rank_block(df, specs: dict[str, str], date: str = "trade_date"):
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if keep is not None:
+        cols = list(dict.fromkeys([*keep, *specs.values()]))
+        df = df.select(*cols)
     out_schema = StructType(
         df.schema.fields + [StructField(o, DoubleType()) for o in specs]
     )

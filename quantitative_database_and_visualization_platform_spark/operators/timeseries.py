@@ -257,12 +257,25 @@ def _frame_array(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
 def ts_rank(x: ColumnOrName, d: int, w: WindowSpec) -> Column:
     """Percentile rank of today's value within the trailing d-row window
     (alpha101_engine.py:57-62). Tie convention: average rank (scipy
-    rankdata default), result in (0, 1]."""
+    rankdata default), result in (0, 1].
+
+    One packed aggregate pass, not two: higher-order-function lambdas are
+    interpreted (no whole-stage codegen), so each pass over the frame
+    array costs real CPU — lt and eq counts share a single accumulator
+    (lt*2^20 + eq; frames are ≤ a few hundred rows, far below the 2^20
+    packing radix). (lt + le + 1)/2 == lt + (eq + 1)/2 exactly in integer
+    arithmetic, so values are bit-identical to the two-pass form."""
     c = _col(x)
     arr = _frame_array(c, d, w)
-    lt = F.aggregate(arr, F.lit(0), lambda acc, v: acc + F.when(v < c, 1).otherwise(0))
-    le = F.aggregate(arr, F.lit(0), lambda acc, v: acc + F.when(v <= c, 1).otherwise(0))
-    avg_rank = (lt + le + 1) / 2.0
+    packed = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, v: acc
+        + F.when(v < c, F.lit(1 << 20)).when(v == c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    lt = F.floor(packed / F.lit(1 << 20)).cast("int")
+    eq = packed % F.lit(1 << 20)
+    avg_rank = (lt + (lt + eq) + 1) / 2.0
     return avg_rank / F.size(arr)
 
 

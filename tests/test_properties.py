@@ -121,3 +121,49 @@ def test_parser_totality(spark):
     m = out["m"].tolist()
     assert m[0] == 1.2e8 and m[1] == 5e7 and m[2] == 42.0 and m[3] == -3.5e8
     assert pd.isna(m[4]) and pd.isna(m[5])
+
+
+@settings(max_examples=8, deadline=None)
+@given(values_strategy)
+def test_rank_block_matches_window_cs_rank(spark, values):
+    """with_cs_rank_block must be BIT-identical to the window cs_rank for
+    null-free input — same average-tie pct rank, same division order —
+    since the alpha DAG mixes block ranks with window-era oracle SQL."""
+    from quantitative_database_and_visualization_platform_spark.operators.crosssection import (
+        cs_rank,
+        with_cs_rank_block,
+    )
+
+    # the block contract requires date-clustered input (in the alpha DAG
+    # the preceding window stage guarantees it; here, repartition)
+    df = _panel(spark, values).repartition("d")
+    want = df.select("d", "e", cs_rank("x", "d").alias("r")).collect()
+    got = (
+        with_cs_rank_block(df, {"r": "x"}, "d", keep=("d", "e", "x"))
+        .select("d", "e", "r")
+        .collect()
+    )
+    a = {(row.d, row.e): row.r for row in want}
+    b = {(row.d, row.e): row.r for row in got}
+    assert a == b
+
+
+def test_rank_block_null_and_keep(spark):
+    """Null in → null out (Arrow NaN round-trip restored to NULL), and the
+    keep projection drops unlisted columns while analysis fails loudly if
+    a kept column does not exist."""
+    import pandas as pd
+    import pytest
+
+    from quantitative_database_and_visualization_platform_spark.operators.crosssection import (
+        with_cs_rank_block,
+    )
+
+    pdf = pd.DataFrame({"d": [1, 1, 1, 2], "x": [3.0, None, 1.0, 5.0], "junk": [0, 0, 0, 0]})
+    df = spark.createDataFrame(pdf).repartition("d")
+    out = with_cs_rank_block(df, {"r": "x"}, "d", keep=("d", "x"))
+    rows = sorted(out.collect(), key=lambda r: (r.d, r.x if r.x is not None else -1))
+    assert "junk" not in out.columns
+    assert [r.r for r in rows] == [None, 0.5, 1.0, 1.0]
+    with pytest.raises(Exception, match="junk2|UNRESOLVED"):
+        with_cs_rank_block(df, {"r": "x"}, "d", keep=("d", "x", "junk2")).collect()
