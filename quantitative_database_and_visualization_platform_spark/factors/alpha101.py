@@ -371,7 +371,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_rank(close, 7, w).alias("a96_tc"),
         ts.ts_rank(low, 7, w).alias("a97_tl"),
         ts.ts_argmin(close, 30, w).alias("a100_am"),
-        ts.ts_sum_fixed(open_, 12, w).alias("a64_s1"),
+        ts.ts_sum_fixed_expr("open", 12).alias("a64_s1"),
     )
     a1_base = F.when((F.col("ret") < 0) & F.col("std20").isNotNull(), F.col("std20")).otherwise(
         close
@@ -405,7 +405,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (-1 * F.signum((close - ts.delay(close, 7, w)) + ts.delta(close, 7, w))).alias(
             "a19_sign"
         ),
-        ts.ts_sum_fixed("ret", 250, w).alias("a19_sum"),
+        ts.ts_sum_fixed_expr("ret", 250).alias("a19_sum"),
         ts.ts_corr(high, vol.cast("double"), 5, w).alias("c_hv5corr"),
         ts.ts_stddev(close, 20, w).alias("std20c"),
         ts.ts_mean(close, 100, w).alias("m100"),
@@ -456,29 +456,29 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # fixed-point running sums (the 240-window would otherwise be a
         # second O(rows*240) sliding re-aggregation)
         (
-            (ts.ts_sum_fixed("ret", 240, w) - ts.ts_sum_fixed("ret", 20, w)) / 220
+            (ts.ts_sum_fixed_expr("ret", 240) - ts.ts_sum_fixed_expr("ret", 20)) / 220
         ).alias("a52_r"),
         (F.col("vwap") - ts.ts_min("vwap", 16, w)).alias("a61_dev"),
-        ts.ts_corr_fixed("vwap", "adv180", 17, w).alias("a61_c"),
+        ts.ts_corr_fixed_expr("vwap", "adv180", 17).alias("a61_c"),
         F.lag("a83_hlr", 2).over(w).alias("a83_lag"),
-        ts.ts_sum_fixed("hl2", 19, w).alias("a99_s1"),
-        ts.ts_sum_fixed("adv60", 19, w).alias("a99_s2"),
-        ts.ts_corr_fixed(low, vol.cast("double"), 6, w).alias("a99_c2"),
+        ts.ts_sum_fixed_expr("hl2", 19).alias("a99_s1"),
+        ts.ts_sum_fixed_expr("adv60", 19).alias("a99_s2"),
+        ts.ts_corr_fixed_expr("low", "CAST(volume AS DOUBLE)", 6).alias("a99_c2"),
         # alpha_007: ts_rank of |Δ7 close| over 60 (null-gated like a43_b)
         F.when(F.col("d7").isNotNull(), ts.ts_rank(F.abs("d7"), 60, w)).alias("a7_tr"),
         # alpha_048 terms: lagged Δclose for the 250-day autocorrelation,
         # and the squared-return normalizer (delta(close,1)/delay(close,1)
         # IS the daily return)
         F.lag("d1", 1).over(w).alias("a48_ld1"),
-        ts.ts_sum_fixed(F.col("ret") * F.col("ret"), 250, w).alias("a48_den"),
+        ts.ts_sum_fixed_expr("(ret * ret)", 250).alias("a48_den"),
         # batch-C second-pass terms
         (-1 * ts.delay("ret", 6, w)).alias("a29_d"),
-        (ts.ts_sum_fixed(close, 200, w) / 200).alias("a36_m200"),
+        (ts.ts_sum_fixed_expr("close", 200) / 200).alias("a36_m200"),
         ts.ts_sum("ret", 2, w).alias("a56_s2"),
-        ts.ts_sum_fixed("ret", 10, w).alias("a56_s10"),
+        ts.ts_sum_fixed_expr("ret", 10).alias("a56_s10"),
         # cap proxied by close*volume (ALPHA_VARIANTS)
         (F.col("ret") * (close * vol)).alias("a56_rc"),
-        ts.ts_sum_fixed("adv60", 8, w, scale=1_000_000).alias("a65_s"),
+        ts.ts_sum_fixed_expr("adv60", 8, scale=1_000_000).alias("a65_s"),
         (open_ - ts.ts_min(open_, 13, w)).alias("a65_dev"),
         ((low - F.col("vwap")) / (open_ - F.col("hl2"))).alias("a66_r"),
         ts.delta("vwap", 3, w).alias("a66_dv"),
@@ -487,13 +487,13 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # vwap is NULL on zero-volume days — gate its ts_ranks
         F.when(F.col("vwap").isNotNull(), ts.ts_rank("vwap", 3, w)).alias("a72_t1"),
         ts.ts_rank(vol.cast("double"), 18, w).alias("a72_t2"),
-        ts.ts_corr_fixed("hl2", "adv40", 8, w).alias("a72_c1"),
+        ts.ts_corr_fixed_expr("hl2", "adv40", 8).alias("a72_c1"),
         ts.delta("vwap", 4, w).alias("a73_d"),
-        ts.ts_sum_fixed("adv30", 37, w, scale=1_000_000).alias("a74_s"),
+        ts.ts_sum_fixed_expr("adv30", 37, scale=1_000_000).alias("a74_s"),
         (high * 0.0261661 + F.col("vwap") * (1 - 0.0261661)).alias("a74_wp"),
-        ts.ts_corr_fixed("vwap", vol.cast("double"), 4, w).alias("a75_c1"),
+        ts.ts_corr_fixed_expr("vwap", "CAST(volume AS DOUBLE)", 4).alias("a75_c1"),
         (F.col("hl2") - F.col("vwap")).alias("a77_x"),
-        ts.ts_corr_fixed("hl2", "adv40", 3, w).alias("a77_c"),
+        ts.ts_corr_fixed_expr("hl2", "adv40", 3).alias("a77_c"),
         (high * 0.876703 + close * (1 - 0.876703)).alias("a85_wp"),
         ts.ts_rank("hl2", 3, w).alias("a85_t1"),
         ts.ts_rank(vol.cast("double"), 10, w).alias("a85_t2"),
@@ -503,16 +503,16 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (F.col("vwap") - ts.ts_min("vwap", 11, w)).alias("a94_dev"),
         F.when(F.col("vwap").isNotNull(), ts.ts_rank("vwap", 19, w)).alias("a94_t1"),
         ts.ts_rank("adv60", 4, w).alias("a94_t2"),
-        ts.ts_sum_fixed("adv40", 19, w, scale=1_000_000).alias("a95_s2"),
+        ts.ts_sum_fixed_expr("adv40", 19, scale=1_000_000).alias("a95_s2"),
         (open_ - ts.ts_min(open_, 12, w)).alias("a95_dev"),
-        ts.ts_sum_fixed("adv5", 26, w, scale=1_000_000).alias("a98_s"),
+        ts.ts_sum_fixed_expr("adv5", 26, scale=1_000_000).alias("a98_s"),
         # batch-D second-pass terms
         ts.ts_rank("adv60", 17, w).alias("a97_ta"),
         ts.ts_rank("adv150", 9, w).alias("a79_t2"),
-        ts.ts_sum_fixed("adv120", 12, w, scale=1_000_000).alias("a64_s2"),
-        ts.ts_sum_fixed("adv180", 37, w, scale=1_000_000).alias("a63_s"),
-        ts.ts_sum_fixed("adv10", 49, w, scale=1_000_000).alias("a81_s"),
-        ts.ts_sum_fixed(low * 0.352233 + F.col("vwap") * (1 - 0.352233), 19, w).alias(
+        ts.ts_sum_fixed_expr("adv120", 12, scale=1_000_000).alias("a64_s2"),
+        ts.ts_sum_fixed_expr("adv180", 37, scale=1_000_000).alias("a63_s"),
+        ts.ts_sum_fixed_expr("adv10", 49, scale=1_000_000).alias("a81_s"),
+        ts.ts_sum_fixed_expr("(low * 0.352233D + vwap * 0.647767D)", 19).alias(
             "a78_s1"
         ),
         ts.delta("vwap", 1, w).alias("a70_dv"),
@@ -520,9 +520,9 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (close * 0.524434 + F.col("vwap") * (1 - 0.524434)).alias("wp93"),
         (low * 0.721001 + F.col("vwap") * (1 - 0.721001)).alias("wp97"),
         ts.decay_linear("a82_d", 14, w).alias("a82_dec"),
-        ts.ts_corr_fixed(high, "adv10", 5, w).alias("a80_c"),
-        ts.ts_corr_fixed(low, "adv10", 6, w).alias("a89_c"),
-        ts.ts_corr_fixed("vwap", "adv30", 4, w).alias("a91_c2"),
+        ts.ts_corr_fixed_expr("high", "adv10", 5).alias("a80_c"),
+        ts.ts_corr_fixed_expr("low", "adv10", 6).alias("a89_c"),
+        ts.ts_corr_fixed_expr("vwap", "adv30", 4).alias("a91_c2"),
     )
     # third TS pass: windows over windowed columns
     nd7 = -1 * F.col("d7")
@@ -551,7 +551,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (ts.ts_corr("adv20", low, 5, w) + (high + low) / 2 - close).alias("a28_x"),
         ts.ts_corr("s5c", "s20c", 2, w).alias("a45_c2"),
         (ts.ts_sum(close, 7, w) / 7 - close).alias("a32_x"),
-        ts.ts_corr_fixed("vwap", "lag5c", 230, w).alias("a32_c"),
+        ts.ts_corr_fixed_expr("vwap", "lag5c", 230).alias("a32_c"),
         ts.ts_corr(high, vol.cast("double"), 10, w).alias("a40_c"),
         F.lag("d_oc", 1).over(w).alias("lag_doc"),
         F.when(F.col("a46_sd") > 0.25, F.lit(-1.0))
@@ -572,47 +572,47 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         )
         .otherwise(F.lit(-1.0))
         .alias("alpha_007"),
-        ts.ts_corr_fixed("a99_s1", "a99_s2", 8, w).alias("a99_c1"),
+        ts.ts_corr_fixed_expr("a99_s1", "a99_s2", 8).alias("a99_c1"),
         # sum(adv20,14) kept exact: sum the INTEGER 20-day volume sums,
         # divide once — order-independent on both engines
         (ts.ts_sum("sv20", 14, w) / 20.0).alias("a86_s"),
-        ts.ts_corr_fixed("d1", "a48_ld1", 250, w).alias("a48_c"),
+        ts.ts_corr_fixed_expr("d1", "a48_ld1", 250).alias("a48_c"),
         # batch-C third-pass terms
         F.when(F.col("a29_d").isNotNull(), ts.ts_rank("a29_d", 5, w)).alias("a29_tr"),
-        ts.ts_corr_fixed(-F.col("d_oc"), "lag_vol", 15, w).alias("a36_c1"),
-        ts.ts_corr_fixed("vwap", "adv20", 6, w).alias("a36_c2"),
+        ts.ts_corr_fixed_expr("(-d_oc)", "lag_vol", 15).alias("a36_c1"),
+        ts.ts_corr_fixed_expr("vwap", "adv20", 6).alias("a36_c2"),
         ((F.col("a36_m200") - open_) * (close - open_)).alias("a36_t"),
         (vol.cast("double") / F.col("adv20")).alias("a39_va"),
         ts.ts_sum("a56_s2", 3, w).alias("a56_ss"),
         (ts.ts_sum("sv20", 22, w) / 20.0).alias("a62_s"),
-        ts.ts_corr_fixed(open_, "a65_s", 6, w).alias("a65_c"),
+        ts.ts_corr_fixed_expr("open", "a65_s", 6).alias("a65_c"),
         ts.decay_linear("a66_dv", 7, w).alias("a66_dec1"),
         ts.decay_linear("a66_r", 11, w).alias("a66_dec2"),
-        ts.ts_corr_fixed("a71_t1", "a71_t2", 18, w, scale=100_000_000).alias("a71_c"),
-        ts.ts_corr_fixed("a72_t1", "a72_t2", 6, w, scale=100_000_000).alias("a72_c2"),
+        ts.ts_corr_fixed_expr("a71_t1", "a71_t2", 18, scale=100_000_000).alias("a71_c"),
+        ts.ts_corr_fixed_expr("a72_t1", "a72_t2", 6, scale=100_000_000).alias("a72_c2"),
         ts.decay_linear("a72_c1", 10, w).alias("a72_dec1"),
         ts.decay_linear("a73_d", 2, w).alias("a73_dec1"),
         ts.decay_linear("a73_r", 3, w).alias("a73_dec2"),
-        ts.ts_corr_fixed(close, "a74_s", 15, w).alias("a74_c1"),
+        ts.ts_corr_fixed_expr("close", "a74_s", 15).alias("a74_c1"),
         ts.decay_linear("a77_x", 20, w).alias("a77_dec1"),
         ts.decay_linear("a77_c", 5, w).alias("a77_dec2"),
-        ts.ts_corr_fixed("a85_wp", "adv30", 9, w).alias("a85_c1"),
-        ts.ts_corr_fixed("a85_t1", "a85_t2", 7, w, scale=100_000_000).alias("a85_c2"),
-        ts.ts_corr_fixed("a88_t1", "a88_t2", 8, w, scale=100_000_000).alias("a88_c2"),
+        ts.ts_corr_fixed_expr("a85_wp", "adv30", 9).alias("a85_c1"),
+        ts.ts_corr_fixed_expr("a85_t1", "a85_t2", 7, scale=100_000_000).alias("a85_c2"),
+        ts.ts_corr_fixed_expr("a88_t1", "a88_t2", 8, scale=100_000_000).alias("a88_c2"),
         ts.ts_rank("a92_dec1", 18, w).alias("a92_x"),
-        ts.ts_corr_fixed("a94_t1", "a94_t2", 18, w, scale=100_000_000).alias("a94_c"),
-        ts.ts_corr_fixed("a99_s1", "a95_s2", 12, w).alias("a95_c"),
-        ts.ts_corr_fixed("vwap", "a98_s", 4, w).alias("a98_c1"),
-        ts.ts_corr_fixed("adv20", low, 12, w).alias("a31_c"),
+        ts.ts_corr_fixed_expr("a94_t1", "a94_t2", 18, scale=100_000_000).alias("a94_c"),
+        ts.ts_corr_fixed_expr("a99_s1", "a95_s2", 12).alias("a95_c"),
+        ts.ts_corr_fixed_expr("vwap", "a98_s", 4).alias("a98_c1"),
+        ts.ts_corr_fixed_expr("adv20", "low", 12).alias("a31_c"),
         # batch-D third-pass terms
-        ts.ts_corr_fixed(close, "adv20", 4, w).alias("a69_c"),
-        ts.ts_corr_fixed("vwap", "a63_s", 13, w).alias("a63_c"),
-        ts.ts_corr_fixed("a64_s1", "a64_s2", 16, w).alias("a64_c"),
-        ts.ts_corr_fixed("vwap", "a81_s", 8, w).alias("a81_c"),
-        ts.ts_corr_fixed("a78_s1", "a95_s2", 6, w).alias("a78_c"),
-        ts.ts_corr_fixed("a96_tc", "a94_t2", 3, w, scale=100_000_000).alias("a96_c"),
-        ts.ts_corr_fixed("a72_t1", "a79_t2", 14, w, scale=100_000_000).alias("a79_c"),
-        ts.ts_corr_fixed("a97_tl", "a97_ta", 4, w, scale=100_000_000).alias("a97_c"),
+        ts.ts_corr_fixed_expr("close", "adv20", 4).alias("a69_c"),
+        ts.ts_corr_fixed_expr("vwap", "a63_s", 13).alias("a63_c"),
+        ts.ts_corr_fixed_expr("a64_s1", "a64_s2", 16).alias("a64_c"),
+        ts.ts_corr_fixed_expr("vwap", "a81_s", 8).alias("a81_c"),
+        ts.ts_corr_fixed_expr("a78_s1", "a95_s2", 6).alias("a78_c"),
+        ts.ts_corr_fixed_expr("a96_tc", "a94_t2", 3, scale=100_000_000).alias("a96_c"),
+        ts.ts_corr_fixed_expr("a72_t1", "a79_t2", 14, scale=100_000_000).alias("a79_c"),
+        ts.ts_corr_fixed_expr("a97_tl", "a97_ta", 4, scale=100_000_000).alias("a97_c"),
         ts.decay_linear("a70_dv", 11, w).alias("a76_dec"),
         ts.decay_linear("a89_c", 5, w).alias("a89_dec5"),
         F.when(F.col("a80_c").isNotNull(), ts.ts_rank("a80_c", 5, w)).alias("a80_tr"),
@@ -630,13 +630,13 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (F.col("a43_a") * F.col("a43_b")).alias("alpha_043"),
         # signedpower(ts_rank(vwap deviation), relative Δ5 close)
         (F.signum("a84_tr") * F.pow(F.abs("a84_tr"), F.col("rd5"))).alias("alpha_084"),
-        ts.ts_corr_fixed("lag_doc", "close", 200, w).alias("a37_c"),
-        ts.ts_corr_fixed("close", "a86_s", 6, w).alias("a86_c"),
+        ts.ts_corr_fixed_expr("lag_doc", "close", 200).alias("a37_c"),
+        ts.ts_corr_fixed_expr("close", "a86_s", 6).alias("a86_c"),
         ((F.col("a48_c") * F.col("d1")) / close).alias("a48_num"),
         # batch-C fourth-pass terms
         ts.decay_linear("a39_va", 9, w).alias("a39_dec"),
         (F.col("a56_s10") / F.col("a56_ss")).alias("a56_ratio"),
-        ts.ts_corr_fixed("vwap", "a62_s", 9, w).alias("a62_c"),
+        ts.ts_corr_fixed_expr("vwap", "a62_s", 9).alias("a62_c"),
         F.when(F.col("a66_dec2").isNotNull(), ts.ts_rank("a66_dec2", 6, w)).alias(
             "a66_tr"
         ),
@@ -949,34 +949,34 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (-1 * ts.ts_corr(high, "r_vol", 5, w)).alias("alpha_044"),
         # batch-A TS-over-rank correlations (exact fixed-point: rank
         # rationals quantized at 1e-8)
-        (-1 * ts.ts_corr_fixed("r55", "r_vol", 6, w, scale=100_000_000)).alias(
+        (-1 * ts.ts_corr_fixed_expr("r55", "r_vol", 6, scale=100_000_000)).alias(
             "alpha_055"
         ),
-        ts.ts_corr_fixed("r_vol", "r_vwap", 5, w, scale=100_000_000).alias("a50_c"),
-        ts.ts_corr_fixed("nv58", vol.cast("double"), 3, w).alias("a58_c"),
-        ts.ts_corr_fixed("nv59", vol.cast("double"), 4, w).alias("a59_c"),
+        ts.ts_corr_fixed_expr("r_vol", "r_vwap", 5, scale=100_000_000).alias("a50_c"),
+        ts.ts_corr_fixed_expr("nv58", "CAST(volume AS DOUBLE)", 3).alias("a58_c"),
+        ts.ts_corr_fixed_expr("nv59", "CAST(volume AS DOUBLE)", 4).alias("a59_c"),
         # batch-C TS-over-rank stage
         ts.ts_min("r29b", 2, w).alias("a29_min2"),
         ts.decay_linear("a31_neg", 10, w).alias("a31_dec"),
         ts.decay_linear("a71_sq", 16, w).alias("a71_dec2"),
-        ts.ts_corr_fixed("r_low", "r92adv", 7, w, scale=100_000_000).alias("a92_c"),
-        ts.ts_corr_fixed("r74w", "r_vol", 11, w, scale=100_000_000).alias("a74_c2"),
-        ts.ts_corr_fixed("r_low", "r75adv", 12, w, scale=100_000_000).alias("a75_c2"),
-        ts.ts_corr_fixed("r_open", "r98adv", 20, w, scale=100_000_000).alias("a98_c2"),
+        ts.ts_corr_fixed_expr("r_low", "r92adv", 7, scale=100_000_000).alias("a92_c"),
+        ts.ts_corr_fixed_expr("r74w", "r_vol", 11, scale=100_000_000).alias("a74_c2"),
+        ts.ts_corr_fixed_expr("r_low", "r75adv", 12, scale=100_000_000).alias("a75_c2"),
+        ts.ts_corr_fixed_expr("r_open", "r98adv", 20, scale=100_000_000).alias("a98_c2"),
         F.pow(F.col("r95c"), F.lit(5.0)).alias("a95_p"),
         ts.decay_linear("a88_comb", 8, w).alias("a88_dec1"),
         # batch-D TS-over-CS stage: corrs against the neutralized series
-        ts.ts_corr_fixed("n70", "adv50", 17, w).alias("c70"),
-        ts.ts_corr_fixed("n76", "adv81", 8, w).alias("c76"),
-        ts.ts_corr_fixed("n82", open_, 17, w).alias("c82"),
-        F.abs(ts.ts_corr_fixed("n87", close, 13, w)).alias("c87a"),
-        ts.ts_corr_fixed("n90", low, 5, w).alias("c90"),
-        ts.ts_corr_fixed("n70", vol.cast("double"), 9, w).alias("c91n"),
-        ts.ts_corr_fixed("nv59", "adv81", 17, w).alias("c93"),
-        ts.ts_corr_fixed("nv58", "n67", 6, w).alias("c67"),
-        ts.ts_corr_fixed("r_vwap", "r_vol", 3, w, scale=100_000_000).alias("c96b"),
-        ts.ts_corr_fixed("r_high", "r98adv", 8, w, scale=100_000_000).alias("c68x"),
-        ts.ts_corr_fixed(close, "r_adv20", 5, w).alias("c100"),
+        ts.ts_corr_fixed_expr("n70", "adv50", 17).alias("c70"),
+        ts.ts_corr_fixed_expr("n76", "adv81", 8).alias("c76"),
+        ts.ts_corr_fixed_expr("n82", "open", 17).alias("c82"),
+        F.abs(ts.ts_corr_fixed_expr("n87", "close", 13)).alias("c87a"),
+        ts.ts_corr_fixed_expr("n90", "low", 5).alias("c90"),
+        ts.ts_corr_fixed_expr("n70", "CAST(volume AS DOUBLE)", 9).alias("c91n"),
+        ts.ts_corr_fixed_expr("nv59", "adv81", 17).alias("c93"),
+        ts.ts_corr_fixed_expr("nv58", "n67", 6).alias("c67"),
+        ts.ts_corr_fixed_expr("r_vwap", "r_vol", 3, scale=100_000_000).alias("c96b"),
+        ts.ts_corr_fixed_expr("r_high", "r98adv", 8, scale=100_000_000).alias("c68x"),
+        ts.ts_corr_fixed_expr("close", "r_adv20", 5).alias("c100"),
         ts.delta("n70", 2, w).alias("a63_d"),
         ts.delta("nv59", 2, w).alias("a69_d"),
         ts.delta("n79", 1, w).alias("a79_d"),
@@ -986,7 +986,7 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         # alpha_081: rank((rank(corr))^4) == rank(corr) (x^4 is monotone and
         # tie-preserving on (0,1]), so product(·,14) has argument r81c and
         # log(product) = Σ log(r81c) — an exact fixed-point rolling sum
-        ts.ts_sum_fixed(F.log("r81c"), 14, w).alias("a81_lp"),
+        ts.ts_sum_fixed_expr("LN(r81c)", 14).alias("a81_lp"),
     )
     # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
     # is -alpha_006, so the product is rank · alpha_006.

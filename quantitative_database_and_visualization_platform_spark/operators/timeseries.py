@@ -216,6 +216,64 @@ def ts_sum_fixed(x: ColumnOrName, d: int, w: WindowSpec, scale: int = 100_000_00
     return s / float(scale)
 
 
+def _sql_w(part: str, order: str) -> str:
+    return f"PARTITION BY {part} ORDER BY {order}"
+
+
+_SQL_CUM_FRAME = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_SQL_DEC0 = "CAST(0 AS DECIMAL(38,0))"
+
+
+def _sql_q(x: str, scale: int) -> str:
+    return f"CAST(FLOOR(({x}) * {scale} + 0.5D) AS DECIMAL(19,0))"
+
+
+def _sql_cumdiff(x: str, both: str, d: int, part: str, order: str) -> str:
+    w = _sql_w(part, order)
+    cum = (
+        f"SUM(CASE WHEN {both} THEN {x} ELSE {_SQL_DEC0} END)"
+        f" OVER ({w} {_SQL_CUM_FRAME})"
+    )
+    prev = f"COALESCE(LAG({cum}, {d}) OVER ({w}), {_SQL_DEC0})"
+    return f"CAST(({cum} - {prev}) AS DOUBLE)"
+
+
+def ts_sum_fixed_expr(
+    x: str, d: int, part: str = "code", order: str = "d", scale: int = 100_000_000
+) -> Column:
+    """F.expr twin of ts_sum_fixed for SQL-snippet inputs: ONE parser
+    round-trip instead of ~15 py4j calls. Parses to the same expression
+    tree, so values are bit-identical (pinned by the oracle parity gate)."""
+    s = _sql_cumdiff(_sql_q(x, scale), f"(({x}) IS NOT NULL)", d, part, order)
+    return F.expr(f"{s} / {float(scale)!r}D")
+
+
+def ts_corr_fixed_expr(
+    x: str, y: str, d: int, part: str = "code", order: str = "d", scale: int = 1_000_000,
+    scale_y: int | None = None,
+) -> Column:
+    """F.expr twin of ts_corr_fixed — the Column version costs ~80 py4j
+    round-trips per call (the dominant share of the alpha DAG's Python
+    build time at ~50 call sites); this builds one SQL string and parses
+    once. Identical quantize/cumsum/difference/corr arithmetic."""
+    both = f"(({x}) IS NOT NULL AND ({y}) IS NOT NULL)"
+    qx = _sql_q(x, scale)
+    qy = _sql_q(y, scale_y if scale_y is not None else scale)
+    n = _sql_cumdiff("CAST(1 AS DECIMAL(19,0))", both, d, part, order)
+    sx = _sql_cumdiff(qx, both, d, part, order)
+    sy = _sql_cumdiff(qy, both, d, part, order)
+    sxx = _sql_cumdiff(f"{qx} * {qx}", both, d, part, order)
+    syy = _sql_cumdiff(f"{qy} * {qy}", both, d, part, order)
+    sxy = _sql_cumdiff(f"{qx} * {qy}", both, d, part, order)
+    varx = f"({sxx} - {sx} * {sx} / {n})"
+    vary = f"({syy} - {sy} * {sy} / {n})"
+    cov = f"({sxy} - {sx} * {sy} / {n})"
+    return F.expr(
+        f"CASE WHEN {n} >= 2 AND {varx} > 0 AND {vary} > 0"
+        f" THEN {cov} / SQRT({varx} * {vary}) END"
+    )
+
+
 def ts_corr_fixed(
     x: ColumnOrName, y: ColumnOrName, d: int, w: WindowSpec, scale: int = 1_000_000
 ) -> Column:
