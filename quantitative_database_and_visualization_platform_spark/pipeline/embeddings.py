@@ -157,6 +157,92 @@ def ann_multiprobe(
     )
 
 
+def l2_dist2(a: str, b: str) -> Column:
+    """Squared L2 distance of two float-array columns, accumulated in
+    double left-to-right (the DuckDB twin sums the same sequence)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        f" CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def o_l2_dist2(a: str, b: str, dims: int = DIMS) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def nearest_centroid(
+    vecs: DataFrame, cents: DataFrame, vec: str, id_col: str, out: str = "cid"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: broadcast the (small)
+    centroid table, distance per pair, keep rank-1 per vector. Distances
+    are floor-quantized at 1e-6 before the argmin so a sub-1e-6 float
+    divergence between engines becomes a tie broken deterministically by
+    centroid id rather than a different cluster."""
+    from pyspark.sql import Window
+
+    # floor-quantized integer distance key, not ROUND: the two engines'
+    # ROUND implementations disagree on "...5" boundary doubles, and a
+    # one-ulp key difference here would flip a cluster assignment
+    pairs = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "__dist", F.floor(l2_dist2(vec, "__cent") * 1_000_000 + F.lit(0.5)).cast("long")
+    )
+    pick = Window.partitionBy(id_col).orderBy("__dist", "__cid")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .withColumnRenamed("__cid", out)
+        .drop("__dist", "__rn", "__cent")
+    )
+
+
+def ivf_centroids(
+    assigned: DataFrame, vec: str, cid: str = "cid", scale: int = 1_000_000
+) -> DataFrame:
+    """One Lloyd refinement with engine-exact means: per (cluster, dim)
+    the mean is an integer sum of fixed-point quantized components (order
+    independent) divided by the count — both engines produce identical
+    centroid bits, so the subsequent argmin assignment cannot drift.
+    Scale shape: one posexplode (64x fan-out) + one groupBy for the
+    centroid build — a single aggregation pass over the corpus, done once
+    per index build, not per probe."""
+    per_dim = (
+        assigned.select(cid, F.posexplode(vec).alias("dim", "x"))
+        .groupBy(cid, "dim")
+        .agg(
+            F.sum(F.floor(F.col("x").cast("double") * scale + F.lit(0.5)).cast("long")).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            cid,
+            "dim",
+            ((F.col("qs").cast("double") / F.col("n")) / float(scale)).alias("c"),
+        )
+    )
+    return per_dim.groupBy(cid).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("__cent")
+    )
+
+
+def o_ivf_cents(src: str, cid: str = "cid", dims: int = DIMS, scale: int = 1_000_000) -> str:
+    """DuckDB twin of ivf_centroids over an assigned relation `src`."""
+    return f"""
+        SELECT {cid}, list(c ORDER BY dim) AS cent FROM (
+            SELECT {cid}, i - 1 AS dim,
+                   (CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*)) / {float(scale)!r} AS c
+            FROM {src}, range(1, {dims + 1}) t(i)
+            GROUP BY {cid}, i
+        ) GROUP BY {cid}
+    """
+
+
 def topk_cosine(
     corpus: DataFrame, probe: DataFrame, k: int, vec: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

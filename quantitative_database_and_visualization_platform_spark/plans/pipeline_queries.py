@@ -17,7 +17,12 @@ from ..pipeline.embeddings import (
     DIMS,
     N_PLANES,
     cosine,
+    ivf_centroids,
+    l2_dist2,
+    nearest_centroid,
     o_cosine,
+    o_ivf_cents,
+    o_l2_dist2,
     o_srp_bucket,
     srp_bucket,
     topk_cosine,
@@ -304,6 +309,88 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(5)
         .select("vec_id", "label", "bucket", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN: the inverted-file scale path next to SRP. Deterministic
+# seeds (the 8 smallest vec_ids) + ONE Lloyd refinement with engine-exact
+# fixed-point centroid means; every argmin works on floor-quantized integer
+# distance keys with centroid-id tie-breaks, so the cluster assignment is
+# bit-stable across engines. A probe touches only its 2 nearest clusters
+# (candidates ~ 2n/K), with exact cosine re-ranking on the candidates.
+# ---------------------------------------------------------------------------
+def _o_ivf() -> str:
+    d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS scid, embedding AS s FROM embeddings ORDER BY vec_id LIMIT 8
+    ), a1 AS (
+        SELECT vec_id, label, embedding, cid FROM (
+            SELECT e.vec_id, e.label, e.embedding, s.scid AS cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {d6(o_l2_dist2('e.embedding', 's.s'))}, s.scid) AS rn
+            FROM embeddings e, seeds s
+        ) WHERE rn = 1
+    ), cents AS ({o_ivf_cents('a1')}
+    ), a2 AS (
+        SELECT vec_id, label, embedding, cid FROM (
+            SELECT e.vec_id, e.label, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {d6(o_l2_dist2('e.embedding', 'c.cent'))}, c.cid) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+    ), pclusters AS (
+        SELECT cid FROM (
+            SELECT c.cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {d6(o_l2_dist2('p.p', 'c.cent'))}, c.cid) AS rn
+            FROM cents c, probe p
+        ) WHERE rn <= 2
+    )
+    SELECT a2.vec_id, a2.label, a2.cid AS cluster,
+           ROUND({o_cosine('a2.embedding', 'p.p')}, 6) AS cos
+    FROM a2 JOIN pclusters USING (cid), probe p
+    ORDER BY cos DESC, vec_id
+    LIMIT 5
+    """
+
+
+@query("embedding_ann_ivf", oracle=_o_ivf())
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    a1 = nearest_centroid(emb, seeds, "embedding", "vec_id")
+    cents = ivf_centroids(a1, "embedding").select(
+        F.col("cid").alias("__cid"), "__cent"
+    )
+    a2 = nearest_centroid(emb, cents, "embedding", "vec_id")
+    probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__p"))
+    pclusters = (
+        cents.crossJoin(F.broadcast(probe))
+        .withColumn(
+            "__dist",
+            F.floor(l2_dist2("__p", "__cent") * 1_000_000 + F.lit(0.5)).cast("long"),
+        )
+        .withColumn("__rn", F.row_number().over(Window.orderBy("__dist", "__cid")))
+        .filter(F.col("__rn") <= 2)
+        .select(F.col("__cid").alias("cid"))
+    )
+    return (
+        a2.join(F.broadcast(pclusters), "cid")
+        .crossJoin(F.broadcast(probe))
+        .withColumn("cos", F.round(cosine("embedding", "__p"), 6))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", F.col("cid").alias("cluster"), "cos")
     )
 
 

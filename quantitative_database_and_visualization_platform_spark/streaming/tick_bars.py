@@ -51,8 +51,13 @@ def streaming_minute_bars(events: DataFrame, watermark: str = "5 minutes") -> Da
     uses dropDuplicatesWithinWatermark — duplicates arriving within the
     watermark delay are dropped and state older than the watermark is
     evicted, bounding state by O(events per watermark window)."""
+    # event-time watermarks require TIMESTAMP; the driver's parquet may
+    # carry ts as TIMESTAMP_NTZ — with the session TZ pinned to UTC the
+    # cast is value-preserving (and a no-op for plain timestamps). Casting
+    # here keeps the batch twin on the identical path.
     ticks = (
-        events.withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
         .withColumn("turnover", F.col("value") * F.col("k"))  # compute-on-write
         .withWatermark("ts", watermark)
     )
