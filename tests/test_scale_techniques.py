@@ -113,3 +113,32 @@ def test_srp_multiprobe_recall(spark):
     # of the corpus) recovering >=30% of the exact top-k is the
     # above-chance bar; real clustered embeddings sit far higher
     assert r2 >= 0.3, f"multi-probe recall too low: {r2}"
+
+
+def test_ivf_ann_candidate_budget_and_recall(spark):
+    """IVF ANN (embedding_ann_ivf): probing 2 of 8 clusters must touch a
+    strict subset of the corpus (the scale contract: candidates ~ 2n/K),
+    and the exact re-ranked top-5 must overlap the brute-force top-5 —
+    on near-uniform synthetic embeddings the above-chance bar is loose,
+    but zero overlap would mean the clustering is broken."""
+    from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
+        topk_cosine,
+    )
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    probe = emb.filter(F.col("vec_id") == 0)
+    truth = {r.vec_id for r in topk_cosine(emb, probe, 5).select("vec_id").collect()}
+
+    got_rows = QUERIES["embedding_ann_ivf"](spark, SF).collect()
+    got = {r.vec_id for r in got_rows}
+    assert len(got_rows) == 5
+    # the probe vector itself lives in the probed cluster and is its own
+    # nearest neighbor — it must always be recovered
+    assert 0 in got
+    assert len(got & truth) >= 1, (got, truth)
+    # every returned row carries its cluster id; at most 2 distinct
+    # clusters may appear (the probe budget)
+    assert len({r.cluster for r in got_rows}) <= 2
