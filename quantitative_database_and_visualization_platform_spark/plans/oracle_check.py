@@ -116,18 +116,35 @@ def compare(spark_t: pa.Table, oracle_t: pa.Table) -> list[str]:
     return problems
 
 
+# per-query wall-times from the most recent check_query calls, so a
+# "driver can't finish the oracle" regression is visible in the parity
+# run before the driver ever sees it (tests/conftest.py dumps this to
+# ORACLE_TIMINGS.json at session end)
+TIMINGS: dict[str, dict[str, float]] = {}
+
+
 def check_query(spark, sf_dir: str, name: str) -> list[str]:
+    import time
+
     from . import ORACLES, QUERIES
     from ..session import release_managed
 
+    t0 = time.monotonic()
     try:
         sdf = QUERIES[name](spark, sf_dir).toArrow()
     finally:
         release_managed()
+    t_spark = time.monotonic() - t0
     if name not in ORACLES:
+        TIMINGS[name] = {"spark_s": round(t_spark, 2), "oracle_s": 0.0}
         # rows-only check for non-SQL-expressible ops: must produce data
         return [] if sdf.num_rows > 0 else ["rows-only query returned 0 rows"]
+    t1 = time.monotonic()
     odf = run_oracle(sf_dir, ORACLES[name])
+    TIMINGS[name] = {
+        "spark_s": round(t_spark, 2),
+        "oracle_s": round(time.monotonic() - t1, 2),
+    }
     return compare(sdf, odf)
 
 

@@ -12,3 +12,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("qdvp-tests", shuffle_partitions=8)
     yield s
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Dump per-query Spark/oracle wall-times collected by check_query so
+    an oracle-runtime regression is visible before the driver gate runs."""
+    import json
+    import pathlib
+
+    from quantitative_database_and_visualization_platform_spark.plans.oracle_check import TIMINGS
+
+    if TIMINGS:
+        out = pathlib.Path(__file__).resolve().parent.parent / "ORACLE_TIMINGS.json"
+        out.write_text(json.dumps(dict(sorted(TIMINGS.items())), indent=1) + "\n")

@@ -27,10 +27,63 @@ def test_query_matches_oracle(spark, name):
 
 def test_every_query_has_oracle_or_is_flagged():
     missing = sorted(set(QUERIES) - set(ORACLES))
-    # non-SQL-expressible ops are allowed to omit the oracle; keep the
-    # list explicit so additions are deliberate
-    allowed_rows_only = set()
+    # rows-only at the driver gate is allowed ONLY for queries whose
+    # full-width oracle cannot survive a default-config DuckDB (the
+    # vm.max_map_count failure that emptied CORRECTNESS_r03); their value
+    # parity is enforced below via PYTEST_ONLY_ORACLES instead
+    allowed_rows_only = {"alpha101_subset", "alpha_ic_scan"}
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
+
+
+@pytest.mark.parametrize("name", ["alpha101_subset", "alpha_ic_scan"])
+def test_full_width_alpha_oracles(spark, name):
+    """The full 101-column twins, driver-excluded but still enforced here
+    (run_oracle's mitigated config: 16 threads + spill dir)."""
+    from quantitative_database_and_visualization_platform_spark.plans.alpha_queries import (
+        PYTEST_ONLY_ORACLES,
+    )
+    from quantitative_database_and_visualization_platform_spark.plans.oracle_check import (
+        compare,
+        run_oracle,
+    )
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    try:
+        sdf = QUERIES[name](spark, SF_TEST).toArrow()
+    finally:
+        release_managed()
+    odf = run_oracle(SF_TEST, PYTEST_ONLY_ORACLES[name])
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in ORACLES if n.startswith(("alpha101_", "alpha_ic_")))
+)
+def test_gate_oracle_survives_default_duckdb(name):
+    """Regression test for the empty round-3 gate: every alpha-family
+    oracle handed to the driver must complete in a DuckDB session with NO
+    settings applied (default threads / memory / no spill dir) — the
+    configuration the driver's checker actually uses. Runs in a
+    subprocess so an allocator blow-up cannot poison this process."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "import duckdb\n"
+        "from quantitative_database_and_visualization_platform_spark.plans import ORACLES\n"
+        "from quantitative_database_and_visualization_platform_spark.sources.catalog import TABLES\n"
+        "con = duckdb.connect()\n"
+        "for t in TABLES:\n"
+        "    con.execute(f\"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{sf}/{{t}}.parquet')\")\n"
+        "r = con.execute(ORACLES[{name!r}]).arrow()\n"
+        "assert r.num_rows > 0\n"
+    ).format(root="/root/repo", sf=SF_TEST, name=name)
+    proc = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, f"{name} failed at default DuckDB config: {proc.stderr[-800:]}"
 
 
 def test_entry_smoke(spark):
