@@ -214,14 +214,26 @@ def build_suite(
     engine float determinism) each factor, keep the panel key. Rounding is
     the floor-based fixed-point convention (`registry.round6`) — plain
     ROUND(x, 6) diverges from DuckDB on "...5"-boundary doubles and can
-    emit a −0.0 that hashes differently from the other engine's 0.0."""
+    emit a −0.0 that hashes differently from the other engine's 0.0.
+
+    TWO-PHASE select, deliberately: ``round6`` references its argument
+    four times (isnan / +inf / −inf guards + the floor), so applying it
+    directly to a window expression plans the whole window tree 4× —
+    measured 2–3× slower suite builds in round 3. Materializing the raw
+    factor under a name first and rounding the *name reference* in a
+    second projection plans each window expression exactly once
+    (CollapseProject will not re-inline a multiply-referenced non-cheap
+    expression, SPARK-36718)."""
     from ..plans.registry import round6
 
     w = _bars_window()
-    out_cols: list[Column] = [F.col("code"), F.col("d")]
+    raw_cols: list[Column] = [F.col("code"), F.col("d")]
     for name, expr in columns.items():
         if name in gates:
             gate_col, gate_d = gates[name]
             expr = ts.gate(expr, gate_col, gate_d, w)
-        out_cols.append(round6(expr).alias(name))
-    return derived.select(*out_cols)
+        raw_cols.append(expr.alias(name))
+    raw = derived.select(*raw_cols)
+    return raw.select(
+        "code", "d", *[round6(F.col(name)).alias(name) for name in columns]
+    )
