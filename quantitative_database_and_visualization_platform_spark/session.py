@@ -34,6 +34,13 @@ def get_spark(app_name: str = "qdvp-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalesces by SHUFFLE BYTES, but the window-heavy factor
+        # stages are CPU-bound with tiny compressed shuffle output: the
+        # default 1MB floor collapsed the 101-alpha entity-axis stage to
+        # 5 tasks on 32 cores (43s of the 75s build). A 16KB floor lets
+        # parallelism-first coalescing keep all cores busy; at production
+        # scale partitions are far above 1MB so the floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
         .config("spark.sql.session.timeZone", "UTC")
         # ANSI mode (Spark 4 default) turns zero-variance corr/covar windows
         # into DIVIDE_BY_ZERO errors; the reference/pandas/DuckDB semantics
@@ -85,6 +92,8 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # see get_spark: keep CPU-bound window stages parallel at bench scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
