@@ -57,31 +57,35 @@ def with_cs_rank_block(
     orderBy, so Catalyst plans k separate Sort+Window passes, each
     buffering the FULL row width — measured ~100 passes × ~330 carried
     columns on the Alpha101 DAG, the dominant cost of the whole factor
-    build. One mapInPandas pass ranks all k columns in C (pandas
-    groupby.rank) with a single Arrow round-trip.
+    build. One grouped-pandas pass ranks all k columns in C (pandas
+    rank) per date instead.
 
-    CONTRACT: the input must already be hash-clustered by `date` (e.g. it
-    ran through a partitionBy(date) window stage) — the pandas pass
-    groups per partition, so a date split across partitions would rank
-    fragments. No repartition is done here precisely so the block rides
-    the SAME exchange as the surrounding cross-sectional stage. Memory is
-    O(partition) in pandas, like the EMA path (timeseries.py).
+    Shape: ``groupBy(date).applyInPandas`` — NOT mapInPandas. The grouped
+    form declares ClusteredDistribution(date), so Catalyst itself
+    guarantees a date is never ranked in fragments (the earlier
+    mapInPandas version relied on an unenforced "input is already
+    date-clustered" contract that a future upstream repartition would
+    have broken silently), and when the input already went through a
+    partitionBy(date) window stage the existing exchange satisfies the
+    distribution — no new shuffle, just a near-free sort on the already
+    date-prefixed rows. Pandas memory is O(one date's cross-section),
+    not O(partition), so the block survives any input scale without a
+    size-derived partition count.
 
-    NaN caveat: a true NaN input ranks as null here (pandas skips NaN),
-    while the window cs_rank counts it as the greatest value; callers
-    feed NULL-or-finite columns (SQL arithmetic yields NULL, not NaN).
+    NaN policy: the sources must be NULL-or-finite (SQL arithmetic yields
+    NULL, not NaN). pandas would silently rank NaN as null while the
+    window cs_rank ranks it greatest, so a NaN input raises at runtime
+    (raise_error guard below) instead of diverging quietly.
 
-    `keep`: MapInPandas is a column-pruning BARRIER — Catalyst cannot see
-    through the Python function, so without help every upstream
-    intermediate flows through the block (and through every downstream
-    exchange) even when nothing ever reads it again. Pass the set of
-    columns genuinely referenced downstream and the block projects down
-    to keep ∪ sources first, restoring pruning for the whole upstream
-    plan. Dropping a needed column fails analysis loudly at build time,
-    so the list is safe to maintain mechanically.
+    `keep`: the Python function is a column-pruning BARRIER — Catalyst
+    cannot see through it, so without help every upstream intermediate
+    flows through the block (and through every downstream exchange) even
+    when nothing ever reads it again. Pass the set of columns genuinely
+    referenced downstream and the block projects down to keep ∪ sources
+    first, restoring pruning for the whole upstream plan. Dropping a
+    needed column fails analysis loudly at build time, so the list is
+    safe to maintain mechanically.
     """
-    from collections.abc import Iterator
-
     import pandas as pd
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -94,24 +98,26 @@ def with_cs_rank_block(
     )
     items = list(specs.items())
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunks = list(batches)
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        grouped = pdf.groupby(pdf[date], sort=False)
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
         ranked = {
-            out: grouped[src].rank(method="average", pct=True) for out, src in items
+            out: pdf[src].rank(method="average", pct=True) for out, src in items
         }
-        yield pd.concat([pdf, pd.DataFrame(ranked)], axis=1)
+        return pd.concat([pdf, pd.DataFrame(ranked)], axis=1)
 
-    out = df.mapInPandas(compute, schema=out_schema)
+    out = df.groupBy(date).applyInPandas(compute, schema=out_schema)
     # Arrow hands SQL NULL to pandas as NaN and the NaN rank comes back as
-    # NaN, not NULL — restore the null mask from the source column
+    # NaN, not NULL — restore the null mask from the source column. The
+    # isnan branch makes a true-NaN source loud (it would otherwise rank
+    # differently from the window cs_rank / the SQL oracle).
     return out.select(
         *df.columns,
         *[
-            F.when(F.col(src).isNotNull(), F.col(out_col)).alias(out_col)
+            F.when(
+                F.col(src).isNotNull() & F.isnan(F.col(src)),
+                F.raise_error(F.lit(f"cs_rank block: NaN in source column {src}")),
+            )
+            .when(F.col(src).isNotNull(), F.col(out_col))
+            .alias(out_col)
             for out_col, src in items
         ],
     )
