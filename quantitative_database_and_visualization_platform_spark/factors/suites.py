@@ -56,9 +56,16 @@ def _mad(x: Column | str, d: int, w: WindowSpec) -> Column:
 
 
 def technical_columns(w: WindowSpec) -> dict[str, Column]:
-    """~20 technical factors (`basic factor_function.md:6-28`). Keys are
-    output column names; values are ungated Column expressions (callers
-    gate + round)."""
+    """Technical factors (`basic factor_function.md:6-28`,
+    `factor_db_ddl.md:88-104`). Keys are output column names; values are
+    ungated Column expressions (callers gate + round).
+
+    Both the reference window lengths (ma_60, vroc_20, aroon_osc_25,
+    amihud_illiq_20, …) and panel-fit shortened twins (vroc_5,
+    aroon_osc_10, amihud_10, …) are emitted: the synthetic panel spans
+    only ~30 trading days per code, so the 60-day columns are min_periods
+    NULL there — the gate hashes them as NULL on both engines — while the
+    shortened twins exercise the same operator with real values."""
     close, high, low, vol = F.col("close"), F.col("high"), F.col("low"), F.col("volume")
     ma5 = ts.ts_mean(close, 5, w)
     ma20 = ts.ts_mean(close, 20, w)
@@ -90,26 +97,38 @@ def technical_columns(w: WindowSpec) -> dict[str, Column]:
     neg_mf = ts.ts_sum(mf * (1 - tp_up), 14, w)
     # Amihud illiquidity (ppm): |ret| per unit amount
     amihud = ts.ts_mean(F.abs(F.col("ret")) / F.col("amount") * 1e6, 10, w)
+    # reference-length twins (factor_db_ddl.md:88-104 / html sample row)
+    ma60 = ts.ts_mean(close, 60, w)
+    vwap20 = ts.ts_sum("amount", 20, w) / ts.ts_sum(vol, 20, w)
     return {
         "ma_5": ma5,
         "ma_20": ma20,
+        "ma_60": ma60,
         "bias_20": (close - ma20) / ma20,
+        "bias_60": (close - ma60) / ma60,
         "boll_upper": ma20 + 2 * std20,
         "boll_lower": ma20 - 2 * std20,
         "rsi_14": 100 * avg_up / (avg_up + avg_down),
         "atr_14": ts.ts_mean(tr, 14, w),
+        "natr_14": ts.ts_mean(tr, 14, w) / close * 100,
         "cci_14": cci,
         "wr_14": (h14 - close) / (h14 - l14) * -100,
         "psy_12": ts.ts_sum("up_day", 12, w) / 12.0 * 100,
         "vroc_5": vol / F.lag(vol, 5).over(w) - 1,
+        "vroc_20": vol / F.lag(vol, 20).over(w) - 1,
         "obv_slope_5": (obv - F.lag(obv, 5).over(w)) / 5.0,
+        "obv_slope_20": (obv - F.lag(obv, 20).over(w)) / 20.0,
         "vwap_bias_10": (close - vwap10) / vwap10,
+        "vwap_bias_20": (close - vwap20) / vwap20,
         "ui_14": F.sqrt(ts.ts_mean(dd * dd, 14, w)),
         "aroon_osc_10": aroon_osc,
+        "aroon_osc_25": (ts.ts_argmin(low, 25, w) - ts.ts_argmax(high, 25, w)) * 4.0,
         "chop_14": chop,
         "mfi_14": 100 * pos_mf / (pos_mf + neg_mf),
         "amihud_10": amihud,
+        "amihud_illiq_20": ts.ts_mean(F.abs(F.col("ret")) / F.col("amount") * 1e6, 20, w),
         "turnover_std_10": ts.ts_stddev(vol.cast("double"), 10, w),
+        "turnover_std_20": ts.ts_stddev(vol.cast("double"), 20, w),
         "cv_20": std20 / ma20,
     }
 
@@ -125,18 +144,29 @@ def momentum_columns(w: WindowSpec) -> dict[str, Column]:
     v_down = ts.ts_sum(vol * down, 10, w)
     v_flat = ts.ts_sum(vol * flat, 10, w)
     l20, h20 = ts.ts_min(low, 20, w), ts.ts_max(high, 20, w)
+    l60, h60 = ts.ts_min(low, 60, w), ts.ts_max(high, 60, w)
+    v_up26 = ts.ts_sum(vol * up, 26, w)
+    v_down26 = ts.ts_sum(vol * down, 26, w)
+    v_flat26 = ts.ts_sum(vol * flat, 26, w)
     return {
         "roc_5": roc5,
         "roc_20": close / F.lag(close, 20).over(w) - 1,
+        "roc_60": close / F.lag(close, 60).over(w) - 1,
         "volatility_10": ts.ts_stddev("ret", 10, w),
+        "volatility_20": ts.ts_stddev("ret", 20, w),
         "turnover_mean_5": ts.ts_mean(vol.cast("double"), 5, w),
         "amplitude_mean_5": ts.ts_mean((high - low) / F.col("prev_close"), 5, w),
         "pos_20": (close - l20) / (h20 - l20),
+        "pos_60": (close - l60) / (h60 - l60),
         "mom_acc_5": roc5 - F.lag(roc5, 5).over(w),
         "vr_10": (v_up + 0.5 * v_flat) / (v_down + 0.5 * v_flat),
+        "vr_26": (v_up26 + 0.5 * v_flat26) / (v_down26 + 0.5 * v_flat26),
         "skew_10": ts.ts_skew("ret", 10, w),
+        "skew_20": ts.ts_skew("ret", 20, w),
         "kurt_10": ts.ts_kurt("ret", 10, w),
+        "kurt_20": ts.ts_kurt("ret", 20, w),
         "linreg_slope_10": ts.ts_regr_slope(close, 10, w),
+        "linear_reg_slope_20": ts.ts_regr_slope(close, 20, w),
     }
 
 
@@ -160,6 +190,10 @@ def value_columns(w: WindowSpec) -> dict[str, Column]:
         "roe_ttm": pb / pe,
         "pe_zscore_20": ts.ts_zscore(pe, 20, w),
         "pb_zscore_20": ts.ts_zscore(pb, 20, w),
+        # reference lengths (`factor_db_ddl.md:121-122`): NULL-gated on
+        # the ~30-day synthetic panel, live on real spans
+        "pe_zscore_60": ts.ts_zscore(pe, 60, w),
+        "pb_zscore_60": ts.ts_zscore(pb, 60, w),
     }
 
 
@@ -170,7 +204,14 @@ def value_columns(w: WindowSpec) -> dict[str, Column]:
 TECHNICAL_GATES: dict[str, tuple[str, int]] = {
     "ma_5": ("close", 5),
     "ma_20": ("close", 20),
+    "ma_60": ("close", 60),
     "bias_20": ("close", 20),
+    "bias_60": ("close", 60),
+    "natr_14": ("tr", 14),
+    "vwap_bias_20": ("amount", 20),
+    "aroon_osc_25": ("high", 25),
+    "amihud_illiq_20": ("ret", 20),
+    "turnover_std_20": ("volume", 20),
     "boll_upper": ("close", 20),
     "boll_lower": ("close", 20),
     "rsi_14": ("prev_close", 14),
@@ -190,18 +231,26 @@ TECHNICAL_GATES: dict[str, tuple[str, int]] = {
 
 MOMENTUM_GATES: dict[str, tuple[str, int]] = {
     "volatility_10": ("ret", 10),
+    "volatility_20": ("ret", 20),
     "turnover_mean_5": ("volume", 5),
     "amplitude_mean_5": ("prev_close", 5),
     "pos_20": ("close", 20),
+    "pos_60": ("close", 60),
     "vr_10": ("prev_close", 10),
+    "vr_26": ("prev_close", 26),
     "skew_10": ("ret", 10),
+    "skew_20": ("ret", 20),
     "kurt_10": ("ret", 10),
+    "kurt_20": ("ret", 20),
     "linreg_slope_10": ("close", 10),
+    "linear_reg_slope_20": ("close", 20),
 }
 
 VALUE_GATES: dict[str, tuple[str, int]] = {
     "pe_zscore_20": ("close", 20),
     "pb_zscore_20": ("close", 20),
+    "pe_zscore_60": ("close", 60),
+    "pb_zscore_60": ("close", 60),
 }
 
 

@@ -80,6 +80,8 @@ def _o_technical() -> str:
                AVG(tp) OVER ({_f(14)}) AS m_tp,
                list(high) OVER ({_f(10)}) AS l_h10,
                list(low) OVER ({_f(10)}) AS l_l10,
+               list(high) OVER ({_f(25)}) AS l_h25,
+               list(low) OVER ({_f(25)}) AS l_l25,
                (close - MAX(close) OVER ({_f(14)}))
                    / MAX(close) OVER ({_f(14)}) * 100 AS dd14
         FROM ext2
@@ -87,34 +89,51 @@ def _o_technical() -> str:
     SELECT code, d,
       {o_round6(_o_gate(f"AVG(close) OVER ({_f(5)})", 'close', 5))} AS ma_5,
       {o_round6(_o_gate(ma20, 'close', 20))} AS ma_20,
+      {o_round6(_o_gate(f"AVG(close) OVER ({_f(60)})", 'close', 60))} AS ma_60,
       {o_round6(_o_gate(f"(close - {ma20}) / {ma20}", 'close', 20))} AS bias_20,
+      {o_round6(_o_gate(
+          f"(close - AVG(close) OVER ({_f(60)})) / (AVG(close) OVER ({_f(60)}))",
+          'close', 60))} AS bias_60,
       {o_round6(_o_gate(f"{ma20} + 2 * {std20}", 'close', 20))} AS boll_upper,
       {o_round6(_o_gate(f"{ma20} - 2 * {std20}", 'close', 20))} AS boll_lower,
       {o_round6(_o_gate(f"100 * {avg_up} / ({avg_up} + {avg_down})", 'prev_close', 14))} AS rsi_14,
       {o_round6(_o_gate(f"AVG(tr) OVER ({_f(14)})", 'tr', 14))} AS atr_14,
+      {o_round6(_o_gate(f"AVG(tr) OVER ({_f(14)}) / close * 100", 'tr', 14))} AS natr_14,
       {o_round6(_o_gate(
           f"(tp - m_tp) / (0.015 * (list_sum(list_transform(l_tp, v -> ABS(v - m_tp))) / len(l_tp)))",
           'tp', 14))} AS cci_14,
       {o_round6(_o_gate(f"({h14} - close) / ({h14} - {l14}) * -100", 'close', 14))} AS wr_14,
       {o_round6(_o_gate(f"SUM(up_day) OVER ({_f(12)}) / 12.0 * 100", 'up_day', 12))} AS psy_12,
       {o_round6(f"volume / LAG(volume, 5) OVER ({_W}) - 1")} AS vroc_5,
+      {o_round6(f"volume / LAG(volume, 20) OVER ({_W}) - 1")} AS vroc_20,
       {o_round6(f"(obv - LAG(obv, 5) OVER ({_W})) / 5.0")} AS obv_slope_5,
+      {o_round6(f"(obv - LAG(obv, 20) OVER ({_W})) / 20.0")} AS obv_slope_20,
       {o_round6(_o_gate(
           f"(close - SUM(amount) OVER ({_f(10)}) / SUM(volume) OVER ({_f(10)}))"
           f" / (SUM(amount) OVER ({_f(10)}) / SUM(volume) OVER ({_f(10)}))",
           'amount', 10))} AS vwap_bias_10,
+      {o_round6(_o_gate(
+          f"(close - SUM(amount) OVER ({_f(20)}) / SUM(volume) OVER ({_f(20)}))"
+          f" / (SUM(amount) OVER ({_f(20)}) / SUM(volume) OVER ({_f(20)}))",
+          'amount', 20))} AS vwap_bias_20,
       {o_round6(_o_gate(f"SQRT(AVG(dd14 * dd14) OVER ({_f(14)}))", 'close', 14))} AS ui_14,
       {o_round6(_o_gate(
           "(CAST(len(l_l10) - list_position(l_l10, list_aggregate(l_l10, 'min')) AS DOUBLE)"
           " - CAST(len(l_h10) - list_position(l_h10, list_aggregate(l_h10, 'max')) AS DOUBLE)) * 10.0",
           'high', 10))} AS aroon_osc_10,
       {o_round6(_o_gate(
+          "(CAST(len(l_l25) - list_position(l_l25, list_aggregate(l_l25, 'min')) AS DOUBLE)"
+          " - CAST(len(l_h25) - list_position(l_h25, list_aggregate(l_h25, 'max')) AS DOUBLE)) * 4.0",
+          'high', 25))} AS aroon_osc_25,
+      {o_round6(_o_gate(
           f"100 * LOG10(SUM(tr) OVER ({_f(14)}) / (MAX(high) OVER ({_f(14)}) - MIN(low) OVER ({_f(14)})))"
           f" / LOG10(14.0)",
           'tr', 14))} AS chop_14,
       {o_round6(_o_gate(f"100 * {pos_mf} / ({pos_mf} + {neg_mf})", 'tp', 14))} AS mfi_14,
       {o_round6(_o_gate(f"AVG(ABS(ret) / amount * 1e6) OVER ({_f(10)})", 'ret', 10))} AS amihud_10,
+      {o_round6(_o_gate(f"AVG(ABS(ret) / amount * 1e6) OVER ({_f(20)})", 'ret', 20))} AS amihud_illiq_20,
       {o_round6(_o_gate(f"STDDEV_SAMP(CAST(volume AS DOUBLE)) OVER ({_f(10)})", 'volume', 10))} AS turnover_std_10,
+      {o_round6(_o_gate(f"STDDEV_SAMP(CAST(volume AS DOUBLE)) OVER ({_f(20)})", 'volume', 20))} AS turnover_std_20,
       {o_round6(_o_gate(f"{std20} / {ma20}", 'close', 20))} AS cv_20
     FROM ext3
     """
@@ -146,15 +165,28 @@ def _o_momentum() -> str:
     SELECT code, d,
       {o_round6("roc5")} AS roc_5,
       {o_round6(f"close / LAG(close, 20) OVER ({_W}) - 1")} AS roc_20,
+      {o_round6(f"close / LAG(close, 60) OVER ({_W}) - 1")} AS roc_60,
       {o_round6(_o_gate(f"STDDEV_SAMP(ret) OVER ({_f(10)})", 'ret', 10))} AS volatility_10,
+      {o_round6(_o_gate(f"STDDEV_SAMP(ret) OVER ({_f(20)})", 'ret', 20))} AS volatility_20,
       {o_round6(_o_gate(f"AVG(CAST(volume AS DOUBLE)) OVER ({_f(5)})", 'volume', 5))} AS turnover_mean_5,
       {o_round6(_o_gate(f"AVG((high - low) / prev_close) OVER ({_f(5)})", 'prev_close', 5))} AS amplitude_mean_5,
       {o_round6(_o_gate(f"(close - {l20}) / ({h20} - {l20})", 'close', 20))} AS pos_20,
+      {o_round6(_o_gate(
+          f"(close - MIN(low) OVER ({_f(60)})) / (MAX(high) OVER ({_f(60)}) - MIN(low) OVER ({_f(60)}))",
+          'close', 60))} AS pos_60,
       {o_round6(f"roc5 - LAG(roc5, 5) OVER ({_W})")} AS mom_acc_5,
       {o_round6(_o_gate(f"({v_up} + 0.5 * {v_flat}) / ({v_down} + 0.5 * {v_flat})", 'prev_close', 10))} AS vr_10,
+      {o_round6(_o_gate(
+          f"(SUM(volume * up_day) OVER ({_f(26)}) + 0.5 * SUM(volume * flat_day) OVER ({_f(26)}))"
+          f" / (SUM(volume * (1 - up_day) * (1 - flat_day)) OVER ({_f(26)})"
+          f" + 0.5 * SUM(volume * flat_day) OVER ({_f(26)}))",
+          'prev_close', 26))} AS vr_26,
       {o_round6(_o_gate(f"SKEWNESS(ret) OVER ({_f(10)})", 'ret', 10))} AS skew_10,
+      {o_round6(_o_gate(f"SKEWNESS(ret) OVER ({_f(20)})", 'ret', 20))} AS skew_20,
       {o_round6(_o_gate(f"KURTOSIS(ret) OVER ({_f(10)})", 'ret', 10))} AS kurt_10,
-      {o_round6(_o_gate(f"REGR_SLOPE(close, rn) OVER ({_f(10)})", 'close', 10))} AS linreg_slope_10
+      {o_round6(_o_gate(f"KURTOSIS(ret) OVER ({_f(20)})", 'ret', 20))} AS kurt_20,
+      {o_round6(_o_gate(f"REGR_SLOPE(close, rn) OVER ({_f(10)})", 'close', 10))} AS linreg_slope_10,
+      {o_round6(_o_gate(f"REGR_SLOPE(close, rn) OVER ({_f(20)})", 'close', 20))} AS linear_reg_slope_20
     FROM m1
     """
 
@@ -172,8 +204,8 @@ def factor_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _o_value() -> str:
     pe, pb = "(close/open)", "(close/low)"
 
-    def z(x: str) -> str:
-        return f"({x} - AVG({x}) OVER ({_f(20)})) / STDDEV_SAMP({x}) OVER ({_f(20)})"
+    def z(x: str, d: int = 20) -> str:
+        return f"({x} - AVG({x}) OVER ({_f(d)})) / STDDEV_SAMP({x}) OVER ({_f(d)})"
 
     return f"""
     WITH {O_BARS}, {O_FUND},
@@ -190,6 +222,8 @@ def _o_value() -> str:
       {o_round6(f"{pb} / {pe}")} AS roe_ttm,
       {o_round6(_o_gate(z(pe), 'close', 20))} AS pe_zscore_20,
       {o_round6(_o_gate(z(pb), 'close', 20))} AS pb_zscore_20,
+      {o_round6(_o_gate(z(pe, 60), 'close', 60))} AS pe_zscore_60,
+      {o_round6(_o_gate(z(pb, 60), 'close', 60))} AS pb_zscore_60,
       {o_round6("dps / close")} AS dividend_yield,
       {o_round6("yoy_np")} AS yoy_net_profit
     FROM vb
