@@ -985,8 +985,13 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.delta("n97v", 3, w).alias("a97_d"),
         # alpha_081: rank((rank(corr))^4) == rank(corr) (x^4 is monotone and
         # tie-preserving on (0,1]), so product(·,14) has argument r81c and
-        # log(product) = Σ log(r81c) — an exact fixed-point rolling sum
-        ts.ts_sum_fixed_expr("LN(r81c)", 14).alias("a81_lp"),
+        # log(product) = Σ log(r81c) — an exact fixed-point rolling sum.
+        # LN is the one transcendental feeding the fixed-point path: Java
+        # Math.log and DuckDB's libm may differ by 1 ulp on the same rank
+        # rational, and a quantization-boundary hit would flip the sum;
+        # pre-round to 9dp on BOTH engines (same convention as the other
+        # non-exact rank inputs) so the quantized integers always agree.
+        ts.ts_sum_fixed_expr("ROUND(LN(r81c), 9)", 14).alias("a81_lp"),
     )
     # alpha_014 = (-1·rank(Δreturns)) · corr(open, volume, 10); the corr
     # is -alpha_006, so the product is rank · alpha_006.

@@ -848,7 +848,7 @@ def _o_alphas() -> str:
                    **_o_cums_corr('q96b', 'r_vwap', 'r_vol', scale=100_000_000),
                    **_o_cums_corr('q68', 'r_high', 'r98adv', scale=100_000_000),
                    **_o_cums_corr('q100', 'close', 'r_adv20'),
-                   **_o_cums_sum('q81l', 'LN(r81c)'),
+                   **_o_cums_sum('q81l', 'ROUND(LN(r81c), 9)'),
                }.items())}
         FROM p2e
     ), p3b AS (
