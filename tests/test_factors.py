@@ -4,6 +4,7 @@ golden-formula spot checks on a tiny hand-computable panel."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -11,6 +12,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
+# checkpoint-resumability parity can be exercised at any scale, e.g.
+# SPARK_GRAFT_CKPT_SF=/root/testdata/sf0.1 for the end-to-end run (kept
+# off the default suite for runtime; the sf0.1 run is recorded in the
+# round-4 commit message)
+SF_CKPT = os.environ.get("SPARK_GRAFT_CKPT_SF", SF)
 
 
 def test_alpha_checkpoints_match_unchcked(spark):
@@ -20,7 +26,7 @@ def test_alpha_checkpoints_match_unchcked(spark):
     )
     from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
 
-    bars = daily_bars(spark, SF)
+    bars = daily_bars(spark, SF_CKPT)
     tmp = tempfile.mkdtemp(prefix="qdvp_alpha_ckpt_")
     try:
         direct = (
