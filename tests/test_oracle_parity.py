@@ -65,25 +65,41 @@ def test_gate_oracle_survives_default_duckdb(name):
     oracle handed to the driver must complete in a DuckDB session with NO
     settings applied (default threads / memory / no spill dir) — the
     configuration the driver's checker actually uses. Runs in a
-    subprocess so an allocator blow-up cannot poison this process."""
+    subprocess so an allocator blow-up cannot poison this process.
+
+    Also asserts the peak memory-mapping count stays under 80% of the
+    kernel's vm.max_map_count (65530): the round-3 failure mode was mmap
+    exhaustion reported as a spurious DuckDB OutOfMemory, and the margin
+    should not silently erode as alphas are added to a part."""
     import subprocess
     import sys as _sys
 
     code = (
-        "import sys; sys.path.insert(0, {root!r})\n"
+        "import sys, time, threading; sys.path.insert(0, {root!r})\n"
         "import duckdb\n"
         "from quantitative_database_and_visualization_platform_spark.plans import ORACLES\n"
         "from quantitative_database_and_visualization_platform_spark.sources.catalog import TABLES\n"
+        "peak=[0]; done=[False]\n"
+        "def mon():\n"
+        "    while not done[0]:\n"
+        "        peak[0]=max(peak[0],sum(1 for _ in open('/proc/self/maps'))); time.sleep(0.05)\n"
+        "threading.Thread(target=mon,daemon=True).start()\n"
         "con = duckdb.connect()\n"
         "for t in TABLES:\n"
         "    con.execute(f\"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{sf}/{{t}}.parquet')\")\n"
         "r = con.execute(ORACLES[{name!r}]).arrow()\n"
+        "done[0]=True; time.sleep(0.1)\n"
         "assert r.num_rows > 0\n"
+        "print('PEAKMAPS', peak[0])\n"
     ).format(root="/root/repo", sf=SF_TEST, name=name)
     proc = subprocess.run(
         [_sys.executable, "-c", code], capture_output=True, text=True, timeout=600
     )
     assert proc.returncode == 0, f"{name} failed at default DuckDB config: {proc.stderr[-800:]}"
+    peak = next(
+        (int(ln.split()[1]) for ln in proc.stdout.splitlines() if ln.startswith("PEAKMAPS")), 0
+    )
+    assert peak < 52_000, f"{name}: peak mmap count {peak} is within 20% of vm.max_map_count"
 
 
 def test_entry_smoke(spark):
