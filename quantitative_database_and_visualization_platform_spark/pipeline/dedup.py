@@ -108,11 +108,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def jaccard_verified_pairs(
     candidates: DataFrame, shingled: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (intersection via
-    filter/contains on the distinct shingle sets)."""
+    """Exact Jaccard on candidate pairs only. Intersection size via
+    array_intersect (hash-based, O(|sa|+|sb|)) — the lambda
+    filter/array_contains form is O(|sa|·|sb|) per pair and was the
+    dominant cost of the verify stage; both operands are DISTINCT
+    shingle sets so the intersect's dedup semantics change nothing."""
     sa = shingled.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
     sb = shingled.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
-    inter = F.expr("CAST(size(filter(sa, x -> array_contains(sb, x))) AS DOUBLE)")
+    inter = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)")
     union = F.size("sa") + F.size("sb") - inter
     return (
         candidates.join(sa, "a_id")
@@ -120,6 +123,68 @@ def jaccard_verified_pairs(
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def prefix_ordered_shingles(
+    shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ordered): each doc's DISTINCT shingles sorted by (global
+    frequency asc, shingle asc) — the canonical token order for prefix
+    filtering. Rarest-first means prefix tokens land in the smallest
+    join buckets. One explode + one groupBy aggregate; the frequency
+    side is an aggregate of the same exploded relation (map-side
+    combined), so the whole ordering costs two shuffles on (shingle) and
+    (doc) regardless of corpus size."""
+    tok = shingled.select(id_col, F.explode("shingles").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok.join(freq, "s")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("cnt", "s"))).alias("os"))
+        .select(id_col, F.expr("transform(os, x -> x.s)").alias("ordered"))
+    )
+
+
+def with_prefix(ordered: DataFrame, threshold: float, id_col: str = "doc_id") -> DataFrame:
+    """(id, pref): each doc's prefix tokens for an EXACT Jaccard join at
+    `threshold` (public prefix-filtering principle: if J(a,b) >= t then a
+    and b share at least one token among each set's first
+    |s| - ceil(t*|s|) + 1 tokens under any global total order). Callers
+    should persist the result before exploding it (Generate collapse
+    would re-evaluate the slice per emitted element)."""
+    return ordered.select(
+        id_col,
+        F.expr(
+            f"slice(ordered, 1, size(ordered) - CAST(ceil({threshold} * size(ordered)) AS INT) + 1)"
+        ).alias("pref"),
+        F.size("ordered").alias("n_tok"),
+    )
+
+
+def prefix_filter_candidates(
+    pref: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs from shared-prefix-token buckets — rarest tokens,
+    so bucket sizes stay small — never an all-pairs product; exact
+    Jaccard then verifies candidates only. The PPJoin length filter
+    (J >= t forces t*|a| <= |b| and t*|b| <= |a|) prunes
+    size-incompatible pairs inside the join before the distinct, which
+    cuts the exact-verify workload severalfold at no recall cost. The
+    exact-similarity twin of the MinHash band join (which trades
+    exactness for fewer candidates)."""
+    ptok = pref.select(id_col, "n_tok", F.explode("pref").alias("s"))
+    a, b = ptok.alias("a"), ptok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n_tok") >= threshold * F.col("a.n_tok"))
+            & (F.col("a.n_tok") >= threshold * F.col("b.n_tok")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a_id"), F.col(f"b.{id_col}").alias("b_id"))
+        .distinct()
     )
 
 

@@ -151,6 +151,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity join via prefix filtering: distinct
+# 3-word shingles ordered rarest-first, candidates only from shared
+# prefix-token buckets (PPJoin principle — provably no missed pair at
+# the threshold), exact Jaccard verify. The exact-similarity twin of
+# dedup_minhash_lsh: same output shape, no approximation.
+# ---------------------------------------------------------------------------
+_NGRAM_T = 0.6
+
+
+def _o_ngram_jaccard() -> str:
+    return f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    tok AS (
+        SELECT doc_id, UNNEST(s) AS tk FROM sh
+    ), freq AS (
+        SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+    ), ordered AS (
+        SELECT doc_id, array_agg(tok.tk ORDER BY cnt, tok.tk) AS os
+        FROM tok JOIN freq ON tok.tk = freq.tk GROUP BY doc_id
+    ), pref AS (
+        SELECT doc_id,
+               os[1 : len(os) - CAST(ceil({_NGRAM_T} * len(os)) AS INT) + 1] AS p,
+               len(os) AS n_tok
+        FROM ordered
+    ), ptok AS (
+        SELECT doc_id, n_tok, UNNEST(p) AS tk FROM pref
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM ptok x JOIN ptok y
+          ON x.tk = y.tk AND x.doc_id < y.doc_id
+         AND y.n_tok >= {_NGRAM_T} * x.n_tok
+         AND x.n_tok >= {_NGRAM_T} * y.n_tok
+    ), verified AS (
+        SELECT a_id, b_id,
+               CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) AS inter,
+               len(sa.s) AS la, len(sb.s) AS lb
+        FROM cand
+        JOIN sh sa ON cand.a_id = sa.doc_id
+        JOIN sh sb ON cand.b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, ROUND(inter / (la + lb - inter), 6) AS jaccard
+    FROM verified
+    WHERE inter / (la + lb - inter) >= {_NGRAM_T}
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_o_ngram_jaccard())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # same Generate-collapse discipline as dedup_minhash_lsh: persist the
+    # shingle table before any explode consumes it twice
+    shingled = managed_persist(
+        dd.with_shingles(docs.repartition(spark.sparkContext.defaultParallelism))
+    )
+    pref = managed_persist(dd.with_prefix(dd.prefix_ordered_shingles(shingled), _NGRAM_T))
+    cand = dd.prefix_filter_candidates(pref, _NGRAM_T)
+    return dd.jaccard_verified_pairs(
+        cand, shingled.select("doc_id", "shingles"), threshold=_NGRAM_T
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup: tf-weighted 32-bit signatures over shingle features,
 # 4-block pigeonhole candidates, exact Hamming verify (<= 3 — the 4-block
 # split GUARANTEES recall only for distance < 4).
