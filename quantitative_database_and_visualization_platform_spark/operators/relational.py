@@ -115,6 +115,139 @@ def salted_join(
     return out.drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of the
+    right row with the greatest ``right_time <= left_time`` for the same
+    key (LEFT semantics — unmatched left rows keep NULL payload).
+
+    The quant-native "latest quote/bar at or before this event" join. The
+    reference gets this implicitly from ClickHouse `argMax` + a scalar
+    max-date subquery (`app/Quantlib/QuantDB.py:358-369` prev-day pattern);
+    Spark has no ASOF JOIN, so this is the scalable union-merge form:
+
+    - tag both sides, union on a common (key, time) axis,
+    - ONE shuffle: window partitionBy(key) orderBy(time, side) where right
+      rows sort BEFORE left rows at an equal timestamp (<= semantics),
+    - `last(payload, ignorenulls=True)` over unbounded-preceding carries
+      each right row's payload forward to the left rows it matches,
+    - keep only left rows.
+
+    O(n log n) sort within each key's partition, no join explosion, no
+    per-key driver loop — survives a 100× scale-up where the naive
+    "join all earlier rows then argmax" quadratic form would not. The
+    right side must be unique per (key, time) — pre-aggregate if not
+    (ties would otherwise be resolved by sort instability).
+
+    ``tolerance_seconds`` (optional) NULLs the payload when the matched
+    right row is older than the tolerance — pandas merge_asof semantics.
+    """
+    lt = F.col(left_time).cast("timestamp")
+    rt = F.col(right_time).cast("timestamp")
+    l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__t", lt)
+    r_tagged = (
+        right.select(
+            F.col(on),
+            rt.alias("__t"),
+            *[F.col(c) for c in payload],
+        )
+        .withColumn("__side", F.lit(0))
+        .withColumn("__rt", F.col("__t"))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in payload]
+    matched_t = F.last("__rt", ignorenulls=True).over(w).alias("__m_t")
+    out = unioned.select("*", *carried, matched_t).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = F.col("__t").cast("long") - F.col("__m_t").cast("long") <= F.lit(
+            tolerance_seconds
+        )
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("__m_")],
+            *[
+                F.when(in_tol, F.col(f"__m_{c}")).alias(f"__m_{c}")
+                for c in payload
+            ],
+            F.when(in_tol, F.col("__m_t")).alias("__m_t"),
+        )
+    keep = [c for c in left.columns]
+    renamed = [F.col(f"__m_{c}").alias(f"asof_{c}") for c in payload]
+    return out.select(*keep, F.col("__m_t").alias("asof_time"), *renamed)
+
+
+def band_self_join(
+    df: DataFrame,
+    key: str,
+    value: str,
+    band: float,
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """All pairs (a, b), a.key < b.key, with ``|a.value - b.value| <= band``
+    and NO equi-key — a pure range (band) join.
+
+    A naive implementation is a cross join with an inequality filter —
+    O(n²) and a single-task cartesian at scale. This is the binned form:
+    bucket every row at ``floor(value/band)``, probe each row against its
+    own and both neighbor buckets (any in-band partner is within ±1
+    bucket), then apply the exact band predicate. Each row meets only the
+    rows of 3 buckets, the join is a hash/sort-merge on the bucket id
+    (shuffle scales out), and every qualifying pair is produced exactly
+    once because the probe side explodes while the build side keeps its
+    single true bucket.
+    """
+    bin_col = F.floor(F.col(value) / F.lit(band)).cast("long")
+    probe = df.select(
+        F.col(key).alias("a_key"),
+        F.col(value).alias("a_val"),
+        *[F.col(c).alias(f"a_{c}") for c in payload],
+        F.explode(
+            F.array(bin_col - 1, bin_col, bin_col + 1)
+        ).alias("__bin"),
+    )
+    build = df.select(
+        F.col(key).alias("b_key"),
+        F.col(value).alias("b_val"),
+        *[F.col(c).alias(f"b_{c}") for c in payload],
+        bin_col.alias("__bin"),
+    )
+    return (
+        probe.join(build, on="__bin")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.col("a_val") - F.col("b_val")) <= F.lit(band))
+        )
+        .drop("__bin")
+    )
+
+
+def latest_row_per_key(
+    df: DataFrame, key: Sequence[str], version: Sequence[Column]
+) -> DataFrame:
+    """ReplacingMergeTree FINAL semantics: keep exactly the newest row per
+    key, newest = greatest ``version`` sort order.
+
+    The reference's meta/dimension tables are ReplacingMergeTree keyed on
+    code with `updated_at` versions (`database/ddl/quant_db_ddl.md:81-85`);
+    ClickHouse collapses duplicates at merge/FINAL time. Spark analogue:
+    one window shuffle on the key, row_number() == 1. Include a unique
+    tie-break in `version` for determinism.
+    """
+    w = Window.partitionBy(*key).orderBy(*[v.desc() for v in version])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
 def window_slice_around(
     df: DataFrame,
     entity: str,

@@ -1,0 +1,146 @@
+"""Operator-level tests for the advanced relational operators (as-of
+join, band self-join, FINAL dedup, KMV sketch): semantics the oracle
+parity suite can't isolate — tolerance behavior, plan shape, and the
+brute-force equivalence of the binned band join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from quantitative_database_and_visualization_platform_spark.operators.relational import (
+    asof_join,
+    band_self_join,
+    latest_row_per_key,
+)
+from quantitative_database_and_visualization_platform_spark.pipeline.sketches import (
+    kmv_distinct_estimate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=_ts("2024-01-10T00:00:00"), name="exact-match"),
+            Row(k=1, t=_ts("2024-01-11T12:00:00"), name="between"),
+            Row(k=1, t=_ts("2024-01-01T00:00:00"), name="before-first"),
+            Row(k=2, t=_ts("2024-01-10T00:00:00"), name="other-key"),
+            Row(k=3, t=_ts("2024-01-10T00:00:00"), name="no-right-rows"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=_ts("2024-01-05T00:00:00"), px=5.0),
+            Row(k=1, rt=_ts("2024-01-10T00:00:00"), px=10.0),
+            Row(k=1, rt=_ts("2024-01-12T00:00:00"), px=12.0),
+            Row(k=2, rt=_ts("2024-01-09T00:00:00"), px=9.0),
+        ]
+    )
+    out = {
+        r["name"]: r
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", payload=["px"]
+        ).collect()
+    }
+    assert out["exact-match"]["asof_px"] == 10.0  # <= includes the equal timestamp
+    assert out["between"]["asof_px"] == 10.0  # backward: latest earlier, not nearest
+    assert out["before-first"]["asof_px"] is None  # LEFT: no earlier right row
+    assert out["other-key"]["asof_px"] == 9.0  # keys never bleed
+    assert out["no-right-rows"]["asof_px"] is None
+    assert len(out) == 5  # every left row survives exactly once
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, t=_ts("2024-01-10T00:00:00"), name="stale")]
+    )
+    right = spark.createDataFrame([Row(k=1, rt=_ts("2024-01-01T00:00:00"), px=1.0)])
+    no_tol = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", payload=["px"]
+    ).collect()[0]
+    assert no_tol["asof_px"] == 1.0
+    with_tol = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="rt",
+        payload=["px"],
+        tolerance_seconds=24 * 3600,  # 9 days stale > 1 day tolerance
+    ).collect()[0]
+    assert with_tol["asof_px"] is None
+    assert with_tol["asof_time"] is None
+
+
+def test_band_self_join_equals_brute_force(spark):
+    part = spark.read.parquet(f"{SF}/part.parquet").select("p_partkey", "p_retailprice")
+    band = 0.5
+    binned = band_self_join(part, key="p_partkey", value="p_retailprice", band=band)
+    got = {(r["a_key"], r["b_key"]) for r in binned.collect()}
+    a, b = part.alias("a"), part.alias("b")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice")) <= band),
+        )
+        .select(F.col("a.p_partkey").alias("ak"), F.col("b.p_partkey").alias("bk"))
+        .collect()
+    )
+    expected = {(r["ak"], r["bk"]) for r in brute}
+    assert got == expected
+    assert len(got) > 0  # the band is wide enough to produce pairs
+
+
+def test_band_self_join_plans_no_nested_loop(spark):
+    part = spark.read.parquet(f"{SF}/part.parquet").select("p_partkey", "p_retailprice")
+    plan = (
+        band_self_join(part, key="p_partkey", value="p_retailprice", band=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "Cartesian" not in plan, plan[:3000]
+
+
+def test_latest_row_per_key_ties_break_deterministically(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=1, payload="old"),
+            Row(k=1, v=2, payload="tie-low"),
+            Row(k=1, v=2, payload="tie-high"),
+        ]
+    )
+    out = latest_row_per_key(
+        df, key=["k"], version=[F.col("v"), F.col("payload")]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["payload"] == "tie-low"  # desc on payload: 'tie-low' > 'tie-high'
+
+
+def test_kmv_estimate_is_exact_below_k(spark):
+    df = spark.range(0, 40).select(
+        F.lit("g").alias("g"), (F.col("id") % 37).alias("x")
+    )
+    out = kmv_distinct_estimate(df, group="g", element="x", k=64).collect()[0]
+    assert out["kmv_k"] == 37
+    assert out["kmv_estimate"] == 37.0  # below k the sketch IS the exact count
+
+
+def test_kmv_estimate_accuracy_above_k(spark):
+    df = spark.range(0, 20000).select(
+        F.lit("g").alias("g"), (F.col("id") % 10000).alias("x")
+    )
+    out = kmv_distinct_estimate(df, group="g", element="x", k=256).collect()[0]
+    assert out["kmv_k"] == 256
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(out["kmv_estimate"] - 10000) / 10000 < 0.25
