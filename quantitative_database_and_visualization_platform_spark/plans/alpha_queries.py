@@ -1135,7 +1135,20 @@ def _ic_scan(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     stack_expr = "stack({}, {}) AS (factor, fval)".format(
         len(cols), ", ".join(f"'{c}', {c}" for c in cols)
     )
-    long = alphas.selectExpr("code", "d", stack_expr).join(fwd, ["code", "d"])
+    # join BEFORE the stack: the k-way unpivot multiplies rows ×k, so the
+    # equi-join runs on the 1×-wide panel, not the k× long table. The
+    # forward-return rank is also computed here, once per date on the
+    # wide panel — it is identical for every factor (same codes, fwd_ret
+    # never null), so ranking it again per (date, factor) on the long
+    # table would redo the same sort k times.
+    wide = alphas.join(fwd, ["code", "d"])
+    ord_r = Window.partitionBy("d").orderBy(F.col("fwd_ret").asc_nulls_last())
+    n_d = F.count("fwd_ret").over(Window.partitionBy("d"))
+    ties_r = F.count("fwd_ret").over(ord_r.rangeBetween(Window.currentRow, Window.currentRow))
+    wide = wide.withColumn(
+        "r_r", (F.rank().over(ord_r) + (ties_r - 1) / 2.0) / n_d
+    )
+    long = wide.selectExpr("code", "d", "r_r", stack_expr)
 
     def avg_rank(c: str):
         col = F.col(c)
@@ -1145,9 +1158,7 @@ def _ic_scan(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
         n = F.count(col).over(Window.partitionBy("d", "factor"))
         return F.when(col.isNotNull(), (r_min + (ties - 1) / 2.0) / n)
 
-    ranked = long.select(
-        "factor", "d", avg_rank("fval").alias("r_f"), avg_rank("fwd_ret").alias("r_r")
-    )
+    ranked = long.select("factor", "d", avg_rank("fval").alias("r_f"), "r_r")
     per_date = ranked.groupBy("factor", "d").agg(
         F.when(
             (F.count_distinct("r_f") > 1)
@@ -1213,6 +1224,22 @@ def _alpha_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for c in ALPHA_COLS
             ],
         ).persist()
+        # Materialize the cache eagerly with AQE off: AQE re-optimizes the
+        # REMAINING logical plan after every shuffle stage, and with ~30
+        # window stages over this DAG that driver-side re-planning is ~25 s
+        # of pure overhead (measured at sf0.1: exec 70 s → 45 s). Nothing is
+        # lost at any scale — every shuffle in the build is a fixed-shape
+        # window/aggregate on the panel axes (no joins for AQE to re-plan,
+        # and AQE cannot split skewed window partitions anyway); static
+        # shuffle.partitions keeps the stages at full parallelism, which is
+        # exactly what the 16 KB coalesce floor had to force AQE into.
+        # Downstream queries (which do join) run with AQE restored.
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
         _ALPHA_CACHE[key] = df
     return df
 

@@ -57,9 +57,13 @@ def test_alpha_dag_exchange_budget(spark):
     per-column partitioning (e.g. rank tie-counts partitioned by value)."""
     import re
 
-    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.factors.alpha101 import with_alphas
+    from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
 
-    df = QUERIES["alpha101_subset"](spark, SF)
+    # build the raw DAG directly — the registered query eagerly
+    # materializes the session cache, which would swap the plan under
+    # inspection for an InMemoryTableScan and blind this test
+    df = with_alphas(daily_bars(spark, SF))
     plan = df._jdf.queryExecution().executedPlan().toString()
     exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
     assert exchanges <= 8, f"{exchanges} exchanges in alpha DAG:\n{plan[:2000]}"
