@@ -255,3 +255,51 @@ def hamming(a: str, b: str, bits: int = SIMHASH_BITS) -> Column:
         f"aggregate(sequence(1, {bits}), 0, "
         f"(acc, p) -> acc + IF(substring({a}, p, 1) = substring({b}, p, 1), 0, 1))"
     )
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 25
+) -> DataFrame:
+    """Duplicate-cluster assembly: connected components of the undirected
+    near-dup pair graph, component id = minimum doc id reachable. The
+    step a curation pipeline runs after any pairwise dedup to pick ONE
+    canonical document per cluster (pairs alone can chain: A~B, B~C
+    must collapse to one cluster even though A~C was never emitted).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels. Converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (diameter ≤ a few),
+    so the loop runs 2-4 rounds in practice; `max_iter` bounds the
+    pathological chain. Each round is one join + one groupBy on the
+    node key (edges shuffled once per round, labels are node-sized);
+    per-round `localCheckpoint` truncates the lineage so round N's plan
+    does not replay rounds 1..N-1. The driver-side convergence test
+    reads a single aggregated count — no row data leaves the executors.
+    """
+    sym = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
+        pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    sym = managed_persist(sym)
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).cast("int").alias("__chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))

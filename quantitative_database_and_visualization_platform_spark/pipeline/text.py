@@ -73,6 +73,31 @@ def token_histogram(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def tfidf_scores(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF: tf × ln(N/df), idf pre-rounded to 9 dp so
+    the one-ulp libm-vs-JVM LN divergence cannot flip a downstream
+    ranking (same convention as the alpha DAG's LN inputs).
+
+    Scale shape: token explode → (doc, term) count (map-side combined,
+    one shuffle), document frequency from the already-distinct (doc,
+    term) pairs (second shuffle, cardinality = vocabulary), N as a
+    1-row broadcast. The idf table is vocabulary-sized — broadcast-
+    joined back, never a row-wise subquery.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized_text(text), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("__nd"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term", F.round(F.log(F.col("__nd") / F.col("df")), 9).alias("idf")
+    )
+    return tf.join(idf, "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf")).alias("score")
+    )
+
+
 def length_quality_filter(
     df: DataFrame, min_tokens: int = 5, min_quality: float = 0.2
 ) -> Column:

@@ -9,5 +9,6 @@ from . import factor_queries  # noqa: E402,F401
 from . import longtail_queries  # noqa: E402,F401
 from . import pipeline_queries  # noqa: E402,F401
 from . import advanced_queries  # noqa: E402,F401
+from . import backtest_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,151 @@
+"""Factor backtesting over the daily panel — the analysis the reference's
+Alpha-lab page runs downstream of the IC scan (`app/Quantlib/pages/
+5_Alpha lab.py`): decile long-short portfolio returns and per-entity
+drawdown statistics.
+
+Determinism: every accumulation that an engine could reorder (cumulative
+P&L, equity curves) runs in fixed-point integer "micro-units" — critical
+here because DuckDB evaluates window SUMs over a segment TREE (pairwise
+association) while Spark's running frame accumulates sequentially; float
+addition is non-associative, integer addition is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..factors.panel import O_BARS, daily_bars
+from .registry import query, round6
+
+# fixed-point scale for returns (≈1e-8 resolution; 150 names × 30 days of
+# ±50% daily returns peaks at ~1e10 micro-units — far inside int64)
+_RS = 100_000_000
+
+
+# ---------------------------------------------------------------------------
+# Decile long-short backtest: each day rank names by 5-day momentum,
+# ntile(10), hold decile 10 long and decile 1 short for the next day.
+# One date-axis shuffle for the ranking; the daily portfolio aggregation
+# is map-side combined; the global cum-P&L runs over #dates rows (a
+# sequential-by-nature series, so a single ordered partition is correct,
+# not a scale smell).
+# ---------------------------------------------------------------------------
+@query(
+    "backtest_decile_longshort",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d, close,
+               close / LAG(close, 5) OVER w - 1 AS mom_5,
+               LEAD(close) OVER w / close - 1 AS fwd_ret
+        FROM bars
+        WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), ranked AS (
+        SELECT d, mom_5, fwd_ret,
+               NTILE(10) OVER (PARTITION BY d ORDER BY mom_5, code) AS decile
+        FROM panel WHERE mom_5 IS NOT NULL AND fwd_ret IS NOT NULL
+    ), daily AS (
+        SELECT d,
+               SUM(CASE WHEN decile = 10 THEN CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) END)
+                 / CAST(COUNT(CASE WHEN decile = 10 THEN 1 END) AS DOUBLE) / {_RS} AS long_ret,
+               SUM(CASE WHEN decile = 1 THEN CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) END)
+                 / CAST(COUNT(CASE WHEN decile = 1 THEN 1 END) AS DOUBLE) / {_RS} AS short_ret
+        FROM ranked GROUP BY d
+    )
+    SELECT d,
+           FLOOR((long_ret - short_ret)*1000000 + 0.5)/1000000.0 AS ls_ret,
+           FLOOR((SUM(CAST(ROUND((long_ret - short_ret)*{_RS},0) AS BIGINT))
+                    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) / {_RS}.0)*1000000 + 0.5)
+             /1000000.0 AS cum_ls
+    FROM daily
+    """,
+)
+def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("mom_5"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("fwd_ret"),
+    ).filter(F.col("mom_5").isNotNull() & F.col("fwd_ret").isNotNull())
+    ranked = panel.withColumn(
+        "decile", F.ntile(10).over(Window.partitionBy("d").orderBy("mom_5", "code"))
+    )
+    micro = F.round(F.col("fwd_ret") * _RS, 0).cast("long")
+    daily = ranked.groupBy("d").agg(
+        (
+            F.sum(F.when(F.col("decile") == 10, micro))
+            / F.count(F.when(F.col("decile") == 10, F.lit(1))).cast("double")
+            / _RS
+        ).alias("long_ret"),
+        (
+            F.sum(F.when(F.col("decile") == 1, micro))
+            / F.count(F.when(F.col("decile") == 1, F.lit(1))).cast("double")
+            / _RS
+        ).alias("short_ret"),
+    )
+    ls = F.col("long_ret") - F.col("short_ret")
+    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d",
+        round6(ls).alias("ls_ret"),
+        round6(F.sum(F.round(ls * _RS, 0).cast("long")).over(cum_w) / float(_RS)).alias(
+            "cum_ls"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown per entity: fixed-point equity curve (cumulative simple
+# returns), running peak, deepest trough and its date (earliest on ties).
+# Everything up to the final division is int64 arithmetic — running max /
+# min / subtraction are exact regardless of evaluation order.
+# ---------------------------------------------------------------------------
+@query(
+    "backtest_drawdown",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS ret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), eq AS (
+        SELECT code, d,
+               SUM(ret_c) OVER (PARTITION BY code ORDER BY d ROWS UNBOUNDED PRECEDING) AS eq_c
+        FROM rets WHERE ret_c IS NOT NULL
+    ), dd AS (
+        SELECT code, d,
+               eq_c - MAX(eq_c) OVER (PARTITION BY code ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 AS dd_c
+        FROM eq
+    )
+    SELECT code, d AS trough_date, CAST(dd_c AS DOUBLE) / {_RS} AS max_drawdown
+    FROM dd
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY code ORDER BY dd_c, d) = 1
+    """,
+)
+def backtest_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rets = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("ret_c"),
+    ).filter(F.col("ret_c").isNotNull())
+    eq = rets.withColumn("eq_c", F.sum("ret_c").over(run))
+    dd = eq.withColumn("dd_c", F.col("eq_c") - F.max("eq_c").over(run))
+    pick = Window.partitionBy("code").orderBy("dd_c", "d")
+    return (
+        dd.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "code",
+            F.col("d").alias("trough_date"),
+            (F.col("dd_c").cast("double") / _RS).alias("max_drawdown"),
+        )
+    )

@@ -28,7 +28,7 @@ from ..pipeline.embeddings import (
     topk_cosine,
 )
 from ..pipeline.multimodal import decode_documents
-from ..pipeline.text import o_text_features, with_text_features
+from ..pipeline.text import o_text_features, tfidf_scores, with_text_features
 from ..session import managed_persist
 from ..sources.catalog import load_table
 from .registry import query
@@ -571,6 +571,83 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-level features), and the Arrow-batch decode stub via mapInPandas
 # (oracle mirrors the stub's deterministic arithmetic).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# TF-IDF relevance: top-3 terms per document. The idf is pre-rounded to
+# 9 dp on both engines before the tf multiplication (libm-vs-JVM LN can
+# differ by one ulp; the rounding keeps the ranking comparison exact).
+# ---------------------------------------------------------------------------
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (SELECT doc_id, UNNEST(w) AS term FROM words),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * ROUND(LN(nd / df), 9) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), picked AS (
+        SELECT doc_id, term, tf, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, CAST(rn AS BIGINT) AS term_rank,
+           FLOOR(score*1000000 + 0.5)/1000000.0 AS tfidf
+    FROM picked WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = tfidf_scores(docs)
+    pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("term_rank", F.row_number().over(pick).cast("long"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "term_rank", round6("score").alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assembly: connected components over the exact n-gram
+# Jaccard pair graph (pairs chain: A~B, B~C is one cluster even when A~C
+# was never emitted). Spark side: iterative min-label propagation
+# (O(diameter) rounds); oracle side: the same fixpoint as a recursive
+# CTE — min reachable doc id.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a_id, b_id FROM ({_o_ngram_jaccard()})
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src
+    )
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = managed_persist(
+        dd.with_shingles(docs.repartition(spark.sparkContext.defaultParallelism))
+    )
+    pref = managed_persist(dd.with_prefix(dd.prefix_ordered_shingles(shingled), _NGRAM_T))
+    cand = dd.prefix_filter_candidates(pref, _NGRAM_T)
+    pairs = dd.jaccard_verified_pairs(
+        cand, shingled.select("doc_id", "shingles"), threshold=_NGRAM_T
+    )
+    return dd.connected_components(pairs)
+
+
 @query(
     "multimodal_meta",
     oracle="""

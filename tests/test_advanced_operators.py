@@ -127,6 +127,26 @@ def test_latest_row_per_key_ties_break_deterministically(spark):
     assert out[0]["payload"] == "tie-low"  # desc on payload: 'tie-low' > 'tie-high'
 
 
+def test_connected_components_chains_and_islands(spark):
+    from quantitative_database_and_visualization_platform_spark.pipeline.dedup import (
+        connected_components,
+    )
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    # chain 1-2-3-4 (pairwise links only), star 10-(11,12,13), island pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["a_id", "b_id"],
+    )
+    try:
+        got = {
+            r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
+        }
+    finally:
+        release_managed()
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
 def test_kmv_estimate_is_exact_below_k(spark):
     df = spark.range(0, 40).select(
         F.lit("g").alias("g"), (F.col("id") % 37).alias("x")
