@@ -20,7 +20,7 @@ Spark engine needs where no built-in operator exists:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.relational import asof_join, band_self_join, latest_row_per_key
@@ -210,6 +210,76 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, on="event_type")
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window surface: percent_rank / cume_dist / nth_value / lag-
+# with-default in one pass — all four share ONE (nation, balance) sort.
+# ---------------------------------------------------------------------------
+@query(
+    "window_function_surface",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           FLOOR(percent_rank() OVER w *1000000 + 0.5)/1000000.0 AS bal_pct_rank,
+           FLOOR(cume_dist() OVER w *1000000 + 0.5)/1000000.0 AS bal_cume_dist,
+           nth_value(c_acctbal, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_lowest_bal,
+           COALESCE(LAG(c_acctbal) OVER w, 0.0) AS prev_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_nationkey",
+        round6(F.percent_rank().over(w)).alias("bal_pct_rank"),
+        round6(F.cume_dist().over(w)).alias("bal_cume_dist"),
+        F.nth_value("c_acctbal", 3).over(w_full).alias("third_lowest_bal"),
+        F.coalesce(F.lag("c_acctbal").over(w), F.lit(0.0)).alias("prev_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT (distinct) and EXCEPT ALL. Spark plans both
+# as joins (left-semi / left-anti with multiplicity) — no driver-side
+# set materialization at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops_customer_pools",
+    oracle="""
+    WITH with_orders AS (SELECT o_custkey AS k FROM orders),
+    rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+    both_pools AS (SELECT DISTINCT k FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM rich)),
+    only_rich AS (SELECT k FROM rich EXCEPT ALL SELECT k FROM with_orders)
+    SELECT 'intersect' AS pool, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k FROM both_pools
+    UNION ALL
+    SELECT 'except_all' AS pool, CAST(COUNT(*) AS BIGINT), CAST(MIN(k) AS BIGINT),
+           CAST(MAX(k) AS BIGINT) FROM only_rich
+    """,
+)
+def set_ops_customer_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    summary = lambda df, label: df.agg(  # noqa: E731
+        F.lit(label).alias("pool"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    ).select("pool", "n", "min_k", "max_k")
+    return summary(with_orders.intersect(rich), "intersect").unionAll(
+        summary(rich.exceptAll(with_orders), "except_all")
+    )
 
 
 # ---------------------------------------------------------------------------
