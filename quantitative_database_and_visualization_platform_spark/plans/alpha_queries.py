@@ -1223,21 +1223,32 @@ def _alpha_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.floor(F.col(c) * 1_000_000 + 0.5) / 1_000_000.0).alias(c)
                 for c in ALPHA_COLS
             ],
-        ).persist()
-        # Materialize the cache eagerly with AQE off: AQE re-optimizes the
-        # REMAINING logical plan after every shuffle stage, and with ~30
-        # window stages over this DAG that driver-side re-planning is ~25 s
-        # of pure overhead (measured at sf0.1: exec 70 s → 45 s). Nothing is
-        # lost at any scale — every shuffle in the build is a fixed-shape
-        # window/aggregate on the panel axes (no joins for AQE to re-plan,
-        # and AQE cannot split skewed window partitions anyway); static
-        # shuffle.partitions keeps the stages at full parallelism, which is
-        # exactly what the 16 KB coalesce floor had to force AQE into.
-        # Downstream queries (which do join) run with AQE restored.
+        )
+        # Materialize the cache eagerly — with AQE off, and with the
+        # lineage TRUNCATED (localCheckpoint), not merely persisted:
+        #
+        # - AQE off for this one job: AQE re-optimizes the REMAINING
+        #   logical plan after every shuffle stage, and with ~30 window
+        #   stages over this DAG that driver-side re-planning is ~25 s of
+        #   pure overhead (measured at sf0.1: exec 70 s → 45 s). Nothing
+        #   is lost at any scale — every shuffle in the build is a
+        #   fixed-shape window/aggregate on the panel axes (no joins for
+        #   AQE to re-plan, and AQE cannot split skewed window partitions
+        #   anyway). Downstream queries (which do join) run with AQE
+        #   restored.
+        # - localCheckpoint instead of persist: a persisted DataFrame
+        #   keeps its full logical plan, so EVERY query derived from the
+        #   cache re-analyzes the whole ~30-layer DAG tree (~2 s per
+        #   derived query × 7 alpha-family queries). Truncating makes the
+        #   table a leaf plan — derived queries analyze a 1-node tree.
+        #   This mirrors the reference, which materializes factor_db and
+        #   reads it back (`database_schema.md:271`); a production run
+        #   would write parquet here (with_alphas(checkpoint_dir=…) is
+        #   that path), the in-memory form is its bench twin.
         prev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            df.write.format("noop").mode("overwrite").save()
+            df = df.localCheckpoint(eager=True)
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
         _ALPHA_CACHE[key] = df
