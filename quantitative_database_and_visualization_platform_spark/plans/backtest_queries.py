@@ -98,6 +98,64 @@ def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling market beta: 10-day cov(ret, mkt)/var(mkt) per name against the
+# equal-weight market return. The market series is date-aggregated once
+# (fixed-point mean, exact on both engines) and joined back — a
+# dates-sized table, left to AQE to broadcast. Beta is a small-magnitude
+# float statistic → 6dp rounding on both sides (repo convention for
+# corr-class outputs).
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_beta_market",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars
+        QUALIFY ret IS NOT NULL
+    ), mkt AS (
+        SELECT d,
+               SUM(CAST(ROUND(ret*{_RS},0) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) / {_RS}
+                 AS mkt_ret
+        FROM rets GROUP BY d
+    ), j AS (
+        SELECT r.code, r.d, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (d)
+    )
+    SELECT code, d,
+           CASE WHEN COUNT(*) OVER w >= 10 AND VAR_SAMP(mkt_ret) OVER w > 0
+                THEN FLOOR((COVAR_SAMP(ret, mkt_ret) OVER w / VAR_SAMP(mkt_ret) OVER w)
+                           *1000000 + 0.5)/1000000.0 END AS beta_10
+    FROM j
+    WINDOW w AS (PARTITION BY code ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_beta_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    mkt = rets.groupBy("d").agg(
+        (
+            F.sum(F.round(F.col("ret") * _RS, 0).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+            / _RS
+        ).alias("mkt_ret")
+    )
+    j = rets.join(mkt, "d")
+    frame = w.rowsBetween(-9, Window.currentRow)
+    n = F.count(F.lit(1)).over(frame)
+    var_m = F.var_samp("mkt_ret").over(frame)
+    cov = F.covar_samp("ret", "mkt_ret").over(frame)
+    return j.select(
+        "code",
+        "d",
+        F.when((n >= 10) & (var_m > 0), round6(cov / var_m)).alias("beta_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Max drawdown per entity: fixed-point equity curve (cumulative simple
 # returns), running peak, deepest trough and its date (earliest on ties).
 # Everything up to the final division is int64 arithmetic — running max /

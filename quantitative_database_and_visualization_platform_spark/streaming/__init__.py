@@ -4,4 +4,4 @@ event-time streaming job with watermarked late-data handling.
 """
 
 from .stateful import running_user_stats  # noqa: F401
-from .tick_bars import stream_events, streaming_minute_bars  # noqa: F401
+from .tick_bars import sliding_type_stats, stream_events, streaming_minute_bars  # noqa: F401

@@ -84,3 +84,35 @@ def streaming_minute_bars(events: DataFrame, watermark: str = "5 minutes") -> Da
             "turnover",
         )
     )
+
+
+def sliding_type_stats(
+    events: DataFrame, watermark: str = "5 minutes", size: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Overlapping (sliding) event-time windows: per event_type, count and
+    exact fixed-point value sum over a `size` window sliding every
+    `slide`. Each event lands in size/slide windows — Spark expands the
+    membership at the source (no self-join), and the watermark still
+    evicts every window whose end precedes it, so state stays
+    O(open windows × types) on an unbounded stream. The aggregation body
+    is shared verbatim with the batch twin (same function, batch input).
+    """
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return (
+        ev.groupBy("event_type", F.window("ts", size, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+                "value_total"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "value_total",
+        )
+    )

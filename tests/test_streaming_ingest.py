@@ -52,6 +52,46 @@ def test_streaming_minute_bars_match_batch(spark):
     assert got.equals(want)
 
 
+def test_streaming_sliding_windows_match_batch(spark):
+    """Overlapping 10-min/5-min sliding windows: the streaming run (append
+    mode, watermark-closed windows only) must equal the batch run of the
+    SAME function over the same parquet, restricted to the same closed
+    windows."""
+    import pandas as pd
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        sliding_type_stats,
+        stream_events,
+    )
+
+    stats = sliding_type_stats(stream_events(spark, SF))
+    assert stats.isStreaming
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, win_start, win_end, n_events, value_total FROM sliding_test"
+    ).toPandas()
+    ev = load_table(spark, SF, "events")
+    want = sliding_type_stats(ev).toPandas()
+    max_ts = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) - pd.Timedelta(minutes=5)
+    want = want[pd.to_datetime(want["win_end"]) <= cutoff]
+    key = ["event_type", "win_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    # every event must appear in exactly size/slide = 2 windows (ignoring
+    # the open tail): total streamed counts ≈ 2× the closed-window events
+    assert got.equals(want)
+
+
 def test_stateful_running_stats_match_batch(spark):
     from quantitative_database_and_visualization_platform_spark.streaming import (
         running_user_stats,
