@@ -50,6 +50,10 @@ def get_spark(app_name: str = "qdvp-spark", shuffle_partitions: int | None = Non
         # rejects; read as long nanos (converted in sources.catalog).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # every PySpark API call otherwise captures the Python call site
+        # (stack inspection + a JVM round-trip) for error enrichment; the
+        # alpha DAG's ~66k construction calls pay that tax for nothing
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
