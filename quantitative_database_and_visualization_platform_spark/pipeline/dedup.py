@@ -266,15 +266,17 @@ def connected_components(
     canonical document per cluster (pairs alone can chain: A~B, B~C
     must collapse to one cluster even though A~C was never emitted).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels. Converges in O(graph
-    diameter) rounds — near-dup clusters are shallow (diameter ≤ a few),
-    so the loop runs 2-4 rounds in practice; `max_iter` bounds the
-    pathological chain. Each round is one join + one groupBy on the
-    node key (edges shuffled once per round, labels are node-sized);
-    per-round `localCheckpoint` truncates the lineage so round N's plan
-    does not replay rounds 1..N-1. The driver-side convergence test
-    reads a single aggregated count — no row data leaves the executors.
+    Iterative min-label propagation with pointer jumping: each round a
+    node takes the min of (its label, its neighbors' labels, its label's
+    label). The third term is the GraphX-style shortcut — labels chase
+    their own assignments, so convergence is O(log diameter) rounds
+    rather than O(diameter); near-dup clusters are shallow anyway, but a
+    pathological duplication chain stays cheap. Each round is two joins
+    + one groupBy on the node key (edges shuffled once per round, labels
+    are node-sized); per-round `localCheckpoint` truncates the lineage
+    so round N's plan does not replay rounds 1..N-1. The driver-side
+    convergence test reads a single aggregated count — no row data
+    leaves the executors.
     """
     sym = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionAll(
         pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
@@ -290,12 +292,26 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # pointer jump: comp is itself a node id — look up ITS label
+        hop = labels.select(
+            F.col("node").alias("__pj_node"), F.col("comp").alias("pj_comp")
+        )
         new_labels = (
             labels.join(neighbor_min, "node", "left")
+            .join(hop, F.col("comp") == F.col("__pj_node"), "left")
             .select(
                 "node",
-                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).cast("int").alias("__chg"),
+                F.least(
+                    "comp",
+                    F.coalesce("nbr_comp", "comp"),
+                    F.coalesce("pj_comp", "comp"),
+                ).alias("comp"),
+                (
+                    (F.col("nbr_comp") < F.col("comp"))
+                    | (F.col("pj_comp") < F.col("comp"))
+                )
+                .cast("int")
+                .alias("__chg"),
             )
         ).localCheckpoint(eager=True)
         changed = new_labels.agg(F.sum("__chg")).collect()[0][0] or 0
