@@ -213,6 +213,40 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured JSON parsing: events.props is a JSON document; parse it
+# with a declared schema (from_json — typed, vectorized, errors → NULL)
+# rather than regex, and aggregate the extracted field. The reference
+# parses semi-structured text fields client-side (`pages/3_Smart
+# screener.py` ladder parsing); a declared-schema parse is the engine
+# form.
+# ---------------------------------------------------------------------------
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ranking-window surface: percent_rank / cume_dist / nth_value / lag-
 # with-default in one pass — all four share ONE (nation, balance) sort.
 # ---------------------------------------------------------------------------
