@@ -167,3 +167,106 @@ def test_rank_block_null_and_keep(spark):
     assert [r.r for r in rows] == [None, 0.5, 1.0, 1.0]
     with pytest.raises(Exception, match="junk2|UNRESOLVED"):
         with_cs_rank_block(df, {"r": "x"}, "d", keep=("d", "x", "junk2")).collect()
+
+
+# --- advanced-operator properties (round 4) --------------------------------
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, time)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(  # right: (key, time, payload-seed)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(asof_strategy)
+def test_asof_join_matches_brute_force(spark, data):
+    """For every left row the as-of match must equal the brute-force
+    'greatest right_time <= left_time for the key' — on arbitrary
+    key/time multisets (duplicate left times, sparse keys, empty right)."""
+    import datetime as dt
+
+    from quantitative_database_and_visualization_platform_spark.operators.relational import asof_join
+
+    left_rows, right_rows = data
+    base = dt.datetime(2024, 1, 1)
+    # right side must be unique per (key, time): keep the max payload
+    right_dedup = {}
+    for k, t, p in right_rows:
+        right_dedup[(k, t)] = max(right_dedup.get((k, t), -1), p)
+    left = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(hours=t)) for i, (k, t) in enumerate(left_rows)],
+        ["lid", "k", "t"],
+    )
+    if right_dedup:
+        right = spark.createDataFrame(
+            [(k, base + dt.timedelta(hours=t), float(p)) for (k, t), p in right_dedup.items()],
+            ["k", "rt", "px"],
+        )
+    else:
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType, TimestampType
+
+        right = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("k", IntegerType()),
+                    StructField("rt", TimestampType()),
+                    StructField("px", DoubleType()),
+                ]
+            ),
+        )
+    got = {
+        r["lid"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", payload=["px"]
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        earlier = [(rt, p) for (rk, rt), p in right_dedup.items() if rk == k and rt <= t]
+        want = float(max(earlier)[1]) if earlier else None
+        assert got[i] == want, (i, k, t, got[i], want)
+    assert len(got) == len(left_rows)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges_strategy)
+def test_connected_components_match_union_find(spark, edges):
+    from quantitative_database_and_visualization_platform_spark.pipeline.dedup import (
+        connected_components,
+    )
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    try:
+        got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+    finally:
+        release_managed()
+    # reference union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
