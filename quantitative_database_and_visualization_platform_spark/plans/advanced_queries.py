@@ -213,6 +213,95 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) similarity join: part-name pairs within
+# levenshtein ≤ 3, blocked on brand + a length band. The equi-key block
+# turns the quadratic all-pairs problem into per-brand buckets (a hash
+# join at any scale); the length band (|Δlen| ≤ dist is a lower bound on
+# edit distance) prunes candidates before the O(len²) DP runs.
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_join_part_names",
+    oracle="""
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 3
+      AND levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a = part.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.length("a_name") - F.length("b_name")) <= 3)
+            & (F.levenshtein("a_name", "b_name") <= 3)
+        )
+        .select(
+            "a_key", "b_key", F.levenshtein("a_name", "b_name").cast("long").alias("edit_dist")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: signup → click → purchase in strict event-time order.
+# Stage k's anchor is the user's EARLIEST stage-(k-1)-qualified event, so
+# the match is the standard leftmost funnel. Three staged aggregations,
+# each one (user)-keyed shuffle over an already-filtered event subset —
+# no per-user sorting pass, no session state.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_after
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage(prev: DataFrame | None, etype: str, tcol: str) -> DataFrame:
+        ev = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            anchor = prev.columns[-1]
+            ev = ev.join(prev, "user_id").filter(F.col("ts") > F.col(anchor))
+        return ev.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage(None, "signup", "t1")
+    s2 = stage(s1, "click", "t2")
+    s3 = stage(s2, "purchase", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((s1, "n_signup"), (s2, "n_clicked_after"), (s3, "n_purchased_after"))
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+# ---------------------------------------------------------------------------
 # Semi-structured JSON parsing: events.props is a JSON document; parse it
 # with a declared schema (from_json — typed, vectorized, errors → NULL)
 # rather than regex, and aggregate the extracted field. The reference
