@@ -213,6 +213,38 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sliding (overlapping) event-time windows, batch form of the streaming
+# operator (streaming/tick_bars.py sliding_type_stats): 10-minute
+# windows every 5 minutes — each event expands into exactly size/slide
+# = 2 window memberships at the source (F.window), no self-join. The
+# oracle expands the same two candidate window starts per event.
+# ---------------------------------------------------------------------------
+@query(
+    "sliding_window_stats",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_type, value,
+               UNNEST([
+                 to_timestamp(FLOOR(epoch(ts) / 300) * 300),
+                 to_timestamp(FLOOR(epoch(ts) / 300) * 300 - 300)
+               ]) AS win_start
+        FROM events
+    )
+    SELECT event_type, win_start, win_start + INTERVAL 10 MINUTE AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS value_total
+    FROM expanded
+    GROUP BY event_type, win_start
+    """,
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.tick_bars import sliding_type_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return sliding_type_stats(events)
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) similarity join: part-name pairs within
 # levenshtein ≤ 3, blocked on brand + a length band. The equi-key block
 # turns the quadratic all-pairs problem into per-brand buckets (a hash
