@@ -648,6 +648,40 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: md5-hash-mod assignment — stable
+# under reshuffling, re-runs, and engine choice (no RNG, no row order
+# dependence), the reproducible-split idiom of a training-data pipeline.
+# 8/1/1 by the last 3 hex digits of md5(doc_id).
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_split_train_val",
+    oracle="""
+    WITH assigned AS (
+        SELECT source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 30, 3) AS INT) % 10 AS bucket
+        FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+)
+def dataset_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 30, 3), 16, 10).cast("int")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split")
+    )
+    return docs.select("source", split).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 @query(
     "multimodal_meta",
     oracle="""
