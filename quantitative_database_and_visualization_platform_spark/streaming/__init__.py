@@ -3,5 +3,6 @@ aggregation the reference's tick store exists to serve, expressed as an
 event-time streaming job with watermarked late-data handling.
 """
 
+from .rollup_sink import read_rollup, start_rollup_sink  # noqa: F401
 from .stateful import running_user_stats  # noqa: F401
 from .tick_bars import sliding_type_stats, stream_events, streaming_minute_bars  # noqa: F401

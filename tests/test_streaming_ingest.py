@@ -92,6 +92,58 @@ def test_streaming_sliding_windows_match_batch(spark):
     assert got.equals(want)
 
 
+def test_streaming_rollup_sink_matches_batch(spark):
+    """foreachBatch continuous aggregate: ingest the events corpus split
+    into 4 files, ONE micro-batch per file (maxFilesPerTrigger=1), merge
+    partials into the parquet store per batch — the final store must
+    equal a from-scratch batch rollup regardless of batch boundaries."""
+    import shutil
+    import tempfile
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        read_rollup,
+        start_rollup_sink,
+    )
+    from quantitative_database_and_visualization_platform_spark.streaming.rollup_sink import (
+        _partial_rollup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_rollup_")
+    try:
+        ev = load_table(spark, SF, "events")
+        ev.repartition(4).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{tmp}/in").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        q = start_rollup_sink(stream, f"{tmp}/store")
+        q.awaitTermination(120)
+        got = (
+            read_rollup(spark, f"{tmp}/store")
+            .toPandas()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _partial_rollup(ev)
+            .select(
+                "day",
+                "event_type",
+                "event_cnt",
+                (F.col("value_cents") / 100.0).alias("value_total"),
+            )
+            .toPandas()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want) > 0
+        assert got.equals(want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_running_stats_match_batch(spark):
     from quantitative_database_and_visualization_platform_spark.streaming import (
         running_user_stats,
