@@ -274,16 +274,18 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("b_name"),
         F.col("p_brand").alias("brand"),
     )
+    cand = a.join(b, "brand").filter(
+        (F.col("a_key") < F.col("b_key"))
+        & (F.abs(F.length("a_name") - F.length("b_name")) <= 3)
+    )
+    # threshold form: banded O(len×3) DP with early exit (returns -1 when
+    # the distance exceeds the threshold) — exact for the ≤3 contract and
+    # ~10× cheaper than the full O(len²) DP on the distant majority
+    dist = F.levenshtein("a_name", "b_name", 3)
     return (
-        a.join(b, "brand")
-        .filter(
-            (F.col("a_key") < F.col("b_key"))
-            & (F.abs(F.length("a_name") - F.length("b_name")) <= 3)
-            & (F.levenshtein("a_name", "b_name") <= 3)
-        )
-        .select(
-            "a_key", "b_key", F.levenshtein("a_name", "b_name").cast("long").alias("edit_dist")
-        )
+        cand.withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select("a_key", "b_key", "edit_dist")
     )
 
 
