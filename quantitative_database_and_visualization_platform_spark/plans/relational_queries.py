@@ -150,28 +150,80 @@ def screener_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sector_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sector_joined(spark, sf_dir).groupBy(
+        F.col("n_name").alias("sector_name")
+    ).agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        sum_fixed("o_totalprice").alias("total_amount"),
+        F.round(avg_fixed("o_totalprice"), 6).alias("avg_amount"),
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("median_amount"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("finished_cnt"),
+    ).filter(F.col("order_cnt") > 3)
+
+
+def _sector_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     # customer scales with the data → no forced broadcast (AQE decides);
     # nation is a fixed 25-row dim → hint it.
-    joined = star_join(
+    return star_join(
         orders,
         [
             (customer, orders["o_custkey"] == customer["c_custkey"], "inner", False),
             (nation, customer["c_nationkey"] == nation["n_nationkey"], "inner", True),
         ],
     )
-    return (
-        joined.groupBy(F.col("n_name").alias("sector_name"))
-        .agg(
-            F.count(F.lit(1)).alias("order_cnt"),
-            sum_fixed("o_totalprice").alias("total_amount"),
-            F.round(avg_fixed("o_totalprice"), 6).alias("avg_amount"),
-            F.round(F.percentile("o_totalprice", 0.5), 6).alias("median_amount"),
-            F.count_if(F.col("o_orderstatus") == "F").alias("finished_cnt"),
+
+
+# ---------------------------------------------------------------------------
+# Sector rotation: yearly sector ranking by fixed-point order totals plus
+# the year-over-year rank change — the reference's sector-rotation view
+# (`pages/4_Sector heatmap.py`) as an engine query. One join tree shared
+# with sector_rollup, one (year, sector) aggregate, one dense_rank per
+# year, one lag over the sector's own year series.
+# ---------------------------------------------------------------------------
+@query(
+    "sector_rotation_yearly",
+    oracle=f"""
+    WITH per AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS yr, n.n_name AS sector_name,
+               {o_sum_fixed('o.o_totalprice')} AS total_amount
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY EXTRACT(year FROM o.o_orderdate), n.n_name
+    )
+    , ranked AS (
+        SELECT yr, sector_name, total_amount,
+               dense_rank() OVER (PARTITION BY yr ORDER BY total_amount DESC, sector_name)
+                 AS sector_rank
+        FROM per
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, sector_name, total_amount,
+           CAST(sector_rank AS BIGINT) AS sector_rank,
+           CAST(sector_rank - LAG(sector_rank)
+                  OVER (PARTITION BY sector_name ORDER BY yr) AS BIGINT) AS rank_chg
+    FROM ranked
+    """,
+)
+def sector_rotation_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (
+        _sector_joined(spark, sf_dir)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("n_name").alias("sector_name"),
         )
-        .filter(F.col("order_cnt") > 3)
+        .agg(sum_fixed("o_totalprice").alias("total_amount"))
+    )
+    rank_w = Window.partitionBy("yr").orderBy(
+        F.col("total_amount").desc(), "sector_name"
+    )
+    ranked = per.withColumn("sector_rank", F.dense_rank().over(rank_w).cast("long"))
+    trend_w = Window.partitionBy("sector_name").orderBy("yr")
+    return ranked.withColumn(
+        "rank_chg",
+        (F.col("sector_rank") - F.lag("sector_rank").over(trend_w)).cast("long"),
     )
 
 

@@ -109,3 +109,28 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0  # driver contract: entry() must produce rows
     assert "sector_name" in df.columns
+
+
+def test_hostile_session_parity(spark):
+    """Driver simulation: the driver builds its OWN SparkSession with
+    unknown configs (round 3 shipped with a non-UTC TZ assumption bug
+    class in mind). queries() wrappers must self-tune a hostile session:
+    run the timestamp-sensitive queries through a newSession() with a
+    non-UTC zone + ANSI on and compare against the oracle."""
+    import __spark_entry__ as e
+    from quantitative_database_and_visualization_platform_spark.plans import ORACLES
+    from quantitative_database_and_visualization_platform_spark.plans.oracle_check import (
+        compare,
+        run_oracle,
+    )
+
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    hostile.conf.set("spark.sql.ansi.enabled", "true")
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in ("tick_bars_minute", "latest_event_per_user", "sliding_window_stats",
+                 "semi_join_pool_stats", "prev_day_change"):
+        sdf = qs[name](hostile, SF_TEST).toArrow()
+        odf = run_oracle(SF_TEST, osql[name])
+        problems = compare(sdf, odf)
+        assert not problems, f"{name} under hostile session: " + "; ".join(problems)
