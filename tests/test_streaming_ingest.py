@@ -232,3 +232,42 @@ def test_multimodal_decode_stub_batches(spark):
     assert len(out) == docs.count()
     assert (out["width"].between(16, 79)).all()
     assert (out["n_frames"].between(1, 5)).all()
+
+
+def test_bulk_ingest_throughput_floor(spark):
+    """The reference's one hard perf number is bulk-insert throughput
+    (800k-1.2M rows/s via the clickhouse-client native pipe,
+    `Project report.md:648-656`). Mirror: CSV-sink 2M synthetic rows
+    through the executor-parallel bulk writer, read them back through the
+    encoding-sniff reader, and assert a conservative floor on this
+    sandbox (>=300k rows/s each way) so an accidental driver-side
+    single-file writer or per-row Python path cannot sneak in."""
+    import shutil
+    import tempfile
+    import time
+
+    from quantitative_database_and_visualization_platform_spark.sources.ingest import (
+        read_csv_with_fallback,
+        write_csv_bulk,
+    )
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k"),
+        F.concat(F.lit("name_"), (F.col("id") % 1000)).alias("name"),
+    )
+    tmp = tempfile.mkdtemp(prefix="qdvp_bulk_")
+    try:
+        t0 = time.perf_counter()
+        write_csv_bulk(df, f"{tmp}/out")
+        w = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        back = read_csv_with_fallback(spark, f"{tmp}/out", header=True)
+        assert back.count() == n
+        r = time.perf_counter() - t0
+        print(f"bulk CSV write {n/w/1e6:.2f}M rows/s, read+count {n/r/1e6:.2f}M rows/s")
+        assert n / w > 300_000, f"write throughput {n/w:,.0f} rows/s below floor"
+        assert n / r > 300_000, f"read throughput {n/r:,.0f} rows/s below floor"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
