@@ -66,6 +66,91 @@ def kmv_distinct_estimate(
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_build(df: DataFrame, element: str) -> DataFrame:
+    """Count-min sketch of an element column: depth×width counter grid,
+    row r bucketing by md5(r || value). Deterministic (salted md5, no
+    RNG) and exactly mergeable (counter grids add), so sketches built
+    per-partition/per-day combine by summing — and the whole build is
+    one map-side-combined groupBy over (depth × width) cells.
+    """
+    rows = [
+        df.select(
+            F.lit(r).alias("r"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(str(r) + "|"), F.col(element).cast("string"))), 1, 13),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_WIDTH
+            ).alias("b"),
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    cells = rows[0]
+    for other in rows[1:]:
+        cells = cells.unionAll(other)
+    return cells.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_query(sketch: DataFrame, probes: DataFrame, element: str) -> DataFrame:
+    """Point-estimate the count of each probe value: min over the depth
+    rows of that value's bucket counter (classic CMS upper bound).
+    The probe side joins the (depth × width ≤ 256-cell) sketch — a
+    broadcast join at any scale."""
+    probe_cells = probes.select(
+        F.col(element),
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r"),
+    ).select(
+        element,
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit("|"), F.col(element).cast("string"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        ).alias("b"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["r", "b"], "left")
+        .groupBy(element)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )
+
+
+def o_cms(table: str, element: str, probe_filter: str) -> str:
+    """DuckDB twin: build + probe in one statement."""
+    hash_expr = (
+        "CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST({e} AS VARCHAR)), 1, 13) AS BIGINT) % "
+        + str(CMS_WIDTH)
+    )
+    return f"""
+    WITH cells AS (
+        SELECT r, {hash_expr.format(e=element)} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table}, range({CMS_DEPTH}) t(r)
+        GROUP BY r, b
+    ), probes AS (
+        SELECT DISTINCT {element} FROM {table} WHERE {probe_filter}
+    ), probe_cells AS (
+        SELECT p.{element}, t.r, {hash_expr.format(e=f'p.{element}')} AS b
+        FROM probes p, range({CMS_DEPTH}) t(r)
+    )
+    SELECT pc.{element}, MIN(COALESCE(c.cnt, 0)) AS cms_estimate
+    FROM probe_cells pc LEFT JOIN cells c ON pc.r = c.r AND pc.b = c.b
+    GROUP BY pc.{element}
+    """
+
+
 def o_kmv_distinct_estimate(table: str, group: str, element: str, k: int = 64) -> str:
     """DuckDB twin of :func:`kmv_distinct_estimate` (same ops, same order)."""
     return f"""

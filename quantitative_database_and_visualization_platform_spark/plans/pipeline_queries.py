@@ -28,6 +28,7 @@ from ..pipeline.embeddings import (
     topk_cosine,
 )
 from ..pipeline.multimodal import decode_documents
+from ..pipeline import sketches as sk
 from ..pipeline.text import o_text_features, tfidf_scores, with_text_features
 from ..session import managed_persist
 from ..sources.catalog import load_table
@@ -646,6 +647,23 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand, shingled.select("doc_id", "shingles"), threshold=_NGRAM_T
     )
     return dd.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: deterministic salted-md5 counter grid (4×64),
+# exactly mergeable (grids add — the streaming/partitioned form sums
+# per-partition sketches), probed for the counts of users 0-4. Like the
+# KMV sketch, the ESTIMATE itself is oracle-checked bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "cms_heavy_hitters",
+    oracle=sk.o_cms("events", "user_id", "user_id < 5"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sketch = sk.cms_build(events, "user_id")
+    probes = events.select("user_id").filter(F.col("user_id") < 5).distinct()
+    return sk.cms_query(sketch, probes, "user_id")
 
 
 # ---------------------------------------------------------------------------

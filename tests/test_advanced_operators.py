@@ -164,3 +164,32 @@ def test_kmv_estimate_accuracy_above_k(spark):
     assert out["kmv_k"] == 256
     # KMV relative error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
     assert abs(out["kmv_estimate"] - 10000) / 10000 < 0.25
+
+
+def test_cms_upper_bound_and_mergeability(spark):
+    from quantitative_database_and_visualization_platform_spark.pipeline.sketches import (
+        cms_build,
+        cms_query,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 123).alias("x"))
+    sketch = cms_build(df, "x")
+    probes = df.filter(F.col("x") < 10).distinct()
+    est = {r["x"]: r["cms_estimate"] for r in cms_query(sketch, probes, "x").collect()}
+    true = {
+        r["x"]: r["c"]
+        for r in df.filter(F.col("x") < 10).groupBy("x").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # CMS never under-counts
+    assert all(est[k] >= true[k] for k in true)
+    # mergeability: sum of per-half sketches == sketch of the union
+    a = cms_build(spark.range(0, 2500).select((F.col("id") % 123).alias("x")), "x")
+    b = cms_build(spark.range(2500, 5000).select((F.col("id") % 123).alias("x")), "x")
+    merged = (
+        a.unionByName(b)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["r"], r["b"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["r"], r["b"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
