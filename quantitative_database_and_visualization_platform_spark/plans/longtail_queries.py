@@ -15,6 +15,67 @@ from .registry import avg_fixed, o_avg_fixed, o_sum_fixed, query, sum_fixed
 
 
 # ---------------------------------------------------------------------------
+# KPL ladder (`QuantDB.py:406-408` get_kpl_ladder): limit-up boards
+# grouped by streak height, each rung carrying the member list — an
+# ARRAY-valued aggregation output (sorted, capped top-5 so a rung's
+# payload is bounded at any scale; the full membership stays queryable
+# via the grouped table).
+# ---------------------------------------------------------------------------
+@query(
+    "kpl_ladder",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
+        FROM events
+    ), labeled AS (
+        SELECT user_id, event_type,
+               CASE WHEN k % 3 = 0 THEN '首板'
+                    WHEN k % 3 = 1 THEN CAST(k % 9 + 1 AS VARCHAR) || '连板'
+                    ELSE CAST(k % 5 + 2 AS VARCHAR) || '天' || CAST(k % 9 + 1 AS VARCHAR) || '板'
+               END AS streak
+        FROM ev WHERE event_type = 'click'
+    ), parsed AS (
+        SELECT user_id,
+               CASE WHEN regexp_extract(streak, '^(\\d+)连板$', 1) <> ''
+                    THEN CAST(regexp_extract(streak, '^(\\d+)连板$', 1) AS INT)
+                    WHEN regexp_extract(streak, '^\\d+天(\\d+)板$', 1) <> ''
+                    THEN CAST(regexp_extract(streak, '^\\d+天(\\d+)板$', 1) AS INT)
+                    ELSE 1 END AS height
+        FROM labeled
+    )
+    SELECT CAST(height AS BIGINT) AS height,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_stocks,
+           list_sort(list_distinct(list(user_id)))[1:5] AS top_members
+    FROM parsed GROUP BY height
+    """,
+)
+def kpl_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    )
+    k = F.col("k")
+    streak = (
+        F.when(k % 3 == 0, F.lit("首板"))
+        .when(k % 3 == 1, F.concat((k % 9 + 1).cast("string"), F.lit("连板")))
+        .otherwise(
+            F.concat(
+                (k % 5 + 2).cast("string"), F.lit("天"), (k % 9 + 1).cast("string"), F.lit("板")
+            )
+        )
+    )
+    parsed = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("height", streak_height(streak).cast("long"))
+        .select("user_id", "height")
+    )
+    return parsed.groupBy("height").agg(
+        F.count_distinct("user_id").alias("n_stocks"),
+        F.slice(F.array_sort(F.collect_set("user_id")), 1, 5).alias("top_members"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Point lookup — single row by key, LIMIT 1 (`QuantDB.py:48,118-119`).
 # Filter + orderBy + limit: Catalyst pushes the filter to the scan and
 # TakeOrderedAndProject returns one row without a global sort.
