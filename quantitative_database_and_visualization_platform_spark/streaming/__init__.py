@@ -5,4 +5,9 @@ event-time streaming job with watermarked late-data handling.
 
 from .rollup_sink import read_rollup, start_rollup_sink  # noqa: F401
 from .stateful import running_user_stats  # noqa: F401
-from .tick_bars import sliding_type_stats, stream_events, streaming_minute_bars  # noqa: F401
+from .tick_bars import (  # noqa: F401
+    click_purchase_interval_join,
+    sliding_type_stats,
+    stream_events,
+    streaming_minute_bars,
+)

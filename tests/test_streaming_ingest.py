@@ -271,3 +271,39 @@ def test_bulk_ingest_throughput_floor(spark):
         assert n / r > 300_000, f"read throughput {n/r:,.0f} rows/s below floor"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Stream-stream inner interval join (clicks x purchases within 10
+    minutes, watermarks both sides): with a full availableNow replay the
+    emitted matches must equal the batch join of the same function."""
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        click_purchase_interval_join,
+        stream_events,
+    )
+
+    ev_stream = stream_events(spark, SF)
+    clicks_s = ev_stream.filter(F.col("event_type") == "click")
+    purch_s = ev_stream.filter(F.col("event_type") == "purchase")
+    joined = click_purchase_interval_join(clicks_s, purch_s)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_test").toPandas()
+    ev = load_table(spark, SF, "events")
+    want = click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+    key = ["click_id", "purchase_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
