@@ -109,15 +109,16 @@ def with_cs_rank_block(
     # NaN, not NULL — restore the null mask from the source column. The
     # isnan branch makes a true-NaN source loud (it would otherwise rank
     # differently from the window cs_rank / the SQL oracle).
-    return out.select(
-        *df.columns,
+    # selectExpr strings, not Column algebra: the wrapper is ~15 py4j
+    # round-trips per ranked column as Columns (~85 columns × 3 blocks in
+    # the alpha DAG ≈ seconds of driver construction); as SQL text the
+    # whole projection is ONE parse call.
+    return out.selectExpr(
+        *[f"`{c}`" for c in df.columns],
         *[
-            F.when(
-                F.col(src).isNotNull() & F.isnan(F.col(src)),
-                F.raise_error(F.lit(f"cs_rank block: NaN in source column {src}")),
-            )
-            .when(F.col(src).isNotNull(), F.col(out_col))
-            .alias(out_col)
+            f"CASE WHEN `{src}` IS NOT NULL AND isnan(`{src}`) "
+            f"THEN raise_error('cs_rank block: NaN in source column {src}') "
+            f"WHEN `{src}` IS NOT NULL THEN `{out_col}` END AS `{out_col}`"
             for out_col, src in items
         ],
     )
