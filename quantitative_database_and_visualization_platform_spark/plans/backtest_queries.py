@@ -98,6 +98,48 @@ def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Calendar-RANGE rolling window: trailing 7 CALENDAR days of dollar
+# volume per name. Different from every ROWS-framed rolling op in the
+# engine whenever a name has missing days — the frame is defined by the
+# date VALUE (epoch-day rangeBetween), so gaps shrink the row count
+# instead of silently reaching further back in time.
+# ---------------------------------------------------------------------------
+@query(
+    "range_window_dollar_volume",
+    oracle=f"""
+    WITH {O_BARS}
+    SELECT code, d,
+           CAST(SUM(CAST(ROUND(amount*100,0) AS BIGINT))
+                  OVER (PARTITION BY code ORDER BY d
+                        RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE)/100.0 AS dollar_vol_7d,
+           CAST(COUNT(*) OVER (PARTITION BY code ORDER BY d
+                        RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS days_present_7d
+    FROM bars
+    """,
+)
+def range_window_dollar_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    # DataFrame rangeBetween frames are numeric — order by epoch day
+    day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("code")
+        .orderBy(day_num)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return bars.select(
+        "code",
+        "d",
+        (
+            F.sum(F.round(F.col("amount") * 100, 0).cast("long")).over(w).cast("double")
+            / 100.0
+        ).alias("dollar_vol_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rolling market beta: 10-day cov(ret, mkt)/var(mkt) per name against the
 # equal-weight market return. The market series is date-aggregated once
 # (fixed-point mean, exact on both engines) and joined back — a
