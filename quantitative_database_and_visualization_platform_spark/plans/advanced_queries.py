@@ -187,6 +187,34 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom GROUPING SETS — independent subtotal axes ((priority), (status)),
+# NOT the rollup lattice: one Expand + single aggregate, no double scan.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_priority_status",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           {o_sum_fixed('o_totalprice')} AS total_amount
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("order_cnt"),
+        sum_fixed("o_totalprice").alias("total_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct sketch: per-event-type distinct-user estimate. Fully
 # deterministic (md5-based hash, exact 52-bit integer minima), so the
 # ESTIMATE itself is oracle-checked — not merely "close to exact".
