@@ -98,6 +98,52 @@ def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-sectional winsorization: clip each day's returns at that day's
+# exact [p05, p95] — the standard outlier guard before factor fitting.
+# Exact interpolated percentiles as window aggregates over the date
+# partition (both engines linear-interpolate), boundaries pre-rounded to
+# 9dp so a one-ulp interpolation difference cannot flip a clip decision.
+# ---------------------------------------------------------------------------
+@query(
+    "winsorize_returns",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars
+        QUALIFY ret IS NOT NULL
+    ), b AS (
+        SELECT code, d, ret,
+               ROUND(quantile_cont(ret, 0.05) OVER (PARTITION BY d), 9) AS lo,
+               ROUND(quantile_cont(ret, 0.95) OVER (PARTITION BY d), 9) AS hi
+        FROM rets
+    )
+    SELECT code, d,
+           FLOOR(LEAST(GREATEST(ret, lo), hi)*1000000 + 0.5)/1000000.0 AS ret_wins,
+           CAST(ret < lo OR ret > hi AS INT) AS clipped
+    FROM b
+    """,
+)
+def winsorize_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    day = Window.partitionBy("d")
+    lo = F.round(F.percentile("ret", 0.05).over(day), 9)
+    hi = F.round(F.percentile("ret", 0.95).over(day), 9)
+    clipped = (F.col("ret") < lo) | (F.col("ret") > hi)
+    return rets.select(
+        "code",
+        "d",
+        round6(F.least(F.greatest(F.col("ret"), lo), hi)).alias("ret_wins"),
+        clipped.cast("int").alias("clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Calendar-RANGE rolling window: trailing 7 CALENDAR days of dollar
 # volume per name. Different from every ROWS-framed rolling op in the
 # engine whenever a name has missing days — the frame is defined by the
