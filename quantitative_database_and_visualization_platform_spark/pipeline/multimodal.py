@@ -68,3 +68,39 @@ def decode_documents(df: DataFrame) -> DataFrame:
     no shuffle)."""
     withblob = attach_blob(df).select("doc_id", "content")
     return withblob.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, k: int = 3) -> DataFrame:
+    """Frame sampling: one output row per sampled frame, even integer
+    stride over [0, n_frames), at most k frames per payload — the
+    video-frame-extraction shape of a multimodal training pipeline.
+
+    The frame INDEX/OFFSET arithmetic is real and exact (oracle-checked);
+    the pixel decode of each sampled frame is the same documented stub as
+    decode_batch. Explode happens JVM-side from a tiny computed index
+    array (never the payload), so the fan-out row carries only
+    (doc_id, frame_idx, byte offset) — payload bytes are fetched
+    per-frame by the downstream decoder, not duplicated k×.
+    """
+    n = F.col("n_frames")
+    kk = F.least(F.lit(k), n)
+    # even stride: idx_i = floor(i * (n-1) / (k'-1)) for k' > 1, else [0]
+    idxs = F.when(
+        kk > 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), kk - 1),
+                lambda i: F.floor(i * (n - 1) / (kk - 1)).cast("long"),
+            )
+        ),
+    ).otherwise(F.array(F.lit(0).cast("long")))
+    frame_size = F.floor(F.col("n_bytes") / n).cast("long")
+    return (
+        decoded.withColumn("frame_idx", F.explode(idxs))
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * frame_size).alias("frame_offset"),
+            frame_size.alias("frame_nbytes"),
+        )
+    )

@@ -733,3 +733,41 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_documents(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling over the decoded payloads: ≤3 frames per doc at even
+# integer stride, JVM-side explode of the tiny index array (the payload
+# is never duplicated per frame). Index/offset arithmetic oracle-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 5 + 1 AS BIGINT) AS n_frames
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, n_bytes, n_frames,
+               LEAST(3, n_frames) AS kk
+        FROM meta
+    ), sampled AS (
+        SELECT doc_id, n_bytes, n_frames,
+               UNNEST(CASE WHEN kk > 1 THEN
+                 list_distinct([CAST(FLOOR(i * (n_frames - 1) / (kk - 1)) AS BIGINT)
+                                for i in range(0, CAST(kk AS INT))])
+                 ELSE [CAST(0 AS BIGINT)] END) AS frame_idx
+        FROM idx
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * CAST(FLOOR(n_bytes / n_frames) AS BIGINT) AS frame_offset,
+           CAST(FLOOR(n_bytes / n_frames) AS BIGINT) AS frame_nbytes
+    FROM sampled
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.multimodal import sample_frames
+
+    decoded = decode_documents(load_table(spark, sf_dir, "documents"))
+    return sample_frames(decoded, k=3)
