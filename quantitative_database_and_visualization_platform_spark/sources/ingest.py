@@ -68,3 +68,56 @@ def compact_partitions(spark: SparkSession, path: str, n_files: int, sort_cols: 
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     out.write.mode("overwrite").parquet(f"{path}__compacted")
+
+
+def read_zipped_csvs(
+    spark: SparkSession,
+    zip_glob: str,
+    schema: StructType,
+    encodings: tuple[str, ...] = ("GB18030", "UTF-8"),
+) -> DataFrame:
+    """Executor-parallel ZIP→CSV ingest — the reference's actual intake
+    shape (zipped tick batches, 28-process pool with a GB18030→UTF-8
+    sniff and bad-line skipping, `Project report.md:453-487`).
+
+    Spark has no zip codec, so each archive is read whole via the
+    binaryFile source (one task per zip — same parallelism unit as the
+    reference's per-zip worker) and decompressed in an Arrow-batched
+    mapInPandas: stdlib zipfile + pandas.read_csv per member, trying each
+    encoding (a wrong codec raises UnicodeDecodeError — the same strict
+    probe as read_csv_with_fallback), bad lines skipped. Zip bytes never
+    hit the driver; output rows stream out as Arrow batches.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    field_names = [f.name for f in schema.fields]
+
+    def unzip_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+        import zipfile
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for member in zf.namelist():
+                        if not member.lower().endswith(".csv"):
+                            continue
+                        raw = zf.read(member)
+                        for enc in encodings:
+                            try:
+                                out = pd.read_csv(
+                                    io.BytesIO(raw),
+                                    encoding=enc,
+                                    on_bad_lines="skip",
+                                )
+                                break
+                            except (UnicodeDecodeError, ValueError):
+                                continue
+                        else:
+                            continue  # undecodable member: skip, don't kill the job
+                        yield out[field_names]
+
+    blobs = spark.read.format("binaryFile").load(zip_glob).select("content")
+    return blobs.mapInPandas(unzip_batches, schema=schema)

@@ -307,3 +307,53 @@ def test_stream_stream_interval_join_matches_batch(spark):
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want) > 0
     assert got.equals(want)
+
+
+def test_zipped_csv_ingest_with_encoding_mix(spark):
+    """ZIP→CSV intake: two archives, one GB18030-encoded member and one
+    UTF-8, decoded executor-side (mapInPandas over binaryFile) — rows
+    must equal the plain concatenation, bad lines skipped."""
+    import io
+    import os
+    import tempfile
+    import zipfile
+
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from quantitative_database_and_visualization_platform_spark.sources.ingest import read_zipped_csvs
+
+    schema = StructType(
+        [StructField("code", StringType()), StructField("qty", LongType())]
+    )
+    tmp = tempfile.mkdtemp(prefix="qdvp_zip_")
+    try:
+        df1 = pd.DataFrame({"code": ["沪A001", "深B002"], "qty": [10, 20]})
+        df2 = pd.DataFrame({"code": ["x1", "x2", "x3"], "qty": [1, 2, 3]})
+        with zipfile.ZipFile(os.path.join(tmp, "a.zip"), "w") as zf:
+            buf = io.BytesIO()
+            df1.to_csv(buf, index=False, encoding="GB18030")
+            zf.writestr("gbk_part.csv", buf.getvalue())
+            zf.writestr("notes.txt", b"ignored non-csv member")
+        with zipfile.ZipFile(os.path.join(tmp, "b.zip"), "w") as zf:
+            buf = io.BytesIO()
+            df2.to_csv(buf, index=False, encoding="UTF-8")
+            zf.writestr("utf8_part.csv", buf.getvalue())
+        got = (
+            read_zipped_csvs(spark, f"{tmp}/*.zip", schema)
+            .toPandas()
+            .sort_values(["code"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.concat([df1, df2])
+            .astype({"qty": "int64"})
+            .sort_values(["code"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
