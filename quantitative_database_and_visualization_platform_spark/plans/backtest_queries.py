@@ -98,6 +98,100 @@ def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Equal-weight market index history (`QuantDB.py:358-369,390-395`
+# get_market_index_daily / get_market_index_history): daily mean return
+# across the universe, arithmetic index level base 1000 — fixed-point
+# cumulative sum so the level is exact under any summation order.
+# ---------------------------------------------------------------------------
+@query(
+    "market_index_history",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ), mkt AS (
+        SELECT d,
+               SUM(CAST(ROUND(ret*{_RS},0) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) / {_RS}
+                 AS mkt_ret,
+               CAST(COUNT(*) AS BIGINT) AS n_names
+        FROM rets GROUP BY d
+    )
+    SELECT d,
+           FLOOR(mkt_ret*1000000 + 0.5)/1000000.0 AS mkt_ret,
+           n_names,
+           FLOOR((1000.0 + 1000.0 * (SUM(CAST(ROUND(mkt_ret*{_RS},0) AS BIGINT))
+                    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) / {_RS}.0))*1000000 + 0.5)
+             /1000000.0 AS index_level
+    FROM mkt
+    """,
+)
+def market_index_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    mkt = rets.groupBy("d").agg(
+        (
+            F.sum(F.round(F.col("ret") * _RS, 0).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+            / _RS
+        ).alias("mkt_ret"),
+        F.count(F.lit(1)).alias("n_names"),
+    )
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    level = 1000.0 + 1000.0 * (
+        F.sum(F.round(F.col("mkt_ret") * _RS, 0).cast("long")).over(cum) / float(_RS)
+    )
+    return mkt.select(
+        "d", round6("mkt_ret").alias("mkt_ret"), "n_names", round6(level).alias("index_level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity availability range (`QuantDB.py:55-63`
+# get_stock_available_range) and the previous-trading-date scalar
+# (`QuantDB.py:36-43` get_previous_trading_date) — metadata lookups a
+# client fires constantly; both are single aggregates with pushdown.
+# ---------------------------------------------------------------------------
+@query(
+    "stock_available_range",
+    oracle=f"""
+    WITH {O_BARS}
+    SELECT code, MIN(d) AS first_d, MAX(d) AS last_d,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM bars GROUP BY code
+    """,
+)
+def stock_available_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_bars(spark, sf_dir).groupBy("code").agg(
+        F.min("d").alias("first_d"),
+        F.max("d").alias("last_d"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@query(
+    "prev_trading_date",
+    oracle=f"""
+    WITH {O_BARS},
+    days AS (SELECT DISTINCT d FROM bars)
+    SELECT MAX(d) AS prev_d FROM days WHERE d < (SELECT MAX(d) FROM days)
+    """,
+)
+def prev_trading_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = daily_bars(spark, sf_dir).select("d").distinct()
+    latest = days.agg(F.max("d").alias("__mx"))
+    return (
+        days.join(F.broadcast(latest))
+        .filter(F.col("d") < F.col("__mx"))
+        .agg(F.max("d").alias("prev_d"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-sectional winsorization: clip each day's returns at that day's
 # exact [p05, p95] — the standard outlier guard before factor fitting.
 # Exact interpolated percentiles as window aggregates over the date
