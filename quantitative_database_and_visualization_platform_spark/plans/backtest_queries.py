@@ -192,6 +192,60 @@ def prev_trading_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Yesterday's-winners cohort performance (`QuantDB.py:443-…`
+# get_yesterday_limit_up_performance): form each day's winner cohort
+# (top decile by daily return — the synthetic panel's limit-up proxy),
+# then measure that cohort's NEXT-day average return against the
+# market. A temporal cohort join: rank on day d, consume on day d+1.
+# ---------------------------------------------------------------------------
+@query(
+    "yesterday_winners_performance",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER w - 1 AS ret,
+               LEAD(close) OVER w / close - 1 AS fwd_ret
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), ranked AS (
+        SELECT code, d, ret, fwd_ret,
+               NTILE(10) OVER (PARTITION BY d ORDER BY ret, code) AS dec
+        FROM rets WHERE ret IS NOT NULL AND fwd_ret IS NOT NULL
+    )
+    SELECT d,
+           FLOOR((SUM(CASE WHEN dec = 10 THEN CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) END)
+                  / CAST(COUNT(CASE WHEN dec = 10 THEN 1 END) AS DOUBLE) / {_RS})*1000000 + 0.5)
+             /1000000.0 AS winners_next_ret,
+           FLOOR((SUM(CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT))
+                  / CAST(COUNT(*) AS DOUBLE) / {_RS})*1000000 + 0.5)/1000000.0 AS mkt_next_ret,
+           CAST(COUNT(CASE WHEN dec = 10 THEN 1 END) AS BIGINT) AS cohort_size
+    FROM ranked GROUP BY d
+    """,
+)
+def yesterday_winners_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("fwd_ret"),
+    ).filter(F.col("ret").isNotNull() & F.col("fwd_ret").isNotNull())
+    ranked = rets.withColumn(
+        "dec", F.ntile(10).over(Window.partitionBy("d").orderBy("ret", "code"))
+    )
+    micro = F.round(F.col("fwd_ret") * _RS, 0).cast("long")
+    winners = F.when(F.col("dec") == 10, micro)
+    return ranked.groupBy("d").agg(
+        round6(
+            F.sum(winners) / F.count(F.when(F.col("dec") == 10, F.lit(1))).cast("double") / _RS
+        ).alias("winners_next_ret"),
+        round6(F.sum(micro) / F.count(F.lit(1)).cast("double") / _RS).alias("mkt_next_ret"),
+        F.count(F.when(F.col("dec") == 10, F.lit(1))).alias("cohort_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-sectional winsorization: clip each day's returns at that day's
 # exact [p05, p95] — the standard outlier guard before factor fitting.
 # Exact interpolated percentiles as window aggregates over the date
