@@ -89,3 +89,27 @@ def test_write_partitioned_prunes(spark):
         assert len(files) >= 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_asof_join_shuffle_budget(spark):
+    """The as-of join is the union-merge form: right-side pre-aggregation
+    (1 exchange) + one key-axis window sort (1 exchange). More exchanges
+    means someone reintroduced a join-based form."""
+    import re
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["asof_join_latest_order"](spark, SF))
+    exchanges = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert exchanges <= 3, f"{exchanges} exchanges in as-of join:\n{plan[:2000]}"
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_fuzzy_join_blocks_on_equi_key(spark):
+    """The levenshtein join must stay a hash join on the brand blocking
+    key — a bare inequality join would plan BroadcastNestedLoopJoin."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["fuzzy_join_part_names"](spark, SF))
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
