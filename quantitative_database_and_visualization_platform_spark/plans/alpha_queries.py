@@ -1196,6 +1196,32 @@ def alpha_ic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ic_scan(spark, sf_dir, ALPHA_GATE_PARTS[0])
 
 
+def _register_ic_gate_parts() -> None:
+    """alpha_ic_b/c/d: the remaining three 25/26-factor IC-scan splits.
+
+    Together with alpha_ic_gate (split a) every one of the 101 alpha IC
+    rows is value-hashed at the driver gate through a dependency-pruned
+    oracle chain — the full-width ``alpha_ic_scan`` stays registered for
+    reference parity (`pages/5_Alpha lab.py:44-55`) with its pytest-only
+    full oracle, but no gate slot is spent on a rows-only check anymore.
+    """
+    for label, part in list(zip("abcd", ALPHA_GATE_PARTS))[1:]:
+
+        def run(spark: SparkSession, sf_dir: str, _part=tuple(part)) -> DataFrame:
+            return _ic_scan(spark, sf_dir, list(_part))
+
+        run.__name__ = f"alpha_ic_{label}"
+        run.__doc__ = (
+            "Driver-gate slice of the 101-factor Spearman IC scan: shares "
+            "the one persisted alpha table; oracle is the dependency-"
+            "pruned chain for exactly these factors (oracle_prune.py)."
+        )
+        query(f"alpha_ic_{label}", oracle=_o_alpha_ic(list(part)))(run)
+
+
+_register_ic_gate_parts()
+
+
 # The rounded alpha table is MATERIALIZED once per (session, sf_dir) and
 # shared by alpha101_subset and alpha_ic_scan — the Spark analog of the
 # reference's precomputed factor_db (`database_schema.md:271`): the IC

@@ -16,10 +16,11 @@ from .registry import avg_fixed, o_avg_fixed, o_sum_fixed, query, sum_fixed
 
 # ---------------------------------------------------------------------------
 # KPL ladder (`QuantDB.py:406-408` get_kpl_ladder): limit-up boards
-# grouped by streak height, each rung carrying the member list — an
-# ARRAY-valued aggregation output (sorted, capped top-5 so a rung's
-# payload is bounded at any scale; the full membership stays queryable
-# via the grouped table).
+# grouped by streak height, each rung carrying the member list — sorted,
+# capped top-5 so a rung's payload is bounded at any scale, and emitted
+# as a comma-joined STRING (not ARRAY) so every downstream comparer can
+# hash the cell; the full membership stays queryable via the grouped
+# table.
 # ---------------------------------------------------------------------------
 @query(
     "kpl_ladder",
@@ -46,7 +47,7 @@ from .registry import avg_fixed, o_avg_fixed, o_sum_fixed, query, sum_fixed
     )
     SELECT CAST(height AS BIGINT) AS height,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_stocks,
-           list_sort(list_distinct(list(user_id)))[1:5] AS top_members
+           array_to_string(list_sort(list_distinct(list(user_id)))[1:5], ',') AS top_members
     FROM parsed GROUP BY height
     """,
 )
@@ -71,7 +72,13 @@ def kpl_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.groupBy("height").agg(
         F.count_distinct("user_id").alias("n_stocks"),
-        F.slice(F.array_sort(F.collect_set("user_id")), 1, 5).alias("top_members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("user_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("top_members"),
     )
 
 
