@@ -136,9 +136,16 @@ def asof_join(
     - tag both sides, union on a common (key, time) axis,
     - ONE shuffle: window partitionBy(key) orderBy(time, side) where right
       rows sort BEFORE left rows at an equal timestamp (<= semantics),
-    - `last(payload, ignorenulls=True)` over unbounded-preceding carries
-      each right row's payload forward to the left rows it matches,
+    - ONE `last(struct(time, *payload), ignorenulls=True)` over
+      unbounded-preceding carries each right row's WHOLE payload forward
+      atomically — per-column carries would let a NULL in one payload
+      column inherit that column from an OLDER right row, silently mixing
+      columns of different right rows (diverging from merge_asof/ASOF
+      JOIN whole-row semantics),
     - keep only left rows.
+
+    Payload names must be disjoint from left's columns (checked) — a
+    collision would mis-bind through the unionByName.
 
     O(n log n) sort within each key's partition, no join explosion, no
     per-key driver loop — survives a 100× scale-up where the naive
@@ -149,17 +156,20 @@ def asof_join(
     ``tolerance_seconds`` (optional) NULLs the payload when the matched
     right row is older than the tolerance — pandas merge_asof semantics.
     """
+    collisions = sorted(set(payload) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"asof_join payload columns collide with left columns: {collisions}; "
+            "rename the right-side payload before joining"
+        )
     lt = F.col(left_time).cast("timestamp")
     rt = F.col(right_time).cast("timestamp")
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__t", lt)
-    r_tagged = (
-        right.select(
-            F.col(on),
-            rt.alias("__t"),
-            *[F.col(c) for c in payload],
-        )
-        .withColumn("__side", F.lit(0))
-        .withColumn("__rt", F.col("__t"))
+    r_tagged = right.select(
+        F.col(on),
+        rt.alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(rt.alias("__rt"), *[F.col(c) for c in payload]).alias("__pay"),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
@@ -167,24 +177,20 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last(c, ignorenulls=True).over(w).alias(f"__m_{c}") for c in payload]
-    matched_t = F.last("__rt", ignorenulls=True).over(w).alias("__m_t")
-    out = unioned.select("*", *carried, matched_t).filter(F.col("__side") == 1)
+    # the struct is NULL on left rows (unionByName fill) and non-NULL on
+    # every right row, so one ignorenulls-last is an atomic whole-row match
+    out = (
+        unioned.withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
     if tolerance_seconds is not None:
-        in_tol = F.col("__t").cast("long") - F.col("__m_t").cast("long") <= F.lit(
+        in_tol = F.col("__t").cast("long") - F.col("__m.__rt").cast("long") <= F.lit(
             tolerance_seconds
         )
-        out = out.select(
-            *[c for c in out.columns if not c.startswith("__m_")],
-            *[
-                F.when(in_tol, F.col(f"__m_{c}")).alias(f"__m_{c}")
-                for c in payload
-            ],
-            F.when(in_tol, F.col("__m_t")).alias("__m_t"),
-        )
+        out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
     keep = [c for c in left.columns]
-    renamed = [F.col(f"__m_{c}").alias(f"asof_{c}") for c in payload]
-    return out.select(*keep, F.col("__m_t").alias("asof_time"), *renamed)
+    renamed = [F.col(f"__m.{c}").alias(f"asof_{c}") for c in payload]
+    return out.select(*keep, F.col("__m.__rt").alias("asof_time"), *renamed)
 
 
 def band_self_join(

@@ -12,6 +12,20 @@ fine for a single probe, linear in corpus size. The SRP variant buckets
 the corpus ONCE (a materializable groupBy key), then a probe touches only
 its bucket: candidate set ~ n / 2^planes, and multi-probe (flipping weak
 bits) trades recall for fan-out without ever scanning the full corpus.
+
+Sizing the plane count: with FIXED planes, expected bucket size is
+n / 2^planes — it grows LINEARLY with the corpus, and every bucketed
+self-join (near-dup) pays Σ bucket² ∝ n²/2^planes: the same class of
+scale-killer as a fixed-cardinality blocking key. N_PLANES must
+therefore grow with log2(n): `planes_for_corpus(n, target)` returns
+ceil(log2(n / target)) so the expected bucket holds ~`target` vectors
+at any corpus size (e.g. 1e10 vectors / target 256 → 26 planes), and
+self-join work stays Σ bucket² ≈ n·target — linear in n. The bench
+default N_PLANES=4 is planes_for_corpus(5e3, 512) at the sf0.1 corpus
+(~312 vectors/bucket); a production caller passes its own n. More
+planes cost recall at fixed
+probes — hold bucket size constant and raise `n_probes` instead of
+letting buckets grow.
 """
 
 from __future__ import annotations
@@ -21,6 +35,22 @@ from pyspark.sql import functions as F
 
 N_PLANES = 4
 DIMS = 64
+
+
+def planes_for_corpus(n_vectors: int, target_bucket: int = 256) -> int:
+    """Plane count that holds the EXPECTED bucket at ~target_bucket
+    vectors regardless of corpus size: ceil(log2(n / target)), min 1.
+
+    Rationale (see module docstring): fixed planes ⇒ bucket size
+    n/2^planes grows linearly with the corpus and bucketed self-joins
+    degrade toward all-pairs; log-scaled planes keep Σ bucket² ≈
+    n·target — linear. At 100 TB (~1e10 vectors, target 256) this is 26
+    planes — still a cheap 26-bit key."""
+    import math
+
+    if n_vectors <= 0 or target_bucket <= 0:
+        raise ValueError("n_vectors and target_bucket must be positive")
+    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
 
 
 def cosine(a: str, b: str) -> Column:

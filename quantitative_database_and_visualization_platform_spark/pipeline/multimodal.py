@@ -81,7 +81,12 @@ def sample_frames(decoded: DataFrame, k: int = 3) -> DataFrame:
     array (never the payload), so the fan-out row carries only
     (doc_id, frame_idx, byte offset) — payload bytes are fetched
     per-frame by the downstream decoder, not duplicated k×.
+
+    Degenerate payloads (n_frames NULL or < 1) emit ZERO rows — without
+    the filter the `otherwise([0])` branch would fabricate a frame_idx-0
+    row with NULL offset/size for a frameless payload.
     """
+    decoded = decoded.filter(F.col("n_frames") >= 1)
     n = F.col("n_frames")
     kk = F.least(F.lit(k), n)
     # even stride: idx_i = floor(i * (n-1) / (k'-1)) for k' > 1, else [0]

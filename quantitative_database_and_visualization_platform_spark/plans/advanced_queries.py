@@ -274,10 +274,26 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) similarity join: part-name pairs within
-# levenshtein ≤ 3, blocked on brand + a length band. The equi-key block
-# turns the quadratic all-pairs problem into per-brand buckets (a hash
-# join at any scale); the length band (|Δlen| ≤ dist is a lower bound on
-# edit distance) prunes candidates before the O(len²) DP runs.
+# levenshtein ≤ 3. Round-4 blocked on brand alone (25 distinct values →
+# candidate pairs O(n²/25): ~7.7M DP probes at sf0.1, ~10¹¹ at 100× —
+# the round-4 scale-killer). The scale-safe form factors the expensive
+# relation through the DISTINCT-NAME domain:
+#
+#   1. names = DISTINCT p_name — grows with vocabulary, not row count.
+#   2. The edit-distance relation is computed ONCE on name pairs,
+#      blocked on a width-4 length bucket IN the join key (sound:
+#      |Δlen| ≤ dist bounds edit distance, so |Δlen| ≤ 3 ⟹ |Δbucket| ≤ 1
+#      and replicating one side to {b−1,b,b+1} meets every qualifying
+#      ordered pair on exactly one composite key). DP probes = O(D²/buckets)
+#      where D = |distinct names| — independent of table size.
+#   3. Row pairs are reconstituted by two hash joins on
+#      (name) and (brand, name) — pure equi joins whose output is the
+#      answer itself, never a superset to verify.
+#
+# At 100 TB the name-pair relation stays small while the expansion joins
+# shuffle on keys whose cardinality grows with data (brand × name); the
+# only quadratic term left is the OUTPUT (duplicate names form cliques),
+# which no exact algorithm can avoid.
 # ---------------------------------------------------------------------------
 @query(
     "fuzzy_join_part_names",
@@ -292,27 +308,41 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    blk = F.floor(F.length("x") / 4)
+    names = part.select(F.col("p_name").alias("x")).distinct()
+    nx = names.select("x", blk.alias("blk"))
+    # replicate the probe side to its three adjacent length buckets; the
+    # array is three cheap ints, so the Generate re-evaluation trap for
+    # expensive exploded expressions does not apply
+    ny = names.select(
+        F.col("x").alias("y"), F.explode(F.array(blk - 1, blk, blk + 1)).alias("blk")
+    )
+    # threshold form: banded O(len×3) DP with early exit (returns -1 when
+    # the distance exceeds the threshold) — exact for the ≤3 contract and
+    # ~10× cheaper than the full O(len²) DP on the distant majority.
+    # The relation is kept ORDERED-symmetric (x=y at dist 0 included):
+    # each qualifying ordered name pair meets on exactly one bucket key,
+    # so the expansion below needs no dedup.
+    name_pairs = (
+        nx.join(ny, "blk")
+        .withColumn("edit_dist", F.levenshtein("x", "y", 3).cast("long"))
+        .filter(F.col("edit_dist") >= 0)
+        .select("x", "y", "edit_dist")
+    )
     a = part.select(
         F.col("p_partkey").alias("a_key"),
-        F.col("p_name").alias("a_name"),
+        F.col("p_name").alias("x"),
         F.col("p_brand").alias("brand"),
     )
     b = part.select(
         F.col("p_partkey").alias("b_key"),
-        F.col("p_name").alias("b_name"),
+        F.col("p_name").alias("y"),
         F.col("p_brand").alias("brand"),
     )
-    cand = a.join(b, "brand").filter(
-        (F.col("a_key") < F.col("b_key"))
-        & (F.abs(F.length("a_name") - F.length("b_name")) <= 3)
-    )
-    # threshold form: banded O(len×3) DP with early exit (returns -1 when
-    # the distance exceeds the threshold) — exact for the ≤3 contract and
-    # ~10× cheaper than the full O(len²) DP on the distant majority
-    dist = F.levenshtein("a_name", "b_name", 3)
     return (
-        cand.withColumn("edit_dist", dist.cast("long"))
-        .filter(F.col("edit_dist") >= 0)
+        a.join(name_pairs, "x")
+        .join(b, ["brand", "y"])
+        .filter(F.col("a_key") < F.col("b_key"))
         .select("a_key", "b_key", "edit_dist")
     )
 

@@ -115,9 +115,16 @@ def read_zipped_csvs(
                                 break
                             except (UnicodeDecodeError, ValueError):
                                 continue
+                            except Exception:
+                                # any other parser failure on this member
+                                # is bad data, not a job-fatal error
+                                continue
                         else:
                             continue  # undecodable member: skip, don't kill the job
-                        yield out[field_names]
+                        # reindex, not out[field_names]: a member missing a
+                        # schema column must yield NULLs for it (skip-bad-
+                        # data contract), not a KeyError that kills the task
+                        yield out.reindex(columns=field_names)
 
     blobs = spark.read.format("binaryFile").load(zip_glob).select("content")
     return blobs.mapInPandas(unzip_batches, schema=schema)

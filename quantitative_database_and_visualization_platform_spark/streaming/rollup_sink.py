@@ -8,9 +8,17 @@ nightly factor jobs maintain factor_db the same way,
 Scale design: each micro-batch shuffles only ITS OWN partial rollup
 (map-side combined, bucket-count-sized), then merges with the stored
 rollup by summing integer partials — exact under any merge order and
-any micro-batch boundary placement. The store here is a parquet
-directory rewritten per batch (bucket-count-sized, tiny); a production
-deployment swaps in a MERGE-capable table format for the same plan.
+any micro-batch boundary placement. foreachBatch delivers batches
+AT-LEAST-ONCE, so the merge must also be idempotent per batch_id: the
+store carries the last merged batch_id and a replayed batch (same id
+re-delivered after a failure between the store rewrite and the
+checkpoint commit) is skipped instead of double-counted. The id rides
+IN the store file itself so it commits atomically with the data it
+describes — a sidecar meta file would reintroduce the torn-write
+window it exists to close. The store here is a parquet directory
+rewritten per batch (bucket-count-sized, tiny); a production
+deployment swaps in a MERGE-capable table format carrying the same
+batch_id high-water mark.
 """
 
 from __future__ import annotations
@@ -46,18 +54,28 @@ def start_rollup_sink(events: DataFrame, store_path: str):
     spark = events.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = _partial_rollup(batch_df)
         try:
             current = spark.read.parquet(store_path)
+            last = current.agg(F.max("last_batch_id")).collect()[0][0]
         except Exception:  # first batch: no store yet
-            current = None
-        merged = delta if current is None else current.unionByName(delta)
+            current, last = None, None
+        if last is not None and batch_id <= last:
+            # at-least-once replay of an already-merged batch: merging it
+            # again would double-count event_cnt/value_cents
+            return
+        delta = _partial_rollup(batch_df)
+        merged = (
+            delta
+            if current is None
+            else current.drop("last_batch_id").unionByName(delta)
+        )
         out = (
             merged.groupBy("day", "event_type")
             .agg(
                 F.sum("event_cnt").alias("event_cnt"),
                 F.sum("value_cents").alias("value_cents"),
             )
+            .withColumn("last_batch_id", F.lit(int(batch_id)))
             # the store is bucket-count-sized; collect to driver-side rows
             # ONLY at this cardinality (days × types), then overwrite
             # atomically-enough for a test store. A production job uses

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -78,6 +79,33 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     ).collect()[0]
     assert with_tol["asof_px"] is None
     assert with_tol["asof_time"] is None
+
+
+def test_asof_join_matches_whole_rows_atomically(spark):
+    """A matched right row holding a NULL in one payload column must emit
+    that NULL — NOT inherit the column's value from an OLDER right row
+    (per-column last() carries would mix columns of different rows)."""
+    left = spark.createDataFrame([Row(k=1, t=_ts("2024-01-10T00:00:00"))])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=_ts("2024-01-05T00:00:00"), px=5.0, qty=50.0),
+            # the matching row: qty is NULL and must STAY NULL
+            Row(k=1, rt=_ts("2024-01-09T00:00:00"), px=9.0, qty=None),
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", payload=["px", "qty"]
+    ).collect()[0]
+    assert out["asof_px"] == 9.0
+    assert out["asof_qty"] is None, "NULL payload column inherited from an older row"
+    assert out["asof_time"] == _ts("2024-01-09T00:00:00")
+
+
+def test_asof_join_rejects_colliding_payload_names(spark):
+    left = spark.createDataFrame([Row(k=1, t=_ts("2024-01-10T00:00:00"), px=1.0)])
+    right = spark.createDataFrame([Row(k=1, rt=_ts("2024-01-05T00:00:00"), px=5.0)])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt", payload=["px"])
 
 
 def test_band_self_join_equals_brute_force(spark):
@@ -193,3 +221,22 @@ def test_cms_upper_bound_and_mergeability(spark):
     whole = {(r["r"], r["b"]): r["cnt"] for r in sketch.collect()}
     got = {(r["r"], r["b"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_sample_frames_skips_degenerate_payloads(spark):
+    """n_frames NULL or < 1 must yield ZERO frame rows — not a fabricated
+    frame_idx-0 row with NULL offset/size."""
+    from quantitative_database_and_visualization_platform_spark.pipeline.multimodal import (
+        sample_frames,
+    )
+
+    decoded = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_frames=0, n_bytes=100),
+            Row(doc_id=2, n_frames=None, n_bytes=100),
+            Row(doc_id=3, n_frames=4, n_bytes=100),
+        ]
+    )
+    out = sample_frames(decoded, k=3).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert all(r["frame_offset"] is not None and r["frame_nbytes"] is not None for r in out)

@@ -142,3 +142,20 @@ def test_ivf_ann_candidate_budget_and_recall(spark):
     # every returned row carries its cluster id; at most 2 distinct
     # clusters may appear (the probe budget)
     assert len({r.cluster for r in got_rows}) <= 2
+
+
+def test_srp_planes_scale_with_corpus():
+    """Fixed SRP planes ⇒ bucket size grows linearly with the corpus
+    (Σ bucket² toward all-pairs); the sizing helper must hold the
+    expected bucket ~constant by growing planes with log2(n)."""
+    from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
+        planes_for_corpus,
+    )
+
+    for n in (10_000, 1_000_000, 100_000_000, 10_000_000_000):
+        p = planes_for_corpus(n, target_bucket=256)
+        expected_bucket = n / 2**p
+        assert expected_bucket <= 256, (n, p, expected_bucket)
+        assert expected_bucket > 64, "overshooting planes wastes recall"
+    # 100 TB-scale corpus stays a cheap key
+    assert planes_for_corpus(10_000_000_000, 256) == 26

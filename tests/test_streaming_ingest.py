@@ -340,6 +340,11 @@ def test_zipped_csv_ingest_with_encoding_mix(spark):
             buf = io.BytesIO()
             df2.to_csv(buf, index=False, encoding="UTF-8")
             zf.writestr("utf8_part.csv", buf.getvalue())
+            # a member MISSING the qty column: its rows must surface with
+            # NULL qty (skip-bad-data contract), not KeyError the task
+            zf.writestr("short.csv", b"code\nz9\n")
+            # an unparseable member: skipped, not job-fatal
+            zf.writestr("garbage.csv", b"\x00\x01\x02 not a csv at all")
         got = (
             read_zipped_csvs(spark, f"{tmp}/*.zip", schema)
             .toPandas()
@@ -347,13 +352,99 @@ def test_zipped_csv_ingest_with_encoding_mix(spark):
             .reset_index(drop=True)
         )
         want = (
-            pd.concat([df1, df2])
-            .astype({"qty": "int64"})
+            pd.concat([df1, df2, pd.DataFrame({"code": ["z9"], "qty": [None]})])
+            .astype({"qty": "float64"})
             .sort_values(["code"])
             .reset_index(drop=True)
         )
+        got["qty"] = got["qty"].astype("float64")
         assert got.equals(want)
     finally:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rollup_sink_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: a batch re-delivered with the SAME
+    batch_id (failure between store rewrite and checkpoint commit) must
+    not be merged twice. Drive merge_batch directly and replay ids."""
+    import shutil
+    import tempfile
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        read_rollup,
+        start_rollup_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_rollup_replay_")
+    try:
+        ev = load_table(spark, SF, "events")
+        ev.coalesce(1).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        q = start_rollup_sink(stream, f"{tmp}/store")
+        q.awaitTermination(120)
+        once = read_rollup(spark, f"{tmp}/store").toPandas()
+
+        # simulate the at-least-once redelivery by driving the REAL
+        # merge_batch closure by hand with an already-merged batch id
+        batch = spark.read.parquet(f"{tmp}/in")
+        last = (
+            spark.read.parquet(f"{tmp}/store")
+            .agg(F.max("last_batch_id"))
+            .collect()[0][0]
+        )
+        merge = _extract_merge(stream, f"{tmp}/store")
+        merge(batch, int(last))  # replay: any id <= last must be a no-op
+        twice = read_rollup(spark, f"{tmp}/store").toPandas()
+        key = ["day", "event_type"]
+        assert (
+            twice.sort_values(key).reset_index(drop=True).equals(
+                once.sort_values(key).reset_index(drop=True)
+            )
+        ), "replayed batch was merged twice"
+        # a NEW id still merges
+        merge(batch, int(last) + 1)
+        thrice = read_rollup(spark, f"{tmp}/store").toPandas()
+        assert thrice["event_cnt"].sum() == 2 * once["event_cnt"].sum()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _extract_merge(events, store_path):
+    """Rebuild the merge_batch closure start_rollup_sink installs, from
+    the module's own code path (keeps the test honest w.r.t. the real
+    implementation)."""
+    from quantitative_database_and_visualization_platform_spark.streaming import rollup_sink
+
+    captured = {}
+
+    class _FakeWriteStream:
+        def __init__(self, df):
+            self._df = df
+
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+        def trigger(self, **kw):
+            return self
+
+        def option(self, *a):
+            return self
+
+        def start(self):
+            return None
+
+    class _FakeEvents:
+        def __init__(self, df):
+            self.sparkSession = df.sparkSession
+            self.writeStream = _FakeWriteStream(df)
+
+    rollup_sink.start_rollup_sink(_FakeEvents(events), store_path)
+    return captured["fn"]
