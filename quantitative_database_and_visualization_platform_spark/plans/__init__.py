@@ -83,10 +83,11 @@ GATE_FIRST: list[str] = [
     "alpha_ic_b",
     "alpha_ic_c",
     "alpha_ic_d",
-    # --- driver-proven rotation filler (cheap, flagship-representative) ---
+    # --- new in r5: decontamination + balanced sampling pipeline ops ---
+    "decontamination_ngram",
+    "stratified_sample_balanced",
+    # --- driver-proven rotation filler (flagship) ---
     "sector_rollup",
-    "pricing_summary",
-    "global_market_stats",
 ]
 
 

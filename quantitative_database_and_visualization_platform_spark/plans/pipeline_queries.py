@@ -771,3 +771,94 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     decoded = decode_documents(load_table(spark, sf_dir, "documents"))
     return sample_frames(decoded, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (new r5): flag training documents sharing any
+# 5-word shingle with the held-out eval slice (docs with doc_id % 97 = 0
+# stand in for the benchmark set) — the GPT-3/PaLM-style n-gram
+# decontamination pass of a training-data pipeline.
+#
+# Scale shape: one shingle explode per side, one equi join on the gram,
+# one (train-doc)-keyed aggregate. The eval side is benchmark-sized
+# (thousands of docs, ≪ corpus) so AQE broadcasts it and the train scan
+# never shuffles on the gram; with a pathological eval set the plan
+# degrades to one keyed shuffle, never all-pairs. The shingled table is
+# persisted before the explode (Generate collapse re-evaluates the
+# shingle transform per emitted element otherwise — the documented trap).
+# ---------------------------------------------------------------------------
+@query(
+    "decontamination_ngram",
+    oracle=f"""
+    WITH {_O_NORM}, sh5 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        FROM words WHERE len(w) >= 5
+    ), grams AS (
+        SELECT doc_id, unnest(s) AS g FROM sh5
+    ), ev AS (
+        SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 97 = 0
+    ), tr AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+    )
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.g) AS BIGINT) AS n_hit_grams,
+           CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+)
+def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shingled = managed_persist(dd.with_shingles(docs, k=5))
+    grams = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
+    return tr.join(ev, "g").groupBy("doc_id").agg(
+        F.count_distinct("g").alias("n_hit_grams"),
+        F.count_distinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified (balanced) sampling (new r5): downsample every
+# language stratum to the rarest language's count by ranking rows on
+# md5(doc_id) — engine-stable, reshuffle-stable, no RNG state. The
+# corpus-balancing pass of a multilingual training mix.
+#
+# Scale shape: one count aggregate (broadcast scalar) + one lang-keyed
+# window. At 100 TB a giant stratum's exact rank would sort that whole
+# stratum; production pre-filters by hash threshold ≈ (target/stratum
+# count × safety), THEN exact-ranks the ~target-sized survivor set — the
+# same two-phase trick as a distributed top-k. The exact form is kept
+# here because the oracle demands bit-exact membership.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_sample_balanced",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    m AS (SELECT MIN(c) AS m FROM counts),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked, m WHERE rn <= m.m
+    """,
+)
+def stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    min_cnt = docs.groupBy("lang").count().agg(F.min("count").alias("__m"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_cnt))
+        .filter(F.col("rn") <= F.col("__m"))
+        .select("doc_id", "lang")
+    )
