@@ -83,11 +83,10 @@ GATE_FIRST: list[str] = [
     "alpha_ic_b",
     "alpha_ic_c",
     "alpha_ic_d",
-    # --- new in r5: decontamination + balanced sampling pipeline ops ---
+    # --- new in r5: decontamination, sampling, repetition-filter ops ---
     "decontamination_ngram",
     "stratified_sample_balanced",
-    # --- driver-proven rotation filler (flagship) ---
-    "sector_rollup",
+    "repetition_quality",
 ]
 
 

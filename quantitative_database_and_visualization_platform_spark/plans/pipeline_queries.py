@@ -32,7 +32,7 @@ from ..pipeline import sketches as sk
 from ..pipeline.text import o_text_features, tfidf_scores, with_text_features
 from ..session import managed_persist
 from ..sources.catalog import load_table
-from .registry import query
+from .registry import o_round6, query
 
 # normalized text + word/shingle CTEs shared by the dedup oracles
 _O_NORM = """
@@ -861,4 +861,153 @@ def stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(min_cnt))
         .filter(F.col("rn") <= F.col("__m"))
         .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (new r5): the Gopher-rule shape — per
+# document, the fraction of duplicate 3-gram OCCURRENCES and the mass of
+# the single most frequent 2-gram; documents above either threshold are
+# dropped from a training mix as degenerate/boilerplate.
+#
+# Scale shape: two shingle explodes (persisted before Generate — the
+# documented collapse trap), each followed by a (doc, gram) map-side-
+# combined count and a doc-keyed aggregate, then a doc-keyed join: every
+# stage is keyed on doc_id or (doc_id, gram), no global structure, so
+# the plan is embarrassingly data-parallel at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_quality",
+    oracle=f"""
+    WITH {_O_NORM}, g3 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM words WHERE len(w) >= 3
+    ), a3 AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+               1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE) AS dup3
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g)
+        GROUP BY doc_id
+    ), g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS g
+        FROM words WHERE len(w) >= 2
+    ), a2 AS (
+        SELECT doc_id, MAX(c) / CAST(SUM(c) AS DOUBLE) AS top2
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT a3.doc_id, n_3grams,
+           {o_round6('dup3')} AS dup_3gram_frac,
+           {o_round6('top2')} AS top_2gram_frac,
+           CAST(dup3 <= 0.2 AND top2 <= 0.08 AS INT) AS keep
+    FROM a3 JOIN a2 ON a3.doc_id = a2.doc_id
+    """,
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gram_stats(k: int):
+        sh = managed_persist(dd.with_shingles(docs, k=k, distinct=False))
+        g = sh.select("doc_id", F.explode("shingles").alias("g"))
+        return g.groupBy("doc_id", "g").count().groupBy("doc_id")
+
+    a3 = gram_stats(3).agg(
+        F.sum("count").alias("n_3grams"),
+        (1.0 - F.count(F.lit(1)) / F.sum("count")).alias("dup3"),
+    )
+    a2 = gram_stats(2).agg((F.max("count") / F.sum("count")).alias("top2"))
+    return a3.join(a2, "doc_id").select(
+        "doc_id",
+        "n_3grams",
+        round6("dup3").alias("dup_3gram_frac"),
+        round6("top2").alias("top_2gram_frac"),
+        ((F.col("dup3") <= 0.2) & (F.col("top2") <= 0.08)).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup canonical selection (new r5): the keep-best pass after
+# clustering — for every near-duplicate cluster (connected components
+# over the verified n-gram-Jaccard pairs, same machinery as
+# dedup_connected_components), elect the highest-quality member
+# (quality_score desc, doc_id asc — quality pre-rounded to 9 dp on both
+# engines so the ranking cannot split on a cross-engine ulp) and report
+# what deduplication saves.
+#
+# Scale shape: CC is O(diameter) label propagation; the election is one
+# component-keyed window over cluster members only (Σ cluster sizes ≪
+# corpus). Everything downstream of the pair generator is proportional
+# to the duplication actually present.
+# ---------------------------------------------------------------------------
+@query(
+    "neardup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_O_NORM}, pairs AS (
+        SELECT a_id, b_id FROM ({_o_ngram_jaccard()})
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), q AS (
+        SELECT words.doc_id,
+               ROUND({o_text_features()['quality_score']}, 9) AS q,
+               d.n_chars
+        FROM words JOIN documents d ON words.doc_id = d.doc_id
+    ), ranked AS (
+        SELECT comp.component, comp.doc_id, q.q, q.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY comp.component
+                   ORDER BY q.q DESC, comp.doc_id) AS rn
+        FROM comp JOIN q ON comp.doc_id = q.doc_id
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+    FROM ranked GROUP BY component
+    """,
+)
+def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = managed_persist(
+        dd.with_shingles(
+            docs.select("doc_id", "text").repartition(
+                spark.sparkContext.defaultParallelism
+            )
+        )
+    )
+    pref = managed_persist(dd.with_prefix(dd.prefix_ordered_shingles(shingled), _NGRAM_T))
+    cand = dd.prefix_filter_candidates(pref, _NGRAM_T)
+    pairs = dd.jaccard_verified_pairs(
+        cand, shingled.select("doc_id", "shingles"), threshold=_NGRAM_T
+    )
+    comp = dd.connected_components(pairs)
+    q = with_text_features(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    ).select("doc_id", F.round("quality_score", 9).alias("q"), "n_chars")
+    ranked = comp.join(q, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(F.desc("q"), "doc_id")
+        ),
+    )
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_removed"
+        ),
     )
