@@ -1175,45 +1175,75 @@ def _ic_scan(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     )
 
 
+# The full-width IC result is computed ONCE per (session, sf_dir) and
+# shared by alpha_ic_scan and the four gate splits — valid because every
+# IC row is per-factor independent (r_f is ranked per (date, factor),
+# r_r per date on the wide panel, corr per (factor, date) group), so a
+# factor-subset scan and a row filter of the full scan are the same
+# relation. The cached table is 101 rows × 3 columns.
+_IC_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    df = _IC_CACHE.get(key)
+    if df is None:
+        df = _ic_scan(spark, sf_dir, list(ALPHA_COLS))
+        # same convention as _alpha_table: truncate lineage so the five
+        # derived queries read a leaf plan, AQE off for the build job
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df = df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        _IC_CACHE[key] = df
+    return df
+
+
 @query("alpha_ic_scan")  # rows-only at the gate; full-width oracle in pytest
 def alpha_ic_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 101-column corrwith (`pages/5_Alpha lab.py:44-55`).
 
     Registered WITHOUT a driver oracle: its full-width DuckDB twin embeds
     the whole 101-alpha CTE chain, which crosses vm.max_map_count at
-    default DuckDB thread counts (see ALPHA_GATE_PARTS). The identical
-    code path is value-hashed at the gate by `alpha_ic_gate` (26-factor
-    slice), and the full width is compared in tests/test_oracle_parity.py
-    via the mitigated checker config.
+    default DuckDB thread counts (see ALPHA_GATE_PARTS). Every IC row is
+    value-hashed at the gate through the four factor splits
+    (`alpha_ic_gate`, `alpha_ic_b/c/d`), and the full width is compared
+    in tests/test_oracle_parity.py via the mitigated checker config.
     """
-    return _ic_scan(spark, sf_dir, list(ALPHA_COLS))
+    return _ic_table(spark, sf_dir)
 
 
 @query("alpha_ic_gate", oracle=_o_alpha_ic(ALPHA_GATE_PARTS[0]))
 def alpha_ic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gate slice of the IC scan: same stack→rank→corr plan over
-    the first gate part, with a dependency-pruned oracle chain."""
-    return _ic_scan(spark, sf_dir, ALPHA_GATE_PARTS[0])
+    """Driver-gate slice of the IC scan: factor-filter of the shared
+    full-width IC table, hashed against a dependency-pruned oracle."""
+    return _ic_table(spark, sf_dir).filter(
+        F.col("factor").isin(list(ALPHA_GATE_PARTS[0]))
+    )
 
 
 def _register_ic_gate_parts() -> None:
-    """alpha_ic_b/c/d: the remaining three 25/26-factor IC-scan splits.
+    """alpha_ic_b/c/d: the remaining three 25/26-factor IC splits.
 
     Together with alpha_ic_gate (split a) every one of the 101 alpha IC
     rows is value-hashed at the driver gate through a dependency-pruned
     oracle chain — the full-width ``alpha_ic_scan`` stays registered for
     reference parity (`pages/5_Alpha lab.py:44-55`) with its pytest-only
     full oracle, but no gate slot is spent on a rows-only check anymore.
+    All four splits read the one cached IC table (per-factor rows are
+    independent — see _ic_table), so the suite pays for ONE scan.
     """
     for label, part in list(zip("abcd", ALPHA_GATE_PARTS))[1:]:
 
         def run(spark: SparkSession, sf_dir: str, _part=tuple(part)) -> DataFrame:
-            return _ic_scan(spark, sf_dir, list(_part))
+            return _ic_table(spark, sf_dir).filter(F.col("factor").isin(list(_part)))
 
         run.__name__ = f"alpha_ic_{label}"
         run.__doc__ = (
-            "Driver-gate slice of the 101-factor Spearman IC scan: shares "
-            "the one persisted alpha table; oracle is the dependency-"
+            "Driver-gate slice of the 101-factor Spearman IC scan: factor-"
+            "filter of the shared IC table; oracle is the dependency-"
             "pruned chain for exactly these factors (oracle_prune.py)."
         )
         query(f"alpha_ic_{label}", oracle=_o_alpha_ic(list(part)))(run)

@@ -1011,3 +1011,52 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_removed"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (new r5): the pretraining batching step — documents
+# are concatenated in a deterministic order (doc_id) within each source
+# shard and cut into fixed token-budget context windows (C=512); a doc
+# belongs to the pack where its first token lands (boundary docs spill
+# into the next window, the standard concat-then-chunk approximation).
+#
+# Scale shape: packing is inherently sequential PER SHARD — the shard
+# axis (source) is the parallelism unit, exactly how a production run
+# packs per input shard. One source-keyed window cumsum + one grouped
+# aggregate; no global ordering anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_packing",
+    oracle=f"""
+    WITH {_O_NORM}, toks AS (
+        SELECT words.doc_id, d.source, len(w) AS n_tokens
+        FROM words JOIN documents d ON words.doc_id = d.doc_id
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed
+    FROM c GROUP BY source, pack_id
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tokens = F.size(F.split(dd.normalized_text("text"), " "))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select("doc_id", "source", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    pack = F.floor((F.col("cum") - F.col("n_tokens")) / 512).alias("pack_id")
+    return c.groupBy("source", pack).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_packed"),
+    )
