@@ -24,4 +24,12 @@ def pytest_sessionfinish(session, exitstatus):
 
     if TIMINGS:
         out = pathlib.Path(__file__).resolve().parent.parent / "ORACLE_TIMINGS.json"
-        out.write_text(json.dumps(dict(sorted(TIMINGS.items())), indent=1) + "\n")
+        # merge with the existing snapshot: a targeted (-k) run must not
+        # clobber the timings of queries it didn't execute
+        merged = {}
+        try:
+            merged = json.loads(out.read_text())
+        except Exception:
+            pass
+        merged.update(TIMINGS)
+        out.write_text(json.dumps(dict(sorted(merged.items())), indent=1) + "\n")
