@@ -152,3 +152,49 @@ def test_fuzzy_join_dp_probes_independent_of_table_size(spark):
     p_big, row_pairs = probes("/root/testdata/sf0.01")
     assert p_big <= p_small * 1.2, f"DP probes grew with table size: {p_small} -> {p_big}"
     assert p_big < 0.2 * row_pairs, f"probes {p_big} not ≪ row-level candidates {row_pairs}"
+
+
+def test_decontamination_gram_join_is_hash_join(spark):
+    """The train↔eval gram join must be an equi (hash) join on the gram —
+    never a nested loop — and the whole plan must carry no cartesian
+    product; at production scale the eval side is benchmark-sized and
+    AQE broadcasts it."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["decontamination_ngram"](spark, SF))
+    assert "NestedLoop" not in plan, plan[:2000]
+    assert "Cartesian" not in plan, plan[:2000]
+    assert "HashJoin [g#" in plan or "HashJoin[g#" in plan.replace(" ", ""), (
+        f"gram join not keyed on g:\n{plan[:3000]}"
+    )
+
+
+def test_doc_packing_windows_per_shard(spark):
+    """Packing must cumsum PER SOURCE SHARD — a global (unpartitioned)
+    window would serialize the whole corpus through one task."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["doc_packing"](spark, SF))
+    assert "windowspecdefinition(source#" in plan, plan[:3000]
+    assert "windowspecdefinition(doc_id" not in plan
+    # no empty partition spec: "windowspecdefinition(<order> ASC" directly
+    # (no partition column list) is the global-window signature
+    import re
+
+    assert not re.search(r"windowspecdefinition\(\s*[a-z_0-9#]+ ASC", plan), (
+        f"global window detected:\n{plan[:3000]}"
+    )
+
+
+def test_stratified_sample_windows_per_stratum(spark):
+    """The md5 rank must be partitioned by lang (stratum), and the only
+    nested-loop join allowed is the 1-row scalar (min stratum count)
+    broadcast — the scalar-subquery pattern."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["stratified_sample_balanced"](spark, SF))
+    assert "windowspecdefinition(lang#" in plan, plan[:3000]
+    # a BroadcastNestedLoopJoin is acceptable ONLY as the scalar cross
+    # join (IdentityBroadcastMode of a 1-row aggregate)
+    if "BroadcastNestedLoopJoin" in plan:
+        assert "IdentityBroadcastMode" in plan, plan[:3000]
