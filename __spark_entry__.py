@@ -12,7 +12,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from quantitative_database_and_visualization_platform_spark.plans import ORACLES, QUERIES
-from quantitative_database_and_visualization_platform_spark.session import tune_existing
+from quantitative_database_and_visualization_platform_spark.session import (
+    release_managed,
+    tune_existing,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +29,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
         # session TZ must be UTC for timestamp parity with the naive-UTC
         # DuckDB oracle regardless of how the driver built the session
         tune_existing(spark)
+        # drop the PREVIOUS query's managed caches: a driver session runs
+        # 50 queries back-to-back without calling release_managed itself,
+        # and accumulated persisted blocks pressure an unknown-size heap
+        # (deliberately session-lived caches — alpha/IC/pair tables — are
+        # localCheckpoint leaves, not managed, and survive this)
+        release_managed()
         return fn(spark, sf_dir)
 
     return run

@@ -79,14 +79,17 @@ GATE_FIRST: list[str] = [
     "backtest_drawdown",
     # --- red at the r4 gate (ARRAY column), repaired to scalar output ---
     "kpl_ladder",
-    # --- new in r5: complete the 101-row IC surface at the gate ---
-    "alpha_ic_b",
-    "alpha_ic_c",
-    "alpha_ic_d",
     # --- new in r5: decontamination, sampling, repetition-filter ops ---
     "decontamination_ngram",
     "stratified_sample_balanced",
     "repetition_quality",
+    # --- new in r5: complete the 101-row IC surface at the gate. LAST in
+    # the window on purpose: these trigger the 101-alpha table build, the
+    # heaviest job of the gate — if the driver's session ever dies there
+    # (heap edge), every query before it still has its green row. ---
+    "alpha_ic_b",
+    "alpha_ic_c",
+    "alpha_ic_d",
 ]
 
 

@@ -270,3 +270,85 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_stratified_sample_is_balanced_and_partition_invariant(spark):
+    """Every stratum is downsampled to exactly the rarest stratum's
+    count, and the SELECTION (not just the counts) is identical under a
+    different input partitioning — the determinism contract."""
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["stratified_sample_balanced"](spark, sf)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    min_cnt = min(
+        r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(counts.values()) == {min_cnt}, counts
+    # partition-invariance: recompute from a deliberately reshuffled input
+    ids = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    reshuffled = load_table(spark, sf, "documents").repartition(13).select("doc_id", "lang")
+    h = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    mc = reshuffled.groupBy("lang").count().agg(F.min("count").alias("__m"))
+    again = (
+        reshuffled.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(mc))
+        .filter(F.col("rn") <= F.col("__m"))
+    )
+    ids2 = {(r["lang"], r["doc_id"]) for r in again.collect()}
+    assert ids == ids2
+
+
+def test_doc_packing_conserves_tokens_and_is_contiguous(spark):
+    """Packing must conserve the token mass per source shard and assign
+    contiguous pack ids from 0 (a gap would mean a lost window)."""
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.dedup import normalized_text
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["doc_packing"](spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    want = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split(normalized_text("text"), " "))).alias("t"))
+        .collect()
+    }
+    got: dict[str, int] = {}
+    packs: dict[str, list[int]] = {}
+    for r in out:
+        got[r["source"]] = got.get(r["source"], 0) + r["tokens_packed"]
+        packs.setdefault(r["source"], []).append(r["pack_id"])
+    assert got == want
+    for src, ids in packs.items():
+        ids.sort()
+        assert ids == list(range(len(ids))), f"{src}: non-contiguous packs {ids[:10]}"
+
+
+def test_repetition_fractions_are_valid(spark):
+    """dup/top fractions are proper fractions; a doc of all-identical
+    words must be flagged, a doc of all-distinct words kept."""
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["repetition_quality"](spark, sf)
+    bad = out.filter(
+        (F.col("dup_3gram_frac") < 0)
+        | (F.col("dup_3gram_frac") >= 1)
+        | (F.col("top_2gram_frac") <= 0)
+        | (F.col("top_2gram_frac") > 1)
+    ).count()
+    assert bad == 0
