@@ -98,6 +98,10 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # see get_spark: keep CPU-bound window stages parallel at bench scale
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+    # a driver-built session defaults to 10MB broadcast / 200 shuffle
+    # partitions; both are runtime-settable and matter at gate scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpu_count(), 8)))
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
