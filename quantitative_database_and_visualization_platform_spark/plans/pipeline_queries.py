@@ -284,7 +284,13 @@ def _o_simhash() -> str:
 
 @query("dedup_simhash", oracle=_o_simhash())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition: the one-file corpus is one input split and the per-token
+    # md5 signature work would otherwise run on a single core
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # persist: the block self-join consumes the signature table twice
     sigs = managed_persist(dd.with_simhash(docs))
     cand = dd.simhash_candidate_pairs(sigs)
@@ -323,7 +329,9 @@ def _o_text() -> str:
 
 @query("text_analysis", oracle=_o_text())
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     out = with_text_features(docs)
     return out.select(
         "doc_id",
@@ -354,7 +362,11 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # repartition: one-file corpus = one input split; the 64-dim cosine
+    # per row would otherwise run on a single core
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     probe = emb.filter(F.col("vec_id") == 0)
     return topk_cosine(emb, probe, 10).select("vec_id", "label", "cos")
 
@@ -382,7 +394,9 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     bucketed = emb.withColumn("bucket", srp_bucket("embedding"))
     probe = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__probe"), F.col("bucket").alias("__pbucket")
@@ -446,7 +460,9 @@ def _o_ivf() -> str:
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     seeds = (
         emb.orderBy("vec_id")
         .limit(8)
@@ -518,7 +534,11 @@ def _o_curation() -> str:
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.text import length_quality_filter
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     scored = with_text_features(docs)
     h = F.md5(dd.normalized_text("text"))
     hw = Window.partitionBy(h)
@@ -568,7 +588,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # persist: the bucket self-join consumes the bucketed table twice and
     # the SRP bucket computation is 4x64 interpreted lambda ops per row
     bucketed = managed_persist(emb.select(
@@ -621,9 +643,14 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (docs repartitioned below: the token explode is per-row CPU)
     from .registry import round6
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     scored = tfidf_scores(docs)
     pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
@@ -822,7 +849,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     shingled = managed_persist(dd.with_shingles(docs, k=5))
     grams = shingled.select("doc_id", F.explode("shingles").alias("g"))
     ev = grams.filter(F.col("doc_id") % 97 == 0).select(
@@ -921,7 +952,11 @@ def stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import round6
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gram_stats(k: int):
         sh = managed_persist(dd.with_shingles(docs, k=k, distinct=False))
