@@ -474,14 +474,17 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2 = nearest_centroid(emb, cents, "embedding", "vec_id")
     probe = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__p"))
+    # top-2 probe clusters: the ordered set is CENTROID-count-bounded
+    # (8 rows), so TakeOrderedAndProject — not a global window, which
+    # would plan a single-partition WindowExec and trip the scale linters
     pclusters = (
         cents.crossJoin(F.broadcast(probe))
         .withColumn(
             "__dist",
             F.floor(l2_dist2("__p", "__cent") * 1_000_000 + F.lit(0.5)).cast("long"),
         )
-        .withColumn("__rn", F.row_number().over(Window.orderBy("__dist", "__cid")))
-        .filter(F.col("__rn") <= 2)
+        .orderBy("__dist", "__cid")
+        .limit(2)
         .select(F.col("__cid").alias("cid"))
     )
     return (
