@@ -443,3 +443,131 @@ def backtest_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dd_c").cast("double") / _RS).alias("max_drawdown"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Turnover + cost-adjusted long-short backtest (new r5): the decile LS
+# strategy with the cost model a real backtest needs — per-day leg
+# turnover (fraction of the leg replaced vs the previous rebalance) and
+# the net return after charging 10 bps per unit of one-sided turnover
+# per leg. First rebalance charges a full build (turnover 1).
+#
+# Scale shape: membership is (date, leg, code); the previous-date
+# mapping is a LAG over DISTINCT dates (calendar-bounded global window —
+# ~250 rows/year, never data-sized); the kept-vs-replaced check is one
+# equi join on (prev_date, leg, code). Everything else reuses the
+# decile-LS aggregation. Fixed-point micro-units keep the return math
+# engine-exact; turnover is a ratio of exact integer counts.
+# ---------------------------------------------------------------------------
+@query(
+    "backtest_turnover_cost",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d, close,
+               close / LAG(close, 5) OVER w - 1 AS mom_5,
+               LEAD(close) OVER w / close - 1 AS fwd_ret
+        FROM bars
+        WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), ranked AS (
+        SELECT code, d, mom_5, fwd_ret,
+               NTILE(10) OVER (PARTITION BY d ORDER BY mom_5, code) AS decile
+        FROM panel WHERE mom_5 IS NOT NULL AND fwd_ret IS NOT NULL
+    ), memb AS (
+        SELECT d, CASE WHEN decile = 10 THEN 'L' ELSE 'S' END AS leg, code
+        FROM ranked WHERE decile IN (1, 10)
+    ), dl AS (
+        SELECT d, LAG(d) OVER (ORDER BY d) AS prev_d
+        FROM (SELECT DISTINCT d FROM memb)
+    ), cur AS (
+        SELECT memb.d, leg, code, prev_d FROM memb JOIN dl ON memb.d = dl.d
+    ), tv AS (
+        SELECT cur.d, cur.leg,
+               1.0 - COUNT(p.code) / CAST(COUNT(*) AS DOUBLE) AS turnover
+        FROM cur LEFT JOIN memb p
+          ON p.d = cur.prev_d AND p.leg = cur.leg AND p.code = cur.code
+        GROUP BY cur.d, cur.leg
+    ), daily AS (
+        SELECT d,
+               SUM(CASE WHEN decile = 10 THEN CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) END)
+                 / CAST(COUNT(CASE WHEN decile = 10 THEN 1 END) AS DOUBLE) / {_RS} AS long_ret,
+               SUM(CASE WHEN decile = 1 THEN CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) END)
+                 / CAST(COUNT(CASE WHEN decile = 1 THEN 1 END) AS DOUBLE) / {_RS} AS short_ret
+        FROM ranked GROUP BY d
+    )
+    SELECT daily.d,
+           FLOOR(tl.turnover*1000000 + 0.5)/1000000.0 AS to_long,
+           FLOOR(ts.turnover*1000000 + 0.5)/1000000.0 AS to_short,
+           FLOOR((long_ret - short_ret)*1000000 + 0.5)/1000000.0 AS ls_ret,
+           FLOOR((long_ret - short_ret - 0.001*(tl.turnover + ts.turnover))*1000000 + 0.5)
+             /1000000.0 AS net_ls
+    FROM daily
+    JOIN tv tl ON tl.d = daily.d AND tl.leg = 'L'
+    JOIN tv ts ON ts.d = daily.d AND ts.leg = 'S'
+    """,
+)
+def backtest_turnover_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("mom_5"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("fwd_ret"),
+    ).filter(F.col("mom_5").isNotNull() & F.col("fwd_ret").isNotNull())
+    ranked = panel.withColumn(
+        "decile", F.ntile(10).over(Window.partitionBy("d").orderBy("mom_5", "code"))
+    )
+    memb = ranked.filter(F.col("decile").isin(1, 10)).select(
+        "d",
+        F.when(F.col("decile") == 10, F.lit("L")).otherwise(F.lit("S")).alias("leg"),
+        "code",
+    )
+    # previous rebalance date: LAG over DISTINCT dates — calendar-bounded
+    dl = (
+        memb.select("d")
+        .distinct()
+        .withColumn("prev_d", F.lag("d").over(Window.orderBy("d")))
+    )
+    cur = memb.join(dl, "d")
+    prev = memb.select(
+        F.col("d").alias("pd"), F.col("leg").alias("pleg"), F.col("code").alias("pcode")
+    )
+    tv = (
+        cur.join(
+            prev,
+            (F.col("prev_d") == F.col("pd"))
+            & (F.col("leg") == F.col("pleg"))
+            & (F.col("code") == F.col("pcode")),
+            "left",
+        )
+        .groupBy("d", "leg")
+        .agg((1.0 - F.count("pcode") / F.count(F.lit(1)).cast("double")).alias("turnover"))
+    )
+    micro = F.round(F.col("fwd_ret") * _RS, 0).cast("long")
+    daily = ranked.groupBy("d").agg(
+        (
+            F.sum(F.when(F.col("decile") == 10, micro))
+            / F.count(F.when(F.col("decile") == 10, F.lit(1))).cast("double")
+            / _RS
+        ).alias("long_ret"),
+        (
+            F.sum(F.when(F.col("decile") == 1, micro))
+            / F.count(F.when(F.col("decile") == 1, F.lit(1))).cast("double")
+            / _RS
+        ).alias("short_ret"),
+    )
+    tl = tv.filter(F.col("leg") == "L").select("d", F.col("turnover").alias("to_l"))
+    ts = tv.filter(F.col("leg") == "S").select("d", F.col("turnover").alias("to_s"))
+    ls = F.col("long_ret") - F.col("short_ret")
+    return (
+        daily.join(tl, "d")
+        .join(ts, "d")
+        .select(
+            "d",
+            round6(F.col("to_l")).alias("to_long"),
+            round6(F.col("to_s")).alias("to_short"),
+            round6(ls).alias("ls_ret"),
+            round6(ls - 0.001 * (F.col("to_l") + F.col("to_s"))).alias("net_ls"),
+        )
+    )
