@@ -571,3 +571,91 @@ def backtest_turnover_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(ls - 0.001 * (F.col("to_l") + F.col("to_s"))).alias("net_ls"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fama-MacBeth cross-sectional regression (new r5): per date, the OLS
+# slope/intercept of next-day return on the momentum factor across the
+# universe — the first pass of the canonical factor-pricing test. The
+# moments are computed from 1e4-quantized INTEGER sums (Σx, Σy, Σxy,
+# Σx², n), so the closed-form beta = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is a
+# ratio of exact integers on both engines. The 1e4 scale keeps
+# n·Σx² ≲ 5·10¹⁵ for cross-sections up to ~10⁵ names — inside int64 on
+# both engines; a production run past that lifts the moment sums to
+# decimal(38) (Spark) / HUGEINT with the exact 2^32 hi/lo double split
+# (DuckDB — its native HUGEINT→DOUBLE cast is not correctly rounded).
+# Degenerate dates (zero factor variance) yield NULL by the exact
+# integer gate.
+#
+# Scale shape: one entity-axis window pass for the factor/return panel,
+# then ONE date-keyed partial aggregation (5 integer sums) — map-side
+# combined, no per-date state beyond the accumulator.
+# ---------------------------------------------------------------------------
+_FM_S = 10_000
+
+
+@query(
+    "fama_macbeth_mom",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d,
+               close / LAG(close, 5) OVER w - 1 AS x,
+               LEAD(close) OVER w / close - 1 AS y
+        FROM bars
+        WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), q AS (
+        SELECT d,
+               CAST(ROUND(x*{_FM_S},0) AS BIGINT) AS xq,
+               CAST(ROUND(y*{_FM_S},0) AS BIGINT) AS yq
+        FROM panel WHERE x IS NOT NULL AND y IS NOT NULL
+    ), m AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq*yq) AS BIGINT) AS sxy, CAST(SUM(xq*xq) AS BIGINT) AS sxx
+        FROM q GROUP BY d
+    )
+    SELECT d, n,
+           CASE WHEN n*sxx - sx*sx <> 0 THEN
+             FLOOR((CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))*1000000 + 0.5)/1000000.0
+           END AS beta,
+           CASE WHEN n*sxx - sx*sx <> 0 THEN
+             FLOOR(((CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE) / {_FM_S})*1000000 + 0.5)/1000000.0
+           END AS alpha
+    FROM m
+    """,
+)
+def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("x"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    xq = F.round(F.col("x") * _FM_S, 0).cast("long")
+    yq = F.round(F.col("y") * _FM_S, 0).cast("long")
+    m = panel.select("d", xq.alias("xq"), yq.alias("yq")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = num.cast("double") / den.cast("double")
+    alpha = (
+        (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+        / F.col("n").cast("double")
+        / _FM_S
+    )
+    gate = den != 0
+    return m.select(
+        "d",
+        "n",
+        F.when(gate, round6(beta)).alias("beta"),
+        F.when(gate, round6(alpha)).alias("alpha"),
+    )
