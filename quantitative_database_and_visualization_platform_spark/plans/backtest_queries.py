@@ -659,3 +659,97 @@ def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(gate, round6(beta)).alias("beta"),
         F.when(gate, round6(alpha)).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fama-MacBeth second pass (new r5): the time-series mean and t-statistic
+# of the per-date cross-sectional betas — the number the factor-pricing
+# test actually reports. The per-date betas are already 6dp-rounded
+# engine-identical doubles, so quantizing them at 1e6 gives exact
+# integer sums: mean, variance, and the t-stat are all ratios of exact
+# integers before one final double sqrt/divide (identical IEEE on both
+# engines). One date-keyed aggregate over the first pass, then a single
+# global reduce of three integers — driver-free, any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "fama_macbeth_summary",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d,
+               close / LAG(close, 5) OVER w - 1 AS x,
+               LEAD(close) OVER w / close - 1 AS y
+        FROM bars
+        WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), q AS (
+        SELECT d,
+               CAST(ROUND(x*{_FM_S},0) AS BIGINT) AS xq,
+               CAST(ROUND(y*{_FM_S},0) AS BIGINT) AS yq
+        FROM panel WHERE x IS NOT NULL AND y IS NOT NULL
+    ), m AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq*yq) AS BIGINT) AS sxy, CAST(SUM(xq*xq) AS BIGINT) AS sxx
+        FROM q GROUP BY d
+    ), betas AS (
+        SELECT d,
+               CAST(ROUND((CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))*1000000, 0) AS BIGINT) AS bq
+        FROM m WHERE n*sxx - sx*sx <> 0
+    ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t_days,
+               CAST(SUM(bq) AS BIGINT) AS sb,
+               CAST(SUM(bq*bq) AS BIGINT) AS sbb
+        FROM betas
+    )
+    SELECT t_days,
+           FLOOR((CAST(sb AS DOUBLE) / t_days / 1000000)*1000000 + 0.5)/1000000.0 AS mean_beta,
+           CASE WHEN t_days > 1 AND t_days*sbb - sb*sb > 0 THEN
+             FLOOR(((CAST(sb AS DOUBLE) / t_days)
+                    / sqrt(CAST(t_days*sbb - sb*sb AS DOUBLE) / t_days / (t_days - 1) / t_days))*1000000 + 0.5)
+               /1000000.0
+           END AS t_stat
+    FROM agg
+    """,
+)
+def fama_macbeth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("x"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    xq = F.round(F.col("x") * _FM_S, 0).cast("long")
+    yq = F.round(F.col("y") * _FM_S, 0).cast("long")
+    m = panel.select("d", xq.alias("xq"), yq.alias("yq")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    betas = m.filter(den != 0).select(
+        F.round(num.cast("double") / den.cast("double") * 1_000_000, 0)
+        .cast("long")
+        .alias("bq")
+    )
+    agg = betas.agg(
+        F.count(F.lit(1)).alias("t_days"),
+        F.sum("bq").alias("sb"),
+        F.sum(F.col("bq") * F.col("bq")).alias("sbb"),
+    )
+    t_days = F.col("t_days")
+    mean_b = F.col("sb").cast("double") / t_days / 1_000_000
+    var_num = t_days * F.col("sbb") - F.col("sb") * F.col("sb")
+    se = F.sqrt(var_num.cast("double") / t_days / (t_days - 1) / t_days)
+    return agg.select(
+        "t_days",
+        round6(mean_b).alias("mean_beta"),
+        F.when(
+            (t_days > 1) & (var_num > 0),
+            round6((F.col("sb").cast("double") / t_days) / se),
+        ).alias("t_stat"),
+    )
