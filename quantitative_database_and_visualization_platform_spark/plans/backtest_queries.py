@@ -753,3 +753,120 @@ def fama_macbeth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6((F.col("sb").cast("double") / t_days) / se),
         ).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event study — cumulative abnormal return around volume spikes (new
+# r5): events are days where volume exceeds 2× the trailing 20-day
+# average (≥10 prior days); for each event, the abnormal return
+# (return minus the equal-weight market mean that day, both fixed-point)
+# is cumulated over the event window [-2, +3] and averaged across events
+# per offset — the standard CAR profile.
+#
+# Scale shape: one entity-axis window pass (return, trailing volume,
+# row index), one date-keyed aggregate for the market mean (broadcast
+# back), then each event explodes to its 6 window offsets and ONE hash
+# join on (code, row index) fetches the window rows — never a range
+# join, never per-event driver work. The per-event cumsum window is
+# 6 rows wide. Edge events keep only their in-sample offsets (inner
+# join) on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "event_study_car",
+    oracle=f"""
+    WITH {O_BARS},
+    panel0 AS (
+        SELECT code, d, volume,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret,
+               AVG(volume) OVER (PARTITION BY code ORDER BY d
+                                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS vavg,
+               COUNT(volume) OVER (PARTITION BY code ORDER BY d
+                                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS vcnt
+        FROM bars
+    ), panel AS (
+        SELECT code, d, volume, ret, vavg, vcnt,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) AS rn
+        FROM panel0 WHERE ret IS NOT NULL
+    ), mkt AS (
+        SELECT d,
+               SUM(CAST(ROUND(ret*100000000,0) AS BIGINT))
+                 / CAST(COUNT(*) AS DOUBLE) / 100000000 AS mret
+        FROM panel GROUP BY d
+    ), pa AS (
+        SELECT p.code, p.rn, p.volume, p.vavg, p.vcnt,
+               CAST(ROUND((p.ret - mkt.mret)*100000000,0) AS BIGINT) AS aq
+        FROM panel p JOIN mkt ON p.d = mkt.d
+    ), ev AS (
+        SELECT code, rn AS rn0 FROM pa
+        WHERE vcnt >= 10 AND volume > 2 * vavg
+    ), offs AS (
+        SELECT code, rn0, UNNEST(range(-2, 4)) AS k FROM ev
+    ), win AS (
+        SELECT o.code, o.rn0, o.k, pa.aq
+        FROM offs o JOIN pa ON pa.code = o.code AND pa.rn = o.rn0 + o.k
+    ), car AS (
+        SELECT code, rn0, k,
+               SUM(aq) OVER (PARTITION BY code, rn0 ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) AS car_q
+        FROM win
+    )
+    SELECT CAST(k AS BIGINT) AS offset,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           FLOOR((CAST(SUM(car_q) AS DOUBLE) / COUNT(*) / 100000000)*1000000 + 0.5)
+             /1000000.0 AS avg_car
+    FROM car GROUP BY k
+    """,
+)
+def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    trail = w.rowsBetween(-20, -1)
+    panel0 = bars.select(
+        "code",
+        "d",
+        "volume",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+        F.avg("volume").over(trail).alias("vavg"),
+        F.count("volume").over(trail).alias("vcnt"),
+    )
+    panel = panel0.filter(F.col("ret").isNotNull()).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    retq = F.round(F.col("ret") * 100_000_000, 0).cast("long")
+    mkt = panel.groupBy("d").agg(
+        (F.sum(retq) / F.count(F.lit(1)).cast("double") / 100_000_000).alias("mret")
+    )
+    pa = panel.join(mkt, "d").select(
+        "code",
+        "rn",
+        "volume",
+        "vavg",
+        "vcnt",
+        F.round((F.col("ret") - F.col("mret")) * 100_000_000, 0)
+        .cast("long")
+        .alias("aq"),
+    )
+    ev = pa.filter((F.col("vcnt") >= 10) & (F.col("volume") > 2 * F.col("vavg"))).select(
+        "code", F.col("rn").alias("rn0")
+    )
+    offs = ev.select(
+        "code", "rn0", F.explode(F.sequence(F.lit(-2), F.lit(3))).alias("k")
+    )
+    pa_w = pa.select(
+        F.col("code").alias("__wcode"), F.col("rn").alias("__wrn"), "aq"
+    )
+    win = offs.join(
+        pa_w,
+        (F.col("code") == F.col("__wcode"))
+        & (F.col("__wrn") == F.col("rn0") + F.col("k")),
+    ).select("code", "rn0", "k", "aq")
+    cum = Window.partitionBy("code", "rn0").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    car = win.withColumn("car_q", F.sum("aq").over(cum))
+    return car.groupBy(F.col("k").cast("long").alias("offset")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round6(
+            F.sum("car_q").cast("double") / F.count(F.lit(1)) / 100_000_000
+        ).alias("avg_car"),
+    )
