@@ -1098,3 +1098,68 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("tokens_packed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture weights (new r5): per-source sampling weights for a
+# data-mixing recipe — weight ∝ n_docs · avg_quality², normalized to
+# sum 1. The per-source average quality is an exact fixed-point mean;
+# the unnormalized weights are re-quantized to integers before the
+# global normalizing sum so the total is order-independent (a double
+# sum across groups would differ between Spark's partial aggregation
+# and DuckDB's sequential fold).
+#
+# Scale shape: one scan + one source-keyed aggregate + a 1-row
+# broadcast normalizer — source count is recipe-sized at any corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH {_O_NORM}, q AS (
+        SELECT words.doc_id, d.source,
+               CAST(ROUND(({o_text_features()['quality_score']})*1000000, 0) AS BIGINT) AS qq
+        FROM words JOIN documents d ON words.doc_id = d.doc_id
+    ), per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(qq) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS avg_q
+        FROM q GROUP BY source
+    ), w AS (
+        SELECT source, n_docs, avg_q,
+               CAST(ROUND(n_docs * avg_q * avg_q * 1000000, 0) AS BIGINT) AS wq
+        FROM per_src
+    )
+    SELECT source, n_docs,
+           FLOOR(avg_q*1000000 + 0.5)/1000000.0 AS avg_quality,
+           FLOOR((CAST(wq AS DOUBLE) / (SELECT SUM(wq) FROM w))*1000000 + 0.5)
+             /1000000.0 AS weight
+    FROM w
+    """,
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scored = with_text_features(docs.select("doc_id", "source", "text"))
+    qq = F.round(F.col("quality_score") * 1_000_000, 0).cast("long")
+    per_src = scored.select("source", qq.alias("qq")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("qq") / F.count(F.lit(1)).cast("double") / 1_000_000).alias("avg_q"),
+    )
+    w = per_src.withColumn(
+        "wq",
+        F.round(F.col("n_docs") * F.col("avg_q") * F.col("avg_q") * 1_000_000, 0).cast(
+            "long"
+        ),
+    )
+    total = w.agg(F.sum("wq").alias("__tot"))
+    from .registry import round6
+
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            round6(F.col("avg_q")).alias("avg_quality"),
+            round6(F.col("wq").cast("double") / F.col("__tot")).alias("weight"),
+        )
+    )
