@@ -870,3 +870,67 @@ def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("car_q").cast("double") / F.count(F.lit(1)) / 100_000_000
         ).alias("avg_car"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VWAP slippage (new r5): per day, the cross-sectional distribution of
+# close-vs-VWAP deviation — the execution-quality benchmark an intraday
+# desk tracks. VWAP = amount/volume comes straight from the tick→bar
+# aggregation's exact fixed-point amount; the deviation is 1e4-quantized
+# so the per-day mean and sample std are ratios of exact integer sums on
+# both engines (n·Σs² stays inside int64 for cross-sections to ~10⁶
+# names at this scale).
+#
+# Scale shape: the bar build's (code, day) aggregate then ONE date-keyed
+# aggregate of 3 integer sums — map-side combined, no window.
+# ---------------------------------------------------------------------------
+_VS = 10_000
+
+
+@query(
+    "vwap_slippage_daily",
+    oracle=f"""
+    WITH {O_BARS},
+    s AS (
+        SELECT d,
+               CAST(ROUND((close / (amount / volume) - 1)*{_VS},0) AS BIGINT) AS sq
+        FROM bars WHERE volume > 0 AND amount > 0
+    ), m AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sq) AS BIGINT) AS ss, CAST(SUM(sq*sq) AS BIGINT) AS sss
+        FROM s GROUP BY d
+    )
+    SELECT d, n,
+           FLOOR((CAST(ss AS DOUBLE) / n / {_VS})*1000000 + 0.5)/1000000.0 AS mean_slip,
+           CASE WHEN n > 1 AND n*sss - ss*ss >= 0 THEN
+             FLOOR((sqrt(CAST(n*sss - ss*ss AS DOUBLE) / n / (n - 1)) / {_VS})*1000000 + 0.5)
+               /1000000.0
+           END AS std_slip
+    FROM m
+    """,
+)
+def vwap_slippage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    slip = F.col("close") / (F.col("amount") / F.col("volume")) - 1
+    sq = F.round(slip * _VS, 0).cast("long")
+    m = (
+        bars.filter((F.col("volume") > 0) & (F.col("amount") > 0))
+        .select("d", sq.alias("sq"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("ss"),
+            F.sum(F.col("sq") * F.col("sq")).alias("sss"),
+        )
+    )
+    n = F.col("n")
+    var_num = n * F.col("sss") - F.col("ss") * F.col("ss")
+    return m.select(
+        "d",
+        "n",
+        round6(F.col("ss").cast("double") / n / _VS).alias("mean_slip"),
+        F.when(
+            (n > 1) & (var_num >= 0),
+            round6(F.sqrt(var_num.cast("double") / n / (n - 1)) / _VS),
+        ).alias("std_slip"),
+    )
