@@ -934,3 +934,133 @@ def vwap_slippage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.sqrt(var_num.cast("double") / n / (n - 1)) / _VS),
         ).alias("std_slip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairs-trading spread (new r5): rolling 20-day OLS hedge ratio between
+# the two lowest-numbered entities, the hedged spread, and its rolling
+# z-score — the stat-arb signal loop. Every rolling moment (Σx, Σy, Σxy,
+# Σx², Σs, Σs², n) is a window sum of exact 1e4-quantized integers, so
+# beta, spread, and z are ratios of identical integers on both engines;
+# degenerate windows (variance 0 or < 10 obs) gate to NULL exactly.
+#
+# Scale shape: the pair panel is two entities joined by date — a
+# date-keyed equi join; the rolling windows are one ordered pass over
+# the ~date-count rows. A production pairs scan fans this out over
+# candidate pairs with the same per-pair plan.
+# ---------------------------------------------------------------------------
+@query(
+    "pairs_spread_zscore",
+    oracle=f"""
+    WITH {O_BARS},
+    two AS (
+        SELECT code FROM (SELECT DISTINCT code FROM bars) ORDER BY code LIMIT 2
+    ), rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1)*{_FM_S},0) AS BIGINT) AS rq
+        FROM bars WHERE code IN (SELECT code FROM two)
+        QUALIFY rq IS NOT NULL
+    ), pair AS (
+        SELECT a.d, a.rq AS xq, b.rq AS yq
+        FROM rets a JOIN rets b ON a.d = b.d
+        WHERE a.code = (SELECT MIN(code) FROM two)
+          AND b.code = (SELECT MAX(code) FROM two)
+    ), mom AS (
+        SELECT d, xq, yq,
+               COUNT(*) OVER w AS n,
+               SUM(xq) OVER w AS sx, SUM(yq) OVER w AS sy,
+               SUM(xq*yq) OVER w AS sxy, SUM(xq*xq) OVER w AS sxx
+        FROM pair
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), beta AS (
+        SELECT d, xq, yq, n,
+               CASE WHEN n >= 10 AND n*sxx - sx*sx <> 0 THEN
+                 CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+               END AS b
+        FROM mom
+    ), spread AS (
+        SELECT d, n, b,
+               CAST(ROUND((yq/{_FM_S}.0 - b * (xq/{_FM_S}.0))*1000000,0) AS BIGINT) AS sq
+        FROM beta WHERE b IS NOT NULL
+    ), smom AS (
+        SELECT d, b, sq,
+               COUNT(*) OVER w AS sn,
+               SUM(sq) OVER w AS ssum, SUM(sq*sq) OVER w AS ssq
+        FROM spread
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d,
+           FLOOR(b*1000000 + 0.5)/1000000.0 AS beta,
+           FLOOR((sq/1000000.0)*1000000 + 0.5)/1000000.0 AS spread,
+           CASE WHEN sn >= 10 AND sn*ssq - ssum*ssum > 0 THEN
+             FLOOR(((sq - CAST(ssum AS DOUBLE)/sn)
+                    / sqrt(CAST(sn*ssq - ssum*ssum AS DOUBLE) / sn / (sn - 1)))*1000000 + 0.5)
+               /1000000.0
+           END AS zscore
+    FROM smom
+    """,
+)
+def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    two = [
+        r["code"]
+        for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
+    ]  # two scalars, the pair definition — not data-sized driver work
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast("long")
+    rets = (
+        bars.filter(F.col("code").isin(two))
+        .select("code", "d", rq.alias("rq"))
+        .filter(F.col("rq").isNotNull())
+    )
+    a = rets.filter(F.col("code") == two[0]).select("d", F.col("rq").alias("xq"))
+    b = rets.filter(F.col("code") == two[1]).select("d", F.col("rq").alias("yq"))
+    pair = a.join(b, "d")
+    roll = Window.orderBy("d").rowsBetween(-19, 0)
+    mom = pair.select(
+        "d",
+        "xq",
+        "yq",
+        F.count(F.lit(1)).over(roll).alias("n"),
+        F.sum("xq").over(roll).alias("sx"),
+        F.sum("yq").over(roll).alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).over(roll).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).over(roll).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    bcol = F.when(
+        (F.col("n") >= 10) & (den != 0),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / den.cast("double"),
+    )
+    spread = (
+        mom.withColumn("b", bcol)
+        .filter(F.col("b").isNotNull())
+        .withColumn(
+            "sq",
+            F.round(
+                (F.col("yq") / float(_FM_S) - F.col("b") * (F.col("xq") / float(_FM_S)))
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        )
+    )
+    smom = spread.select(
+        "d",
+        "b",
+        "sq",
+        F.count(F.lit(1)).over(roll).alias("sn"),
+        F.sum("sq").over(roll).alias("ssum"),
+        F.sum(F.col("sq") * F.col("sq")).over(roll).alias("ssq"),
+    )
+    sn = F.col("sn")
+    var_num = sn * F.col("ssq") - F.col("ssum") * F.col("ssum")
+    z = (F.col("sq") - F.col("ssum").cast("double") / sn) / F.sqrt(
+        var_num.cast("double") / sn / (sn - 1)
+    )
+    return smom.select(
+        "d",
+        round6(F.col("b")).alias("beta"),
+        round6(F.col("sq") / 1_000_000.0).alias("spread"),
+        F.when((sn >= 10) & (var_num > 0), round6(z)).alias("zscore"),
+    )
