@@ -32,6 +32,12 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
+# Round-6 rotation queue — registered AFTER the window this round (added
+# late in r5, fully pytest-oracle-enforced), to rotate into GATE_FIRST
+# next round in place of r5-verified slots: neardup_canonical,
+# doc_packing, source_mixing_weights, backtest_turnover_cost,
+# fama_macbeth_mom, fama_macbeth_summary, event_study_car,
+# vwap_slippage_daily, pairs_spread_zscore.
 GATE_FIRST: list[str] = [
     # --- never driver-verified before round 5 (registration tail in r1-r4) ---
     "tick_bars_minute",
