@@ -1,0 +1,205 @@
+"""Independent-reference tests for the round-5 quant operators.
+
+The DuckDB oracles share each query's formula by construction, so a
+formula error implemented identically twice would pass the parity gate.
+These tests recompute the semantics with an INDEPENDENT implementation
+(numpy least squares, pandas group math, plain python set arithmetic)
+on sf0.001 and compare to the registered query's output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+_FM_S = 10_000
+
+
+def _panel(spark) -> pd.DataFrame:
+    bars = daily_bars(spark, SF)
+    w = Window.partitionBy("code").orderBy("d")
+    return (
+        bars.select(
+            "code",
+            "d",
+            (F.col("close") / F.lag("close", 5).over(w) - 1).alias("x"),
+            (F.lead("close").over(w) / F.col("close") - 1).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .toPandas()
+    )
+
+
+def test_fama_macbeth_beta_matches_numpy_lstsq(spark):
+    """Per-date beta/alpha must equal numpy's least-squares fit of the
+    SAME quantized observations (independent algorithm: matrix lstsq vs
+    the closed-form integer-moment ratio)."""
+    got = {r["d"]: r for r in QUERIES["fama_macbeth_mom"](spark, SF).collect()}
+    pdf = _panel(spark)
+    pdf["xq"] = (pdf["x"] * _FM_S).round().astype("int64")
+    pdf["yq"] = (pdf["y"] * _FM_S).round().astype("int64")
+    checked = 0
+    for d, g in pdf.groupby("d"):
+        if d not in got:
+            continue
+        x, y = g["xq"].to_numpy(float), g["yq"].to_numpy(float)
+        if np.var(x) == 0:
+            assert got[d]["beta"] is None
+            continue
+        A = np.stack([x, np.ones_like(x)], axis=1)
+        beta, alpha_q = np.linalg.lstsq(A, y, rcond=None)[0]
+        assert abs(got[d]["beta"] - beta) < 2e-6, (d, got[d]["beta"], beta)
+        assert abs(got[d]["alpha"] - alpha_q / _FM_S) < 2e-6
+        checked += 1
+    assert checked > 5
+
+
+def test_turnover_matches_set_arithmetic(spark):
+    """Leg turnover must equal 1 - |kept| / |current| computed by plain
+    python set logic over the same decile memberships."""
+    bars = daily_bars(spark, SF)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = (
+        bars.select(
+            "code",
+            "d",
+            (F.col("close") / F.lag("close", 5).over(w) - 1).alias("mom_5"),
+            (F.lead("close").over(w) / F.col("close") - 1).alias("fwd_ret"),
+        )
+        .filter(F.col("mom_5").isNotNull() & F.col("fwd_ret").isNotNull())
+        .withColumn(
+            "decile", F.ntile(10).over(Window.partitionBy("d").orderBy("mom_5", "code"))
+        )
+        .toPandas()
+    )
+    legs: dict[tuple[object, str], set] = {}
+    for (d, dec), g in panel.groupby(["d", "decile"]):
+        if dec == 10:
+            legs[(d, "L")] = set(g["code"])
+        elif dec == 1:
+            legs[(d, "S")] = set(g["code"])
+    dates = sorted({d for d, _ in legs})
+    got = {r["d"]: r for r in QUERIES["backtest_turnover_cost"](spark, SF).collect()}
+    checked = 0
+    for i, d in enumerate(dates):
+        if d not in got:
+            continue
+        prev = dates[i - 1] if i > 0 else None
+        for leg, col in (("L", "to_long"), ("S", "to_short")):
+            cur = legs.get((d, leg))
+            if cur is None:
+                continue  # a thin day may lack one decile
+            kept = len(cur & legs.get((prev, leg), set())) if prev is not None else 0
+            want = 1.0 - kept / len(cur)
+            assert abs(got[d][col] - want) < 2e-6, (d, leg, got[d][col], want)
+        checked += 1
+    assert checked > 5
+
+
+def test_vwap_slippage_matches_pandas(spark):
+    """Per-day mean/std of close-vs-VWAP deviation vs pandas group math
+    on the same quantized deviations."""
+    bars = daily_bars(spark, SF).toPandas()
+    bars = bars[(bars["volume"] > 0) & (bars["amount"] > 0)]
+    sq = (
+        ((bars["close"] / (bars["amount"] / bars["volume"]) - 1) * 10_000)
+        .round()
+        .astype("int64")
+    )
+    df = pd.DataFrame({"d": bars["d"], "sq": sq})
+    got = {r["d"]: r for r in QUERIES["vwap_slippage_daily"](spark, SF).collect()}
+    checked = 0
+    for d, g in df.groupby("d"):
+        want_mean = g["sq"].mean() / 10_000
+        assert abs(got[d]["mean_slip"] - want_mean) < 2e-6
+        if len(g) > 1 and g["sq"].var(ddof=1) > 0:
+            want_std = g["sq"].std(ddof=1) / 10_000
+            assert abs(got[d]["std_slip"] - want_std) < 2e-6
+        checked += 1
+    assert checked > 5
+
+
+def test_pairs_beta_matches_numpy_rolling(spark):
+    """Rolling hedge ratio vs numpy lstsq over the same 20-row windows."""
+    out = QUERIES["pairs_spread_zscore"](spark, SF).orderBy("d").collect()
+    bars = daily_bars(spark, SF)
+    two = [
+        r["code"]
+        for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
+    ]
+    w = Window.partitionBy("code").orderBy("d")
+    rets = (
+        bars.filter(F.col("code").isin(two))
+        .select(
+            "code",
+            "d",
+            F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0)
+            .cast("long")
+            .alias("rq"),
+        )
+        .filter(F.col("rq").isNotNull())
+        .toPandas()
+    )
+    a = rets[rets["code"] == two[0]].set_index("d")["rq"]
+    b = rets[rets["code"] == two[1]].set_index("d")["rq"]
+    common = sorted(set(a.index) & set(b.index))
+    x = a.loc[common].to_numpy(float)
+    y = b.loc[common].to_numpy(float)
+    by_d = {r["d"]: r for r in out}
+    checked = 0
+    for i, d in enumerate(common):
+        lo = max(0, i - 19)
+        xs, ys = x[lo : i + 1], y[lo : i + 1]
+        if d not in by_d or by_d[d]["beta"] is None:
+            continue
+        A = np.stack([xs, np.ones_like(xs)], axis=1)
+        beta = np.linalg.lstsq(A, ys, rcond=None)[0][0]
+        assert abs(by_d[d]["beta"] - beta) < 2e-6, (d, by_d[d]["beta"], beta)
+        checked += 1
+    assert checked > 5
+
+
+def test_event_study_car_matches_pandas_loop(spark):
+    """CAR profile vs a direct pandas reimplementation (trailing volume
+    average, abnormal return, per-event cumulative sums)."""
+    bars = daily_bars(spark, SF).toPandas().sort_values(["code", "d"])
+    bars["ret"] = bars.groupby("code")["close"].pct_change()
+    g = bars.groupby("code")["volume"]
+    bars["vavg"] = g.transform(lambda s: s.shift(1).rolling(20, min_periods=1).mean())
+    bars["vcnt"] = g.transform(
+        lambda s: s.shift(1).rolling(20, min_periods=1).count()
+    ).fillna(0)
+    panel = bars[bars["ret"].notna()].copy()
+    panel["rn"] = panel.groupby("code").cumcount() + 1
+    retq = (panel["ret"] * 1e8).round().astype("int64")
+    mkt = retq.groupby(panel["d"]).mean() / 1e8
+    panel["aq"] = (
+        ((panel["ret"] - panel["d"].map(mkt)) * 1e8).round().astype("int64")
+    )
+    events = panel[(panel["vcnt"] >= 10) & (panel["volume"] > 2 * panel["vavg"])]
+    idx = panel.set_index(["code", "rn"])["aq"]
+    cars: dict[int, list[int]] = {k: [] for k in range(-2, 4)}
+    for _, ev in events.iterrows():
+        cum = 0
+        for k in range(-2, 4):
+            key = (ev["code"], ev["rn"] + k)
+            if key in idx.index:
+                cum += int(idx.loc[key])
+                cars[k].append(cum)
+    got = {r["offset"]: r for r in QUERIES["event_study_car"](spark, SF).collect()}
+    checked = 0
+    for k, vals in cars.items():
+        if not vals:
+            assert k not in got
+            continue
+        assert got[k]["n_events"] == len(vals)
+        want = sum(vals) / len(vals) / 1e8
+        assert abs(got[k]["avg_car"] - want) < 2e-6, (k, got[k]["avg_car"], want)
+        checked += 1
+    assert checked >= 4
