@@ -1163,3 +1163,93 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.col("wq").cast("double") / F.col("__tot")).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (sub-document) detection (new r5): ordered pairs (a, b)
+# where ≥ 80% of a's 3-gram shingles also occur in b — the asymmetric
+# near-dup class (quote farms, wrapper pages) that symmetric Jaccard
+# misses because a small doc inside a big one has low Jaccard.
+#
+# Sound blocking (asymmetric prefix filter): if |Sa∩Sb| ≥ t·|Sa| then a
+# and b share a token within a's first |Sa| − ⌈t·|Sa|⌉ + 1 tokens under
+# any global order — so a's rarest-first PREFIX joins against b's FULL
+# token list (the inverted index), never all-pairs; the |Sb| ≥ t·|Sa|
+# length filter prunes impossible pairs inside the join. Exact
+# containment verifies candidates only.
+# ---------------------------------------------------------------------------
+_CONT_T = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    tok AS (
+        SELECT doc_id, UNNEST(s) AS tk FROM sh
+    ), freq AS (
+        SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk
+    ), ordered AS (
+        SELECT doc_id, array_agg(tok.tk ORDER BY cnt, tok.tk) AS os
+        FROM tok JOIN freq ON tok.tk = freq.tk GROUP BY doc_id
+    ), pref AS (
+        SELECT doc_id,
+               os[1 : len(os) - CAST(ceil({_CONT_T} * len(os)) AS INT) + 1] AS p,
+               len(os) AS n_tok
+        FROM ordered
+    ), ptok AS (
+        SELECT doc_id, n_tok, UNNEST(p) AS tk FROM pref
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM ptok a JOIN tok b ON a.tk = b.tk
+        JOIN pref pb ON pb.doc_id = b.doc_id
+        WHERE a.doc_id <> b.doc_id AND pb.n_tok >= {_CONT_T} * a.n_tok
+    ), verified AS (
+        SELECT a_id, b_id,
+               CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+                 / len(sa.s) AS containment
+        FROM cand
+        JOIN sh sa ON cand.a_id = sa.doc_id
+        JOIN sh sb ON cand.b_id = sb.doc_id
+    )
+    SELECT a_id, b_id, ROUND(containment, 6) AS containment
+    FROM verified WHERE containment >= {_CONT_T}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    shingled = managed_persist(dd.with_shingles(docs))
+    pref = managed_persist(
+        dd.with_prefix(dd.prefix_ordered_shingles(shingled), _CONT_T)
+    )
+    ptok = pref.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("n_tok").alias("a_n"),
+        F.explode("pref").alias("tk"),
+    )
+    tok = shingled.select(
+        F.col("doc_id").alias("b_id"), F.explode("shingles").alias("tk")
+    ).join(
+        pref.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("b_n")), "b_id"
+    )
+    cand = (
+        ptok.join(tok, "tk")
+        .filter((F.col("a_id") != F.col("b_id")) & (F.col("b_n") >= _CONT_T * F.col("a_n")))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("s_a"))
+    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("s_b"))
+    inter = F.expr("size(filter(s_a, x -> array_contains(s_b, x)))").cast("double")
+    cont = inter / F.size("s_a")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= _CONT_T)
+        .select("a_id", "b_id", F.round("containment", 6).alias("containment"))
+    )
