@@ -37,7 +37,7 @@ GATE_WINDOW = 50
 # next round in place of r5-verified slots: neardup_canonical,
 # doc_packing, source_mixing_weights, backtest_turnover_cost,
 # fama_macbeth_mom, fama_macbeth_summary, event_study_car,
-# vwap_slippage_daily, pairs_spread_zscore.
+# vwap_slippage_daily, pairs_spread_zscore, dedup_containment.
 GATE_FIRST: list[str] = [
     # --- never driver-verified before round 5 (registration tail in r1-r4) ---
     "tick_bars_minute",
