@@ -162,6 +162,17 @@ def asof_join(
             f"asof_join payload columns collide with left columns: {collisions}; "
             "rename the right-side payload before joining"
         )
+    # the implementation owns the __-prefixed namespace: a payload column
+    # named __rt would collide with the struct's match-time field and make
+    # __m.__rt extraction ambiguous (silently corrupting asof_time); the
+    # scratch columns __side/__t/__pay/__m would mis-bind the same way
+    reserved = sorted(c for c in payload if c.startswith("__"))
+    if reserved:
+        raise ValueError(
+            f"asof_join payload columns {reserved} use the reserved '__' "
+            "prefix (internal scratch namespace: __rt/__side/__t/__pay/__m); "
+            "rename them before joining"
+        )
     lt = F.col(left_time).cast("timestamp")
     rt = F.col(right_time).cast("timestamp")
     l_tagged = left.withColumn("__side", F.lit(1)).withColumn("__t", lt)

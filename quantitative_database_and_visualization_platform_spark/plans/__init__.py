@@ -32,70 +32,73 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-6 rotation queue — registered AFTER the window this round (added
-# late in r5, fully pytest-oracle-enforced), to rotate into GATE_FIRST
-# next round in place of r5-verified slots: neardup_canonical,
-# doc_packing, source_mixing_weights, backtest_turnover_cost,
-# fama_macbeth_mom, fama_macbeth_summary, event_study_car,
-# vwap_slippage_daily, pairs_spread_zscore, dedup_containment.
+# Round-6 window. With r5's 49 green rows, every registered query except
+# the 10 late-r5 additions (queued at the r5 note that sat here) has had a
+# binding driver row in some round. This window therefore holds, in order:
+#   1. the 10 never-driver-verified late-r5 queries — green rows here mean
+#      EVERY registered query has had a binding driver row;
+#   2. sliding_window_stats — r5's one red row (oracle TIMESTAMPTZ, fixed
+#      this round with CAST(... AS TIMESTAMP)), re-gated to prove the fix;
+#   3. any queries NEW in round 6 (inserted below as they land);
+#   4. cheap previously-driver-green fillers (each <0.35 s spark+oracle at
+#      check scale per ORACLE_TIMINGS.json) so the gate stays fast and a
+#      mid-gate session death costs the least possible evidence.
 GATE_FIRST: list[str] = [
-    # --- never driver-verified before round 5 (registration tail in r1-r4) ---
-    "tick_bars_minute",
-    "catalog_introspection",
-    "scalar_function_surface",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "text_analysis",
-    "embedding_topk",
-    "embedding_ann_srp",
-    "embedding_ann_ivf",
-    "corpus_curation",
-    "embedding_neardup",
-    "text_tfidf_topk",
-    "dedup_connected_components",
-    "cms_heavy_hitters",
-    "dataset_split_train_val",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "asof_join_latest_order",
-    "range_join_price_band",
-    "latest_event_per_user",
-    "pivot_event_matrix",
-    "rollup_priority_status",
-    "grouping_sets_priority_status",
-    "kmv_distinct_sketch",
+    # --- 1. never driver-verified (late-r5 additions) ---
+    "neardup_canonical",
+    "doc_packing",
+    "source_mixing_weights",
+    "dedup_containment",
+    "backtest_turnover_cost",
+    "fama_macbeth_mom",
+    "fama_macbeth_summary",
+    "event_study_car",
+    "vwap_slippage_daily",
+    "pairs_spread_zscore",
+    # --- 2. r5 red row, oracle repaired this round ---
     "sliding_window_stats",
-    "fuzzy_join_part_names",
-    "funnel_conversion",
-    "json_props_stats",
+    # --- 3. new in round 6 ---
+    # (inserted here as they land)
+    # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
+    "materialized_turnover",
+    "multimodal_meta",
+    "point_lookup",
+    "regex_extract_props",
+    "histogram_value_bins",
+    "in_list_priority_stats",
+    "like_filter_brand_stats",
+    "scalar_function_surface",
+    "dataset_split_train_val",
+    "grouping_sets_priority_status",
+    "latest_event_per_user",
+    "similarity_topk",
+    "scalar_subquery_peer",
+    "union_active_delisted",
+    "dedup_exact",
+    "global_market_stats",
+    "fallback_priority_rollup",
+    "prev_day_change",
+    "rolling_product",
     "window_function_surface",
-    "set_ops_customer_pools",
-    "incremental_rollup_maintenance",
-    "backtest_decile_longshort",
-    "market_index_history",
-    "stock_available_range",
-    "prev_trading_date",
-    "yesterday_winners_performance",
-    "winsorize_returns",
-    "range_window_dollar_volume",
-    "rolling_beta_market",
-    "backtest_drawdown",
-    # --- red at the r4 gate (ARRAY column), repaired to scalar output ---
-    "kpl_ladder",
-    # --- new in r5: decontamination, sampling, repetition-filter ops ---
-    "decontamination_ngram",
+    "pivot_event_matrix",
+    "text_analysis",
+    "range_join_price_band",
+    "tick_bars_minute",
+    "rollup_priority_status",
     "stratified_sample_balanced",
-    "repetition_quality",
-    # --- new in r5: complete the 101-row IC surface at the gate. LAST in
-    # the window on purpose: these trigger the 101-alpha table build, the
-    # heaviest job of the gate — if the driver's session ever dies there
-    # (heap edge), every query before it still has its green row. ---
-    "alpha_ic_b",
-    "alpha_ic_c",
-    "alpha_ic_d",
+    "prev_trading_date",
+    "stock_available_range",
+    "distinct_segments_nations",
+    "multimodal_frame_sample",
+    "incremental_rollup_maintenance",
+    "multimodal_decode",
+    "dedup_ngram_jaccard",
+    "kpl_ladder",
+    "cumulative_ops",
+    "full_outer_user_activity",
+    "multi_scalar_subquery",
+    "embedding_topk",
+    "json_props_stats",
 ]
 
 

@@ -253,8 +253,8 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH expanded AS (
         SELECT event_type, value,
                UNNEST([
-                 to_timestamp(FLOOR(epoch(ts) / 300) * 300),
-                 to_timestamp(FLOOR(epoch(ts) / 300) * 300 - 300)
+                 CAST(to_timestamp(FLOOR(epoch(ts) / 300) * 300) AS TIMESTAMP),
+                 CAST(to_timestamp(FLOOR(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP)
                ]) AS win_start
         FROM events
     )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..factors.alpha101 import ALPHA_COLS, with_alphas
 from ..factors.panel import O_BARS, daily_bars
+from ..session import context_key
 from .oracle_prune import prune_alpha_oracle
 from .registry import query
 
@@ -1181,11 +1182,11 @@ def _ic_scan(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
 # r_r per date on the wide panel, corr per (factor, date) group), so a
 # factor-subset scan and a row filter of the full scan are the same
 # relation. The cached table is 101 rows × 3 columns.
-_IC_CACHE: dict[tuple[int, str], DataFrame] = {}
+_IC_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _ic_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (context_key(spark), sf_dir)
     df = _IC_CACHE.get(key)
     if df is None:
         df = _ic_scan(spark, sf_dir, list(ALPHA_COLS))
@@ -1258,11 +1259,11 @@ _register_ic_gate_parts()
 # scan reads the factor table, it does not re-run the factor DAG. The
 # cached table is (code, d, 101 doubles) — a few MB at bench scale — and
 # is deliberately kept for the life of the session.
-_ALPHA_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ALPHA_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _alpha_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (context_key(spark), sf_dir)
     df = _ALPHA_CACHE.get(key)
     if df is None:
         out = with_alphas(daily_bars(spark, sf_dir))

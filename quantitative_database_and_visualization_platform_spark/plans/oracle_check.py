@@ -75,6 +75,10 @@ def _encode(v: object) -> str:
             return "nan"
         return repr(v)  # repr keeps the sign of -0.0
     if isinstance(v, _dt.datetime):
+        # tz-aware values are allowed only on the SPARK side (toArrow tags
+        # TimestampType with the session tz; the driver's pandas path sees
+        # them naive). Oracle-side tz-awareness is a schema error caught in
+        # compare() BEFORE values are encoded — see _tzaware_cols.
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -94,8 +98,34 @@ def _encode_table(t: pa.Table) -> tuple[list[str], list[tuple[str, ...]]]:
     return cols, sorted(encoded)
 
 
+def _tzaware_cols(t: pa.Table) -> list[str]:
+    return [
+        f.name
+        for f in t.schema
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None
+    ]
+
+
 def compare(spark_t: pa.Table, oracle_t: pa.Table) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+    """Return a list of mismatch descriptions (empty == match).
+
+    Oracle-side TIMESTAMPTZ is a schema error even when the values agree:
+    Spark TimestampType reaches the driver's pandas canonicalizer as NAIVE
+    datetimes (toPandas converts to session tz and drops tzinfo), while a
+    DuckDB TIMESTAMPTZ column stays tz-aware — the driver records
+    schema_match=false (the r5 `sliding_window_stats` red row, where
+    `to_timestamp(epoch)` silently returned TIMESTAMPTZ). The local
+    `_encode` strips tzinfo for the Spark side's toArrow artifact
+    (timestamp[us, tz=UTC] with session tz pinned to UTC), so this check
+    must run on the Arrow SCHEMA, before values are canonicalized.
+    """
+    tz_bad = _tzaware_cols(oracle_t)
+    if tz_bad:
+        return [
+            f"oracle columns {tz_bad} are TIMESTAMPTZ: the driver compares "
+            "them tz-aware against Spark's naive timestamps and fails "
+            "schema_match — CAST(... AS TIMESTAMP) in the oracle SQL"
+        ]
     a_cols, a_rows = _encode_table(spark_t)
     b_cols, b_rows = _encode_table(oracle_t)
     if a_cols != b_cols:

@@ -30,7 +30,7 @@ from ..pipeline.embeddings import (
 from ..pipeline.multimodal import decode_documents
 from ..pipeline import sketches as sk
 from ..pipeline.text import o_text_features, tfidf_scores, with_text_features
-from ..session import managed_persist
+from ..session import context_key, managed_persist
 from ..sources.catalog import load_table
 from .registry import o_round6, query
 
@@ -205,11 +205,11 @@ def _o_ngram_jaccard() -> str:
 # before clustering. localCheckpoint (NOT managed_persist): the cache
 # must survive bench.py's per-query release_managed(), same convention
 # as the alpha table.
-_PAIR_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (context_key(spark), sf_dir)
     df = _PAIR_CACHE.get(key)
     if df is None:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1206,7 +1206,7 @@ _CONT_T = 0.8
         WHERE a.doc_id <> b.doc_id AND pb.n_tok >= {_CONT_T} * a.n_tok
     ), verified AS (
         SELECT a_id, b_id,
-               CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
                  / len(sa.s) AS containment
         FROM cand
         JOIN sh sa ON cand.a_id = sa.doc_id
@@ -1244,7 +1244,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("s_a"))
     sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("s_b"))
-    inter = F.expr("size(filter(s_a, x -> array_contains(s_b, x)))").cast("double")
+    # hash-based intersect, O(|sa|+|sb|) per pair — the lambda
+    # filter/array_contains form is O(|sa|·|sb|) and was the dominant
+    # verify-stage cost in jaccard_verified_pairs before the same fix;
+    # both operands are DISTINCT shingle sets (collect_set), so the
+    # intersect's dedup semantics change nothing
+    inter = F.expr("size(array_intersect(s_a, s_b))").cast("double")
     cont = inter / F.size("s_a")
     return (
         cand.join(sa, "a_id")

@@ -87,6 +87,19 @@ def release_managed() -> None:
             pass
 
 
+def context_key(spark: SparkSession) -> tuple[str, int]:
+    """Stable identity for session-scoped caches (_ALPHA_CACHE and kin).
+
+    ``id(spark.sparkContext)`` is NOT stable: after a context is stopped
+    and garbage-collected, CPython can reuse the same id for a new
+    context, which would return a stale localCheckpoint'd DataFrame bound
+    to the dead JVM. (applicationId, startTime) is unique per real
+    context and never reused.
+    """
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable subset of our config to a session we did
     not create (the driver hands us one)."""

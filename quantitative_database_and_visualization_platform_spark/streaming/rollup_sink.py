@@ -54,11 +54,26 @@ def start_rollup_sink(events: DataFrame, store_path: str):
     spark = events.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Distinguish "store not created yet" (bootstrap) from every other
+        # failure: a transient read error or torn write must RAISE (and be
+        # retried by the stream) — treating it as bootstrap would silently
+        # discard the accumulated rollup and overwrite it with one batch's
+        # delta. An old-format store (no last_batch_id column) keeps its
+        # DATA; only the high-water mark is unknown.
+        from pyspark.errors import AnalysisException
+
         try:
             current = spark.read.parquet(store_path)
-            last = current.agg(F.max("last_batch_id")).collect()[0][0]
-        except Exception:  # first batch: no store yet
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             current, last = None, None
+        else:
+            if "last_batch_id" in current.columns:
+                last = current.agg(F.max("last_batch_id")).collect()[0][0]
+            else:
+                last = None
         if last is not None and batch_id <= last:
             # at-least-once replay of an already-merged batch: merging it
             # again would double-count event_cnt/value_cents

@@ -32,4 +32,10 @@ def pytest_sessionfinish(session, exitstatus):
         except Exception:
             pass
         merged.update(TIMINGS)
+        # prune entries for renamed/deleted queries so the snapshot cannot
+        # accumulate stale timings forever (merge-preserve is only for
+        # queries a targeted -k run didn't execute, not for ghosts)
+        from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+        merged = {k: v for k, v in merged.items() if k in QUERIES}
         out.write_text(json.dumps(dict(sorted(merged.items())), indent=1) + "\n")

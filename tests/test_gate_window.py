@@ -23,53 +23,22 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-4
-# (CORRECTNESS_r0*.json ∪ = the first 50 names of the r1-r4 registration
-# order; these were positions 51-93)
+# every query with no driver correctness row in any of rounds 1-5
+# (the 10 late-r5 additions) plus the one r5 RED row whose oracle was
+# repaired this round (sliding_window_stats: TIMESTAMPTZ → TIMESTAMP) —
+# all must sit inside the r6 window so each gets a binding driver row
 NEVER_DRIVER_VERIFIED = [
-    "tick_bars_minute",
-    "catalog_introspection",
-    "scalar_function_surface",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "text_analysis",
-    "embedding_topk",
-    "embedding_ann_srp",
-    "embedding_ann_ivf",
-    "corpus_curation",
-    "embedding_neardup",
-    "text_tfidf_topk",
-    "dedup_connected_components",
-    "cms_heavy_hitters",
-    "dataset_split_train_val",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "asof_join_latest_order",
-    "range_join_price_band",
-    "latest_event_per_user",
-    "pivot_event_matrix",
-    "rollup_priority_status",
-    "grouping_sets_priority_status",
-    "kmv_distinct_sketch",
+    "neardup_canonical",
+    "doc_packing",
+    "source_mixing_weights",
+    "dedup_containment",
+    "backtest_turnover_cost",
+    "fama_macbeth_mom",
+    "fama_macbeth_summary",
+    "event_study_car",
+    "vwap_slippage_daily",
+    "pairs_spread_zscore",
     "sliding_window_stats",
-    "fuzzy_join_part_names",
-    "funnel_conversion",
-    "json_props_stats",
-    "window_function_surface",
-    "set_ops_customer_pools",
-    "incremental_rollup_maintenance",
-    "backtest_decile_longshort",
-    "market_index_history",
-    "stock_available_range",
-    "prev_trading_date",
-    "yesterday_winners_performance",
-    "winsorize_returns",
-    "range_window_dollar_volume",
-    "rolling_beta_market",
-    "backtest_drawdown",
 ]
 
 
@@ -95,6 +64,61 @@ def test_oracle_order_mirrors_query_order():
     """Driver may iterate either dict; both must agree on the window."""
     q_order = [n for n in QUERIES if n in ORACLES]
     assert q_order == list(ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_schema_has_no_timestamptz(name):
+    """Schema-only check (LIMIT 0, no execution): DuckDB's
+    ``to_timestamp(epoch)`` silently returns TIMESTAMP WITH TIME ZONE,
+    which the driver compares tz-aware against Spark's naive timestamps
+    and fails schema_match (the r5 ``sliding_window_stats`` red row).
+    Red-line every oracle, not just the window — all rotate through
+    eventually. Same class as the ARRAY-column rule below."""
+    import duckdb
+    import pyarrow as pa
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+            )
+        schema = con.execute(
+            f"SELECT * FROM ({ORACLES[name]}) AS __q LIMIT 0"
+        ).arrow().schema
+    finally:
+        con.close()
+    tz_aware = [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None
+    ]
+    assert tz_aware == [], f"{name} oracle emits TIMESTAMPTZ columns {tz_aware}"
+
+
+def test_compare_rejects_tzaware_oracle():
+    """Harness self-test: a deliberately tz-broken oracle must fail the
+    LOCAL mirror, not only the driver. Before this round, ``_encode``
+    stripped tzinfo so identical instants passed pytest while the driver
+    flagged the schema (the r5 ``sliding_window_stats`` hidden failure)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from quantitative_database_and_visualization_platform_spark.plans.oracle_check import compare
+
+    naive = pa.table({"t": pa.array([dt.datetime(2020, 1, 1)], pa.timestamp("us"))})
+    aware = pa.table(
+        {"t": pa.array([dt.datetime(2020, 1, 1)], pa.timestamp("us", tz="UTC"))}
+    )
+    # spark tz-aware (toArrow artifact) vs naive oracle: fine, values match
+    assert compare(aware, naive) == []
+    # tz-aware ORACLE: schema error even though the instants are identical
+    problems = compare(naive, aware)
+    assert problems and "TIMESTAMPTZ" in problems[0]
 
 
 @pytest.mark.parametrize("name", GATE_FIRST)
