@@ -961,16 +961,33 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def gram_stats(k: int):
-        sh = managed_persist(dd.with_shingles(docs, k=k, distinct=False))
-        g = sh.select("doc_id", F.explode("shingles").alias("g"))
+    # ONE tokenization pass feeds both gram sizes: the word array is
+    # materialized once and both shingle arrays are projected from it in
+    # the same select, persisted BEFORE the explodes (the Generate
+    # re-evaluation barrier — see with_shingles). Previously two
+    # with_shingles passes normalized+split every document twice.
+    def shingle_expr(k: int):
+        joined = ", ".join(f"__w[i + {j}]" for j in range(k))
+        body = f"transform(sequence(0, size(__w) - {k}), i -> concat_ws(' ', {joined}))"
+        return F.when(F.size("__w") >= k, F.expr(body)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    grams = managed_persist(
+        docs.select(
+            "doc_id", F.split(dd.normalized_text("text"), " ").alias("__w")
+        ).select("doc_id", shingle_expr(3).alias("g3"), shingle_expr(2).alias("g2"))
+    )
+
+    def gram_stats(col: str):
+        g = grams.select("doc_id", F.explode(col).alias("g"))
         return g.groupBy("doc_id", "g").count().groupBy("doc_id")
 
-    a3 = gram_stats(3).agg(
+    a3 = gram_stats("g3").agg(
         F.sum("count").alias("n_3grams"),
         (1.0 - F.count(F.lit(1)) / F.sum("count")).alias("dup3"),
     )
-    a2 = gram_stats(2).agg((F.max("count") / F.sum("count")).alias("top2"))
+    a2 = gram_stats("g2").agg((F.max("count") / F.sum("count")).alias("top2"))
     return a3.join(a2, "doc_id").select(
         "doc_id",
         "n_3grams",
