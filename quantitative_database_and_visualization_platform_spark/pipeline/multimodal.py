@@ -42,15 +42,38 @@ def attach_blob(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def decode_batch(batches: Iterator[pd.DataFrame], use_real_codec: bool = False) -> Iterator[pd.DataFrame]:
-    """Arrow-batch decoder. STUB: metadata is a deterministic function of
-    the payload length so the pipeline shape is testable without codecs."""
-    for pdf in batches:
-        if use_real_codec:
+    """Arrow-batch decoder. STUB by default: metadata is a deterministic
+    function of the payload length so the pipeline shape is testable
+    without codecs. With ``use_real_codec=True`` and Pillow installed,
+    images are decoded for real into the SAME schema (n_frames from
+    Pillow's multi-frame API, 1 for stills) — the integration point a
+    production deployment flips on. Raises when Pillow is absent so a
+    misconfigured cluster fails loudly instead of silently shipping stub
+    metadata."""
+    if use_real_codec:
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - env-dependent
             raise NotImplementedError(
-                "real image/audio decoding needs PIL/torchaudio, which are "
-                "not installed in this environment; the stub below is the "
-                "deterministic stand-in"
-            )
+                "real image decoding needs Pillow, which is not installed "
+                "in this environment; run with use_real_codec=False for "
+                "the deterministic stand-in"
+            ) from e
+        import io
+
+        for pdf in batches:
+            meta = {"n_bytes": [], "width": [], "height": [], "n_frames": []}
+            for payload in pdf["content"]:
+                with Image.open(io.BytesIO(payload)) as im:
+                    meta["n_bytes"].append(len(payload))
+                    meta["width"].append(im.width)
+                    meta["height"].append(im.height)
+                    meta["n_frames"].append(getattr(im, "n_frames", 1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), **meta}
+            ).astype("int64")
+        return
+    for pdf in batches:
         n_bytes = pdf["content"].map(len).astype("int64")
         yield pd.DataFrame(
             {
@@ -63,11 +86,14 @@ def decode_batch(batches: Iterator[pd.DataFrame], use_real_codec: bool = False) 
         )
 
 
-def decode_documents(df: DataFrame) -> DataFrame:
+def decode_documents(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     """doc table → decoded metadata via mapInPandas (partition-preserving,
     no shuffle)."""
+    import functools
+
     withblob = attach_blob(df).select("doc_id", "content")
-    return withblob.mapInPandas(decode_batch, schema=DECODED_SCHEMA)
+    fn = functools.partial(decode_batch, use_real_codec=use_real_codec)
+    return withblob.mapInPandas(fn, schema=DECODED_SCHEMA)
 
 
 def sample_frames(decoded: DataFrame, k: int = 3) -> DataFrame:

@@ -58,7 +58,9 @@ GATE_FIRST: list[str] = [
     # --- 2. r5 red row, oracle repaired this round ---
     "sliding_window_stats",
     # --- 3. new in round 6 ---
-    # (inserted here as they land)
+    "exact_substring_dedup",
+    "dsir_importance",
+    "lang_mix_drift",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -96,9 +98,6 @@ GATE_FIRST: list[str] = [
     "kpl_ladder",
     "cumulative_ops",
     "full_outer_user_activity",
-    "multi_scalar_subquery",
-    "embedding_topk",
-    "json_props_stats",
 ]
 
 

@@ -1275,3 +1275,255 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONT_T)
         .select("a_id", "b_id", F.round("containment", 6).alias("containment"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated-substring analysis (new r6): the ExactSubstr
+# dedup diagnostic (Lee et al., "Deduplicating Training Data Makes
+# Language Models Better") at 8-word granularity — for every document,
+# what fraction of its distinct 8-grams also occurs in ANOTHER document.
+# Unlike the pairwise dedup family this is a per-document statistic: no
+# pair enumeration at all, so cost is linear in corpus gram mass even
+# when duplication is clique-heavy.
+#
+# Scale shape: one explode → gram-keyed count (map-side combined; gram
+# keys are near-uniform so no skew), one hash join back on the gram key
+# (both sides gram-cardinality — NOT broadcastable, a plain shuffled
+# join that scales out), one doc-keyed aggregate. Three linear shuffles.
+# ---------------------------------------------------------------------------
+_ESD_K = 8
+
+
+def _o_gram8() -> str:
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(_ESD_K))
+    return f"""
+    g8 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - {_ESD_K - 2}),
+                   i -> {joined})) AS s
+        FROM words WHERE len(w) >= {_ESD_K}
+    )"""
+
+
+@query(
+    "exact_substring_dedup",
+    oracle=f"""
+    WITH {_O_NORM}, {_o_gram8()},
+    tok AS (
+        SELECT doc_id, UNNEST(s) AS g FROM g8
+    ), freq AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs FROM tok GROUP BY g
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           {o_round6('SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)')} AS repeated_frac,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) <= 0.5 AS INT) AS keep
+    FROM tok JOIN freq USING (g)
+    GROUP BY tok.doc_id
+    """,
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # persist the ARRAY table, not the exploded rows: explode over a
+    # computed array re-evaluates the collapsed shingle-building
+    # projection per emitted element (O(len²)/doc — measured 25 s vs
+    # ~2 s at sf0.1); exploding from the cached leaf is linear, and both
+    # consumers (frequency count, per-doc rollup) read the same cache
+    sh = managed_persist(
+        dd.with_shingles(docs, k=_ESD_K).select("doc_id", "shingles")
+    )
+    g = sh.select("doc_id", F.explode("shingles").alias("g"))
+    freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    rep = (F.col("n_docs") > 1).cast("long")
+    frac = F.col("n_repeated") / F.col("n_grams").cast("double")
+    return (
+        g.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(rep).alias("n_repeated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_repeated",
+            round6(frac).alias("repeated_frac"),
+            (frac <= 0.5).cast("int").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (new r6): data-selection scores for
+# domain targeting (Xie et al., "Data Selection for Language Models via
+# Importance Resampling") — hashed unigram features, per-feature
+# log-likelihood ratio between the TARGET slice (lang='en', standing in
+# for "looks like wikipedia") and the RAW corpus, per-document score =
+# sum of its tokens' ratios. Add-1 smoothing over the B-bucket feature
+# space; each feature's log-ratio is quantized to integer nano-units
+# before the per-doc sum so the aggregate is order-independent across
+# engines (sum of doubles is not).
+#
+# Scale shape: token explode → feature-keyed count. The feature space is
+# FIXED at B=1024 buckets, so the count shuffle is map-side combined to
+# <= B rows per task and the λ table is broadcast back — per-doc scoring
+# is one doc-keyed aggregate, no big-table join. This is exactly why
+# DSIR hashes features: the model state stays O(B) at any corpus size.
+# ---------------------------------------------------------------------------
+_DSIR_B = 1024
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+    WITH {_O_NORM}, tk AS (
+        SELECT w2.doc_id, d.lang,
+               CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % {_DSIR_B} AS feat
+        FROM (SELECT doc_id, UNNEST(w) AS tok FROM words) w2
+        JOIN documents d ON w2.doc_id = d.doc_id
+    ), fc AS (
+        SELECT feat, CAST(COUNT(*) AS BIGINT) AS cnt_r,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+        FROM tk GROUP BY feat
+    ), tot AS (
+        SELECT CAST(SUM(cnt_r) AS BIGINT) AS r_tot,
+               CAST(SUM(cnt_t) AS BIGINT) AS t_tot FROM fc
+    ), lam AS (
+        SELECT feat,
+               CAST(ROUND((ln((cnt_t + 1) / CAST(t_tot + {_DSIR_B} AS DOUBLE))
+                         - ln((cnt_r + 1) / CAST(r_tot + {_DSIR_B} AS DOUBLE)))
+                     * 1000000000, 0) AS BIGINT) AS lam_q
+        FROM fc CROSS JOIN tot
+    )
+    SELECT tk.doc_id, tk.lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {o_round6('SUM(lam_q) / 1000000000.0')} AS dsir_logratio
+    FROM tk JOIN lam USING (feat)
+    GROUP BY tk.doc_id, tk.lang
+    """,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feat = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % _DSIR_B
+    toks = managed_persist(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(dd.normalized_text("text"), " ")).alias("tok"),
+        )
+        .select("doc_id", "lang", feat.alias("feat"))
+    )
+    fc = toks.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+    )
+    tot = fc.agg(
+        F.sum("cnt_r").alias("r_tot"), F.sum("cnt_t").alias("t_tot")
+    )
+    p_t = (F.col("cnt_t") + 1) / (F.col("t_tot") + _DSIR_B).cast("double")
+    p_r = (F.col("cnt_r") + 1) / (F.col("r_tot") + _DSIR_B).cast("double")
+    lam = fc.crossJoin(F.broadcast(tot)).select(
+        "feat",
+        F.round((F.log(p_t) - F.log(p_r)) * 1_000_000_000, 0)
+        .cast("long")
+        .alias("lam_q"),
+    )
+    return (
+        toks.join(F.broadcast(lam), "feat")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lam_q").alias("__sq"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            round6(F.col("__sq") / 1_000_000_000.0).alias("dsir_logratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture language drift (new r6): per-source KL divergence of
+# the language distribution against the whole corpus — the monitoring
+# statistic a mixing pipeline tracks to catch a source whose composition
+# shifted between crawls. Add-1 smoothing over the corpus language
+# domain; per-term contributions quantized to integer nano-units before
+# the per-source sum (order-independent across engines).
+#
+# Scale shape: one (source, lang)-keyed count (recipe-sized output), a
+# broadcast grid completion (sources × langs), broadcast corpus
+# marginals, one tiny aggregate. Nothing grows with row count except
+# the first map-side-combined scan.
+# ---------------------------------------------------------------------------
+@query(
+    "lang_mix_drift",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+        FROM documents GROUP BY source, lang
+    ), srcs AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ), langs AS (
+        SELECT DISTINCT lang FROM documents
+    ), nl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS l FROM langs
+    ), corpus AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS cn FROM documents GROUP BY lang
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents
+    ), grid AS (
+        SELECT s.source, s.n_docs, l.lang, COALESCE(c.n_sl, 0) AS n_sl
+        FROM srcs s CROSS JOIN langs l
+        LEFT JOIN cnt c ON c.source = s.source AND c.lang = l.lang
+    ), terms AS (
+        SELECT g.source, g.n_docs,
+               CAST(ROUND(
+                 ((g.n_sl + 1) / CAST(g.n_docs + nl.l AS DOUBLE)) *
+                 ln(((g.n_sl + 1) / CAST(g.n_docs + nl.l AS DOUBLE)) /
+                    ((corpus.cn + 1) / CAST(n.total + nl.l AS DOUBLE)))
+                 * 1000000000, 0) AS BIGINT) AS term_q
+        FROM grid g CROSS JOIN nl CROSS JOIN n
+        JOIN corpus ON g.lang = corpus.lang
+    )
+    SELECT source, n_docs,
+           {o_round6('SUM(term_q) / 1000000000.0')} AS kl_divergence
+    FROM terms GROUP BY source, n_docs
+    """,
+)
+def lang_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    langs = docs.select("lang").distinct()
+    corpus = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cn"))
+    nl = langs.agg(F.count(F.lit(1)).alias("l"))
+    tot = docs.agg(F.count(F.lit(1)).alias("total"))
+    grid = (
+        srcs.crossJoin(F.broadcast(langs))
+        .join(cnt, ["source", "lang"], "left")
+        .na.fill({"n_sl": 0})
+    )
+    g = (
+        grid.join(F.broadcast(corpus), "lang")
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tot))
+    )
+    p_s = (F.col("n_sl") + 1) / (F.col("n_docs") + F.col("l")).cast("double")
+    p_c = (F.col("cn") + 1) / (F.col("total") + F.col("l")).cast("double")
+    term_q = F.round(p_s * F.log(p_s / p_c) * 1_000_000_000, 0).cast("long")
+    return (
+        g.select("source", "n_docs", term_q.alias("term_q"))
+        .groupBy("source", "n_docs")
+        .agg(round6(F.sum("term_q") / 1_000_000_000.0).alias("kl_divergence"))
+    )

@@ -39,6 +39,10 @@ NEVER_DRIVER_VERIFIED = [
     "vwap_slippage_daily",
     "pairs_spread_zscore",
     "sliding_window_stats",
+    # new in round 6 (registered this round, no driver row yet)
+    "exact_substring_dedup",
+    "dsir_importance",
+    "lang_mix_drift",
 ]
 
 

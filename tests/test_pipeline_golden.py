@@ -106,6 +106,89 @@ def test_doc_packing_matches_greedy_python_loop(spark):
     assert got == expect
 
 
+def test_exact_substring_dedup_matches_python_counters(spark):
+    """Per-doc repeated-8-gram stats recomputed with python sets and a
+    flat Counter over the whole corpus."""
+    from collections import Counter
+
+    docs = _docs()
+    gsets = {
+        r.doc_id: _shingle_set(r.text, k=8) for r in docs.itertuples()
+    }
+    freq = Counter(g for s in gsets.values() for g in s)
+    got = {r["doc_id"]: r for r in QUERIES["exact_substring_dedup"](spark, SF).collect()}
+    expect_ids = {d for d, s in gsets.items() if s}
+    assert set(got) == expect_ids
+    for d, s in gsets.items():
+        if not s:
+            continue
+        n_rep = sum(1 for g in s if freq[g] > 1)
+        assert got[d]["n_grams"] == len(s)
+        assert got[d]["n_repeated"] == n_rep
+        assert abs(got[d]["repeated_frac"] - n_rep / len(s)) < 1e-6
+        assert got[d]["keep"] == int(n_rep / len(s) <= 0.5)
+    assert any(r["n_repeated"] > 0 for r in got.values())
+
+
+def test_dsir_importance_matches_python_loglik(spark):
+    """DSIR log-ratio recomputed with python dicts + math.log over the
+    same hashed feature space (independent of both engines' SQL)."""
+    import hashlib
+    from collections import Counter
+
+    docs = _docs()
+    B = 1024
+
+    def feat(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    doc_feats = {r.doc_id: [feat(t) for t in _words(r.text)] for r in docs.itertuples()}
+    lang = dict(zip(docs.doc_id, docs.lang))
+    raw, tgt = Counter(), Counter()
+    for d, fs in doc_feats.items():
+        raw.update(fs)
+        if lang[d] == "en":
+            tgt.update(fs)
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    lam = {
+        f: math.floor(
+            (math.log((tgt[f] + 1) / (t_tot + B)) - math.log((raw[f] + 1) / (r_tot + B)))
+            * 1e9
+            + 0.5
+        )
+        for f in raw
+    }
+    got = {r["doc_id"]: r for r in QUERIES["dsir_importance"](spark, SF).collect()}
+    assert set(got) == set(doc_feats)
+    for d, fs in doc_feats.items():
+        assert got[d]["n_tokens"] == len(fs)
+        assert got[d]["lang"] == lang[d]
+        assert abs(got[d]["dsir_logratio"] - sum(lam[f] for f in fs) / 1e9) < 2e-6
+    # 'en' docs must score higher on average — the semantics, not just math
+    en = [r["dsir_logratio"] for r in got.values() if r["lang"] == "en"]
+    other = [r["dsir_logratio"] for r in got.values() if r["lang"] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_lang_mix_drift_matches_python_kl(spark):
+    docs = _docs()
+    langs = sorted(docs.lang.unique())
+    L, N = len(langs), len(docs)
+    corpus = docs.lang.value_counts().to_dict()
+    got = {r["source"]: r for r in QUERIES["lang_mix_drift"](spark, SF).collect()}
+    assert set(got) == set(docs.source.unique())
+    for source, g in docs.groupby("source"):
+        n = len(g)
+        counts = g.lang.value_counts().to_dict()
+        kl = 0.0
+        for lg in langs:
+            ps = (counts.get(lg, 0) + 1) / (n + L)
+            pc = (corpus[lg] + 1) / (N + L)
+            kl += ps * math.log(ps / pc)
+        assert got[source]["n_docs"] == n
+        assert abs(got[source]["kl_divergence"] - kl) < 2e-6
+
+
 def test_source_mixing_weights_match_python_dict_math(spark):
     """Weights recomputed with dict accumulation + python floats; the
     quantization ladders (qq/wq) are reproduced so the comparison is

@@ -234,6 +234,39 @@ def test_multimodal_decode_stub_batches(spark):
     assert (out["n_frames"].between(1, 5)).all()
 
 
+def test_multimodal_real_codec_contract(spark):
+    """The real-codec integration point: with Pillow installed, a real
+    PNG batch must decode into the SAME schema the stub emits; without
+    Pillow, the path must fail loudly (NotImplementedError), never fall
+    back to stub metadata silently."""
+    import pandas as pd
+    import pytest
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.multimodal import (
+        decode_batch,
+    )
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        batch = pd.DataFrame({"doc_id": [1], "content": [b"\x89PNG fake"]})
+        with pytest.raises(NotImplementedError):
+            list(decode_batch(iter([batch]), use_real_codec=True))
+        return
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    batch = pd.DataFrame({"doc_id": [7], "content": [png]})
+    (out,) = list(decode_batch(iter([batch]), use_real_codec=True))
+    row = out.iloc[0]
+    assert list(out.columns) == ["doc_id", "n_bytes", "width", "height", "n_frames"]
+    assert (row["doc_id"], row["width"], row["height"], row["n_frames"]) == (7, 20, 10, 1)
+    assert row["n_bytes"] == len(png)
+
+
 def test_bulk_ingest_throughput_floor(spark):
     """The reference's one hard perf number is bulk-insert throughput
     (800k-1.2M rows/s via the clickhouse-client native pipe,
