@@ -61,6 +61,7 @@ GATE_FIRST: list[str] = [
     "exact_substring_dedup",
     "dsir_importance",
     "lang_mix_drift",
+    "semdedup_prune",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -97,7 +98,6 @@ GATE_FIRST: list[str] = [
     "dedup_ngram_jaccard",
     "kpl_ladder",
     "cumulative_ops",
-    "full_outer_user_activity",
 ]
 
 

@@ -666,7 +666,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Duplicate-cluster assembly: connected components over the exact n-gram
 # Jaccard pair graph (pairs chain: A~B, B~C is one cluster even when A~C
-# was never emitted). Spark side: iterative min-label propagation
+# was never emitted). Spark side: two-phase union-find contraction
 # (O(diameter) rounds); oracle side: the same fixpoint as a recursive
 # CTE — min reachable doc id.
 # ---------------------------------------------------------------------------
@@ -1006,7 +1006,8 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines so the ranking cannot split on a cross-engine ulp) and report
 # what deduplication saves.
 #
-# Scale shape: CC is O(diameter) label propagation; the election is one
+# Scale shape: CC is two-phase union-find contraction (rounds
+# independent of diameter); the election is one
 # component-keyed window over cluster members only (Σ cluster sizes ≪
 # corpus). Everything downstream of the pair generator is proportional
 # to the duplication actually present.
@@ -1526,4 +1527,173 @@ def lang_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("source", "n_docs", term_q.alias("term_q"))
         .groupBy("source", "n_docs")
         .agg(round6(F.sum("term_q") / 1_000_000_000.0).alias("kl_divergence"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic pruning (new r6, Abbas et al. "SemDeDup"):
+# k-means-cluster the embedding space (same deterministic seeds + one
+# engine-exact Lloyd step as embedding_ann_ivf), find ε-similar pairs
+# ONLY within each cluster, group them into ε-components, and keep the
+# member FARTHEST from its cluster centroid (the paper's "lowest cosine
+# similarity to centroid" rule — it prefers the example nearest the
+# cluster boundary, where the information is). Report one row per
+# pruned component.
+#
+# ε = 0.35 at this corpus: the synthetic embeddings top out at ~0.47
+# pairwise cosine (no true near-dups below replica scale), so the demo
+# threshold sits where the corpus has structure; a production run on
+# real embeddings uses 0.95+. K is pinned to 8 for the cross-engine
+# oracle; production sizes K like planes_for_corpus — K ∝ n/target
+# bounds the intra-cluster pair mass at Σ cluster² ≈ n·target (the
+# paper's K=50k at 100M does exactly this).
+#
+# Scale shape: clustering is one broadcast-assign + one aggregate pass;
+# pair generation is a cluster-keyed self-join (never all-pairs);
+# components via the shared union-find-contraction CC; election is one
+# component-keyed window over clustered members only.
+# ---------------------------------------------------------------------------
+_SEM_EPS = 0.35
+
+
+def _o_semdedup() -> str:
+    d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+    WITH RECURSIVE seeds AS (
+        SELECT vec_id AS scid, embedding AS s FROM embeddings ORDER BY vec_id LIMIT 8
+    ), a1 AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, s.scid AS cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {d6(o_l2_dist2('e.embedding', 's.s'))}, s.scid) AS rn
+            FROM embeddings e, seeds s
+        ) WHERE rn = 1
+    ), cents AS ({o_ivf_cents('a1')}
+    ), a2 AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {d6(o_l2_dist2('e.embedding', 'c.cent'))}, c.cid) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ), ad AS (
+        SELECT a2.vec_id, a2.cid, a2.embedding,
+               {d6(o_l2_dist2('a2.embedding', 'c.cent'))} AS dist_q,
+               sqrt(list_sum(list_transform(range(1, {DIMS + 1}),
+                   i -> CAST(a2.embedding[i] AS DOUBLE) * CAST(a2.embedding[i] AS DOUBLE)))) AS nrm
+        FROM a2 JOIN cents c ON a2.cid = c.cid
+    ), pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM ad a JOIN ad b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, {DIMS + 1}),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (a.nrm * b.nrm) >= {_SEM_EPS}
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src
+    ), comp AS (
+        SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+    ), ranked AS (
+        SELECT comp.component, ad.cid, comp.vec_id, ad.dist_q,
+               ROW_NUMBER() OVER (PARTITION BY comp.component
+                   ORDER BY ad.dist_q DESC, comp.vec_id) AS rn
+        FROM comp JOIN ad ON comp.vec_id = ad.vec_id
+    )
+    SELECT component, cid AS cluster,
+           MAX(CASE WHEN rn = 1 THEN vec_id END) AS kept_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_pruned
+    FROM ranked GROUP BY component, cid
+    """
+
+
+@query("semdedup_prune", oracle=_o_semdedup())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    a1 = nearest_centroid(emb, seeds, "embedding", "vec_id")
+    cents = ivf_centroids(a1, "embedding").select(
+        F.col("cid").alias("__cid"), "__cent"
+    )
+    a2 = nearest_centroid(emb, cents, "embedding", "vec_id")
+    # persist: the assigned table feeds both sides of the pair join AND
+    # the election; dist_q is floor-quantized so the keep ranking cannot
+    # split on a cross-engine ulp. The vector NORM is computed once per
+    # vector HERE, not per pair — cosine() would re-run both norm lambdas
+    # inside every pair filter (measured 27.9 s → 9.6 s at sf0.1); the
+    # hoisted expression is bit-identical, so the ε comparison cannot
+    # drift from the oracle's.
+    nrm = F.sqrt(
+        F.expr(
+            "aggregate(embedding, CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+    )
+    ad = managed_persist(
+        a2.join(F.broadcast(cents.withColumnRenamed("__cid", "cid")), "cid")
+        .withColumn(
+            "dist_q",
+            F.floor(l2_dist2("embedding", "__cent") * 1_000_000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        .withColumn("nrm", nrm)
+        .select("vec_id", "cid", "dist_q", "nrm", "embedding")
+    )
+    a = ad.select(
+        F.col("vec_id").alias("a_id"),
+        "cid",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = ad.select(
+        F.col("vec_id").alias("b_id"),
+        "cid",
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (dot / (F.col("na") * F.col("nb")) >= _SEM_EPS)
+        )
+        .select("a_id", "b_id")
+    )
+    comp = dd.connected_components(pairs).withColumnRenamed("doc_id", "vec_id")
+    ranked = comp.join(ad, "vec_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(F.desc("dist_q"), "vec_id")
+        ),
+    )
+    return (
+        ranked.groupBy("component", "cid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("kept_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - 1).alias("n_pruned"),
+        )
+        .select(
+            "component",
+            F.col("cid").alias("cluster"),
+            "kept_id",
+            "n_members",
+            "n_pruned",
+        )
     )

@@ -43,6 +43,7 @@ NEVER_DRIVER_VERIFIED = [
     "exact_substring_dedup",
     "dsir_importance",
     "lang_mix_drift",
+    "semdedup_prune",
 ]
 
 

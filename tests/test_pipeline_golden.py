@@ -189,6 +189,82 @@ def test_lang_mix_drift_matches_python_kl(spark):
         assert abs(got[source]["kl_divergence"] - kl) < 2e-6
 
 
+def test_semdedup_prune_matches_numpy_union_find(spark):
+    """Full numpy/union-find recomputation: seeds, quantized-L2 argmin
+    assignment, fixed-point centroid means, re-assignment, all-pairs
+    intra-cluster cosine, union-find components, farthest-from-centroid
+    election. Independent of both engines' SQL and of the shared CC
+    implementation."""
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+
+    def assign(cents: dict[int, np.ndarray]) -> dict[int, int]:
+        out = {}
+        for vid, x in zip(ids, X):
+            keyed = sorted(
+                (math.floor(float(((x - c) ** 2).sum()) * 1e6 + 0.5), cid)
+                for cid, c in cents.items()
+            )
+            out[vid] = keyed[0][1]
+        return out
+
+    order = np.argsort(ids)
+    seed_ids = ids[order][:8]
+    seeds = {int(v): X[list(ids).index(v)] for v in seed_ids}
+    a1 = assign(seeds)
+    cents = {}
+    for cid in set(a1.values()):
+        members = X[[i for i, v in enumerate(ids) if a1[v] == cid]]
+        q = np.floor(members * 1e6 + 0.5).astype("int64")
+        cents[cid] = q.sum(axis=0) / len(members) / 1e6
+    a2 = assign(cents)
+    dist_q = {
+        int(v): math.floor(float(((X[i] - cents[a2[v]]) ** 2).sum()) * 1e6 + 0.5)
+        for i, v in enumerate(ids)
+    }
+    # union-find over intra-cluster eps-pairs
+    parent = {int(v): int(v) for v in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    norms = np.sqrt((X**2).sum(axis=1))
+    in_pairs = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a2[a] != a2[b]:
+                continue
+            cos = float(X[i] @ X[j]) / (norms[i] * norms[j])
+            if cos >= 0.35:
+                lo, hi = min(a, b), max(a, b)
+                in_pairs.add(lo)
+                in_pairs.add(hi)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for v in in_pairs:
+        comps.setdefault(find(v), []).append(v)
+    expect = {}
+    for root, members in comps.items():
+        comp_id = min(members)
+        kept = max(members, key=lambda v: (dist_q[v], -v))
+        expect[comp_id] = (a2[comp_id], kept, len(members), len(members) - 1)
+    got = {
+        r["component"]: (r["cluster"], r["kept_id"], r["n_members"], r["n_pruned"])
+        for r in QUERIES["semdedup_prune"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
+
+
 def test_source_mixing_weights_match_python_dict_math(spark):
     """Weights recomputed with dict accumulation + python floats; the
     quantization ladders (qq/wq) are reproduced so the comparison is
