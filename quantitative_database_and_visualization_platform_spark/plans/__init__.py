@@ -62,6 +62,7 @@ GATE_FIRST: list[str] = [
     "dsir_importance",
     "lang_mix_drift",
     "semdedup_prune",
+    "bpe_merge_candidates",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -97,7 +98,6 @@ GATE_FIRST: list[str] = [
     "multimodal_decode",
     "dedup_ngram_jaccard",
     "kpl_ladder",
-    "cumulative_ops",
 ]
 
 

@@ -1697,3 +1697,68 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pruned",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (new r6): the counting step of byte-pair-encoding
+# tokenizer training (Sennrich et al.) — adjacent character-pair
+# frequencies over the corpus, weighted by word occurrence count; the
+# top pair is the first merge a BPE trainer would apply. Factored
+# through the DISTINCT-WORD domain (the fuzzy-join lesson): the pair
+# explosion runs over vocabulary entries, not corpus tokens, so its
+# cost grows with vocabulary size while the corpus-sized work is one
+# map-side-combined word count.
+#
+# Scale shape: token explode → word-keyed count (one shuffle, uniform
+# keys) → per-vocab-entry pair explode (vocabulary-sized) → pair-keyed
+# aggregate → TakeOrderedAndProject(20) with a total deterministic
+# order (count desc, pair asc).
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH {_O_NORM}, tok AS (
+        SELECT UNNEST(w) AS word FROM words
+    ), vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word
+    ), pairs AS (
+        SELECT word, freq,
+               UNNEST(list_transform(range(1, length(word)),
+                   i -> substring(word, i, 2))) AS pair
+        FROM vocab WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(
+        F.explode(F.split(dd.normalized_text("text"), " ")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_count"),
+            F.count_distinct("word").alias("n_words"),
+        )
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )

@@ -240,3 +240,16 @@ def test_sample_frames_skips_degenerate_payloads(spark):
     out = sample_frames(decoded, k=3).collect()
     assert {r["doc_id"] for r in out} == {3}
     assert all(r["frame_offset"] is not None and r["frame_nbytes"] is not None for r in out)
+
+
+def test_asof_join_rejects_reserved_payload_names(spark):
+    """Payload columns in the __ scratch namespace would collide with the
+    implementation's struct fields (__rt especially, silently corrupting
+    asof_time) — must raise, not mis-bind."""
+    left = spark.createDataFrame([Row(k=1, t=_ts("2024-01-10T00:00:00"))])
+    right = spark.createDataFrame(
+        [Row(k=1, rt=_ts("2024-01-05T00:00:00"), __rt=1.0, px=5.0)]
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  payload=["__rt", "px"])

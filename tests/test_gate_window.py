@@ -44,6 +44,7 @@ NEVER_DRIVER_VERIFIED = [
     "dsir_importance",
     "lang_mix_drift",
     "semdedup_prune",
+    "bpe_merge_candidates",
 ]
 
 

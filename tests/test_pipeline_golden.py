@@ -265,6 +265,28 @@ def test_semdedup_prune_matches_numpy_union_find(spark):
     assert len(expect) > 0
 
 
+def test_bpe_merge_candidates_match_python_counters(spark):
+    """First-BPE-merge pair counts recomputed with plain Counters over
+    the same normalized token stream."""
+    from collections import Counter
+
+    docs = _docs()
+    vocab = Counter(t for r in docs.itertuples() for t in _words(r.text))
+    pair_count: Counter = Counter()
+    pair_words: dict[str, set] = {}
+    for w, freq in vocab.items():
+        if len(w) < 2:
+            continue
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            pair_count[p] += freq
+            pair_words.setdefault(p, set()).add(w)
+    top = sorted(pair_count.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["pair"], r["pair_count"], r["n_words"])
+           for r in QUERIES["bpe_merge_candidates"](spark, SF).collect()]
+    assert got == [(p, c, len(pair_words[p])) for p, c in top]
+
+
 def test_source_mixing_weights_match_python_dict_math(spark):
     """Weights recomputed with dict accumulation + python floats; the
     quantization ladders (qq/wq) are reproduced so the comparison is

@@ -481,3 +481,68 @@ def _extract_merge(events, store_path):
 
     rollup_sink.start_rollup_sink(_FakeEvents(events), store_path)
     return captured["fn"]
+
+
+def test_rollup_sink_keeps_old_format_store_data(spark):
+    """A pre-existing store WITHOUT the last_batch_id column (older
+    format) must keep its accumulated data — only the high-water mark is
+    unknown — instead of being discarded and overwritten with one
+    batch's delta."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_rollup_old_")
+    store = f"{tmp}/store"
+    try:
+        old = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), "click", 5, 500)],
+            "day date, event_type string, event_cnt bigint, value_cents bigint",
+        )
+        old.coalesce(1).write.parquet(store)
+        merge = _extract_merge(old, store)
+        batch = spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 1, 1, 12, 0), event_type="click", value=1.0)]
+        )
+        merge(batch, 7)
+        out = {
+            (r["day"], r["event_type"]): (r["event_cnt"], r["value_cents"])
+            for r in spark.read.parquet(store).collect()
+        }
+        # 5 accumulated + 1 new, not reset to 1
+        assert out[(dt.date(2024, 1, 1), "click")] == (6, 600)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_rollup_sink_raises_on_corrupt_store(spark):
+    """A store that EXISTS but cannot be read (torn write, corruption)
+    must raise — treating it as bootstrap would silently discard the
+    accumulated rollup."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from pyspark.sql import Row
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_rollup_bad_")
+    store = f"{tmp}/store"
+    os.makedirs(store)
+    with open(f"{store}/part-00000.parquet", "w") as f:
+        f.write("this is not parquet")
+    try:
+        dummy = spark.createDataFrame(
+            [Row(ts=dt.datetime(2024, 1, 1), event_type="x", value=1.0)]
+        )
+        merge = _extract_merge(dummy, store)
+        with pytest.raises(Exception):
+            merge(dummy, 0)
+        # and the broken store was NOT clobbered by a one-batch rewrite
+        assert open(f"{store}/part-00000.parquet").read().startswith("this is not")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
