@@ -60,16 +60,49 @@ def main() -> None:
             release_managed()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    record = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+    }
+    # Full per-query detail goes to a repo file; the stdout line must stay
+    # UNDER ~2000 bytes because the round driver keeps only the last 2000
+    # chars of stdout and parses the JSON line out of that tail — with
+    # 100+ registered queries the full dict is ~3.5 KB and the head of the
+    # line gets truncated away (BENCH_r04/r05: "parsed": null). Emit the
+    # slowest queries first until the byte budget is spent and point at
+    # the detail file for the rest.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(record, fh)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: keep the stdout line anyway
+        print(f"# bench: could not write {detail_path}: {exc}", file=sys.stderr)
+
+    head = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    budget = 1800 - len(json.dumps({**head, "queries": {}},
+                                   separators=(",", ":")))
+    shown: dict[str, float] = {}
+    used = 0
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        cost = len(name) + len(f"{timings[name]}") + 6
+        if used + cost > budget:
+            break
+        shown[name] = timings[name]
+        used += cost
     print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        ),
+        json.dumps({**head, "queries": shown}, separators=(",", ":")),
         flush=True,
     )
 
