@@ -63,6 +63,10 @@ GATE_FIRST: list[str] = [
     "lang_mix_drift",
     "semdedup_prune",
     "bpe_merge_candidates",
+    "lm_perplexity_buckets",
+    "doc_chunking_overlap",
+    "source_overlap_matrix",
+    "zipf_token_curve",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -94,10 +98,6 @@ GATE_FIRST: list[str] = [
     "stock_available_range",
     "distinct_segments_nations",
     "multimodal_frame_sample",
-    "incremental_rollup_maintenance",
-    "multimodal_decode",
-    "dedup_ngram_jaccard",
-    "kpl_ladder",
 ]
 
 

@@ -32,7 +32,7 @@ from ..pipeline import sketches as sk
 from ..pipeline.text import o_text_features, tfidf_scores, with_text_features
 from ..session import context_key, managed_persist
 from ..sources.catalog import load_table
-from .registry import o_round6, query
+from .registry import o_round6, query, round6
 
 # normalized text + word/shingle CTEs shared by the dedup oracles
 _O_NORM = """
@@ -1761,4 +1761,316 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity buckets (new r6): CCNet-style quality bucketing
+# (Wenzek et al. — head/middle/tail by LM perplexity) with the LM trained
+# ON the corpus itself: add-1-smoothed bigram model
+# p(w2|w1) = (B(w1,w2)+1) / (U(w1)+V), per-doc average negative log prob,
+# then per-language terciles. The reference has no LM scorer; this is the
+# training-data-pipeline extension surface (quality filtering).
+#
+# Determinism: each bigram's NLL is rounded to 1e-6 and accumulated as an
+# integer (order-independent exact sum, the registry sum_fixed
+# convention); perplexity is exp() of the already-rounded average so both
+# engines exponentiate identical doubles.
+#
+# Scale shape: token explode (linear) → unigram/bigram counts (one
+# uniform-key shuffle each) → hash joins of corpus bigrams against the
+# count tables (linear; AQE broadcasts if the vocabulary is small) →
+# per-doc aggregate (one shuffle on doc_id) → per-language NTILE window
+# (partition cardinality = languages; rows per partition = docs, the
+# same calendar-bounded-window caveat class as the quant queries — at
+# 100 TB swap the tercile for approx quantile boundaries).
+# ---------------------------------------------------------------------------
+@query(
+    "lm_perplexity_buckets",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (SELECT doc_id, UNNEST(w) AS tk FROM words),
+    uni AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS u_cnt FROM tok GROUP BY tk),
+    tot AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS vocab FROM tok),
+    bf0 AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(w)),
+                   i -> struct_pack(w1 := w[i], bg := w[i] || ' ' || w[i+1]))) AS b
+        FROM words WHERE len(w) >= 2
+    ),
+    bf AS (SELECT doc_id, b.w1 AS w1, b.bg AS bg FROM bf0),
+    bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS b_cnt FROM bf GROUP BY bg),
+    scored AS (
+        SELECT bf.doc_id,
+               CAST(ROUND(-ln((b_cnt + 1.0) / (u_cnt + vocab)) * 1000000, 0)
+                    AS BIGINT) AS micro
+        FROM bf JOIN bcnt USING (bg) JOIN uni ON bf.w1 = uni.tk CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               {o_round6("CAST(SUM(micro) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) / 1000000.0")} AS avg_nll
+        FROM scored GROUP BY doc_id
+    )
+    SELECT a.doc_id, d.lang, a.n_bigrams, a.avg_nll,
+           {o_round6("EXP(a.avg_nll)")} AS ppl,
+           CAST(NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY a.avg_nll, a.doc_id) AS INT)
+               AS ppl_bucket
+    FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # one persist holds BOTH the token array and the bigram array so every
+    # explode below generates from a stored attribute (the Generate
+    # re-evaluation trap: exploding a computed array re-runs the
+    # expression per emitted element)
+    wdf = managed_persist(
+        docs.withColumn("w", F.split(dd.normalized_text("text"), " ")).withColumn(
+            "barr",
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('w1', w[i-1],"
+                " 'bg', concat_ws(' ', w[i-1], w[i])))"
+            ),
+        )
+    )
+    tok = wdf.select("doc_id", F.explode("w").alias("tk"))
+    uni = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("u_cnt"))
+    tot = tok.agg(F.count_distinct("tk").alias("vocab"))
+    bf = (
+        wdf.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode("barr").alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    )
+    bcnt = bf.groupBy("bg").agg(F.count(F.lit(1)).alias("b_cnt"))
+    nll = -F.log(
+        (F.col("b_cnt") + F.lit(1.0)) / (F.col("u_cnt") + F.col("vocab"))
+    )
+    scored = (
+        bf.join(bcnt, "bg")
+        .join(uni, bf.w1 == uni.tk)
+        # 1-row totals: fixed-size by construction, broadcast is safe
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.round(nll * 1000000, 0).cast("long").alias("micro"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        round6(
+            F.sum("micro").cast("double") / F.count(F.lit(1)).cast("double") / 1e6
+        ).alias("avg_nll"),
+    )
+    tercile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    )
+    return (
+        agg.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "avg_nll",
+            round6(F.exp("avg_nll")).alias("ppl"),
+            tercile.alias("ppl_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (new r6): fixed-size token windows
+# (64 tokens, stride 48) — the context-window chunking step of a
+# RAG/pretraining prep pipeline. Emits one row per chunk with the token
+# span and an md5 over the exact chunk text, so downstream chunk-level
+# dedup can run on the hash.
+#
+# Scale shape: per-row sequence explode (output ∝ corpus tokens / stride,
+# linear) over a persisted token-array column; no shuffle at all — the
+# whole query is embarrassingly parallel map work.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "doc_chunking_overlap",
+    oracle=f"""
+    WITH {_O_NORM},
+    ch AS (
+        SELECT doc_id, w, len(w) AS n,
+               UNNEST(range(0, ((len(w) - 1) // {_STRIDE}) + 1)) AS k
+        FROM words
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * {_STRIDE} AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK}, n - k * {_STRIDE}) AS BIGINT) AS n_tok,
+           md5(array_to_string(
+               w[k * {_STRIDE} + 1 :
+                 k * {_STRIDE} + LEAST({_CHUNK}, n - k * {_STRIDE})], ' '))
+               AS chunk_hash
+    FROM ch
+    """,
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wdf = managed_persist(
+        docs.select(
+            "doc_id", F.split(dd.normalized_text("text"), " ").alias("w")
+        )
+    )
+    ch = wdf.select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n"),
+        F.explode(F.expr(f"sequence(0, (size(w) - 1) div {_STRIDE})")).alias("k"),
+    )
+    clen = F.least(F.lit(_CHUNK), F.col("n") - F.col("k") * _STRIDE)
+    return ch.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        (F.col("k") * _STRIDE).cast("long").alias("start_tok"),
+        clen.cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("w", F.col("k") * _STRIDE + 1, clen))
+        ).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (new r6): pairwise Jaccard between
+# the distinct 3-gram shingle sets of every source pair — the
+# corpus-composition diagnostic behind "source X is mostly a recrawl of
+# source Y" decisions (and the source-level view of decontamination).
+#
+# Scale shape: shingle explode → DISTINCT (source, shingle) (one shuffle
+# on a uniform key) → self-join keyed ON THE SHINGLE (each shingle joins
+# only within its own bucket: fan-out is bounded by #sources² per
+# shingle, never corpus²) → source-pair aggregate (recipe-sized). The
+# final pair frame is #sources², driver-bounded by construction.
+# ---------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    ss0 AS (
+        SELECT d.source AS source, UNNEST(sh.s) AS g
+        FROM sh JOIN documents d ON sh.doc_id = d.doc_id
+    ),
+    ss AS (SELECT DISTINCT source, g FROM ss0),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_cnt
+        FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT x.source AS src_a, y.source AS src_b,
+           x.n_sh AS n_a, y.n_sh AS n_b,
+           COALESCE(i.inter_cnt, 0) AS inter_cnt,
+           {o_round6("COALESCE(i.inter_cnt, 0) / (x.n_sh + y.n_sh - COALESCE(i.inter_cnt, 0))")} AS jaccard
+    FROM sizes x JOIN sizes y ON x.source < y.source
+    LEFT JOIN inter i ON i.src_a = x.source AND i.src_b = y.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    shd = managed_persist(dd.with_shingles(docs))
+    ss = managed_persist(
+        shd.select("source", F.explode("shingles").alias("g")).distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        ss.alias("a")
+        .join(ss.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    base = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    ).join(
+        sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")),
+        F.col("src_a") < F.col("src_b"),
+    )
+    icnt = F.coalesce(F.col("inter_cnt"), F.lit(0).cast("long"))
+    return (
+        base.join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            icnt.alias("inter_cnt"),
+            round6(
+                icnt / (F.col("n_a") + F.col("n_b") - icnt)
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency diagnostic (new r6): per-language OLS fit of
+# ln(freq) ~ ln(rank) over the token frequency table — the corpus-health
+# check that separates natural-language sources (slope ≈ −1) from
+# generated/boilerplate ones. regr_slope/regr_intercept/corr run on both
+# engines over identical (rank, freq) integer inputs; outputs rounded to
+# 6 decimals (~1e-13 cross-engine summation error, the registry
+# small-magnitude convention).
+#
+# Scale shape: token explode → (lang, token) count (one uniform shuffle)
+# → per-language rank window (vocabulary-sized partitions, ≪ corpus —
+# the window sorts vocab entries, not tokens) → per-language aggregate
+# (languages-sized output).
+# ---------------------------------------------------------------------------
+@query(
+    "zipf_token_curve",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT d.lang AS lang, UNNEST(w.w) AS tk
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    ),
+    freq AS (
+        SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, tk
+    ),
+    rk AS (
+        SELECT lang, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tk)
+                   AS rnk
+        FROM freq
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           {o_round6("regr_slope(ln(cnt), ln(rnk))")} AS zipf_slope,
+           {o_round6("regr_intercept(ln(cnt), ln(rnk))")} AS zipf_intercept,
+           {o_round6("POW(corr(ln(cnt), ln(rnk)), 2)")} AS zipf_r2
+    FROM rk GROUP BY lang
+    """,
+)
+def zipf_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    wdf = managed_persist(
+        docs.select("lang", F.split(dd.normalized_text("text"), " ").alias("w"))
+    )
+    freq = (
+        wdf.select("lang", F.explode("w").alias("tk"))
+        .groupBy("lang", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tk")
+    )
+    y = F.log(F.col("cnt").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return (
+        freq.withColumn("rnk", rnk)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("cnt").alias("total_tokens"),
+            round6(F.regr_slope(y, x)).alias("zipf_slope"),
+            round6(F.regr_intercept(y, x)).alias("zipf_intercept"),
+            round6(F.pow(F.corr(y, x), 2)).alias("zipf_r2"),
+        )
     )

@@ -45,6 +45,10 @@ NEVER_DRIVER_VERIFIED = [
     "lang_mix_drift",
     "semdedup_prune",
     "bpe_merge_candidates",
+    "lm_perplexity_buckets",
+    "doc_chunking_overlap",
+    "source_overlap_matrix",
+    "zipf_token_curve",
 ]
 
 

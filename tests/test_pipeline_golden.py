@@ -312,3 +312,133 @@ def test_source_mixing_weights_match_python_dict_math(spark):
         assert abs(r["avg_quality"] - aq) < 2e-6
         assert abs(r["weight"] - wq[r["source"]] / total) < 2e-6
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+
+
+def test_lm_perplexity_matches_python_counters(spark):
+    """Add-1 bigram LM recomputed with Counters + math.log; fixed-point
+    micro accumulation and the floor(x*1e6+0.5) rounding ladder are
+    reproduced so the comparison is exact; NTILE(3) is recomputed from
+    its definition (first n%3 buckets get the extra row)."""
+    import math
+    from collections import Counter, defaultdict
+
+    docs = _docs()
+    toks = {r.doc_id: _words(r.text) for r in docs.itertuples()}
+    lang = dict(zip(docs.doc_id, docs.lang))
+    uni: Counter = Counter(t for w in toks.values() for t in w)
+    vocab = len(uni)
+    big: Counter = Counter()
+    for w in toks.values():
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] += 1
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for doc_id, w in toks.items():
+        if len(w) < 2:
+            continue
+        micro = 0
+        for i in range(len(w) - 1):
+            p = (big[(w[i], w[i + 1])] + 1.0) / (uni[w[i]] + vocab)
+            micro += int(math.floor(-math.log(p) * 1e6 + 0.5))
+        n = len(w) - 1
+        avg = r6(micro / n / 1e6)
+        expect[doc_id] = (n, avg, r6(math.exp(avg)))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"], r["ppl_bucket"])
+        for r in QUERIES["lm_perplexity_buckets"](spark, SF).collect()
+    }
+    assert {d: v[:3] for d, v in got.items()} == expect
+
+    bylang = defaultdict(list)
+    for d, (_, avg, _) in expect.items():
+        bylang[lang[d]].append((avg, d))
+    for lg, lst in bylang.items():
+        lst.sort()
+        q, r = divmod(len(lst), 3)
+        idx = 0
+        for b in range(1, 4):
+            for _ in range(q + (1 if b <= r else 0)):
+                assert got[lst[idx][1]][3] == b, (lg, lst[idx])
+                idx += 1
+
+
+def test_doc_chunking_matches_python_slices(spark):
+    """64/48 overlapping chunks recomputed with list slicing + hashlib."""
+    import hashlib
+
+    expect = {}
+    for r in _docs().itertuples():
+        w = _words(r.text)
+        n = len(w)
+        for k in range((n - 1) // 48 + 1):
+            start = k * 48
+            clen = min(64, n - start)
+            h = hashlib.md5(" ".join(w[start : start + clen]).encode()).hexdigest()
+            expect[(r.doc_id, k)] = (start, clen, h)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_tok"], r["chunk_hash"])
+        for r in QUERIES["doc_chunking_overlap"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_source_overlap_matrix_matches_python_sets(spark):
+    """Pairwise source Jaccard recomputed with python set intersection
+    over per-source shingle unions."""
+    import math
+    from collections import defaultdict
+
+    sets: dict[str, set] = defaultdict(set)
+    for r in _docs().itertuples():
+        sets[r.source] |= _shingle_set(r.text)
+    srcs = sorted(s for s in sets if sets[s])
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            na, nb = len(sets[a]), len(sets[b])
+            expect[(a, b)] = (na, nb, inter, r6(inter / (na + nb - inter)))
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["inter_cnt"], r["jaccard"])
+        for r in QUERIES["source_overlap_matrix"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_zipf_token_curve_matches_numpy_ols(spark):
+    """Rank-frequency OLS refit with numpy.polyfit (an independent
+    least-squares path — SVD, not the regr_* moment formulas), tolerance
+    2e-6 = the round6 quantum plus float slack."""
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    freq: dict[str, Counter] = defaultdict(Counter)
+    langtot: Counter = Counter()
+    for r in _docs().itertuples():
+        w = _words(r.text)
+        freq[r.lang].update(w)
+        langtot[r.lang] += len(w)
+
+    got = {r["lang"]: r for r in QUERIES["zipf_token_curve"](spark, SF).collect()}
+    assert set(got) == set(freq)
+    for lg, c in freq.items():
+        items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.log(np.arange(1, len(items) + 1, dtype=float))
+        y = np.log(np.array([v for _, v in items], dtype=float))
+        slope, intercept = np.polyfit(x, y, 1)
+        r = float(np.corrcoef(x, y)[0, 1])
+        g = got[lg]
+        assert g["vocab_size"] == len(items)
+        assert g["total_tokens"] == langtot[lg]
+        assert abs(g["zipf_slope"] - slope) < 2e-6
+        assert abs(g["zipf_intercept"] - intercept) < 2e-6
+        assert abs(g["zipf_r2"] - r * r) < 2e-6
