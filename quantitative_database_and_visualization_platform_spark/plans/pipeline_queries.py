@@ -1837,23 +1837,29 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = wdf.select("doc_id", F.explode("w").alias("tk"))
     uni = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("u_cnt"))
-    tot = tok.agg(F.count_distinct("tk").alias("vocab"))
+    # V from the vocabulary-sized unigram table, not a second
+    # corpus-sized distinct aggregation over the token stream
+    tot = uni.agg(F.count(F.lit(1)).alias("vocab"))
     bf = (
         wdf.filter(F.size("w") >= 2)
         .select("doc_id", F.explode("barr").alias("b"))
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
     )
-    bcnt = bf.groupBy("bg").agg(F.count(F.lit(1)).alias("b_cnt"))
+    # NLL is a function of (b_cnt, u_cnt, V) alone, so compute it ONCE
+    # per DISTINCT bigram (vocabulary-sized) and join the corpus bigram
+    # stream a single time — joining the corpus stream to bcnt and uni
+    # separately would be two corpus-sized shuffle joins instead of one
+    bcnt = bf.groupBy(F.col("w1").alias("tk"), "bg").agg(
+        F.count(F.lit(1)).alias("b_cnt")
+    )
     nll = -F.log(
         (F.col("b_cnt") + F.lit(1.0)) / (F.col("u_cnt") + F.col("vocab"))
     )
-    scored = (
-        bf.join(bcnt, "bg")
-        .join(uni, bf.w1 == uni.tk)
+    lm = bcnt.join(uni, "tk").crossJoin(F.broadcast(tot)).select(
         # 1-row totals: fixed-size by construction, broadcast is safe
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", F.round(nll * 1000000, 0).cast("long").alias("micro"))
+        "bg", F.round(nll * 1000000, 0).cast("long").alias("micro")
     )
+    scored = bf.join(lm, "bg").select("doc_id", "micro")
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         round6(
