@@ -67,6 +67,7 @@ GATE_FIRST: list[str] = [
     "doc_chunking_overlap",
     "source_overlap_matrix",
     "zipf_token_curve",
+    "session_window_stats",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -97,7 +98,6 @@ GATE_FIRST: list[str] = [
     "prev_trading_date",
     "stock_available_range",
     "distinct_segments_nations",
-    "multimodal_frame_sample",
 ]
 
 

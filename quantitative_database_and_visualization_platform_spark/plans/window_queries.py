@@ -335,3 +335,41 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("session_id").alias("session_cnt"),
         F.count(F.lit(1)).alias("event_cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (F.session_window), batch form of the streaming
+# operator in streaming/session_windows.py — one row per (user, session)
+# with span and exact fixed-point totals. The oracle recomputes sessions
+# with the islands technique; a session extends while consecutive gaps
+# are STRICTLY under 30 minutes (Spark merges windows [ts, ts+gap) on
+# overlap, so a gap of exactly 30m starts a new session) and
+# session_end = last_ts + gap.
+# ---------------------------------------------------------------------------
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS value_total
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.session_windows import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events"))

@@ -4,6 +4,7 @@ event-time streaming job with watermarked late-data handling.
 """
 
 from .rollup_sink import read_rollup, start_rollup_sink  # noqa: F401
+from .session_windows import session_stats  # noqa: F401
 from .stateful import running_user_stats  # noqa: F401
 from .tick_bars import (  # noqa: F401
     click_purchase_interval_join,

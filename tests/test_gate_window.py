@@ -49,6 +49,7 @@ NEVER_DRIVER_VERIFIED = [
     "doc_chunking_overlap",
     "source_overlap_matrix",
     "zipf_token_curve",
+    "session_window_stats",
 ]
 
 

@@ -546,3 +546,41 @@ def test_rollup_sink_raises_on_corrupt_store(spark):
         assert open(f"{store}/part-00000.parquet").read().startswith("this is not")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_session_windows_match_batch(spark):
+    """Native session_window sessions: the streaming run (append mode,
+    watermark-finalized sessions only) must equal the batch run of the
+    SAME function, restricted to sessions the final watermark closed
+    (no event can extend a session once watermark > session_end)."""
+    import pandas as pd
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        session_stats,
+        stream_events,
+    )
+
+    sess = session_stats(stream_events(spark, SF), watermark="5 minutes")
+    assert sess.isStreaming
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events, value_total"
+        " FROM session_test"
+    ).toPandas()
+    want = session_stats(load_table(spark, SF, "events")).toPandas()
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = pd.Timestamp(max_ts) - pd.Timedelta(minutes=5)
+    want = want[want["session_end"] <= cutoff]
+    key = ["user_id", "session_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
