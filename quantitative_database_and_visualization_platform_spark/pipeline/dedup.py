@@ -24,6 +24,14 @@ from pyspark.sql import functions as F
 
 from ..session import managed_persist
 
+
+def _round6(c):
+    # function-local to dodge the plans.__init__ -> pipeline_queries ->
+    # dedup import cycle (registry itself has no plans-package deps)
+    from ..plans.registry import round6
+
+    return round6(c)
+
 N_MINHASH = 8
 N_BANDS = 4  # rows-per-band = N_MINHASH / N_BANDS = 2
 SIMHASH_BITS = 32
@@ -122,7 +130,7 @@ def jaccard_verified_pairs(
         .join(sb, "b_id")
         .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+        .select("a_id", "b_id", _round6("jaccard").alias("jaccard"))
     )
 
 

@@ -116,7 +116,7 @@ def _o_minhash() -> str:
         JOIN sh sa ON cand.a_id = sa.doc_id
         JOIN sh sb ON cand.b_id = sb.doc_id
     )
-    SELECT a_id, b_id, ROUND(inter / (la + lb - inter), 6) AS jaccard
+    SELECT a_id, b_id, {o_round6("inter / (la + lb - inter)")} AS jaccard
     FROM verified
     WHERE inter / (la + lb - inter) >= 0.5
     """
@@ -192,7 +192,7 @@ def _o_ngram_jaccard() -> str:
         JOIN sh sa ON cand.a_id = sa.doc_id
         JOIN sh sb ON cand.b_id = sb.doc_id
     )
-    SELECT a_id, b_id, ROUND(inter / (la + lb - inter), 6) AS jaccard
+    SELECT a_id, b_id, {o_round6("inter / (la + lb - inter)")} AS jaccard
     FROM verified
     WHERE inter / (la + lb - inter) >= {_NGRAM_T}
     """
@@ -1230,7 +1230,7 @@ _CONT_T = 0.8
         JOIN sh sa ON cand.a_id = sa.doc_id
         JOIN sh sb ON cand.b_id = sb.doc_id
     )
-    SELECT a_id, b_id, ROUND(containment, 6) AS containment
+    SELECT a_id, b_id, {o_round6("containment")} AS containment
     FROM verified WHERE containment >= {_CONT_T}
     """,
 )
@@ -1274,7 +1274,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "b_id")
         .withColumn("containment", cont)
         .filter(F.col("containment") >= _CONT_T)
-        .select("a_id", "b_id", F.round("containment", 6).alias("containment"))
+        .select("a_id", "b_id", round6("containment").alias("containment"))
     )
 
 
