@@ -68,6 +68,8 @@ GATE_FIRST: list[str] = [
     "source_overlap_matrix",
     "zipf_token_curve",
     "session_window_stats",
+    "template_prefix_clusters",
+    "cluster_balanced_sample",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -96,8 +98,6 @@ GATE_FIRST: list[str] = [
     "rollup_priority_status",
     "stratified_sample_balanced",
     "prev_trading_date",
-    "stock_available_range",
-    "distinct_segments_nations",
 ]
 
 

@@ -418,10 +418,12 @@ def embedding_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-stable across engines. A probe touches only its 2 nearest clusters
 # (candidates ~ 2n/K), with exact cosine re-ranking on the candidates.
 # ---------------------------------------------------------------------------
-def _o_ivf() -> str:
+def _o_ivf_assign() -> str:
+    """Shared seeds→assign→refine→assign CTE chain (the deterministic
+    k-means coarse quantizer) used by embedding_ann_ivf and
+    cluster_balanced_sample."""
     d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
-    return f"""
-    WITH seeds AS (
+    return f"""seeds AS (
         SELECT vec_id AS scid, embedding AS s FROM embeddings ORDER BY vec_id LIMIT 8
     ), a1 AS (
         SELECT vec_id, label, embedding, cid FROM (
@@ -438,7 +440,13 @@ def _o_ivf() -> str:
                        ORDER BY {d6(o_l2_dist2('e.embedding', 'c.cent'))}, c.cid) AS rn
             FROM embeddings e, cents c
         ) WHERE rn = 1
-    ), probe AS (
+    )"""
+
+
+def _o_ivf() -> str:
+    d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
+    return f"""
+    WITH {_o_ivf_assign()}, probe AS (
         SELECT embedding AS p FROM embeddings WHERE vec_id = 0
     ), pclusters AS (
         SELECT cid FROM (
@@ -2079,4 +2087,111 @@ def zipf_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.regr_intercept(y, x)).alias("zipf_intercept"),
             round6(F.pow(F.corr(y, x), 2)).alias("zipf_r2"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template / boilerplate prefix detection (new r6): group documents by
+# their first 8 normalized tokens — repeated prefixes are boilerplate
+# templates (license headers, navigation chrome, form letters) that a
+# curation pass strips or caps. One shuffle on the prefix key; no
+# explode, no self-join; output is template-count-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "template_prefix_clusters",
+    oracle=f"""
+    WITH {_O_NORM},
+    p AS (
+        SELECT doc_id, array_to_string(w[1:8], ' ') AS prefix_text FROM words
+    )
+    SELECT md5(prefix_text) AS prefix_hash, prefix_text,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           MIN(p.doc_id) AS min_doc_id
+    FROM p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY prefix_text HAVING COUNT(*) >= 2
+    """,
+)
+def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pre = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ", F.slice(F.split(dd.normalized_text("text"), " "), 1, 8)
+        ).alias("prefix_text"),
+    )
+    return (
+        pre.groupBy("prefix_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("prefix_text").alias("prefix_hash"),
+            "prefix_text",
+            "n_docs",
+            "n_sources",
+            "min_doc_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced sampling (new r6): diversity sampling for curation —
+# assign every embedding to its k-means cluster (the same deterministic
+# coarse quantizer as embedding_ann_ivf: fixed seeds, one engine-exact
+# Lloyd refinement) and take an equal per-cluster quota (32) in
+# deterministic md5(vec_id) order, so no cluster dominates the sample
+# regardless of the corpus' cluster imbalance.
+#
+# Scale shape: assignment is a broadcast-centroids map (linear, no
+# shuffle beyond the agg for centroid means); the quota pick is one
+# window partitioned on the cluster id — cluster-count partitions, each
+# sorted by an 8-byte hash key. Output ≤ clusters × quota.
+# ---------------------------------------------------------------------------
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH {_o_ivf_assign()}
+    SELECT vec_id, cid AS cluster, pick_rank, n_members FROM (
+        SELECT vec_id, cid,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cid
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS BIGINT) AS pick_rank,
+               CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS n_members
+        FROM a2
+    ) WHERE pick_rank <= 32
+    """,
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    a1 = nearest_centroid(emb, seeds, "embedding", "vec_id")
+    cents = ivf_centroids(a1, "embedding").select(
+        F.col("cid").alias("__cid"), "__cent"
+    )
+    a2 = nearest_centroid(emb, cents, "embedding", "vec_id")
+    members = Window.partitionBy("cid")
+    return (
+        a2.select(
+            "vec_id",
+            F.col("cid").alias("cluster"),
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(
+                    F.md5(F.col("vec_id").cast("string")), "vec_id"
+                )
+            ).cast("long").alias("pick_rank"),
+            F.count(F.lit(1)).over(members).cast("long").alias("n_members"),
+        )
+        .filter(F.col("pick_rank") <= 32)
     )

@@ -50,6 +50,8 @@ NEVER_DRIVER_VERIFIED = [
     "source_overlap_matrix",
     "zipf_token_curve",
     "session_window_stats",
+    "template_prefix_clusters",
+    "cluster_balanced_sample",
 ]
 
 

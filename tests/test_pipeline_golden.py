@@ -442,3 +442,58 @@ def test_zipf_token_curve_matches_numpy_ols(spark):
         assert abs(g["zipf_slope"] - slope) < 2e-6
         assert abs(g["zipf_intercept"] - intercept) < 2e-6
         assert abs(g["zipf_r2"] - r * r) < 2e-6
+
+
+def test_template_prefix_clusters_match_python_dicts(spark):
+    """8-token prefix template groups recomputed with dict accumulation
+    + hashlib."""
+    import hashlib
+    from collections import defaultdict
+
+    groups: dict[str, list] = defaultdict(list)
+    for r in _docs().itertuples():
+        pre = " ".join(_words(r.text)[:8])
+        groups[pre].append((r.doc_id, r.source))
+    expect = {
+        hashlib.md5(pre.encode()).hexdigest(): (
+            pre,
+            len(members),
+            len({s for _, s in members}),
+            min(d for d, _ in members),
+        )
+        for pre, members in groups.items()
+        if len(members) >= 2
+    }
+    got = {
+        r["prefix_hash"]: (r["prefix_text"], r["n_docs"], r["n_sources"], r["min_doc_id"])
+        for r in QUERIES["template_prefix_clusters"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Structural golden for the balanced sample: per-cluster picks are
+    capped at the quota, ranks are the md5(vec_id) order recomputed with
+    hashlib, n_members sums to the corpus size, and the pick set is
+    exactly the quota-prefix of each cluster's hash-ordered members."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = QUERIES["cluster_balanced_sample"](spark, SF).collect()
+    by_cluster: dict[int, list] = defaultdict(list)
+    members = {}
+    for r in rows:
+        by_cluster[r["cluster"]].append((r["pick_rank"], r["vec_id"]))
+        members[r["cluster"]] = r["n_members"]
+
+    n_vecs = len(pd.read_parquet(f"{SF}/embeddings.parquet"))
+    assert sum(members.values()) == n_vecs
+    for cid, picks in by_cluster.items():
+        assert len(picks) == min(32, members[cid])
+        assert sorted(p for p, _ in picks) == list(range(1, len(picks) + 1))
+        # ranks must equal the hash order of the picked ids themselves
+        ordered = sorted(
+            picks, key=lambda pv: (hashlib.md5(str(pv[1]).encode()).hexdigest(), pv[1])
+        )
+        assert [p for p, _ in ordered] == list(range(1, len(picks) + 1))
