@@ -198,3 +198,49 @@ def test_stratified_sample_windows_per_stratum(spark):
     # join (IdentityBroadcastMode of a 1-row aggregate)
     if "BroadcastNestedLoopJoin" in plan:
         assert "IdentityBroadcastMode" in plan, plan[:3000]
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """doc_chunking_overlap claims pure map work — the physical plan must
+    contain NO Exchange at all (the 100 TB cost model depends on it)."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["doc_chunking_overlap"](spark, SF))
+    assert "Exchange" not in plan, plan[:3000]
+
+
+def test_session_window_single_exchange(spark):
+    """Native session windows: one shuffle on the grouping key (plus
+    AQE reads), never a self-join or second exchange."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["session_window_stats"](spark, SF))
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"{n_ex} hash exchanges\n{plan[:3000]}"
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_cluster_sample_broadcasts_centroids_only(spark):
+    """cluster_balanced_sample joins the corpus against centroid tables
+    that are fixed-size (8 rows): every join must be a broadcast join —
+    a sort-merge join would shuffle the corpus per assignment pass."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["cluster_balanced_sample"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "ShuffledHashJoin" not in plan, plan[:3000]
+
+
+def test_lm_perplexity_joins_corpus_stream_once(spark):
+    """The corpus bigram stream must hit exactly ONE shuffle join (on the
+    bigram key, against the vocabulary-sized LM table); the unigram and
+    totals lookups ride the vocabulary-sized side. A second corpus-sized
+    join is the regression this guards against."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["lm_perplexity_buckets"](spark, SF))
+    assert "CartesianProduct" not in plan, plan[:3000]
+    # sort-merge joins appear only for corpus-stream-sized relations; the
+    # bigram join + final lang join are the allowed two
+    n_smj = plan.count("SortMergeJoin")
+    assert n_smj <= 2, f"{n_smj} sort-merge joins\n{plan[:3000]}"
