@@ -33,13 +33,13 @@ from . import backtest_queries  # noqa: E402,F401
 GATE_WINDOW = 50
 
 # Round-6 window. With r5's 49 green rows, every registered query except
-# the 10 late-r5 additions (queued at the r5 note that sat here) has had a
-# binding driver row in some round. This window therefore holds, in order:
+# the late-r5 additions has had a binding driver row in some round. This
+# window therefore holds, in order:
 #   1. the 10 never-driver-verified late-r5 queries — green rows here mean
-#      EVERY registered query has had a binding driver row;
+#      every pre-r6 query has had a binding driver row;
 #   2. sliding_window_stats — r5's one red row (oracle TIMESTAMPTZ, fixed
 #      this round with CAST(... AS TIMESTAMP)), re-gated to prove the fix;
-#   3. any queries NEW in round 6 (inserted below as they land);
+#   3. the 14 queries NEW in round 6 (pipeline ops + session windows);
 #   4. cheap previously-driver-green fillers (each <0.35 s spark+oracle at
 #      check scale per ORACLE_TIMINGS.json) so the gate stays fast and a
 #      mid-gate session death costs the least possible evidence.
@@ -70,6 +70,8 @@ GATE_FIRST: list[str] = [
     "session_window_stats",
     "template_prefix_clusters",
     "cluster_balanced_sample",
+    "doc_novelty_score",
+    "weighted_resample_topk",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -96,8 +98,6 @@ GATE_FIRST: list[str] = [
     "range_join_price_band",
     "tick_bars_minute",
     "rollup_priority_status",
-    "stratified_sample_balanced",
-    "prev_trading_date",
 ]
 
 

@@ -2195,3 +2195,100 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pick_rank") <= 32)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document novelty score (new r6): the fraction of a document's
+# distinct shingles whose FIRST corpus occurrence (min doc_id) is this
+# document — the C4-style "new content contribution" metric that
+# separates original documents from recombinations of earlier ones.
+#
+# Scale shape: shingle explode (linear) → min-doc_id per shingle (one
+# uniform-key shuffle, map-side combined) → join back on the shingle
+# (linear) → per-doc aggregate. No pair generation anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "doc_novelty_score",
+    oracle=f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+    fst AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           {o_round6("SUM(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)")}
+               AS novelty
+    FROM ex JOIN fst USING (g) GROUP BY ex.doc_id
+    """,
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shd = managed_persist(dd.with_shingles(docs))
+    ex = shd.select("doc_id", F.explode("shingles").alias("g"))
+    fst = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        (F.col("first_doc") == F.col("doc_id")).cast("long")
+    )
+    return (
+        ex.join(fst, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            round6(
+                F.col("n_novel") / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted resampling via the Efraimidis–Spirakis exponential race
+# (new r6): deterministic weighted sampling WITHOUT replacement — each
+# doc gets key = -ln(u)/w with u a uniform derived from md5(doc_id), and
+# the k smallest keys are the sample; P(selection) is proportional to
+# the weight, replayable bit-for-bit on any engine. Weight here is
+# n_chars; any per-doc weight column plugs in (DSIR exp(logratio),
+# quality score, source priority).
+#
+# Scale shape: one pass, TakeOrderedAndProject(k) — no shuffle beyond
+# the top-k merge. The classic alternative (sort by random()) is
+# neither deterministic nor weight-aware.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_resample_topk",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                + 1) / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           {o_round6("-ln(u) / n_chars")} AS race_key
+    FROM u
+    ORDER BY race_key, doc_id LIMIT 50
+    """,
+)
+def weighted_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            round6(-F.log(u) / F.col("n_chars")).alias("race_key"),
+        )
+        .orderBy("race_key", "doc_id")
+        .limit(50)
+    )

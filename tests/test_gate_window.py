@@ -52,6 +52,8 @@ NEVER_DRIVER_VERIFIED = [
     "session_window_stats",
     "template_prefix_clusters",
     "cluster_balanced_sample",
+    "doc_novelty_score",
+    "weighted_resample_topk",
 ]
 
 

@@ -497,3 +497,55 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
             picks, key=lambda pv: (hashlib.md5(str(pv[1]).encode()).hexdigest(), pv[1])
         )
         assert [p for p, _ in ordered] == list(range(1, len(picks) + 1))
+
+
+def test_doc_novelty_matches_python_first_seen(spark):
+    """Novelty recomputed with a first-seen dict over shingle sets in
+    doc_id order."""
+    import math
+
+    first: dict[str, int] = {}
+    sets = {}
+    for r in sorted(_docs().itertuples(), key=lambda r: r.doc_id):
+        s = _shingle_set(r.text)
+        sets[r.doc_id] = s
+        for g in s:
+            first.setdefault(g, r.doc_id)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {
+        d: (len(s), sum(1 for g in s if first[g] == d),
+            r6(sum(1 for g in s if first[g] == d) / len(s)))
+        for d, s in sets.items()
+        if s
+    }
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in QUERIES["doc_novelty_score"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_weighted_resample_matches_python_race(spark):
+    """Efraimidis–Spirakis keys recomputed with hashlib + math.log; the
+    top-50 selection and ordering must match exactly."""
+    import hashlib
+    import math
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = []
+    for r in _docs().itertuples():
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        rows.append((r6(-math.log(u) / r.n_chars), r.doc_id, r.n_chars))
+    rows.sort()
+    expect = [(d, w, k) for k, d, w in rows[:50]]
+    got = [
+        (r["doc_id"], r["weight"], r["race_key"])
+        for r in QUERIES["weighted_resample_topk"](spark, SF).collect()
+    ]
+    assert got == expect
