@@ -2267,7 +2267,7 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                 + 1) / 4294967296.0 AS u
-        FROM documents
+        FROM documents WHERE n_chars > 0
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
            {o_round6("-ln(u) / n_chars")} AS race_key
@@ -2276,7 +2276,13 @@ def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def weighted_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # zero-weight rows would produce an infinite race key (NULL after
+    # round6) with engine-divergent NULL ordering — excluded on both sides
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     u = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
