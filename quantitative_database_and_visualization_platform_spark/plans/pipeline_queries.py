@@ -110,7 +110,7 @@ def _o_minhash() -> str:
           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
     ), verified AS (
         SELECT a_id, b_id,
-               CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) AS inter,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
                len(sa.s) AS la, len(sb.s) AS lb
         FROM cand
         JOIN sh sa ON cand.a_id = sa.doc_id
@@ -186,7 +186,7 @@ def _o_ngram_jaccard() -> str:
          AND x.n_tok >= {_NGRAM_T} * y.n_tok
     ), verified AS (
         SELECT a_id, b_id,
-               CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE) AS inter,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
                len(sa.s) AS la, len(sb.s) AS lb
         FROM cand
         JOIN sh sa ON cand.a_id = sa.doc_id
