@@ -72,6 +72,7 @@ GATE_FIRST: list[str] = [
     "cluster_balanced_sample",
     "doc_novelty_score",
     "weighted_resample_topk",
+    "pipeline_retention_funnel",
     # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
     "materialized_turnover",
     "multimodal_meta",
@@ -97,7 +98,6 @@ GATE_FIRST: list[str] = [
     "text_analysis",
     "range_join_price_band",
     "tick_bars_minute",
-    "rollup_priority_status",
 ]
 
 

@@ -2298,3 +2298,122 @@ def weighted_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("race_key", "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end retention funnel (new r6): the whole preprocessing pipeline
+# as ONE declarative plan — raw → exact-dedup keep-first → quality
+# filter → benchmark decontamination → template keep-first — emitting
+# docs/tokens surviving each cumulative stage. This is the
+# "how much data is left after each pass" report every training-data
+# run ships; expressing it as one query lets Catalyst share the scan,
+# the tokenization, and the hash windows across all four stages.
+#
+# Each keep-flag is computed on the full corpus (two hash-partition
+# windows, one gram join against the benchmark-sized eval slice) and the
+# funnel is the cumulative AND — one linear pass per flag, one final
+# 1-row aggregate, no stage re-materialization.
+# ---------------------------------------------------------------------------
+def _o_funnel() -> str:
+    feats = o_text_features()
+    return f"""
+    WITH docs_n AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, t, string_split(t, ' ') AS w FROM docs_n
+    ), feats AS (
+        SELECT doc_id, t, w, {feats['n_tokens']} AS n_tokens,
+               {feats['quality_score']} AS q
+        FROM words
+    ), sh5 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4])) AS s
+        FROM words WHERE len(w) >= 5
+    ), grams AS (
+        SELECT doc_id, UNNEST(s) AS g FROM sh5
+    ), evg AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ), contam AS (
+        SELECT DISTINCT doc_id FROM grams JOIN evg USING (g)
+    ), flags AS (
+        SELECT f.doc_id, f.n_tokens,
+               CASE WHEN f.doc_id = MIN(f.doc_id) OVER (PARTITION BY md5(f.t))
+                    THEN 1 ELSE 0 END AS k_dedup,
+               CASE WHEN f.n_tokens >= 5 AND f.q >= 0.2 THEN 1 ELSE 0 END AS k_quality,
+               CASE WHEN f.doc_id % 97 <> 0 AND c.doc_id IS NULL
+                    THEN 1 ELSE 0 END AS k_decon,
+               CASE WHEN f.doc_id = MIN(f.doc_id) OVER (
+                        PARTITION BY array_to_string(f.w[1:8], ' '))
+                    THEN 1 ELSE 0 END AS k_template
+        FROM feats f LEFT JOIN contam c USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)        AS raw_docs,
+           CAST(SUM(n_tokens) AS BIGINT)   AS raw_tokens,
+           CAST(SUM(k_dedup) AS BIGINT)    AS dedup_docs,
+           CAST(SUM(k_dedup * n_tokens) AS BIGINT) AS dedup_tokens,
+           CAST(SUM(k_dedup * k_quality) AS BIGINT) AS quality_docs,
+           CAST(SUM(k_dedup * k_quality * n_tokens) AS BIGINT) AS quality_tokens,
+           CAST(SUM(k_dedup * k_quality * k_decon) AS BIGINT) AS decon_docs,
+           CAST(SUM(k_dedup * k_quality * k_decon * n_tokens) AS BIGINT) AS decon_tokens,
+           CAST(SUM(k_dedup * k_quality * k_decon * k_template) AS BIGINT) AS final_docs,
+           CAST(SUM(k_dedup * k_quality * k_decon * k_template * n_tokens) AS BIGINT) AS final_tokens
+    FROM flags
+    """
+
+
+@query("pipeline_retention_funnel", oracle=_o_funnel())
+def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import length_quality_filter
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    feats = with_text_features(docs)
+    t = dd.normalized_text("text")
+    hw = Window.partitionBy(F.md5(t))
+    pw = Window.partitionBy(F.concat_ws(" ", F.slice(F.split(t, " "), 1, 8)))
+    shingled = managed_persist(dd.with_shingles(docs, k=5))
+    grams = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    evg = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contam = (
+        grams.join(evg, "g").select("doc_id").distinct().withColumn("c", F.lit(1))
+    )
+    flags = (
+        feats.join(contam, "doc_id", "left")
+        .select(
+            "n_tokens",
+            (F.col("doc_id") == F.min("doc_id").over(hw))
+            .cast("long")
+            .alias("k_dedup"),
+            length_quality_filter(feats, min_tokens=5, min_quality=0.2)
+            .cast("long")
+            .alias("k_quality"),
+            ((F.col("doc_id") % 97 != 0) & F.col("c").isNull())
+            .cast("long")
+            .alias("k_decon"),
+            (F.col("doc_id") == F.min("doc_id").over(pw))
+            .cast("long")
+            .alias("k_template"),
+        )
+    )
+    s2 = F.col("k_dedup") * F.col("k_quality")
+    s3 = s2 * F.col("k_decon")
+    s4 = s3 * F.col("k_template")
+    n = F.col("n_tokens")
+    return flags.agg(
+        F.count(F.lit(1)).alias("raw_docs"),
+        F.sum(n).alias("raw_tokens"),
+        F.sum("k_dedup").alias("dedup_docs"),
+        F.sum(F.col("k_dedup") * n).alias("dedup_tokens"),
+        F.sum(s2).alias("quality_docs"),
+        F.sum(s2 * n).alias("quality_tokens"),
+        F.sum(s3).alias("decon_docs"),
+        F.sum(s3 * n).alias("decon_tokens"),
+        F.sum(s4).alias("final_docs"),
+        F.sum(s4 * n).alias("final_tokens"),
+    )

@@ -54,6 +54,7 @@ NEVER_DRIVER_VERIFIED = [
     "cluster_balanced_sample",
     "doc_novelty_score",
     "weighted_resample_topk",
+    "pipeline_retention_funnel",
 ]
 
 

@@ -549,3 +549,54 @@ def test_weighted_resample_matches_python_race(spark):
         for r in QUERIES["weighted_resample_topk"](spark, SF).collect()
     ]
     assert got == expect
+
+
+def test_retention_funnel_matches_python_pipeline(spark):
+    """The four keep-flags and cumulative funnel recomputed with dicts,
+    sets, and the python quality twin at sf0.001."""
+    docs = sorted(_docs().itertuples(), key=lambda r: r.doc_id)
+
+    def five_grams(text: str) -> set:
+        w = _words(text)
+        return {" ".join(w[i : i + 5]) for i in range(len(w) - 4)} if len(w) >= 5 else set()
+
+    first_by_hash: dict[str, int] = {}
+    first_by_prefix: dict[str, int] = {}
+    for r in docs:
+        first_by_hash.setdefault(_norm(r.text), r.doc_id)
+        first_by_prefix.setdefault(" ".join(_words(r.text)[:8]), r.doc_id)
+    eval_grams: set = set()
+    for r in docs:
+        if r.doc_id % 97 == 0:
+            eval_grams |= five_grams(r.text)
+
+    tot = dict.fromkeys(
+        ["raw_docs", "raw_tokens", "dedup_docs", "dedup_tokens", "quality_docs",
+         "quality_tokens", "decon_docs", "decon_tokens", "final_docs",
+         "final_tokens"], 0)
+    for r in docs:
+        w = _words(r.text)
+        n = len(w)
+        k1 = first_by_hash[_norm(r.text)] == r.doc_id
+        k2 = n >= 5 and _quality(r.text) >= 0.2
+        k3 = r.doc_id % 97 != 0 and not (five_grams(r.text) & eval_grams)
+        k4 = first_by_prefix[" ".join(w[:8])] == r.doc_id
+        tot["raw_docs"] += 1
+        tot["raw_tokens"] += n
+        if k1:
+            tot["dedup_docs"] += 1
+            tot["dedup_tokens"] += n
+        if k1 and k2:
+            tot["quality_docs"] += 1
+            tot["quality_tokens"] += n
+        if k1 and k2 and k3:
+            tot["decon_docs"] += 1
+            tot["decon_tokens"] += n
+        if k1 and k2 and k3 and k4:
+            tot["final_docs"] += 1
+            tot["final_tokens"] += n
+
+    row = QUERIES["pipeline_retention_funnel"](spark, SF).collect()[0].asDict()
+    assert row == tot
+    assert tot["final_docs"] > 0
+    assert tot["raw_docs"] > tot["final_docs"]
