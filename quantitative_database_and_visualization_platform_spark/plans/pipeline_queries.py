@@ -2150,7 +2150,12 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: assignment is a broadcast-centroids map (linear, no
 # shuffle beyond the agg for centroid means); the quota pick is one
 # window partitioned on the cluster id — cluster-count partitions, each
-# sorted by an 8-byte hash key. Output ≤ clusters × quota.
+# sorted by an 8-byte hash key. Output ≤ clusters × quota. At 100 TB a
+# giant cluster's exact rank would sort that whole cluster in one task;
+# production pre-filters members by hash threshold ≈ (quota/cluster
+# count × safety) and exact-ranks only the ~quota-sized survivors — the
+# same two-phase trick stratified_sample_balanced documents. The exact
+# form is kept here because the oracle demands bit-exact membership.
 # ---------------------------------------------------------------------------
 @query(
     "cluster_balanced_sample",
