@@ -100,6 +100,10 @@ GATE_FIRST: list[str] = [
     "tick_bars_minute",
 ]
 
+# Queued for the ROUND-7 window (registered + oracle-enforced by pytest,
+# no driver row yet — landed after this round's 50 slots filled):
+#   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit
+
 
 def _apply_gate_order() -> None:
     missing = [n for n in GATE_FIRST if n not in QUERIES]

@@ -2422,3 +2422,193 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s4).alias("final_docs"),
         F.sum(s4 * n).alias("final_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup (new r6): doc pairs sharing identical 64-token
+# chunks (the doc_chunking_overlap hashes) — block-level duplication
+# that whole-doc signatures miss (a doc embedding a copied section).
+# Candidates come only from colliding chunk hashes (Σ group², never n²),
+# the same bucket-bounded argument as every other dedup family here.
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_level_dedup",
+    oracle=f"""
+    WITH {_O_NORM},
+    ch AS (
+        SELECT doc_id, len(w) AS n, w,
+               UNNEST(range(0, ((len(w) - 1) // {_STRIDE}) + 1)) AS k
+        FROM words
+    ),
+    hashes AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(
+                   w[k * {_STRIDE} + 1 :
+                     k * {_STRIDE} + LEAST({_CHUNK}, n - k * {_STRIDE})], ' '))
+                   AS h
+        FROM ch
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+    FROM hashes a JOIN hashes b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wdf = managed_persist(
+        docs.select("doc_id", F.split(dd.normalized_text("text"), " ").alias("w"))
+    )
+    ch = wdf.select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n"),
+        F.explode(F.expr(f"sequence(0, (size(w) - 1) div {_STRIDE})")).alias("k"),
+    )
+    clen = F.least(F.lit(_CHUNK), F.col("n") - F.col("k") * _STRIDE)
+    hashes = ch.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("k") * _STRIDE + 1, clen))).alias(
+            "h"
+        ),
+    ).distinct()
+    a = hashes.select(F.col("doc_id").alias("a_id"), "h")
+    b = hashes.select(F.col("doc_id").alias("b_id"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram by source (new r6): log2-bucketed token
+# length distribution per source — the planning input for packing
+# efficiency and context-window truncation rates. One uniform-key
+# shuffle, (sources × bins)-sized output.
+# ---------------------------------------------------------------------------
+@query(
+    "length_histogram_by_source",
+    oracle=f"""
+    WITH {_O_NORM},
+    n AS (
+        SELECT w.doc_id, d.source, CAST(len(w.w) AS BIGINT) AS n_tokens
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(FLOOR(LOG2(n_tokens + 1)) AS BIGINT) AS len_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM n GROUP BY source, len_bin
+    """,
+)
+def length_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n = docs.select(
+        "source",
+        F.size(F.split(dd.normalized_text("text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    # log2(n+1) of integer inputs: identical doubles on both engines,
+    # FLOOR makes the bin integral — no rounding boundary to disagree on
+    return (
+        n.withColumn(
+            "len_bin", F.floor(F.log2(F.col("n_tokens") + 1)).cast("long")
+        )
+        .groupBy("source", "len_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy audit (new r6): for every LSH candidate pair, the
+# 8-hash MinHash Jaccard ESTIMATE (matching-minima fraction) against the
+# exact shingle Jaccard — the sketch-quality report that sizes the
+# signature for a target false-negative rate (the same audit shape as
+# kmv_distinct_sketch's estimate-vs-exact columns).
+# ---------------------------------------------------------------------------
+def _o_minhash_audit() -> str:
+    mh = ",\n               ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS m{i}"
+        for i in range(dd.N_MINHASH)
+    )
+    rows = dd.N_MINHASH // dd.N_BANDS
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, "
+        + f"{b} AS band, "
+        + " || ".join(f"m{b * rows + r}" for r in range(rows))
+        + " AS key FROM sigs"
+        for b in range(dd.N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(dd.N_MINHASH)
+    )
+    return f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    sigs AS (
+        SELECT doc_id, s,
+               {mh}
+        FROM sh
+    ), bands AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id,
+           {o_round6(f"({matches}) / {float(dd.N_MINHASH)!r}")} AS jaccard_est,
+           {o_round6("len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE)")} AS jaccard_exact,
+           {o_round6(f"ABS(({matches}) / {float(dd.N_MINHASH)!r} - len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE))")} AS abs_err
+    FROM cand
+    JOIN sigs sa ON cand.a_id = sa.doc_id
+    JOIN sigs sb ON cand.b_id = sb.doc_id
+    """
+
+
+@query("minhash_accuracy_audit", oracle=_o_minhash_audit())
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    shingled = managed_persist(dd.with_shingles(docs))
+    sigs = managed_persist(dd.with_minhash_bands(shingled))
+    cand = dd.lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("sa"),
+        *[F.col(f"mh_{i}").alias(f"ma_{i}") for i in range(dd.N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("sb"),
+        *[F.col(f"mh_{i}").alias(f"mb_{i}") for i in range(dd.N_MINHASH)],
+    )
+    matches = sum(
+        (F.col(f"ma_{i}") == F.col(f"mb_{i}")).cast("int")
+        for i in range(dd.N_MINHASH)
+    )
+    inter = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)")
+    exact = inter / (F.size("sa") + F.size("sb") - inter)
+    est = matches / float(dd.N_MINHASH)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            round6(est).alias("jaccard_est"),
+            round6(exact).alias("jaccard_exact"),
+            round6(F.abs(est - exact)).alias("abs_err"),
+        )
+    )

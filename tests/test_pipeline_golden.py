@@ -600,3 +600,95 @@ def test_retention_funnel_matches_python_pipeline(spark):
     assert row == tot
     assert tot["final_docs"] > 0
     assert tot["raw_docs"] > tot["final_docs"]
+
+
+def test_chunk_level_dedup_matches_python_sets(spark):
+    """Shared-chunk pair counts recomputed with per-doc chunk-hash sets."""
+    import hashlib
+    from collections import defaultdict
+
+    chunks: dict[int, set] = {}
+    for r in _docs().itertuples():
+        w = _words(r.text)
+        hs = set()
+        for k in range((len(w) - 1) // 48 + 1):
+            start = k * 48
+            clen = min(64, len(w) - start)
+            hs.add(hashlib.md5(" ".join(w[start : start + clen]).encode()).hexdigest())
+        chunks[r.doc_id] = hs
+    ids = sorted(chunks)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = len(chunks[a] & chunks[b])
+            if n:
+                expect[(a, b)] = n
+    got = {
+        (r["a_id"], r["b_id"]): r["n_shared_chunks"]
+        for r in QUERIES["chunk_level_dedup"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_length_histogram_matches_python_counters(spark):
+    """Log2 length bins recomputed with math.floor + Counters."""
+    import math
+    from collections import defaultdict
+
+    agg: dict[tuple, list] = defaultdict(lambda: [0, 0, None, None])
+    for r in _docs().itertuples():
+        n = len(_words(r.text))
+        key = (r.source, math.floor(math.log2(n + 1)))
+        a = agg[key]
+        a[0] += 1
+        a[1] += n
+        a[2] = n if a[2] is None else min(a[2], n)
+        a[3] = n if a[3] is None else max(a[3], n)
+    got = {
+        (r["source"], r["len_bin"]): [
+            r["n_docs"], r["total_tokens"], r["min_tokens"], r["max_tokens"]
+        ]
+        for r in QUERIES["length_histogram_by_source"](spark, SF).collect()
+    }
+    assert got == {k: list(v) for k, v in agg.items()}
+
+
+def test_minhash_audit_matches_python_signatures(spark):
+    """MinHash minima, band collisions, and estimate/exact/abs_err
+    recomputed with hashlib over python shingle sets."""
+    import hashlib
+    import math
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    sigs = {}
+    for r in _docs().itertuples():
+        s = _shingle_set(r.text)
+        if not s:
+            continue
+        mh = [
+            min(hashlib.md5(f"{i}:{x}".encode()).hexdigest() for x in s)
+            for i in range(8)
+        ]
+        bands = [mh[2 * b] + mh[2 * b + 1] for b in range(4)]
+        sigs[r.doc_id] = (s, mh, bands)
+    ids = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, ma, ba = sigs[a]
+            sb, mb, bb = sigs[b]
+            if not any(x == y for x, y in zip(ba, bb)):
+                continue
+            est = sum(x == y for x, y in zip(ma, mb)) / 8.0
+            inter = len(sa & sb)
+            exact = inter / (len(sa) + len(sb) - inter)
+            expect[(a, b)] = (r6(est), r6(exact), r6(abs(est - exact)))
+    got = {
+        (r["a_id"], r["b_id"]): (r["jaccard_est"], r["jaccard_exact"], r["abs_err"])
+        for r in QUERIES["minhash_accuracy_audit"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
