@@ -103,3 +103,31 @@ def length_quality_filter(
 ) -> Column:
     """The standard keep/drop mask a curation pass applies."""
     return (F.col("n_tokens") >= min_tokens) & (F.col("quality_score") >= min_quality)
+
+
+def chunk_tokens(df: DataFrame, chunk: int = 64, stride: int = 48) -> DataFrame:
+    """One row per overlapping token chunk of the normalized text:
+    (input columns minus text) + chunk_id / start_tok / n_tok /
+    chunk_hash. Shuffle-free map work: the token array is persisted as a
+    stored attribute before the per-row sequence explode (the Generate
+    collapse trap), chunks start at stride multiples, and only the final
+    chunk may be shorter than `chunk`."""
+    from ..session import managed_persist
+
+    wdf = managed_persist(
+        df.withColumn("__w", F.split(normalized_text("text"), " ")).drop("text")
+    )
+    ch = wdf.withColumn(
+        "__k",
+        F.explode(F.expr(f"sequence(0, (size(__w) - 1) div {stride})")),
+    )
+    clen = F.least(F.lit(chunk), F.size("__w") - F.col("__k") * stride)
+    return ch.select(
+        *[c for c in wdf.columns if c != "__w"],
+        F.col("__k").cast("long").alias("chunk_id"),
+        (F.col("__k") * stride).cast("long").alias("start_tok"),
+        clen.cast("long").alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.slice("__w", F.col("__k") * stride + 1, clen))
+        ).alias("chunk_hash"),
+    )

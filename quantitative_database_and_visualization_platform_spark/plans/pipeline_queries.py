@@ -1924,28 +1924,10 @@ _CHUNK, _STRIDE = 64, 48
     """,
 )
 def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import chunk_tokens
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wdf = managed_persist(
-        docs.select(
-            "doc_id", F.split(dd.normalized_text("text"), " ").alias("w")
-        )
-    )
-    ch = wdf.select(
-        "doc_id",
-        "w",
-        F.size("w").alias("n"),
-        F.explode(F.expr(f"sequence(0, (size(w) - 1) div {_STRIDE})")).alias("k"),
-    )
-    clen = F.least(F.lit(_CHUNK), F.col("n") - F.col("k") * _STRIDE)
-    return ch.select(
-        "doc_id",
-        F.col("k").cast("long").alias("chunk_id"),
-        (F.col("k") * _STRIDE).cast("long").alias("start_tok"),
-        clen.cast("long").alias("n_tok"),
-        F.md5(
-            F.concat_ws(" ", F.slice("w", F.col("k") * _STRIDE + 1, clen))
-        ).alias("chunk_hash"),
-    )
+    return chunk_tokens(docs, chunk=_CHUNK, stride=_STRIDE)
 
 
 # ---------------------------------------------------------------------------
@@ -2455,23 +2437,14 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import chunk_tokens
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wdf = managed_persist(
-        docs.select("doc_id", F.split(dd.normalized_text("text"), " ").alias("w"))
+    hashes = (
+        chunk_tokens(docs, chunk=_CHUNK, stride=_STRIDE)
+        .select("doc_id", F.col("chunk_hash").alias("h"))
+        .distinct()
     )
-    ch = wdf.select(
-        "doc_id",
-        "w",
-        F.size("w").alias("n"),
-        F.explode(F.expr(f"sequence(0, (size(w) - 1) div {_STRIDE})")).alias("k"),
-    )
-    clen = F.least(F.lit(_CHUNK), F.col("n") - F.col("k") * _STRIDE)
-    hashes = ch.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.slice("w", F.col("k") * _STRIDE + 1, clen))).alias(
-            "h"
-        ),
-    ).distinct()
     a = hashes.select(F.col("doc_id").alias("a_id"), "h")
     b = hashes.select(F.col("doc_id").alias("b_id"), "h")
     return (

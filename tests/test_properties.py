@@ -352,3 +352,83 @@ def test_repetition_fractions_are_valid(spark):
         | (F.col("top_2gram_frac") > 1)
     ).count()
     assert bad == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user bucket
+            st.integers(min_value=0, max_value=200_000),  # seconds offset
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_session_windows_match_islands_for_any_times(spark, events):
+    """For ARBITRARY event times, native session_window must produce
+    exactly the islands a gap-scan finds: same session count per user,
+    every gap inside a session < 30 min, every inter-session gap >= 30
+    min, and session_end = last_ts + 30 min."""
+    import datetime as dt
+
+    from quantitative_database_and_visualization_platform_spark.streaming.session_windows import (
+        session_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in events],
+            "ts": [base + dt.timedelta(seconds=s) for _, s in events],
+            "value": [1.0] * len(events),
+        }
+    )
+    out = session_stats(spark.createDataFrame(pdf)).toPandas()
+
+    gap = dt.timedelta(minutes=30)
+    for uid in {u for u, _ in events}:
+        times = sorted(t for u, t in zip(pdf.user_id, pdf.ts) if u == uid)
+        # islands by the >= gap rule (window [t, t+gap) merge-on-overlap)
+        sessions = []
+        for t in times:
+            if sessions and t - sessions[-1][-1] < gap:
+                sessions[-1].append(t)
+            else:
+                sessions.append([t])
+        mine = out[out.user_id == uid].sort_values("session_start")
+        assert len(mine) == len(sessions)
+        for row, sess in zip(mine.itertuples(), sessions):
+            assert row.session_start == sess[0]
+            assert row.session_end == sess[-1] + gap
+            assert row.n_events == len(sess)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(min_value=1, max_value=400))
+def test_chunking_tiles_every_token(spark, n_tokens):
+    """For any doc length, the engine's 64/48 chunks must cover every
+    token exactly once per overlap pattern: starts at stride multiples,
+    lengths min(64, n-start), hashes of the exact slices, and the union
+    of [start, start+len) covering [0, n)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.text import chunk_tokens
+
+    words = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    got = sorted(
+        (r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_hash"])
+        for r in chunk_tokens(df).collect()
+    )
+    covered = set()
+    for k, (cid, start, n_tok, h) in enumerate(got):
+        assert cid == k and start == k * 48
+        assert n_tok == min(64, n_tokens - start)
+        assert h == hashlib.md5(" ".join(words[start : start + n_tok]).encode()).hexdigest()
+        covered |= set(range(start, start + n_tok))
+    assert covered == set(range(n_tokens))
+    # no chunk starts at/after the end of the doc
+    assert all(start < n_tokens for _, start, _, _ in got)
