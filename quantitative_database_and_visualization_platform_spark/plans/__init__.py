@@ -39,7 +39,7 @@ GATE_WINDOW = 50
 #      every pre-r6 query has had a binding driver row;
 #   2. sliding_window_stats — r5's one red row (oracle TIMESTAMPTZ, fixed
 #      this round with CAST(... AS TIMESTAMP)), re-gated to prove the fix;
-#   3. the 14 queries NEW in round 6 (pipeline ops + session windows);
+#   3. the 15 queries NEW in round 6 (pipeline ops + session windows);
 #   4. cheap previously-driver-green fillers (each <0.35 s spark+oracle at
 #      check scale per ORACLE_TIMINGS.json) so the gate stays fast and a
 #      mid-gate session death costs the least possible evidence.
@@ -102,7 +102,8 @@ GATE_FIRST: list[str] = [
 
 # Queued for the ROUND-7 window (registered + oracle-enforced by pytest,
 # no driver row yet — landed after this round's 50 slots filled):
-#   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit
+#   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit,
+#   vocab_coverage_curve
 
 
 def _apply_gate_order() -> None:

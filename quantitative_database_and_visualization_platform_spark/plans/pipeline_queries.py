@@ -2585,3 +2585,70 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.abs(est - exact)).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (new r6): per language, the number of
+# distinct token types needed to cover 50/90/99% of all token
+# occurrences — the tokenizer-vocabulary sizing diagnostic (a steep
+# curve means a small vocab suffices; a flat one means heavy OOV).
+# Pure integer arithmetic (2·C ≥ T etc.), so no float boundary exists
+# anywhere. One uniform-key count shuffle + one vocabulary-sized rank
+# window per language.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT d.lang AS lang, UNNEST(w.w) AS tk
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    ),
+    freq AS (
+        SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, tk
+    ),
+    rk AS (
+        SELECT lang, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tk) AS rnk,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY cnt DESC, tk
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+               SUM(cnt) OVER (PARTITION BY lang) AS t
+        FROM freq
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(MAX(t) AS BIGINT) AS total_tokens,
+           CAST(MIN(CASE WHEN 2 * c >= t THEN rnk END) AS BIGINT) AS k50,
+           CAST(MIN(CASE WHEN 10 * c >= 9 * t THEN rnk END) AS BIGINT) AS k90,
+           CAST(MIN(CASE WHEN 100 * c >= 99 * t THEN rnk END) AS BIGINT) AS k99
+    FROM rk GROUP BY lang
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    wdf = managed_persist(
+        docs.select("lang", F.split(dd.normalized_text("text"), " ").alias("w"))
+    )
+    freq = (
+        wdf.select("lang", F.explode("w").alias("tk"))
+        .groupBy("lang", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "tk")
+    rk = freq.select(
+        "lang",
+        "cnt",
+        F.row_number().over(order).alias("rnk"),
+        F.sum("cnt").over(order.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("t"),
+    )
+    k = lambda mult_c, mult_t: F.min(
+        F.when(mult_c * F.col("c") >= mult_t * F.col("t"), F.col("rnk"))
+    ).cast("long")
+    return rk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.max("t").alias("total_tokens"),
+        k(2, 1).alias("k50"),
+        k(10, 9).alias("k90"),
+        k(100, 99).alias("k99"),
+    )

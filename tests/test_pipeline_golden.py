@@ -692,3 +692,29 @@ def test_minhash_audit_matches_python_signatures(spark):
     }
     assert got == expect
     assert len(expect) > 0
+
+
+def test_vocab_coverage_matches_python_cumsum(spark):
+    """Coverage thresholds recomputed with sorted Counters and integer
+    comparisons."""
+    from collections import Counter, defaultdict
+
+    freq: dict[str, Counter] = defaultdict(Counter)
+    for r in _docs().itertuples():
+        freq[r.lang].update(_words(r.text))
+    got = {r["lang"]: r for r in QUERIES["vocab_coverage_curve"](spark, SF).collect()}
+    assert set(got) == set(freq)
+    for lg, c in freq.items():
+        items = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(c.values())
+        ks = {}
+        cum = 0
+        for rnk, (_, cnt) in enumerate(items, 1):
+            cum += cnt
+            for name, mc, mt in (("k50", 2, 1), ("k90", 10, 9), ("k99", 100, 99)):
+                if name not in ks and mc * cum >= mt * total:
+                    ks[name] = rnk
+        g = got[lg]
+        assert g["vocab_size"] == len(items) and g["total_tokens"] == total
+        assert (g["k50"], g["k90"], g["k99"]) == (ks["k50"], ks["k90"], ks["k99"])
+        assert g["k50"] <= g["k90"] <= g["k99"] <= g["vocab_size"]
