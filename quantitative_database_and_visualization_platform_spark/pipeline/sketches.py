@@ -66,6 +66,131 @@ def kmv_distinct_estimate(
     )
 
 
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+# alpha_m for m = 256 (Flajolet et al. 2007). The whole estimate numerator
+# alpha * m^2 * 2^53 is collapsed to ONE Python double injected verbatim
+# into both engines (repr round-trips binary64 exactly), so the estimate
+# is a single identical IEEE division everywhere — decimal-literal
+# parsing rules (Spark DECIMAL vs DuckDB) never enter the plan.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+_HLL_POW53 = float(1 << 53)  # fixed-point scale for the harmonic sum
+HLL_NUMERATOR = HLL_ALPHA * float(HLL_M * HLL_M) * _HLL_POW53
+
+
+def hll_registers(df: DataFrame, group: str, element: str) -> DataFrame:
+    """Per-(group, register) HyperLogLog max-rank table.
+
+    Hash split (md5 hex, shared with the DuckDB twin): hex digits 1-2 are
+    the 8-bit register index; hex digits 3-15 are a 52-bit value v whose
+    leading-zero rank is ``rho = 53 - length(bin(v))`` for v >= 1 (53 for
+    v = 0) — ``bin`` drops leading zeros identically on both engines, so
+    rho is exact integer arithmetic, no float log2 edge cases.
+
+    One map-side-combined groupBy: at any input scale the shuffle carries
+    at most (groups x 256) cells, and the register table is MERGEABLE —
+    register maxes from per-source / per-day builds combine by max, which
+    :func:`hll_estimate_from_registers` exploits for the merged-union row.
+    """
+    col = F.col(element)
+    reg = F.conv(F.substring(F.md5(col.cast("string")), 1, 2), 16, 10).cast("int")
+    v = F.conv(F.substring(F.md5(col.cast("string")), 3, 13), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(v)))
+    return (
+        df.select(F.col(group), reg.alias("register"), rho.alias("rho"))
+        .groupBy(group, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_from_registers(regs: DataFrame, group: str) -> DataFrame:
+    """Collapse a (group, register, max_rho) table to per-group estimates.
+
+    The harmonic denominator sum(2^-M_j) is accumulated as the EXACT
+    integer sum(2^(53 - M_j)) (max 256 * 2^52 < 2^63) plus
+    (m - hit) * 2^53 for never-hit registers — integer addition is
+    order-independent, so Spark's partial aggregation and DuckDB's
+    single-threaded sum agree bit-for-bit. Small-range correction
+    (linear counting, E <= 2.5m with empty registers) as in the HLL
+    paper.
+    """
+    agg = regs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("registers_hit"),
+        # SQL-expr form: the DataFrame shiftleft() only takes a literal
+        # bit count, the SQL function accepts a column expression
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rho)")).alias("__s"),
+    )
+    m = float(HLL_M)
+    denom = (
+        F.col("__s") + (F.lit(HLL_M) - F.col("registers_hit")).cast("long") * F.lit(1 << 53)
+    ).cast("double")
+    raw = F.lit(HLL_NUMERATOR) / denom
+    zeros = (F.lit(HLL_M) - F.col("registers_hit")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw)
+    from ..plans.registry import round6  # deferred: avoids plans<->pipeline cycle
+
+    return agg.select(
+        F.col(group),
+        F.col("registers_hit"),
+        round6(est).alias("hll_estimate"),
+    )
+
+
+def o_hll_regs(table_sql: str, group: str, element: str, name: str = "regs") -> str:
+    """DuckDB twin of :func:`hll_registers` as a named CTE body.
+
+    ``table_sql`` is a FROM-able relation providing (group, element).
+    """
+    h = f"md5(CAST({element} AS VARCHAR))"
+    v = f"CAST('0x' || substr({h}, 3, 13) AS BIGINT)"
+    return f"""
+    {name} AS (
+        SELECT {group},
+               CAST('0x' || substr({h}, 1, 2) AS INT) AS register,
+               MAX(CASE WHEN {v} = 0 THEN 53
+                        ELSE 53 - length(bin({v})) END) AS max_rho
+        FROM {table_sql}
+        GROUP BY {group}, register
+    )
+    """
+
+
+def o_hll_collapse(regs_rel: str, group: str) -> str:
+    """DuckDB twin of :func:`hll_estimate_from_registers`: CTE chain from a
+    (group, register, max_rho) relation to ``hll_out``."""
+    return f"""
+    hll AS (
+        SELECT {group},
+               CAST(COUNT(*) AS BIGINT) AS registers_hit,
+               SUM((CAST(1 AS BIGINT) << (53 - max_rho))) AS s
+        FROM {regs_rel} GROUP BY {group}
+    ),
+    est AS (
+        SELECT {group}, registers_hit,
+               CAST({HLL_NUMERATOR!r} AS DOUBLE)
+                   / CAST(s + (256 - registers_hit) * (CAST(1 AS BIGINT) << 53) AS DOUBLE)
+                   AS raw,
+               CAST(256 - registers_hit AS DOUBLE) AS zeros
+        FROM hll
+    ),
+    est2 AS (
+        SELECT {group}, registers_hit,
+               CASE WHEN raw <= 640.0 AND zeros > 0
+                    THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+        FROM est
+    ),
+    hll_out AS (
+        SELECT {group}, registers_hit,
+               CASE WHEN isnan(e) OR isinf(e) THEN NULL
+                    ELSE FLOOR(e*1000000 + 0.5)/1000000.0 END AS hll_estimate
+        FROM est2
+    )
+    """
+
+
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 

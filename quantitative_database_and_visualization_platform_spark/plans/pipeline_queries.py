@@ -2652,3 +2652,90 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         k(10, 9).alias("k90"),
         k(100, 99).alias("k99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token sketch (new r6): the third sketch family
+# next to KMV and CMS — per-source token cardinality from 256 max-rank
+# registers, plus an '__all__' row computed by MERGING the per-source
+# register tables (max of maxes), the property that makes HLL the
+# industry standard for distributed distinct counts. The exact distinct
+# count rides along so the output carries the sketch's measured relative
+# error. Reference parity: the reference's uniqExact/summary stats
+# (QuantDB.py count paths); the sketch itself is the Flajolet 2007
+# construction, deterministic here via the shared md5 hash convention.
+#
+# Scale shape: one map-side-combined groupBy to (sources x 256) register
+# cells — shuffle bounded by the register grid, not the token count; the
+# merged row is a 256-row re-aggregation. The exact count_distinct
+# (shuffle on the distinct token domain) exists only to score the
+# sketch; a 100 TB deployment ships the register table alone.
+# ---------------------------------------------------------------------------
+_O_HLL_TOK = """
+    tok AS (
+        SELECT d.source AS source, UNNEST(w.w) AS tok
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    )
+"""
+
+
+@query(
+    "hll_distinct_by_source",
+    oracle=f"""
+    WITH {_O_NORM}, {_O_HLL_TOK},
+    {sk.o_hll_regs("tok", "source", "tok", name="regs_src")},
+    regs AS (
+        SELECT source, register, max_rho FROM regs_src
+        UNION ALL
+        SELECT '__all__' AS source, register, MAX(max_rho) AS max_rho
+        FROM regs_src GROUP BY register
+    ),
+    {sk.o_hll_collapse("regs", "source")},
+    exact AS (
+        SELECT source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+        FROM tok GROUP BY source
+        UNION ALL
+        SELECT '__all__', CAST(COUNT(DISTINCT tok) AS BIGINT) FROM tok
+    )
+    SELECT h.source, h.registers_hit, h.hll_estimate, e.exact_distinct,
+           {o_round6("(h.hll_estimate - e.exact_distinct) / e.exact_distinct")}
+               AS rel_err
+    FROM hll_out h JOIN exact e ON h.source = e.source
+    """,
+)
+def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = managed_persist(
+        docs.select(
+            "source",
+            F.explode(F.split(dd.normalized_text("text"), " ")).alias("tok"),
+        )
+    )
+    regs_src = managed_persist(sk.hll_registers(toks, "source", "tok"))
+    merged = (
+        regs_src.groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .select(F.lit("__all__").alias("source"), "register", "max_rho")
+    )
+    est = sk.hll_estimate_from_registers(
+        regs_src.unionByName(merged), "source"
+    )
+    exact = (
+        toks.groupBy("source")
+        .agg(F.count_distinct("tok").alias("exact_distinct"))
+        .unionByName(
+            toks.agg(F.count_distinct("tok").alias("exact_distinct")).select(
+                F.lit("__all__").alias("source"), "exact_distinct"
+            )
+        )
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "registers_hit",
+        "hll_estimate",
+        "exact_distinct",
+        round6(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )
