@@ -295,3 +295,61 @@ def o_kmv_distinct_estimate(table: str, group: str, element: str, k: int = 64) -
              AS kmv_estimate
     FROM __k
     """
+
+
+BLOOM_M = 1 << 16  # bits in the filter
+BLOOM_K = 4  # salted hash functions
+
+
+def _bloom_pos(r, element) -> Column:
+    """Bit position of hash r for an element column: salted-md5 52-bit
+    value mod BLOOM_M (same conv/'0x' convention as the other sketches)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(r.cast("string"), F.lit("|"), element.cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_bits(df: DataFrame, element: str) -> DataFrame:
+    """Build the set-bit table of a Bloom filter over ``element``: one
+    row per DISTINCT set position (<= BLOOM_M rows total, broadcastable
+    at any corpus scale). Mergeable: filters over corpus shards union
+    their bit tables (set-OR == DISTINCT of the union)."""
+    probes = df.select(
+        F.explode(F.array(*[F.lit(r) for r in range(BLOOM_K)])).alias("r"),
+        F.col(element).alias("__e"),
+    )
+    return probes.select(_bloom_pos(F.col("r"), F.col("__e")).alias("pos")).distinct()
+
+
+def bloom_membership(candidates: DataFrame, bits: DataFrame, element: str) -> DataFrame:
+    """Per-candidate Bloom membership: positive iff ALL BLOOM_K positions
+    are set. ``bits`` is broadcast (<= BLOOM_M rows); the probe fan-out is
+    BLOOM_K rows per DISTINCT candidate — callers should pass the
+    candidate VOCABULARY, not the raw occurrence relation."""
+    probes = candidates.select(
+        F.col(element),
+        F.explode(F.array(*[F.lit(r) for r in range(BLOOM_K)])).alias("r"),
+    ).select(element, _bloom_pos(F.col("r"), F.col(element)).alias("pos"))
+    joined = probes.join(
+        F.broadcast(bits.withColumn("__b", F.lit(1))), "pos", "left"
+    )
+    return joined.groupBy(element).agg(
+        (F.min(F.coalesce("__b", F.lit(0))) == 1).alias("bloom_hit")
+    )
+
+
+def o_bloom_pos(r_expr: str, element_expr: str) -> str:
+    """DuckDB twin of :func:`_bloom_pos`."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({r_expr} AS VARCHAR) || '|' || "
+        f"CAST({element_expr} AS VARCHAR)), 1, 13) AS BIGINT) % {BLOOM_M}"
+    )

@@ -2739,3 +2739,98 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (new r6): the scale path of
+# decontamination_ngram — instead of joining every training 5-gram
+# against the eval-gram relation, build a 65536-bit / 4-hash Bloom
+# filter over the eval grams (a <=2^16-row set-bit table, broadcastable
+# and mergeable across eval shards) and probe it. The exact join rides
+# along to score the filter: per training doc, bloom hits vs exact hits
+# vs false positives — the measured FP cost of replacing a shuffle join
+# with a broadcast bitset.
+#
+# Scale shape: the probe is factored through the DISTINCT training-gram
+# vocabulary (the fuzzy-join lesson: BLOOM_K probes per distinct gram,
+# not per occurrence), then expanded back with one equi join; the bit
+# table join is an explicit broadcast. At 100 TB the eval set (benchmark
+# suites) is fixed-size, so the filter build is constant and the scan
+# side stays one pass — no shuffle grows with the corpus.
+# ---------------------------------------------------------------------------
+_O_SH5 = """
+    sh5 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 3),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS s
+        FROM words WHERE len(w) >= 5
+    ), grams AS (
+        SELECT doc_id, unnest(s) AS g FROM sh5
+    )
+"""
+
+
+@query(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH {_O_NORM}, {_O_SH5},
+    ev AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+    ),
+    bits AS (
+        SELECT DISTINCT {sk.o_bloom_pos("r", "g")} AS pos
+        FROM ev, range({sk.BLOOM_K}) t(r)
+    ),
+    tr AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+    ),
+    vocab AS (
+        SELECT DISTINCT g FROM tr
+    ),
+    probe AS (
+        SELECT v.g, {sk.o_bloom_pos("r", "v.g")} AS pos
+        FROM vocab v, range({sk.BLOOM_K}) t(r)
+    ),
+    flag AS (
+        SELECT p.g,
+               MIN(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 1 AS bloom_hit
+        FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.g
+    )
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(count_if(f.bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(count_if(e.g IS NOT NULL) AS BIGINT) AS n_exact_hits,
+           CAST(count_if(f.bloom_hit AND e.g IS NULL) AS BIGINT) AS n_false_pos
+    FROM tr
+    JOIN flag f ON tr.g = f.g
+    LEFT JOIN ev e ON tr.g = e.g
+    GROUP BY tr.doc_id
+    HAVING count_if(f.bloom_hit) > 0
+    """,
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    shingled = managed_persist(dd.with_shingles(docs, k=5))
+    grams = shingled.select("doc_id", F.explode("shingles").alias("g"))
+    ev = managed_persist(grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct())
+    bits = sk.bloom_bits(ev, "g")
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
+    flag = sk.bloom_membership(tr.select("g").distinct(), bits, "g")
+    marked = tr.join(flag, "g").join(
+        ev.withColumn("__e", F.lit(1)), "g", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
+            F.count_if(F.col("__e").isNotNull()).alias("n_exact_hits"),
+            F.count_if(F.col("bloom_hit") & F.col("__e").isNull()).alias("n_false_pos"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+    )
