@@ -2655,26 +2655,28 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# HyperLogLog distinct-token sketch (new r6): the third sketch family
-# next to KMV and CMS — per-source token cardinality from 256 max-rank
-# registers, plus an '__all__' row computed by MERGING the per-source
-# register tables (max of maxes), the property that makes HLL the
-# industry standard for distributed distinct counts. The exact distinct
-# count rides along so the output carries the sketch's measured relative
-# error. Reference parity: the reference's uniqExact/summary stats
-# (QuantDB.py count paths); the sketch itself is the Flajolet 2007
-# construction, deterministic here via the shared md5 hash convention.
+# HyperLogLog distinct-shingle sketch (new r6): the third sketch family
+# next to KMV and CMS — per-source 3-gram-shingle cardinality (16k-27k+
+# distinct at test scales, so the RAW harmonic estimate path is
+# exercised, not just linear counting) from 256 max-rank registers, plus
+# an '__all__' row computed by MERGING the per-source register tables
+# (max of maxes), the property that makes HLL the industry standard for
+# distributed distinct counts. The exact distinct count rides along so
+# the output carries the sketch's measured relative error. Reference
+# parity: the reference's uniqExact/summary stats (QuantDB.py count
+# paths); the sketch itself is the Flajolet 2007 construction,
+# deterministic here via the shared md5 hash convention.
 #
 # Scale shape: one map-side-combined groupBy to (sources x 256) register
-# cells — shuffle bounded by the register grid, not the token count; the
-# merged row is a 256-row re-aggregation. The exact count_distinct
-# (shuffle on the distinct token domain) exists only to score the
+# cells — shuffle bounded by the register grid, not the shingle count;
+# the merged row is a 256-row re-aggregation. The exact count_distinct
+# (shuffle on the distinct shingle domain) exists only to score the
 # sketch; a 100 TB deployment ships the register table alone.
 # ---------------------------------------------------------------------------
 _O_HLL_TOK = """
     tok AS (
-        SELECT d.source AS source, UNNEST(w.w) AS tok
-        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+        SELECT d.source AS source, UNNEST(s.s) AS tok
+        FROM sh s JOIN documents d ON s.doc_id = d.doc_id
     )
 """
 
@@ -2682,7 +2684,7 @@ _O_HLL_TOK = """
 @query(
     "hll_distinct_by_source",
     oracle=f"""
-    WITH {_O_NORM}, {_O_HLL_TOK},
+    WITH {_O_NORM}, {_O_SHINGLES}, {_O_HLL_TOK},
     {sk.o_hll_regs("tok", "source", "tok", name="regs_src")},
     regs AS (
         SELECT source, register, max_rho FROM regs_src
@@ -2705,11 +2707,9 @@ _O_HLL_TOK = """
 )
 def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    shingled = managed_persist(dd.with_shingles(docs, k=3))
     toks = managed_persist(
-        docs.select(
-            "source",
-            F.explode(F.split(dd.normalized_text("text"), " ")).alias("tok"),
-        )
+        shingled.select("source", F.explode("shingles").alias("tok"))
     )
     regs_src = managed_persist(sk.hll_registers(toks, "source", "tok"))
     merged = (

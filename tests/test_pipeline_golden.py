@@ -718,3 +718,87 @@ def test_vocab_coverage_matches_python_cumsum(spark):
         assert g["vocab_size"] == len(items) and g["total_tokens"] == total
         assert (g["k50"], g["k90"], g["k99"]) == (ks["k50"], ks["k90"], ks["k99"])
         assert g["k50"] <= g["k90"] <= g["k99"] <= g["vocab_size"]
+
+
+def test_hll_distinct_matches_python_registers(spark):
+    """HLL register maxes, the exact integer harmonic sum, the
+    small-range correction, and the merged '__all__' row recomputed with
+    hashlib + dict loops."""
+    import hashlib
+    import math
+
+    from quantitative_database_and_visualization_platform_spark.pipeline import sketches as sk
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    docs = _docs()
+    for r in docs.itertuples():
+        w = _words(r.text)
+        grams = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+        for g in grams:
+            h = hashlib.md5(g.encode()).hexdigest()
+            reg, v = int(h[:2], 16), int(h[2:15], 16)
+            rho = 53 if v == 0 else 53 - v.bit_length()
+            for key in (r.source, "__all__"):
+                m = regs.setdefault(key, {})
+                m[reg] = max(m.get(reg, 0), rho)
+                exact.setdefault(key, set()).add(g)
+
+    expect = {}
+    for key, m in regs.items():
+        hit = len(m)
+        s = sum(1 << (53 - x) for x in m.values()) + (256 - hit) * (1 << 53)
+        raw = sk.HLL_NUMERATOR / float(s)
+        zeros = 256 - hit
+        est = 256.0 * math.log(256.0 / zeros) if (raw <= 640.0 and zeros > 0) else raw
+        ex = len(exact[key])
+        expect[key] = (hit, r6(est), ex, r6((r6(est) - ex) / ex))
+
+    got = {
+        r["source"]: (
+            r["registers_hit"],
+            r["hll_estimate"],
+            r["exact_distinct"],
+            r["rel_err"],
+        )
+        for r in QUERIES["hll_distinct_by_source"](spark, SF).collect()
+    }
+    assert got == expect
+    assert "__all__" in got and len(got) > 2
+
+
+def test_bloom_decontamination_matches_python_sets(spark):
+    """Bloom bit membership, per-doc hit/exact/false-positive counts
+    recomputed with hashlib + python sets (no SQL shapes shared)."""
+    import hashlib
+
+    def pos(r, g):
+        return int(hashlib.md5(f"{r}|{g}".encode()).hexdigest()[:13], 16) % 65536
+
+    grams: dict[int, set] = {}
+    for r in _docs().itertuples():
+        w = _words(r.text)
+        if len(w) >= 5:
+            grams[r.doc_id] = {" ".join(w[i : i + 5]) for i in range(len(w) - 4)}
+
+    ev = set().union(*(g for d, g in grams.items() if d % 97 == 0))
+    bits = {pos(r, g) for g in ev for r in range(4)}
+
+    expect = {}
+    for d, gs in grams.items():
+        if d % 97 == 0:
+            continue
+        bloom = {g for g in gs if all(pos(r, g) in bits for r in range(4))}
+        ex = gs & ev
+        if bloom:
+            expect[d] = (len(gs), len(bloom), len(ex), len(bloom - ex))
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_bloom_hits"], r["n_exact_hits"], r["n_false_pos"])
+        for r in QUERIES["bloom_decontamination"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
