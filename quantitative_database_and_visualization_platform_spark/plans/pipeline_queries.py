@@ -2834,3 +2834,106 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_bloom_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion over two retrieval channels (new r6): fuse the
+# exact brute-force cosine top-20 and the SRP-bucket ANN candidate list
+# for the same probe with RRF (score = sum 1/(60 + rank)), the standard
+# ensemble step of a hybrid retrieval stack. Ranks are computed over
+# 6dp-rounded cosines (rank-ties-on-ulp lesson) with vec_id tiebreaks,
+# so both engines produce identical orderings; the fused score is two
+# IEEE additions over identical inputs.
+#
+# Scale shape: each channel ends in a distributed TakeOrderedAndProject
+# (top-20) BEFORE the rank window, so the unpartitioned row_number runs
+# over <= 20 rows regardless of corpus size; the fusion join is a
+# <=20x20 full outer on vec_id. The SRP channel inherits
+# planes_for_corpus bucket sizing.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_rank_fusion",
+    oracle=f"""
+    WITH probe AS (
+        SELECT embedding AS p,
+               {o_srp_bucket('embedding', N_PLANES, DIMS)} AS pbucket
+        FROM embeddings WHERE vec_id = 0
+    ),
+    exact20 AS (
+        SELECT vec_id, label, cos,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank_exact
+        FROM (
+            SELECT e.vec_id, e.label,
+                   ROUND({o_cosine('e.embedding', 'p.p')}, 6) AS cos
+            FROM embeddings e, probe p
+            ORDER BY cos DESC, vec_id LIMIT 20
+        )
+    ),
+    srp20 AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank_srp
+        FROM (
+            SELECT e.vec_id, e.label,
+                   ROUND({o_cosine('e.embedding', 'p.p')}, 6) AS cos
+            FROM embeddings e, probe p
+            WHERE {o_srp_bucket('e.embedding', N_PLANES, DIMS)} = p.pbucket
+            ORDER BY cos DESC, vec_id LIMIT 20
+        )
+    )
+    SELECT COALESCE(a.vec_id, b.vec_id) AS vec_id,
+           COALESCE(a.label, b.label) AS label,
+           a.rank_exact, b.rank_srp,
+           {o_round6(
+               "COALESCE(CAST(1 AS DOUBLE)/(60 + a.rank_exact), 0.0)"
+               " + COALESCE(CAST(1 AS DOUBLE)/(60 + b.rank_srp), 0.0)"
+           )} AS rrf
+    FROM exact20 a FULL OUTER JOIN srp20 b ON a.vec_id = b.vec_id
+    ORDER BY rrf DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__p"),
+        srp_bucket("embedding").alias("__pbucket"),
+    )
+    scored = emb.join(F.broadcast(probe)).withColumn(
+        "cos", F.round(cosine("embedding", "__p"), 6)
+    )
+    rank_w = Window.orderBy(F.col("cos").desc(), "vec_id")  # over <=20 rows
+    exact20 = (
+        scored.orderBy(F.col("cos").desc(), "vec_id")
+        .limit(20)
+        .withColumn("rank_exact", F.row_number().over(rank_w))
+        .select("vec_id", "label", "rank_exact")
+    )
+    srp20 = (
+        scored.filter(srp_bucket("embedding") == F.col("__pbucket"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(20)
+        .withColumn("rank_srp", F.row_number().over(rank_w))
+        .select(
+            F.col("vec_id").alias("b_vec_id"),
+            F.col("label").alias("b_label"),
+            "rank_srp",
+        )
+    )
+    fused = exact20.join(
+        srp20, exact20["vec_id"] == srp20["b_vec_id"], "full_outer"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rank_exact")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_srp")), F.lit(0.0))
+    return (
+        fused.select(
+            F.coalesce("vec_id", "b_vec_id").alias("vec_id"),
+            F.coalesce("label", "b_label").alias("label"),
+            "rank_exact",
+            "rank_srp",
+            round6(rrf).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "vec_id")
+        .limit(10)
+    )

@@ -802,3 +802,69 @@ def test_bloom_decontamination_matches_python_sets(spark):
     }
     assert got == expect
     assert len(expect) > 0
+
+
+def test_rank_fusion_matches_python_rrf(spark):
+    """Both retrieval channels (exact cosine top-20, SRP same-bucket
+    top-20) and the RRF blend recomputed with hashlib + left-to-right
+    float folds (the same sequential order as Spark's aggregate())."""
+    import hashlib
+    import math
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    signs = [
+        [
+            1.0 if hashlib.md5(f"p{p}_{j}".encode()).hexdigest()[0] >= "8" else -1.0
+            for j in range(64)
+        ]
+        for p in range(4)
+    ]
+
+    def bucket(v):
+        bits = ""
+        for p in range(4):
+            dot = 0.0
+            for x, s in zip(v, signs[p]):
+                dot += float(x) * s
+            bits += "1" if dot >= 0 else "0"
+        return bits
+
+    probe = emb.loc[emb.vec_id == 0].iloc[0]
+    rows = [
+        (int(r.vec_id), int(r.label), r6(cos(r.embedding, probe.embedding)), bucket(r.embedding))
+        for r in emb.itertuples()
+    ]
+    pb = bucket(probe.embedding)
+    exact = sorted(rows, key=lambda t: (-t[2], t[0]))[:20]
+    srp = sorted([t for t in rows if t[3] == pb], key=lambda t: (-t[2], t[0]))[:20]
+    ra = {t[0]: i + 1 for i, t in enumerate(exact)}
+    rb = {t[0]: i + 1 for i, t in enumerate(srp)}
+    fused = {}
+    for vid in set(ra) | set(rb):
+        s = (1.0 / (60 + ra[vid]) if vid in ra else 0.0) + (
+            1.0 / (60 + rb[vid]) if vid in rb else 0.0
+        )
+        fused[vid] = (ra.get(vid), rb.get(vid), r6(s))
+    top10 = sorted(fused.items(), key=lambda kv: (-kv[1][2], kv[0]))[:10]
+    expect = {vid: v for vid, v in top10}
+
+    got = {
+        r["vec_id"]: (r["rank_exact"], r["rank_srp"], r["rrf"])
+        for r in QUERIES["embedding_rank_fusion"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) == 10
