@@ -103,7 +103,8 @@ GATE_FIRST: list[str] = [
 # Queued for the ROUND-7 window (registered + oracle-enforced by pytest,
 # no driver row yet — landed after this round's 50 slots filled):
 #   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit,
-#   vocab_coverage_curve
+#   vocab_coverage_curve, hll_distinct_by_source, bloom_decontamination,
+#   embedding_rank_fusion
 
 
 def _apply_gate_order() -> None:
