@@ -2937,3 +2937,137 @@ def embedding_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (new r6): the lexical-ranking twin of
+# text_tfidf_topk — Okapi BM25 (k1=1.2, b=0.75, Robertson idf with +1
+# floor) for a fixed 3-term query over the documents table. Per-term
+# scores are materialized as separate columns via conditional
+# aggregation and added in FIXED order (term1 + term2 + term3), so the
+# float sum is the identical IEEE chain on both engines — no
+# order-sensitive SUM over a term group.
+#
+# Scale shape: one tokenize/explode pass filtered to the query terms at
+# the scan (predicate on the exploded token, pushed before the groupBy),
+# one doc-keyed aggregate; doc-length stats and per-term document
+# frequencies are 1-row/3-row broadcast scalars. Top-k ends in
+# TakeOrderedAndProject. At 100 TB this is the classic two-pass sparse
+# retrieval shape: corpus stats once, then a term-pruned scan.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_O_NORM},
+    dl AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dlen FROM words
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dlen) AS BIGINT) AS tot_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST(w) AS tk FROM words)
+        WHERE tk IN ('spark', 'join', 'filter')
+        GROUP BY doc_id, tk
+    ),
+    df AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               t.tk,
+               ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * ({_BM25_K1} + 1.0))
+                 / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * l.dlen / (CAST(s.tot_len AS DOUBLE) / s.n_docs)))
+                 AS sc
+        FROM tf t
+        JOIN df d ON t.tk = d.tk
+        JOIN dl l ON t.doc_id = l.doc_id
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COALESCE(MAX(CASE WHEN tk = 'spark' THEN sc END), 0.0) AS s1,
+               COALESCE(MAX(CASE WHEN tk = 'join' THEN sc END), 0.0) AS s2,
+               COALESCE(MAX(CASE WHEN tk = 'filter' THEN sc END), 0.0) AS s3
+        FROM scored GROUP BY doc_id
+    )
+    SELECT p.doc_id, d.source,
+           CAST(COALESCE(l.dlen, 0) AS BIGINT) AS dlen,
+           {o_round6("(p.s1 + p.s2) + p.s3")} AS bm25
+    FROM per_doc p
+    JOIN dl l ON p.doc_id = l.doc_id
+    JOIN documents d ON p.doc_id = d.doc_id
+    ORDER BY bm25 DESC, p.doc_id
+    LIMIT 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    words = managed_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(dd.normalized_text("text"), " ").alias("w"),
+        )
+    )
+    dl = words.select("doc_id", "source", F.size("w").cast("long").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("tot_len")
+    )
+    tf = (
+        words.select("doc_id", F.explode("w").alias("tk"))
+        .filter(F.col("tk").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("tot_len").cast("double") / F.col("n_docs")
+    sc = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tk")
+        .join(dl.select("doc_id", "dlen"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tk", sc.alias("sc"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tk") == t, F.col("sc"))), F.lit(0.0)
+            ).alias(f"s{i + 1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    return (
+        per_doc.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("dlen", F.lit(0)).cast("long").alias("dlen"),
+            round6((F.col("s1") + F.col("s2")) + F.col("s3")).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -868,3 +868,47 @@ def test_rank_fusion_matches_python_rrf(spark):
     }
     assert got == expect
     assert len(got) == 10
+
+
+def test_bm25_matches_python_counters(spark):
+    """BM25 (k1=1.2, b=0.75, idf with +1) recomputed with Counters and
+    the same fixed-order float additions."""
+    import math
+    from collections import Counter
+
+    docs = _docs()
+    words = {r.doc_id: _words(r.text) for r in docs.itertuples()}
+    src = {r.doc_id: r.source for r in docs.itertuples()}
+    n_docs = len(words)
+    avgdl = sum(len(w) for w in words.values()) / n_docs
+    terms = ("spark", "join", "filter")
+    df = Counter(t for w in words.values() for t in set(w) if t in terms)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for d, w in words.items():
+        tf = Counter(t for t in w if t in terms)
+        if not tf:
+            continue
+        s = []
+        for t in terms:
+            if tf[t]:
+                idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s.append(
+                    idf
+                    * (tf[t] * 2.2)
+                    / (tf[t] + 1.2 * (1.0 - 0.75 + 0.75 * len(w) / avgdl))
+                )
+            else:
+                s.append(0.0)
+        expect[d] = (src[d], len(w), r6((s[0] + s[1]) + s[2]))
+    top10 = sorted(expect.items(), key=lambda kv: (-kv[1][2], kv[0]))[:10]
+
+    got = [
+        (r["doc_id"], (r["source"], r["dlen"], r["bm25"]))
+        for r in QUERIES["bm25_topk"](spark, SF).collect()
+    ]
+    assert got == top10
+    assert len(got) == 10
