@@ -3071,3 +3071,70 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (new r6): the alpha-sampling rule
+# used for multilingual/source balancing in LM training (w_i ∝ p_i^α) at
+# α = 0.3 / 0.7 / 1.0, with α=1.0 reproducing the raw proportions as a
+# built-in sanity anchor. Each p^α is quantized to a 1e-9 fixed-point
+# integer with the round6-style FLOOR(x·s + 0.5) on BOTH engines, so the
+# normalizing sums are order-independent exact integer additions.
+#
+# Scale shape: one map-side-combined count per source, then arithmetic
+# over the source-cardinality table (two broadcast scalar joins). The
+# corpus scan is the only O(rows) stage.
+# ---------------------------------------------------------------------------
+_MIX_ALPHAS = (("w03", 0.3), ("w07", 0.7), ("w10", 1.0))
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM per),
+    q AS (
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / t.n AS p,
+               {", ".join(
+                   f"CAST(FLOOR(pow(CAST(n_docs AS DOUBLE) / t.n, {a}) * 1000000000 + 0.5) AS BIGINT) AS q_{nm}"
+                   for nm, a in _MIX_ALPHAS
+               )}
+        FROM per, tot t
+    ),
+    s AS (
+        SELECT {", ".join(f"SUM(q_{nm}) AS s_{nm}" for nm, _ in _MIX_ALPHAS)} FROM q
+    )
+    SELECT source, n_docs, {o_round6("p")} AS p,
+           {", ".join(
+               o_round6(f"CAST(q_{nm} AS DOUBLE) / s.s_{nm}") + f" AS {nm}"
+               for nm, _ in _MIX_ALPHAS
+           )}
+    FROM q, s
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per.agg(F.sum("n_docs").alias("__n"))
+    q = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_docs").cast("double") / F.col("__n")
+    )
+    for nm, a in _MIX_ALPHAS:
+        q = q.withColumn(
+            f"q_{nm}",
+            F.floor(F.pow(F.col("p"), F.lit(a)) * 1_000_000_000 + 0.5).cast("long"),
+        )
+    sums = q.agg(*[F.sum(f"q_{nm}").alias(f"s_{nm}") for nm, _ in _MIX_ALPHAS])
+    return q.crossJoin(F.broadcast(sums)).select(
+        "source",
+        "n_docs",
+        round6(F.col("p")).alias("p"),
+        *[
+            round6(F.col(f"q_{nm}").cast("double") / F.col(f"s_{nm}")).alias(nm)
+            for nm, _ in _MIX_ALPHAS
+        ],
+    )

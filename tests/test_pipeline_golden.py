@@ -912,3 +912,38 @@ def test_bm25_matches_python_counters(spark):
     ]
     assert got == top10
     assert len(got) == 10
+
+
+def test_mixture_temperature_matches_python_dict_math(spark):
+    """Alpha-temperature weights recomputed with Counters and the same
+    1e-9 fixed-point quantization."""
+    import math
+    from collections import Counter
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    n = Counter(r.source for r in _docs().itertuples())
+    total = sum(n.values())
+    expect = {}
+    qs = {a: {} for a in (0.3, 0.7, 1.0)}
+    for s, c in n.items():
+        p = c / total
+        for a in qs:
+            qs[a][s] = math.floor(p**a * 1e9 + 0.5)
+    for s, c in n.items():
+        p = c / total
+        expect[s] = (
+            c,
+            r6(p),
+            *(r6(qs[a][s] / sum(qs[a].values())) for a in (0.3, 0.7, 1.0)),
+        )
+
+    got = {
+        r["source"]: (r["n_docs"], r["p"], r["w03"], r["w07"], r["w10"])
+        for r in QUERIES["mixture_temperature_weights"](spark, SF).collect()
+    }
+    assert got == expect
+    # α=1.0 must reproduce raw proportions
+    for s in got:
+        assert abs(got[s][4] - got[s][1]) <= 2e-6
