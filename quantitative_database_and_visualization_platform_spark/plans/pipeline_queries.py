@@ -3138,3 +3138,90 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             for nm, _ in _MIX_ALPHAS
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per day via HLL register merge (new r6): the
+# time-axis mergeability payoff — exact cumulative COUNT(DISTINCT) is
+# the classic scale-killer (each day re-touches every prior user), but
+# HLL register tables merge by max, so day d's state is one max over the
+# per-day partials. The exact first-seen cumsum rides along to score the
+# sketch per day.
+#
+# Scale shape: the event scan collapses to (days x 256) register cells
+# in one map-side-combined shuffle; the expanding merge is a
+# calendar-bounded inequality join over that cell table (days x days x
+# 256 worst case — calendar-sized, never event-sized) with the day list
+# broadcast. The exact scorer (min-date per user + one unpartitioned
+# calendar-bounded cumsum window) is the only user-cardinality stage,
+# and exists only to report sketch error.
+# ---------------------------------------------------------------------------
+@query(
+    "hll_cumulative_users",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    {sk.o_hll_regs("ev", "d", "user_id", name="regs_day")},
+    days AS (SELECT DISTINCT d FROM ev),
+    cum AS (
+        SELECT dd.d, r.register, MAX(r.max_rho) AS max_rho
+        FROM days dd JOIN regs_day r ON r.d <= dd.d
+        GROUP BY dd.d, r.register
+    ),
+    {sk.o_hll_collapse("cum", "d")},
+    firsts AS (
+        SELECT user_id, MIN(d) AS fd FROM ev GROUP BY user_id
+    ),
+    newc AS (
+        SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY fd
+    ),
+    daily AS (
+        SELECT dd.d, COALESCE(n.n_new, 0) AS n_new
+        FROM days dd LEFT JOIN newc n ON dd.d = n.fd
+    ),
+    exacts AS (
+        SELECT d, SUM(n_new) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exact_cum
+        FROM daily
+    )
+    SELECT h.d, h.registers_hit, h.hll_estimate,
+           CAST(e.exact_cum AS BIGINT) AS exact_cum_users,
+           {o_round6("(h.hll_estimate - e.exact_cum) / e.exact_cum")} AS rel_err
+    FROM hll_out h JOIN exacts e ON h.d = e.d
+    """,
+)
+def hll_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+    )
+    regs_day = managed_persist(sk.hll_registers(ev, "d", "user_id"))
+    days = ev.select("d").distinct()
+    cum = (
+        regs_day.alias("r")
+        .join(F.broadcast(days.alias("dd")), F.col("r.d") <= F.col("dd.d"))
+        .groupBy(F.col("dd.d").alias("d"), "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = sk.hll_estimate_from_registers(cum, "d")
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("fd"))
+    newc = firsts.groupBy("fd").agg(F.count(F.lit(1)).alias("n_new"))
+    daily = days.join(newc, days["d"] == newc["fd"], "left").select(
+        "d", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    # unpartitioned expanding window: calendar-bounded (one row per day)
+    cum_w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    exacts = daily.select(
+        "d", F.sum("n_new").over(cum_w).cast("long").alias("exact_cum_users")
+    )
+    return est.join(exacts, "d").select(
+        "d",
+        "registers_hit",
+        "hll_estimate",
+        "exact_cum_users",
+        round6(
+            (F.col("hll_estimate") - F.col("exact_cum_users"))
+            / F.col("exact_cum_users")
+        ).alias("rel_err"),
+    )

@@ -947,3 +947,54 @@ def test_mixture_temperature_matches_python_dict_math(spark):
     # α=1.0 must reproduce raw proportions
     for s in got:
         assert abs(got[s][4] - got[s][1]) <= 2e-6
+
+
+def test_hll_cumulative_users_matches_python_merge(spark):
+    """Per-day register partials merged by max along the time axis,
+    recomputed with hashlib + dict loops; exact cumsum from first-seen
+    dates."""
+    import hashlib
+    import math
+
+    from quantitative_database_and_visualization_platform_spark.pipeline import sketches as sk
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    day_regs: dict = {}
+    first_seen: dict = {}
+    for r in ev.itertuples():
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        reg, v = int(h[:2], 16), int(h[2:15], 16)
+        rho = 53 if v == 0 else 53 - v.bit_length()
+        m = day_regs.setdefault(r.d, {})
+        m[reg] = max(m.get(reg, 0), rho)
+        if r.user_id not in first_seen or r.d < first_seen[r.user_id]:
+            first_seen[r.user_id] = r.d
+
+    days = sorted(day_regs)
+    expect = {}
+    merged: dict = {}
+    for d in days:
+        for reg, rho in day_regs[d].items():
+            merged[reg] = max(merged.get(reg, 0), rho)
+        hit = len(merged)
+        s = sum(1 << (53 - x) for x in merged.values()) + (256 - hit) * (1 << 53)
+        raw = sk.HLL_NUMERATOR / float(s)
+        zeros = 256 - hit
+        est = 256.0 * math.log(256.0 / zeros) if (raw <= 640.0 and zeros > 0) else raw
+        exact = sum(1 for fd in first_seen.values() if fd <= d)
+        expect[d] = (hit, r6(est), exact, r6((r6(est) - exact) / exact))
+
+    got = {
+        r["d"]: (r["registers_hit"], r["hll_estimate"], r["exact_cum_users"], r["rel_err"])
+        for r in QUERIES["hll_cumulative_users"](spark, SF).collect()
+    }
+    assert got == expect
+    # cumulative exact counts must be nondecreasing and end at the
+    # global distinct-user count
+    seq = [expect[d][2] for d in days]
+    assert seq == sorted(seq) and seq[-1] == len(first_seen)
