@@ -104,7 +104,8 @@ GATE_FIRST: list[str] = [
 # no driver row yet — landed after this round's 50 slots filled):
 #   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit,
 #   vocab_coverage_curve, hll_distinct_by_source, bloom_decontamination,
-#   embedding_rank_fusion
+#   embedding_rank_fusion, bm25_topk, mixture_temperature_weights,
+#   hll_cumulative_users
 
 
 def _apply_gate_order() -> None:
