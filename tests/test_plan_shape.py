@@ -244,3 +244,53 @@ def test_lm_perplexity_joins_corpus_stream_once(spark):
     # bigram join + final lang join are the allowed two
     n_smj = plan.count("SortMergeJoin")
     assert n_smj <= 2, f"{n_smj} sort-merge joins\n{plan[:3000]}"
+
+
+def test_bloom_bits_join_is_broadcast(spark):
+    """The Bloom bit-table join must be an explicit broadcast (the bit
+    table is <= 2^16 rows at any corpus scale) and the probe side must
+    be factored through the DISTINCT gram vocabulary — no nested loop,
+    no cartesian anywhere in the plan."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["bloom_decontamination"](spark, SF))
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "Cartesian" not in plan, plan[:3000]
+    assert "BroadcastHashJoin [pos#" in plan or "BroadcastHashJoin[pos#" in plan.replace(
+        " ", ""
+    ), f"bit-table join not broadcast on pos:\n{plan[:3000]}"
+
+
+def test_hll_register_agg_is_partial(spark):
+    """The HLL register build must map-side combine (partial_max over
+    rho) BEFORE the exchange — the shuffle carries (group x 256) cells,
+    never raw tokens."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["hll_distinct_by_source"](spark, SF))
+    assert "partial_max" in plan, f"no map-side combine on register cells:\n{plan[:3000]}"
+
+
+def test_bm25_prunes_terms_before_aggregation(spark):
+    """The tokenize/explode pass must filter to the query terms BEFORE
+    the tf groupBy (term-pruned scan), and the final top-k must be a
+    TakeOrderedAndProject, not a global sort."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["bm25_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # the IN-filter on the exploded token appears under the Generate, and
+    # every aggregate downstream sees only the 3 query terms
+    assert "tk#" in plan and ("tk# IN" in plan or "tk#" in plan and " IN (spark,join,filter)" in plan.replace("\n", " ")), plan[:3000]
+
+
+def test_rank_fusion_channels_end_in_topk(spark):
+    """Both retrieval channels must end in TakeOrderedAndProject before
+    the rank windows, so the unpartitioned row_number only ever sees
+    <= 20 rows."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["embedding_rank_fusion"](spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 3, (
+        f"expected topk in both channels + final fusion:\n{plan[:3000]}"
+    )
