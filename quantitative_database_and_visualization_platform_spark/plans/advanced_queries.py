@@ -542,3 +542,47 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         "event_cnt",
         (F.col("__cents") / 100.0).alias("value_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval (stream-stream) join, batch twin (new r6): every (click,
+# purchase) of the same user with the purchase inside (click_ts,
+# click_ts + 10 min]. The registered batch query shares its body with
+# streaming.tick_bars.click_purchase_interval_join, whose streaming form
+# carries event-time watermarks on BOTH sides so join state is evicted
+# once the opposite watermark passes the bound — state O(events per
+# window), not O(stream length); the availableNow replay parity is
+# asserted in tests/test_streaming_ingest.py.
+#
+# Scale shape: an equi join on user_id with a range residual — one
+# hash-partitioned shuffle per side, never a cartesian; output is
+# bounded by true temporal coincidences.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_join_click_purchase",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+               event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS purchase_ts,
+               event_id AS purchase_id, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, click_id, click_ts, purchase_id, purchase_ts,
+           purchase_value
+    FROM c JOIN p ON user_id = p_user
+        AND purchase_ts > click_ts
+        AND purchase_ts <= click_ts + INTERVAL 10 MINUTE
+    """,
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.tick_bars import click_purchase_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

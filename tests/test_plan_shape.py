@@ -294,3 +294,15 @@ def test_rank_fusion_channels_end_in_topk(spark):
     assert plan.count("TakeOrderedAndProject") >= 3, (
         f"expected topk in both channels + final fusion:\n{plan[:3000]}"
     )
+
+
+def test_interval_join_hashes_on_user(spark):
+    """The interval join must key the hash/sort-merge join on user_id
+    with the time range as a residual filter — never a nested loop over
+    the time condition."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["interval_join_click_purchase"](spark, SF))
+    assert "NestedLoop" not in plan, plan[:3000]
+    assert "Cartesian" not in plan, plan[:3000]
+    assert "user_id" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan), plan[:3000]
