@@ -128,3 +128,63 @@ def read_zipped_csvs(
 
     blobs = spark.read.format("binaryFile").load(zip_glob).select("content")
     return blobs.mapInPandas(unzip_batches, schema=schema)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Read newline-delimited JSON (the standard training-data
+    interchange format) with PERMISSIVE corrupt-record capture: malformed
+    lines land whole in ``corrupt_col`` instead of failing the job or
+    being silently dropped — at pipeline scale a few bad lines per
+    shard are certain and must be quarantined, not fatal.
+
+    With an explicit ``schema`` the read is one pass; without one Spark
+    runs its sampling inference pass first (fine interactively, pass a
+    schema in production so a 100 TB corpus is not scanned twice). The
+    corrupt column is appended to the schema automatically when absent.
+    """
+    if schema is not None and corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, "string")
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if corrupt_col not in df.columns:
+        # inference saw only clean rows: add the column so downstream
+        # quarantine splits are schema-stable
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(corrupt_col, F.lit(None).cast("string"))
+    return df
+
+
+def split_quarantine(df: DataFrame, corrupt_col: str = "_corrupt_record"):
+    """(clean, quarantined) split of a PERMISSIVE jsonl read. The clean
+    side drops the corrupt column; the quarantine side keeps only it —
+    write it next to the output for replay/debugging.
+
+    The read is cached first: Spark disallows queries whose referenced
+    columns are ONLY the internal corrupt-record column on a raw
+    JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) —
+    the documented pattern is to materialize the parsed rows before
+    splitting. At corpus scale, checkpoint the parsed frame to parquet
+    once and split from that instead of caching (one scan either way)."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return clean, bad
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Bulk newline-delimited JSON sink (one file per partition; callers
+    control fan-in with coalesce/repartition)."""
+    df.write.mode(mode).json(path)

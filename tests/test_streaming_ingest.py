@@ -584,3 +584,67 @@ def test_streaming_session_windows_match_batch(spark):
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want) > 0
     assert got.equals(want)
+
+
+def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
+    """JSONL write → corrupt two lines in place → PERMISSIVE read with
+    explicit schema: clean rows parse exactly, corrupt lines land whole
+    in the quarantine split, nothing is dropped."""
+    import glob
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.sources.ingest import (
+        read_jsonl,
+        split_quarantine,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_docs = docs.count()
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.coalesce(1), out)
+
+    part = glob.glob(f"{out}/part-*.json")[0]
+    with open(part) as fh:
+        lines = fh.read().splitlines()
+    lines[1] = lines[1][:-5] + "oops"   # truncated JSON
+    lines[3] = "not json at all {{{"
+    with open(part, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    # drop hadoop's checksum sidecars: the in-place corruption would
+    # otherwise fail the read with ChecksumException before the JSON
+    # parser (whose corrupt-record path is what we are testing) runs
+    for crc in glob.glob(f"{out}/.*.crc"):
+        os.remove(crc)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    df = read_jsonl(spark, out, schema=schema)
+    clean, bad = split_quarantine(df)
+    assert clean.count() == n_docs - 2
+    assert bad.count() == 2
+    assert set(clean.columns) == {"doc_id", "source", "text"}
+    # quarantined rows carry the raw line for replay
+    quarantined = {r["_corrupt_record"] for r in bad.collect()}
+    assert "not json at all {{{" in quarantined
+    # clean rows parsed exactly (values, not just counts)
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in clean.collect():
+        assert orig[r["doc_id"]] == r["text"]
+
+    # schema-inference path (no explicit schema) on an all-clean file
+    clean_dir = str(tmp_path / "clean_jsonl")
+    write_jsonl(docs.coalesce(1), clean_dir)
+    inferred = read_jsonl(spark, clean_dir)
+    assert "_corrupt_record" in inferred.columns
+    assert inferred.filter(inferred["_corrupt_record"].isNotNull()).count() == 0
