@@ -586,3 +586,109 @@ def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / CDC classification (new r6): the lakehouse maintenance
+# op — given two versions of a keyed table, classify every key as
+# added / removed / changed / unchanged by comparing md5 row
+# fingerprints over a full outer join on the key. Simulated versions
+# from the orders table (v1 drops keys %991, v2 drops %997 and bumps
+# %1000 prices 10%), so all four classes are non-empty and
+# deterministic. Fingerprints hash only integer/string renderings
+# (price as fixed-point cents, date as DATE string) — never raw double
+# formatting, which diverges across engines.
+#
+# Scale shape: one hash-partitioned full outer join on the key and a
+# 4-row aggregate; both snapshot scans are full column-pruned parquet
+# passes. This is how a 100 TB table diff actually runs — no
+# driver-side comparison, no sort.
+# ---------------------------------------------------------------------------
+_DIFF_FP = (
+    "md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+    "CAST(price_cents AS VARCHAR) || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"
+    " || '|' || o_orderpriority)"
+)
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+               o_orderpriority
+        FROM orders
+    ),
+    v1 AS (
+        SELECT *, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM base WHERE o_orderkey % 991 <> 0
+    ),
+    v2 AS (
+        SELECT *, CAST(FLOOR(
+            CASE WHEN o_orderkey % 1000 = 0 THEN o_totalprice * 1.1
+                 ELSE o_totalprice END * 100 + 0.5) AS BIGINT) AS price_cents
+        FROM base WHERE o_orderkey % 997 <> 0
+    ),
+    h1 AS (SELECT o_orderkey AS k1, {_DIFF_FP} AS fp1 FROM v1),
+    h2 AS (SELECT o_orderkey AS k2, {_DIFF_FP} AS fp2 FROM v2),
+    d AS (
+        SELECT COALESCE(k1, k2) AS k,
+               CASE WHEN k1 IS NULL THEN 'added'
+                    WHEN k2 IS NULL THEN 'removed'
+                    WHEN fp1 <> fp2 THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM h1 FULL OUTER JOIN h2 ON k1 = k2
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(k) AS min_key, MAX(k) AS max_key
+    FROM d GROUP BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    def fingerprinted(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    "o_orderstatus",
+                    F.col("price_cents").cast("string"),
+                    F.to_date("o_orderdate").cast("string"),
+                    "o_orderpriority",
+                )
+            ).alias("fp"),
+        )
+
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5)).cast("long")
+    v1 = fingerprinted(
+        base.filter(F.col("o_orderkey") % 991 != 0).withColumn(
+            "price_cents", cents(F.col("o_totalprice"))
+        )
+    ).select(F.col("o_orderkey").alias("k1"), F.col("fp").alias("fp1"))
+    v2 = fingerprinted(
+        base.filter(F.col("o_orderkey") % 997 != 0).withColumn(
+            "price_cents",
+            cents(
+                F.when(
+                    F.col("o_orderkey") % 1000 == 0, F.col("o_totalprice") * 1.1
+                ).otherwise(F.col("o_totalprice"))
+            ),
+        )
+    ).select(F.col("o_orderkey").alias("k2"), F.col("fp").alias("fp2"))
+    d = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.coalesce("k1", "k2").alias("k"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )

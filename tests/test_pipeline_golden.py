@@ -998,3 +998,51 @@ def test_hll_cumulative_users_matches_python_merge(spark):
     # global distinct-user count
     seq = [expect[d][2] for d in days]
     assert seq == sorted(seq) and seq[-1] == len(first_seen)
+
+
+def test_snapshot_diff_matches_python_dicts(spark):
+    """CDC classification recomputed with plain dict diffs (no joins, no
+    hashes — field tuples compared directly)."""
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+
+    def row_tuple(r, bump):
+        p = r.o_totalprice * 1.1 if bump else r.o_totalprice
+        return (
+            r.o_orderstatus,
+            math.floor(p * 100 + 0.5),
+            str(pd.Timestamp(r.o_orderdate).date()),
+            r.o_orderpriority,
+        )
+
+    v1 = {
+        int(r.o_orderkey): row_tuple(r, False)
+        for r in orders.itertuples()
+        if r.o_orderkey % 991 != 0
+    }
+    v2 = {
+        int(r.o_orderkey): row_tuple(r, r.o_orderkey % 1000 == 0)
+        for r in orders.itertuples()
+        if r.o_orderkey % 997 != 0
+    }
+    cls: dict[str, list] = {"added": [], "removed": [], "changed": [], "unchanged": []}
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            cls["added"].append(k)
+        elif k not in v2:
+            cls["removed"].append(k)
+        elif v1[k] != v2[k]:
+            cls["changed"].append(k)
+        else:
+            cls["unchanged"].append(k)
+    expect = {
+        c: (len(ks), min(ks), max(ks)) for c, ks in cls.items() if ks
+    }
+
+    got = {
+        r["change_type"]: (r["n"], r["min_key"], r["max_key"])
+        for r in QUERIES["snapshot_diff_orders"](spark, SF).collect()
+    }
+    assert got == expect
+    assert set(got) >= {"unchanged"}
