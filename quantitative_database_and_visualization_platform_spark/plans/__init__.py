@@ -105,7 +105,8 @@ GATE_FIRST: list[str] = [
 #   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit,
 #   vocab_coverage_curve, hll_distinct_by_source, bloom_decontamination,
 #   embedding_rank_fusion, bm25_topk, mixture_temperature_weights,
-#   hll_cumulative_users
+#   hll_cumulative_users, interval_join_click_purchase,
+#   snapshot_diff_orders
 
 
 def _apply_gate_order() -> None:
