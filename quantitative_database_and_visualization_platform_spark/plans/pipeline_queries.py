@@ -3028,9 +3028,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dlen").alias("tot_len")
     )
+    # prune INSIDE the array before exploding: Generate then materializes
+    # only matching tokens (3-term queries emit ~0-5 rows/doc) instead of
+    # one row per corpus token — the explode fan-out IS the scan cost at
+    # corpus scale
+    terms_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     tf = (
-        words.select("doc_id", F.explode("w").alias("tk"))
-        .filter(F.col("tk").isin(*_BM25_TERMS))
+        words.select(
+            "doc_id",
+            F.explode(F.expr(f"filter(w, x -> x IN ({terms_list}))")).alias("tk"),
+        )
         .groupBy("doc_id", "tk")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

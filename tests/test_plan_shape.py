@@ -272,16 +272,18 @@ def test_hll_register_agg_is_partial(spark):
 
 
 def test_bm25_prunes_terms_before_aggregation(spark):
-    """The tokenize/explode pass must filter to the query terms BEFORE
-    the tf groupBy (term-pruned scan), and the final top-k must be a
-    TakeOrderedAndProject, not a global sort."""
+    """The term pruning must happen INSIDE the token array (filter
+    lambda under the Generate input) so the explode materializes only
+    matching tokens — never one row per corpus token; and the final
+    top-k must be a TakeOrderedAndProject, not a global sort."""
     from quantitative_database_and_visualization_platform_spark.plans import QUERIES
 
     plan = _plan(QUERIES["bm25_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan[:3000]
-    # the IN-filter on the exploded token appears under the Generate, and
-    # every aggregate downstream sees only the 3 query terms
-    assert "tk#" in plan and ("tk# IN" in plan or "tk#" in plan and " IN (spark,join,filter)" in plan.replace("\n", " ")), plan[:3000]
+    flat = plan.replace("\n", " ")
+    assert "Generate explode(filter(" in flat, (
+        f"explode input is not the term-filtered array:\n{plan[:3000]}"
+    )
 
 
 def test_rank_fusion_channels_end_in_topk(spark):
