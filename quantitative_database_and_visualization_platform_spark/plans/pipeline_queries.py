@@ -2708,9 +2708,11 @@ _O_HLL_TOK = """
 def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     shingled = managed_persist(dd.with_shingles(docs, k=3))
-    toks = managed_persist(
-        shingled.select("source", F.explode("shingles").alias("tok"))
-    )
+    # explode straight off the persisted array each time: three consumers
+    # (register build, per-source exact, global exact) re-expand cached
+    # arrays cheaply; a second persist of the full token stream costs
+    # more than it saves (measured)
+    toks = shingled.select("source", F.explode("shingles").alias("tok"))
     regs_src = managed_persist(sk.hll_registers(toks, "source", "tok"))
     merged = (
         regs_src.groupBy("register")
