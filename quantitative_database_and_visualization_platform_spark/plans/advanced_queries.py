@@ -692,3 +692,128 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_key"),
         F.max("k").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition (Markov) matrix (new r6): per-user event sequences →
+# (from, to) transition counts and per-source-state probabilities — the
+# sequence-mining summary behind "what do users do after a click".
+# Ordering is (ts, event_id): the unique tie-break makes the lag
+# deterministic under concurrent timestamps on both engines.
+#
+# Scale shape: one user-keyed window (each user's sequence lives in one
+# partition — user-cardinality parallelism), then a (from, to) aggregate
+# bounded by event-type²; probabilities divide exact integer counts.
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           FLOOR((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type))
+                 * 1000000 + 0.5) / 1000000.0 AS p
+    FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    t = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        round6(F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (new r6): users grouped by first-activity week
+# (the cohort), tracked across subsequent weeks — the standard product-
+# analytics triangle the reference's dashboards would chart. Week
+# buckets via date_trunc('week') (ISO Monday on both engines); offsets
+# are exact integer day-diffs / 7.
+#
+# Scale shape: first-seen is one user-keyed min; the matrix is a
+# (cohort-week × offset) aggregate over DISTINCT (user, week) activity —
+# calendar-bounded output, user-bounded shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohort GROUP BY cohort_wk
+    ),
+    m AS (
+        SELECT c.cohort_wk,
+               CAST((a.wk - c.cohort_wk) / 7 AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        FROM act a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cohort_wk, week_offset
+    )
+    SELECT m.cohort_wk, m.week_offset, s.cohort_size, m.n_active,
+           FLOOR((CAST(m.n_active AS DOUBLE) / s.cohort_size) * 1000000 + 0.5)
+               / 1000000.0 AS retention
+    FROM m JOIN sizes s ON m.cohort_wk = s.cohort_wk
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    act = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date").alias("wk"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    m = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return m.join(sizes, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        round6(F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
+    )

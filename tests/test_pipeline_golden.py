@@ -1046,3 +1046,78 @@ def test_snapshot_diff_matches_python_dicts(spark):
     }
     assert got == expect
     assert set(got) >= {"unchanged"}
+
+
+def test_event_transitions_match_python_counters(spark):
+    """Per-user lag sequences and transition probabilities recomputed
+    with sorted lists + Counters."""
+    import math
+    from collections import Counter, defaultdict
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    seqs = defaultdict(list)
+    for r in ev.itertuples():
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    trans = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            trans[(a, b)] += 1
+    totals = Counter()
+    for (a, _), n in trans.items():
+        totals[a] += n
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {
+        (a, b): (n, r6(n / totals[a])) for (a, b), n in trans.items()
+    }
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in QUERIES["event_transition_matrix"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 5
+
+
+def test_cohort_retention_matches_python_sets(spark):
+    """Cohort triangle recomputed with date math + sets; offset-0
+    retention must be 1.0 for every cohort."""
+    import math
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    weeks = defaultdict(set)
+    for r in ev.itertuples():
+        d = pd.Timestamp(r.ts)
+        wk = (d - pd.Timedelta(days=d.dayofweek)).date()
+        weeks[r.user_id].add(wk)
+    cohort = {u: min(ws) for u, ws in weeks.items()}
+    sizes = defaultdict(int)
+    for u in cohort:
+        sizes[cohort[u]] += 1
+    m = defaultdict(set)
+    for u, ws in weeks.items():
+        for wk in ws:
+            m[(cohort[u], (wk - cohort[u]).days // 7)].add(u)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {
+        (cw, off): (sizes[cw], len(us), r6(len(us) / sizes[cw]))
+        for (cw, off), us in m.items()
+    }
+    got = {
+        (r["cohort_wk"], r["week_offset"]): (
+            r["cohort_size"],
+            r["n_active"],
+            r["retention"],
+        )
+        for r in QUERIES["cohort_retention_matrix"](spark, SF).collect()
+    }
+    assert got == expect
+    for (cw, off), (_, _, ret) in got.items():
+        if off == 0:
+            assert ret == 1.0
