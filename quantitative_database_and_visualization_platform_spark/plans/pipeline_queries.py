@@ -3234,3 +3234,82 @@ def hll_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_cum_users")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users via banded HLL register join (new r6):
+# the WAU-from-sketches op — day d's register state is the max over the
+# per-day partials of [d-6, d], a banded variant of the cumulative
+# merge. The exact 7-day COUNT(DISTINCT) (users × 7-day fan-out) rides
+# along as the scorer.
+#
+# Scale shape: identical to hll_cumulative_users except the inequality
+# join is banded (7 days), so the cell table it expands is (days × 7 ×
+# 256) — still calendar-sized. At 100 TB only the per-day register
+# build touches events; WAU/MAU roll up from stored partials.
+# ---------------------------------------------------------------------------
+@query(
+    "hll_rolling_users_7d",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    {sk.o_hll_regs("ev", "d", "user_id", name="regs_day")},
+    days AS (SELECT DISTINCT d FROM ev),
+    cum AS (
+        SELECT dd.d, r.register, MAX(r.max_rho) AS max_rho
+        FROM days dd JOIN regs_day r
+            ON r.d <= dd.d AND r.d >= dd.d - INTERVAL 6 DAY
+        GROUP BY dd.d, r.register
+    ),
+    {sk.o_hll_collapse("cum", "d")},
+    exacts AS (
+        SELECT dd.d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_users
+        FROM days dd JOIN ev e
+            ON e.d <= dd.d AND e.d >= dd.d - INTERVAL 6 DAY
+        GROUP BY dd.d
+    )
+    SELECT h.d, h.registers_hit, h.hll_estimate, e.exact_users,
+           {o_round6("(h.hll_estimate - e.exact_users) / e.exact_users")}
+               AS rel_err
+    FROM hll_out h JOIN exacts e ON h.d = e.d
+    """,
+)
+def hll_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = managed_persist(
+        load_table(spark, sf_dir, "events").select(
+            F.to_date("ts").alias("d"), "user_id"
+        )
+    )
+    regs_day = sk.hll_registers(ev, "d", "user_id")
+    days = ev.select("d").distinct()
+    band = (F.col("r.d") <= F.col("dd.d")) & (
+        F.col("r.d") >= F.date_sub(F.col("dd.d"), 6)
+    )
+    cum = (
+        regs_day.alias("r")
+        .join(F.broadcast(days.alias("dd")), band)
+        .groupBy(F.col("dd.d").alias("d"), "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = sk.hll_estimate_from_registers(cum, "d")
+    acts = ev.distinct()
+    exacts = (
+        acts.alias("e")
+        .join(
+            F.broadcast(days.alias("dd")),
+            (F.col("e.d") <= F.col("dd.d"))
+            & (F.col("e.d") >= F.date_sub(F.col("dd.d"), 6)),
+        )
+        .groupBy(F.col("dd.d").alias("d"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return est.join(exacts, "d").select(
+        "d",
+        "registers_hit",
+        "hll_estimate",
+        "exact_users",
+        round6(
+            (F.col("hll_estimate") - F.col("exact_users")) / F.col("exact_users")
+        ).alias("rel_err"),
+    )

@@ -1121,3 +1121,52 @@ def test_cohort_retention_matches_python_sets(spark):
     for (cw, off), (_, _, ret) in got.items():
         if off == 0:
             assert ret == 1.0
+
+
+def test_hll_rolling_users_matches_python_band_merge(spark):
+    """7-day banded register merge + exact windowed distinct recomputed
+    with dict loops."""
+    import hashlib
+    import math
+
+    from quantitative_database_and_visualization_platform_spark.pipeline import sketches as sk
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    day_regs: dict = {}
+    day_users: dict = {}
+    for r in ev.itertuples():
+        h = hashlib.md5(str(r.user_id).encode()).hexdigest()
+        reg, v = int(h[:2], 16), int(h[2:15], 16)
+        rho = 53 if v == 0 else 53 - v.bit_length()
+        m = day_regs.setdefault(r.d, {})
+        m[reg] = max(m.get(reg, 0), rho)
+        day_users.setdefault(r.d, set()).add(r.user_id)
+
+    days = sorted(day_regs)
+    expect = {}
+    for d in days:
+        window = [w for w in days if 0 <= (d - w).days <= 6]
+        merged: dict = {}
+        users: set = set()
+        for w in window:
+            for reg, rho in day_regs[w].items():
+                merged[reg] = max(merged.get(reg, 0), rho)
+            users |= day_users[w]
+        hit = len(merged)
+        s = sum(1 << (53 - x) for x in merged.values()) + (256 - hit) * (1 << 53)
+        raw = sk.HLL_NUMERATOR / float(s)
+        zeros = 256 - hit
+        est = 256.0 * math.log(256.0 / zeros) if (raw <= 640.0 and zeros > 0) else raw
+        expect[d] = (hit, r6(est), len(users), r6((r6(est) - len(users)) / len(users)))
+
+    got = {
+        r["d"]: (r["registers_hit"], r["hll_estimate"], r["exact_users"], r["rel_err"])
+        for r in QUERIES["hll_rolling_users_7d"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) == len(days)
