@@ -106,7 +106,8 @@ GATE_FIRST: list[str] = [
 #   vocab_coverage_curve, hll_distinct_by_source, bloom_decontamination,
 #   embedding_rank_fusion, bm25_topk, mixture_temperature_weights,
 #   hll_cumulative_users, interval_join_click_purchase,
-#   snapshot_diff_orders
+#   snapshot_diff_orders, event_transition_matrix,
+#   cohort_retention_matrix, hll_rolling_users_7d
 
 
 def _apply_gate_order() -> None:
