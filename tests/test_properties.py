@@ -432,3 +432,36 @@ def test_chunking_tiles_every_token(spark, n_tokens):
     assert covered == set(range(n_tokens))
     # no chunk starts at/after the end of the doc
     assert all(start < n_tokens for _, start, _, _ in got)
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Fundamental Bloom guarantee: every exact contamination hit is
+    also a bloom hit, per doc — a false negative would mean the filter
+    can silently leak benchmark text into training data."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    rows = QUERIES["bloom_decontamination"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact_hits"] <= r["n_bloom_hits"], r
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"], r
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL with m=256 registers has σ ≈ 1.04/√256 = 6.5%; every
+    per-source estimate (16k+ distinct shingles) must land within 3σ of
+    the exact count, and the merged '__all__' row must estimate at least
+    the largest single source."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    rows = {
+        r["source"]: r
+        for r in QUERIES["hll_distinct_by_source"](spark, "/root/testdata/sf0.01").collect()
+    }
+    assert "__all__" in rows
+    for src, r in rows.items():
+        assert abs(r["rel_err"]) < 3 * 1.04 / 16.0, (src, r["rel_err"])
+    biggest = max(
+        r["exact_distinct"] for s, r in rows.items() if s != "__all__"
+    )
+    assert rows["__all__"]["hll_estimate"] >= biggest * (1 - 3 * 1.04 / 16.0)
