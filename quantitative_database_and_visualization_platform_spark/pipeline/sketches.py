@@ -353,3 +353,39 @@ def o_bloom_pos(r_expr: str, element_expr: str) -> str:
         f"CAST('0x' || substr(md5(CAST({r_expr} AS VARCHAR) || '|' || "
         f"CAST({element_expr} AS VARCHAR)), 1, 13) AS BIGINT) % {BLOOM_M}"
     )
+
+
+def bloom_bitmap(bits: DataFrame) -> list[int]:
+    """Collapse a set-bit table to the literal bitmap: BLOOM_M bits as
+    BLOOM_M/64 signed longs (Spark long is signed; words with bit 63 set
+    wrap to negative). The collect is bounded by the FILTER SIZE (<=
+    BLOOM_M rows = 8 KB), never by the corpus — the same bounded-scalar
+    class as the repo's other driver reads. This is how a Bloom filter
+    actually ships at scale: one broadcast constant, not a join
+    relation (Spark's own runtime-filter pushdown broadcasts bloom
+    bitmaps the same way)."""
+    words = [0] * (BLOOM_M // 64)
+    for row in bits.collect():
+        p = row["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_hit_sql(element_sql: str, words_col: str = "__bw") -> str:
+    """Spark SQL boolean: ALL BLOOM_K salted positions of the element
+    are set in the bitmap column ``words_col`` (an array<bigint> literal
+    attached once per row via withColumn). Pure expression — O(1) per
+    row, no join, no shuffle; arithmetic shiftright is safe because &1
+    only reads the lowest bit."""
+    tests = []
+    for r in range(BLOOM_K):
+        pos = (
+            f"(CAST(conv(substring(md5(concat('{r}', '|', CAST({element_sql} AS STRING))),"
+            f" 1, 13), 16, 10) AS BIGINT) % {BLOOM_M})"
+        )
+        tests.append(
+            f"((shiftright(element_at({words_col},"
+            f" CAST(shiftright({pos}, 6) AS INT) + 1),"
+            f" CAST(({pos} % 64) AS INT)) & 1) = 1)"
+        )
+    return "(" + " AND ".join(tests) + ")"

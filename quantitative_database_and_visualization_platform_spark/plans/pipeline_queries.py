@@ -2820,11 +2820,17 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = managed_persist(dd.with_shingles(docs, k=5))
     grams = shingled.select("doc_id", F.explode("shingles").alias("g"))
     ev = managed_persist(grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct())
-    bits = sk.bloom_bits(ev, "g")
+    # the filter ships as an 8 KB bitmap LITERAL (collect bounded by
+    # BLOOM_M, not the corpus) and the probe is a pure per-row
+    # expression — no probe joins, no vocabulary shuffle; the only
+    # gram-keyed join left is the exact scorer
+    words = sk.bloom_bitmap(sk.bloom_bits(ev, "g"))
     tr = grams.filter(F.col("doc_id") % 97 != 0)
-    flag = sk.bloom_membership(tr.select("g").distinct(), bits, "g")
-    marked = tr.join(flag, "g").join(
-        ev.withColumn("__e", F.lit(1)), "g", "left"
+    marked = (
+        tr.withColumn("__bw", F.lit(words))
+        .withColumn("bloom_hit", F.expr(sk.bloom_hit_sql("g")))
+        .drop("__bw")
+        .join(ev.withColumn("__e", F.lit(1)), "g", "left")
     )
     return (
         marked.groupBy("doc_id")

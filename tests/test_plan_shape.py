@@ -246,19 +246,23 @@ def test_lm_perplexity_joins_corpus_stream_once(spark):
     assert n_smj <= 2, f"{n_smj} sort-merge joins\n{plan[:3000]}"
 
 
-def test_bloom_bits_join_is_broadcast(spark):
-    """The Bloom bit-table join must be an explicit broadcast (the bit
-    table is <= 2^16 rows at any corpus scale) and the probe side must
-    be factored through the DISTINCT gram vocabulary — no nested loop,
-    no cartesian anywhere in the plan."""
+def test_bloom_probe_is_literal_bitmap_expression(spark):
+    """The Bloom probe must be a constant-folded bitmap literal tested
+    with per-row expressions (element_at on an array literal) — no probe
+    join, no CreateArray per row; the only gram-keyed join left is the
+    exact scorer. No nested loop, no cartesian anywhere."""
     from quantitative_database_and_visualization_platform_spark.plans import QUERIES
 
     plan = _plan(QUERIES["bloom_decontamination"](spark, SF))
     assert "NestedLoop" not in plan, plan[:3000]
     assert "Cartesian" not in plan, plan[:3000]
-    assert "BroadcastHashJoin [pos#" in plan or "BroadcastHashJoin[pos#" in plan.replace(
-        " ", ""
-    ), f"bit-table join not broadcast on pos:\n{plan[:3000]}"
+    assert "element_at" in plan, f"bitmap probe expression missing:\n{plan[:3000]}"
+    assert "CreateArray" not in plan, (
+        f"bitmap literal not constant-folded (per-row array build):\n{plan[:3000]}"
+    )
+    # exactly one gram-keyed join remains: the exact scorer
+    flat = plan.replace(" ", "")
+    assert flat.count("HashJoin[g#") + flat.count("SortMergeJoin[g#") >= 1, plan[:3000]
 
 
 def test_hll_register_agg_is_partial(spark):
