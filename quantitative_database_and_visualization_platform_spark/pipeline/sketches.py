@@ -331,9 +331,13 @@ def bloom_bits(df: DataFrame, element: str) -> DataFrame:
 
 
 def bloom_membership(candidates: DataFrame, bits: DataFrame, element: str) -> DataFrame:
-    """Per-candidate Bloom membership: positive iff ALL BLOOM_K positions
-    are set. ``bits`` is broadcast (<= BLOOM_M rows); the probe fan-out is
-    BLOOM_K rows per DISTINCT candidate — callers should pass the
+    """Per-candidate Bloom membership via a broadcast JOIN against the
+    set-bit table: positive iff ALL BLOOM_K positions are set. The
+    relational fallback to :func:`bloom_hit_sql` for filters too large
+    to ship as an expression literal (m beyond a few MB); for the
+    2^16-bit default the literal-bitmap probe is strictly cheaper (no
+    probe join) and the two paths are equivalence-tested. Probe fan-out
+    is BLOOM_K rows per DISTINCT candidate — callers should pass the
     candidate VOCABULARY, not the raw occurrence relation."""
     probes = candidates.select(
         F.col(element),

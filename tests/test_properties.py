@@ -465,3 +465,40 @@ def test_hll_estimate_within_error_bound(spark):
         r["exact_distinct"] for s, r in rows.items() if s != "__all__"
     )
     assert rows["__all__"]["hll_estimate"] >= biggest * (1 - 3 * 1.04 / 16.0)
+
+
+def test_bloom_probe_paths_agree(spark):
+    """The literal-bitmap expression probe and the relational
+    (broadcast-join) probe must classify every candidate identically —
+    they implement the same filter."""
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.pipeline import dedup as dd
+    from quantitative_database_and_visualization_platform_spark.pipeline import sketches as sk
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    sh = dd.with_shingles(docs, k=5).persist()
+    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct().persist()
+    bits = sk.bloom_bits(ev, "g")
+    vocab = grams.filter(F.col("doc_id") % 97 != 0).select("g").distinct()
+
+    join_path = {
+        r["g"]: r["bloom_hit"]
+        for r in sk.bloom_membership(vocab, bits, "g").collect()
+    }
+    words = sk.bloom_bitmap(bits)
+    expr_path = {
+        r["g"]: r["bh"]
+        for r in vocab.withColumn("__bw", F.lit(words))
+        .withColumn("bh", F.expr(sk.bloom_hit_sql("g")))
+        .select("g", "bh")
+        .collect()
+    }
+    sh.unpersist()
+    ev.unpersist()
+    assert join_path == expr_path
+    assert len(join_path) > 0 and any(join_path.values())
