@@ -3,6 +3,7 @@ aggregation the reference's tick store exists to serve, expressed as an
 event-time streaming job with watermarked late-data handling.
 """
 
+from .hll_sink import read_hll_estimates, start_hll_sink  # noqa: F401
 from .rollup_sink import read_rollup, start_rollup_sink  # noqa: F401
 from .session_windows import session_stats  # noqa: F401
 from .stateful import running_user_stats  # noqa: F401

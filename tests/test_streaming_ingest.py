@@ -648,3 +648,70 @@ def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
     inferred = read_jsonl(spark, clean_dir)
     assert "_corrupt_record" in inferred.columns
     assert inferred.filter(inferred["_corrupt_record"].isNotNull()).count() == 0
+
+
+def test_streaming_hll_sink_matches_batch(spark):
+    """Streaming HLL maintenance: per-micro-batch register partials
+    merged into the store must give EXACTLY the batch sketch of the full
+    corpus (register merge is max — order- and boundary-independent),
+    and a replayed batch must be a no-op."""
+    import shutil
+    import tempfile
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.sketches import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        read_hll_estimates,
+        start_hll_sink,
+    )
+    from quantitative_database_and_visualization_platform_spark.streaming.hll_sink import (
+        start_hll_sink as _sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_hll_")
+    try:
+        ev = load_table(spark, SF, "events").select("event_type", "user_id")
+        ev.repartition(4).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{tmp}/in").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        q = start_hll_sink(stream, f"{tmp}/store")
+        q.awaitTermination(120)
+        got = {
+            r["event_type"]: (r["registers_hit"], r["hll_estimate"])
+            for r in read_hll_estimates(spark, f"{tmp}/store").collect()
+        }
+        want = {
+            r["event_type"]: (r["registers_hit"], r["hll_estimate"])
+            for r in hll_estimate_from_registers(
+                hll_registers(ev, "event_type", "user_id"), "event_type"
+            ).collect()
+        }
+        assert got == want and len(got) > 2
+
+        # replay the same input through a fresh stream against the SAME
+        # store (fresh checkpoint → batch ids restart at 0, all <= the
+        # stored high-water mark): every batch must be skipped and the
+        # store unchanged
+        stream2 = (
+            spark.readStream.schema(spark.read.parquet(f"{tmp}/in").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        import shutil as _sh
+
+        _sh.rmtree(f"{tmp}/store_ckpt", ignore_errors=True)
+        q2 = _sink(stream2, f"{tmp}/store")
+        q2.awaitTermination(120)
+        got2 = {
+            r["event_type"]: (r["registers_hit"], r["hll_estimate"])
+            for r in read_hll_estimates(spark, f"{tmp}/store").collect()
+        }
+        assert got2 == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
