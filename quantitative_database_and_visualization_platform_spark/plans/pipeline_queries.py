@@ -883,12 +883,15 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5(doc_id) — engine-stable, reshuffle-stable, no RNG state. The
 # corpus-balancing pass of a multilingual training mix.
 #
-# Scale shape: one count aggregate (broadcast scalar) + one lang-keyed
-# window. At 100 TB a giant stratum's exact rank would sort that whole
-# stratum; production pre-filters by hash threshold ≈ (target/stratum
-# count × safety), THEN exact-ranks the ~target-sized survivor set — the
-# same two-phase trick as a distributed top-k. The exact form is kept
-# here because the oracle demands bit-exact membership.
+# Scale shape: the two-phase quota pick (pipeline/sampling.py) — a hash
+# threshold pre-filter keeps ~2x quota rows per stratum (map-side, from
+# a broadcast count), then the exact rank runs over the quota-sized
+# survivor set with a checked containment fallback. Bit-identical to the
+# full one-phase window (equivalence-tested at tests/
+# test_scale_techniques.py::test_two_phase_quota_pick_matches_one_phase_window),
+# so the oracle's exact-membership demand is met BY the scale path, not
+# instead of it. The quota (rarest stratum count) is a bounded 1-row
+# driver scalar.
 # ---------------------------------------------------------------------------
 @query(
     "stratified_sample_balanced",
@@ -906,16 +909,13 @@ def decontamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.sampling import two_phase_quota_pick
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    min_cnt = docs.groupBy("lang").count().agg(F.min("count").alias("__m"))
-    h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.partitionBy("lang").orderBy(h, "doc_id")
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .crossJoin(F.broadcast(min_cnt))
-        .filter(F.col("rn") <= F.col("__m"))
-        .select("doc_id", "lang")
+    m = int(
+        docs.groupBy("lang").count().agg(F.min("count").alias("__m")).collect()[0][0]
     )
+    return two_phase_quota_pick(docs, "lang", "doc_id", m).select("doc_id", "lang")
 
 
 # ---------------------------------------------------------------------------

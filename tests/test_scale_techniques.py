@@ -159,3 +159,48 @@ def test_srp_planes_scale_with_corpus():
         assert expected_bucket > 64, "overshooting planes wastes recall"
     # 100 TB-scale corpus stays a cheap key
     assert planes_for_corpus(10_000_000_000, 256) == 26
+
+
+def test_two_phase_quota_pick_matches_one_phase_window(spark):
+    """The survivors-first two-phase pick must return BIT-IDENTICAL rows
+    to the one-phase full-window rank, for quotas spanning prefilter-
+    active and degenerate (quota >= group) regimes — and the prefilter
+    must actually drop rows in the active regime."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.sampling import (
+        _h52,
+        two_phase_quota_pick,
+    )
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang"
+    )
+    for quota in (5, 40, 10_000):
+        w = Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        want = sorted(
+            (r["lang"], r["doc_id"])
+            for r in docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= quota)
+            .collect()
+        )
+        got = sorted(
+            (r["lang"], r["doc_id"])
+            for r in two_phase_quota_pick(docs, "lang", "doc_id", quota).collect()
+        )
+        assert got == want, f"quota={quota}"
+    # prefilter effectiveness: at quota=5 the survivor set must be far
+    # smaller than the corpus (safety*quota per group, not group size)
+    from quantitative_database_and_visualization_platform_spark.pipeline import sampling as sp
+
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("__gc"))
+    with_h = docs.withColumn("__h", sp._h52(F.col("doc_id"))).join(counts, "lang")
+    frac = F.least(F.lit(1.0), F.lit(2.0) * F.lit(5) / F.col("__gc"))
+    surv = with_h.filter(
+        F.col("__h") < F.ceil(frac * F.lit(float(sp.HASH_SPACE))).cast("long")
+    ).count()
+    assert surv < docs.count() * 0.2, surv
