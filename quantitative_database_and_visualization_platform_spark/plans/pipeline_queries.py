@@ -2136,8 +2136,10 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # giant cluster's exact rank would sort that whole cluster in one task;
 # production pre-filters members by hash threshold ≈ (quota/cluster
 # count × safety) and exact-ranks only the ~quota-sized survivors — the
-# same two-phase trick stratified_sample_balanced documents. The exact
-# form is kept here because the oracle demands bit-exact membership.
+# two-phase pick implemented in pipeline/sampling.py and adopted by
+# stratified_sample_balanced. The one-phase form is kept HERE because
+# the output carries pick_rank and n_members over the full cluster, so
+# the full window runs anyway.
 # ---------------------------------------------------------------------------
 @query(
     "cluster_balanced_sample",
