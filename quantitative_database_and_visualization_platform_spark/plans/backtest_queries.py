@@ -1064,3 +1064,107 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("sq") / 1_000_000.0).alias("spread"),
         F.when((sn >= 10) & (var_num > 0), round6(z)).alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Walk-forward validation splits (new r6): the rolling train/test window
+# generator every backtest harness needs — split i trains on trading-day
+# indices [5i, 5i+10) and tests on [5i+10, 5i+15), stepping 5 days, only
+# complete splits emitted. Each split carries its date bounds and the
+# fixed-point market mean return inside each leg, so a strategy's
+# in-sample vs out-of-sample gap is read straight off the output.
+#
+# Scale shape: the day index is a calendar-bounded rank; the day→split
+# expansion is a broadcast join against the split list (3 rows per day
+# at these step sizes); leg returns reuse the per-day market aggregate
+# (one date-keyed shuffle over the panel, market-return table is
+# day-cardinality).
+# ---------------------------------------------------------------------------
+@query(
+    "walkforward_splits",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ),
+    mkt AS (
+        SELECT d,
+               SUM(CAST(ROUND(ret*{_RS},0) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE)
+                   / {_RS} AS mkt_ret
+        FROM rets GROUP BY d
+    ),
+    days AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS idx FROM (
+            SELECT DISTINCT d FROM mkt
+        )
+    ),
+    splits AS (
+        SELECT CAST(idx / 5 AS BIGINT) AS split_id FROM days
+        WHERE idx % 5 = 0 AND idx + 14 <= (SELECT MAX(idx) FROM days)
+    ),
+    legs AS (
+        SELECT s.split_id, dd.d, dd.idx,
+               CASE WHEN dd.idx < s.split_id * 5 + 10 THEN 'train'
+                    ELSE 'test' END AS leg
+        FROM splits s JOIN days dd
+            ON dd.idx >= s.split_id * 5 AND dd.idx < s.split_id * 5 + 15
+    )
+    SELECT l.split_id,
+           MIN(CASE WHEN leg = 'train' THEN l.d END) AS train_start,
+           MAX(CASE WHEN leg = 'train' THEN l.d END) AS train_end,
+           MIN(CASE WHEN leg = 'test' THEN l.d END) AS test_start,
+           MAX(CASE WHEN leg = 'test' THEN l.d END) AS test_end,
+           FLOOR((SUM(CASE WHEN leg = 'train'
+                       THEN CAST(ROUND(m.mkt_ret*{_RS},0) AS BIGINT) END)
+                  / 10.0 / {_RS}) * 1000000 + 0.5)/1000000.0 AS train_mkt_ret,
+           FLOOR((SUM(CASE WHEN leg = 'test'
+                       THEN CAST(ROUND(m.mkt_ret*{_RS},0) AS BIGINT) END)
+                  / 5.0 / {_RS}) * 1000000 + 0.5)/1000000.0 AS test_mkt_ret
+    FROM legs l JOIN mkt m ON l.d = m.d
+    GROUP BY l.split_id
+    """,
+)
+def walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    micro = F.round(F.col("ret") * _RS, 0).cast("long")
+    mkt = rets.groupBy("d").agg(
+        (F.sum(micro) / F.count(F.lit(1)).cast("double") / _RS).alias("mkt_ret")
+    )
+    # calendar-bounded rank: one row per trading day
+    days = mkt.select("d").withColumn(
+        "idx", F.row_number().over(Window.orderBy("d")) - 1
+    )
+    n_days = days.count()  # bounded driver scalar (calendar size)
+    n_splits = max(0, (n_days - 15) // 5 + 1)
+    splits = spark.range(n_splits).select(F.col("id").alias("split_id"))
+    legs = days.join(
+        F.broadcast(splits),
+        (F.col("idx") >= F.col("split_id") * 5)
+        & (F.col("idx") < F.col("split_id") * 5 + 15),
+    ).withColumn(
+        "leg",
+        F.when(F.col("idx") < F.col("split_id") * 5 + 10, "train").otherwise("test"),
+    )
+    mmicro = F.round(F.col("mkt_ret") * _RS, 0).cast("long")
+    return (
+        legs.join(mkt, "d")
+        .groupBy("split_id")
+        .agg(
+            F.min(F.when(F.col("leg") == "train", F.col("d"))).alias("train_start"),
+            F.max(F.when(F.col("leg") == "train", F.col("d"))).alias("train_end"),
+            F.min(F.when(F.col("leg") == "test", F.col("d"))).alias("test_start"),
+            F.max(F.when(F.col("leg") == "test", F.col("d"))).alias("test_end"),
+            round6(
+                F.sum(F.when(F.col("leg") == "train", mmicro)) / 10.0 / _RS
+            ).alias("train_mkt_ret"),
+            round6(
+                F.sum(F.when(F.col("leg") == "test", mmicro)) / 5.0 / _RS
+            ).alias("test_mkt_ret"),
+        )
+    )

@@ -203,3 +203,57 @@ def test_event_study_car_matches_pandas_loop(spark):
         assert abs(got[k]["avg_car"] - want) < 2e-6, (k, got[k]["avg_car"], want)
         checked += 1
     assert checked >= 4
+
+
+def test_walkforward_splits_match_python_windows(spark):
+    """Split boundaries and leg returns recomputed with plain lists from
+    an independently-built daily panel."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    closes = {}
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        closes[(code, d)] = g.iloc[-1]["value"]
+    by_code = defaultdict(list)
+    for (code, d), c in closes.items():
+        by_code[code].append((d, c))
+    rets = defaultdict(list)
+    for code, seq in by_code.items():
+        seq.sort()
+        for (d0, c0), (d1, c1) in zip(seq, seq[1:]):
+            rets[d1].append(c1 / c0 - 1)
+    RS = 100_000_000
+    mkt = {
+        d: sum(int(round(r * RS)) for r in rs) / len(rs) / RS
+        for d, rs in rets.items()
+    }
+    days = sorted(mkt)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    i = 0
+    while i * 5 + 15 <= len(days):
+        tr = days[i * 5 : i * 5 + 10]
+        te = days[i * 5 + 10 : i * 5 + 15]
+        expect[i] = (
+            tr[0], tr[-1], te[0], te[-1],
+            r6(sum(int(round(mkt[d] * RS)) for d in tr) / 10.0 / RS),
+            r6(sum(int(round(mkt[d] * RS)) for d in te) / 5.0 / RS),
+        )
+        i += 1
+
+    got = {
+        r["split_id"]: (
+            r["train_start"], r["train_end"], r["test_start"], r["test_end"],
+            r["train_mkt_ret"], r["test_mkt_ret"],
+        )
+        for r in QUERIES["walkforward_splits"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) >= 2
