@@ -1168,3 +1168,134 @@ def walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("test_mkt_ret"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Brinson-Fachler attribution (new r6): per-date allocation / selection /
+# interaction decomposition of an equal-weight momentum portfolio (top
+# half of names by 5-day momentum) against the equal-weight universe
+# benchmark, over the synthetic 5-sector IndClass (code % 5 — testdata
+# has no industry dim, same convention as the alpha indneutralize
+# family). The reference's sector-heatmap page answers "which sectors
+# drove today" by eyeball; this is the arithmetic the page implies.
+#
+# Per date: alloc = Σ_s (wp_s − wb_s)·(rb_s − rb), sel = Σ_s wb_s·(rp_s
+# − rb_s), inter = Σ_s (wp_s − wb_s)·(rp_s − rb_s); alloc + sel + inter
+# = rp − rb exactly in fixed-point micro-units (identity asserted in the
+# golden test).
+#
+# Scale shape: one date-keyed rank for membership, (d, sector)
+# aggregates (map-side combined, sector-bounded output), then a
+# date-keyed collapse. Every stage is keyed on d or (d, sector).
+# ---------------------------------------------------------------------------
+@query(
+    "brinson_attribution",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d,
+               close / LAG(close, 5) OVER (PARTITION BY code ORDER BY d) - 1
+                   AS mom_5,
+               LEAD(close) OVER (PARTITION BY code ORDER BY d) / close - 1
+                   AS fwd_ret
+        FROM bars
+        QUALIFY mom_5 IS NOT NULL AND fwd_ret IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *, code % 5 AS sector,
+               ROW_NUMBER() OVER (PARTITION BY d ORDER BY mom_5 DESC, code)
+                   AS rnk,
+               COUNT(*) OVER (PARTITION BY d) AS n_univ
+        FROM panel
+    ),
+    cells AS (
+        SELECT d, sector,
+               CAST(COUNT(*) AS BIGINT) AS nb,
+               CAST(count_if(rnk * 2 <= n_univ) AS BIGINT) AS np,
+               SUM(CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT)) AS rb_sum,
+               SUM(CASE WHEN rnk * 2 <= n_univ
+                        THEN CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) END) AS rp_sum,
+               MAX(n_univ) AS n_univ
+        FROM ranked GROUP BY d, sector
+    ),
+    tot AS (
+        SELECT d, SUM(nb) AS nb_tot, SUM(np) AS np_tot,
+               SUM(rb_sum) / CAST(SUM(nb) AS DOUBLE) / {_RS} AS rb
+        FROM cells GROUP BY d
+    ),
+    eff AS (
+        SELECT c.d,
+               (CAST(c.np AS DOUBLE)/t.np_tot - CAST(c.nb AS DOUBLE)/t.nb_tot)
+                 * (c.rb_sum / CAST(c.nb AS DOUBLE) / {_RS} - t.rb) AS alloc_s,
+               (CAST(c.nb AS DOUBLE)/t.nb_tot)
+                 * (COALESCE(c.rp_sum / CAST(NULLIF(c.np,0) AS DOUBLE) / {_RS},
+                             c.rb_sum / CAST(c.nb AS DOUBLE) / {_RS})
+                    - c.rb_sum / CAST(c.nb AS DOUBLE) / {_RS}) AS sel_s,
+               (CAST(c.np AS DOUBLE)/t.np_tot - CAST(c.nb AS DOUBLE)/t.nb_tot)
+                 * (COALESCE(c.rp_sum / CAST(NULLIF(c.np,0) AS DOUBLE) / {_RS},
+                             c.rb_sum / CAST(c.nb AS DOUBLE) / {_RS})
+                    - c.rb_sum / CAST(c.nb AS DOUBLE) / {_RS}) AS inter_s
+        FROM cells c JOIN tot t ON c.d = t.d
+    )
+    SELECT d,
+           FLOOR(SUM(CAST(ROUND(alloc_s*{_RS},0) AS BIGINT))/{_RS}.0*1000000 + 0.5)
+             /1000000.0 AS allocation,
+           FLOOR(SUM(CAST(ROUND(sel_s*{_RS},0) AS BIGINT))/{_RS}.0*1000000 + 0.5)
+             /1000000.0 AS selection,
+           FLOOR(SUM(CAST(ROUND(inter_s*{_RS},0) AS BIGINT))/{_RS}.0*1000000 + 0.5)
+             /1000000.0 AS interaction
+    FROM eff GROUP BY d
+    """,
+)
+def brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("mom_5"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("fwd_ret"),
+    ).filter(F.col("mom_5").isNotNull() & F.col("fwd_ret").isNotNull())
+    dwin = Window.partitionBy("d")
+    ranked = panel.select(
+        "d",
+        "fwd_ret",
+        (F.col("code") % 5).alias("sector"),
+        F.row_number()
+        .over(Window.partitionBy("d").orderBy(F.col("mom_5").desc(), "code"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(dwin).alias("n_univ"),
+    )
+    micro = F.round(F.col("fwd_ret") * _RS, 0).cast("long")
+    in_p = F.col("rnk") * 2 <= F.col("n_univ")
+    cells = ranked.groupBy("d", "sector").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.count_if(in_p).alias("np"),
+        F.sum(micro).alias("rb_sum"),
+        F.sum(F.when(in_p, micro)).alias("rp_sum"),
+        F.max("n_univ").alias("n_univ"),
+    )
+    tot = cells.groupBy("d").agg(
+        F.sum("nb").alias("nb_tot"),
+        F.sum("np").alias("np_tot"),
+        (F.sum("rb_sum") / F.sum("nb").cast("double") / _RS).alias("rb"),
+    )
+    rb_s = F.col("rb_sum") / F.col("nb").cast("double") / _RS
+    rp_s = F.coalesce(
+        F.col("rp_sum") / F.nullif(F.col("np"), F.lit(0)).cast("double") / _RS, rb_s
+    )
+    dw = F.col("np").cast("double") / F.col("np_tot") - F.col("nb").cast(
+        "double"
+    ) / F.col("nb_tot")
+    eff = cells.join(tot, "d").select(
+        "d",
+        (dw * (rb_s - F.col("rb"))).alias("alloc_s"),
+        ((F.col("nb").cast("double") / F.col("nb_tot")) * (rp_s - rb_s)).alias("sel_s"),
+        (dw * (rp_s - rb_s)).alias("inter_s"),
+    )
+    fx = lambda c: F.sum(F.round(F.col(c) * _RS, 0).cast("long")) / float(_RS)
+    return eff.groupBy("d").agg(
+        round6(fx("alloc_s")).alias("allocation"),
+        round6(fx("sel_s")).alias("selection"),
+        round6(fx("inter_s")).alias("interaction"),
+    )

@@ -257,3 +257,79 @@ def test_walkforward_splits_match_python_windows(spark):
     }
     assert got == expect
     assert len(got) >= 2
+
+
+def test_brinson_attribution_matches_python_loops(spark):
+    """Allocation/selection/interaction recomputed with dict loops from
+    an independently-built panel; the Brinson identity alloc + sel +
+    inter = rp − rb must hold per date to fixed-point tolerance."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    closes = defaultdict(list)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        closes[code].append((d, g.iloc[-1]["value"]))
+    rows = []  # (d, code, mom5, fwd)
+    for code, seq in closes.items():
+        seq.sort()
+        for i in range(len(seq)):
+            if i >= 5 and i + 1 < len(seq):
+                mom5 = seq[i][1] / seq[i - 5][1] - 1
+                fwd = seq[i + 1][1] / seq[i][1] - 1
+                rows.append((seq[i][0], code, mom5, fwd))
+    RS = 100_000_000
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    by_d = defaultdict(list)
+    for d, code, m, f in rows:
+        by_d[d].append((code, m, f))
+    expect = {}
+    for d, rs in by_d.items():
+        rs.sort(key=lambda t: (-t[1], t[0]))
+        n = len(rs)
+        port = {code for k, (code, _, _) in enumerate(rs, 1) if k * 2 <= n}
+        cells = defaultdict(lambda: [0, 0, 0, 0])  # nb, np, rb_sum, rp_sum
+        for code, _, f in rs:
+            c = cells[code % 5]
+            fi = int(round(f * RS))
+            c[0] += 1
+            c[2] += fi
+            if code in port:
+                c[1] += 1
+                c[3] += fi
+        nb_tot = sum(c[0] for c in cells.values())
+        np_tot = sum(c[1] for c in cells.values())
+        rb = sum(c[2] for c in cells.values()) / nb_tot / RS
+        al = se = it = 0
+        for c in cells.values():
+            rb_s = c[2] / c[0] / RS
+            rp_s = c[3] / c[1] / RS if c[1] else rb_s
+            dw = c[1] / np_tot - c[0] / nb_tot
+            al += int(round(dw * (rb_s - rb) * RS))
+            se += int(round((c[0] / nb_tot) * (rp_s - rb_s) * RS))
+            it += int(round(dw * (rp_s - rb_s) * RS))
+        expect[d] = (r6(al / RS), r6(se / RS), r6(it / RS))
+
+    got = {
+        r["d"]: (r["allocation"], r["selection"], r["interaction"])
+        for r in QUERIES["brinson_attribution"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for d in got:
+        for a, b in zip(got[d], expect[d]):
+            assert abs(a - b) <= 2e-6, (d, got[d], expect[d])
+        # Brinson identity vs direct rp - rb
+        rs = by_d[d]
+        n = len(rs)
+        rs_sorted = sorted(rs, key=lambda t: (-t[1], t[0]))
+        port = [f for k, (_, _, f) in enumerate(rs_sorted, 1) if k * 2 <= n]
+        rp = sum(port) / len(port)
+        rb = sum(f for _, _, f in rs) / n
+        assert abs(sum(got[d]) - (rp - rb)) < 1e-4, d
+    assert len(got) > 10
