@@ -107,7 +107,8 @@ GATE_FIRST: list[str] = [
 #   embedding_rank_fusion, bm25_topk, mixture_temperature_weights,
 #   hll_cumulative_users, interval_join_click_purchase,
 #   snapshot_diff_orders, event_transition_matrix,
-#   cohort_retention_matrix, hll_rolling_users_7d
+#   cohort_retention_matrix, hll_rolling_users_7d, walkforward_splits,
+#   brinson_attribution
 
 
 def _apply_gate_order() -> None:
