@@ -1299,3 +1299,140 @@ def brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(fx("sel_s")).alias("selection"),
         round6(fx("inter_s")).alias("interaction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-date TWO-factor cross-sectional regression (new r6): fwd_ret on
+# (5-day momentum, log dollar-volume liquidity), solved in closed form
+# per date via the 2x2 normal equations — the estimation step of a
+# multi-factor risk model, one date per output row (the Fama-MacBeth
+# pair covers the single-regressor case; real factor models are
+# multivariate). Determinism: every raw moment is an EXACT integer sum
+# of 1e5-quantized values; the centered moments, Cramer solve, and R²
+# are then the identical IEEE expression chain on both engines.
+#
+# Scale shape: one date-keyed aggregate carrying 9 integer moments —
+# map-side combined, output is date-cardinality. No per-name second
+# pass; everything downstream of the panel is arithmetic on the moment
+# table.
+# ---------------------------------------------------------------------------
+_XS = 100_000  # quantization scale for regression inputs
+
+
+@query(
+    "cross_factor_regression",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d,
+               close / LAG(close, 5) OVER (PARTITION BY code ORDER BY d) - 1
+                   AS x1,
+               ln(GREATEST(amount, 1.0)) AS x2,
+               LEAD(close) OVER (PARTITION BY code ORDER BY d) / close - 1
+                   AS r
+        FROM bars
+        QUALIFY x1 IS NOT NULL AND r IS NOT NULL
+    ),
+    q AS (
+        SELECT d,
+               CAST(ROUND(x1*{_XS},0) AS BIGINT) AS qx,
+               CAST(ROUND(x2*{_XS},0) AS BIGINT) AS qy,
+               CAST(ROUND(r*{_XS},0) AS BIGINT) AS qr
+        FROM panel
+    ),
+    m AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+               CAST(SUM(qr) AS BIGINT) AS sr,
+               CAST(SUM(qx*qx) AS BIGINT) AS sxx,
+               CAST(SUM(qy*qy) AS BIGINT) AS syy,
+               CAST(SUM(qx*qy) AS BIGINT) AS sxy,
+               CAST(SUM(qx*qr) AS BIGINT) AS sxr,
+               CAST(SUM(qy*qr) AS BIGINT) AS syr,
+               CAST(SUM(qr*qr) AS BIGINT) AS srr
+        FROM q GROUP BY d
+    ),
+    c AS (
+        SELECT d, n,
+               sxx/{_XS}.0/{_XS} - (sx/{_XS}.0)*(sx/{_XS}.0)/n AS cxx,
+               syy/{_XS}.0/{_XS} - (sy/{_XS}.0)*(sy/{_XS}.0)/n AS cyy,
+               sxy/{_XS}.0/{_XS} - (sx/{_XS}.0)*(sy/{_XS}.0)/n AS cxy,
+               sxr/{_XS}.0/{_XS} - (sx/{_XS}.0)*(sr/{_XS}.0)/n AS cxr,
+               syr/{_XS}.0/{_XS} - (sy/{_XS}.0)*(sr/{_XS}.0)/n AS cyr,
+               srr/{_XS}.0/{_XS} - (sr/{_XS}.0)*(sr/{_XS}.0)/n AS crr
+        FROM m
+    ),
+    b AS (
+        SELECT d, n,
+               (cyy*cxr - cxy*cyr) / (cxx*cyy - cxy*cxy) AS b1,
+               (cxx*cyr - cxy*cxr) / (cxx*cyy - cxy*cxy) AS b2,
+               cxr, cyr, crr
+        FROM c WHERE (cxx*cyy - cxy*cxy) <> 0 AND crr > 0
+    )
+    SELECT d, n,
+           FLOOR(b1*1000000 + 0.5)/1000000.0 AS beta_mom,
+           FLOOR(b2*1000000 + 0.5)/1000000.0 AS beta_liq,
+           FLOOR((1.0 - (crr - b1*cxr - b2*cyr)/crr)*1000000 + 0.5)/1000000.0
+               AS r2
+    FROM b
+    """,
+)
+def cross_factor_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("x1"),
+        F.log(F.greatest(F.col("amount"), F.lit(1.0))).alias("x2"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("r"),
+    ).filter(F.col("x1").isNotNull() & F.col("r").isNotNull())
+    qx = F.round(F.col("x1") * _XS, 0).cast("long")
+    qy = F.round(F.col("x2") * _XS, 0).cast("long")
+    qr = F.round(F.col("r") * _XS, 0).cast("long")
+    m = panel.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qy).alias("sy"),
+        F.sum(qr).alias("sr"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(qy * qy).alias("syy"),
+        F.sum(qx * qy).alias("sxy"),
+        F.sum(qx * qr).alias("sxr"),
+        F.sum(qy * qr).alias("syr"),
+        F.sum(qr * qr).alias("srr"),
+    )
+    s = float(_XS)
+    cen = lambda sab, sa, sb: F.col(sab) / s / _XS - (F.col(sa) / s) * (
+        F.col(sb) / s
+    ) / F.col("n")
+    c = m.select(
+        "d",
+        "n",
+        cen("sxx", "sx", "sx").alias("cxx"),
+        cen("syy", "sy", "sy").alias("cyy"),
+        cen("sxy", "sx", "sy").alias("cxy"),
+        cen("sxr", "sx", "sr").alias("cxr"),
+        cen("syr", "sy", "sr").alias("cyr"),
+        cen("srr", "sr", "sr").alias("crr"),
+    )
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    b = c.filter((det != 0) & (F.col("crr") > 0)).select(
+        "d",
+        "n",
+        ((F.col("cyy") * F.col("cxr") - F.col("cxy") * F.col("cyr")) / det).alias("b1"),
+        ((F.col("cxx") * F.col("cyr") - F.col("cxy") * F.col("cxr")) / det).alias("b2"),
+        "cxr",
+        "cyr",
+        "crr",
+    )
+    return b.select(
+        "d",
+        "n",
+        round6(F.col("b1")).alias("beta_mom"),
+        round6(F.col("b2")).alias("beta_liq"),
+        round6(
+            1.0
+            - (F.col("crr") - F.col("b1") * F.col("cxr") - F.col("b2") * F.col("cyr"))
+            / F.col("crr")
+        ).alias("r2"),
+    )

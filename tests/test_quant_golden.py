@@ -333,3 +333,63 @@ def test_brinson_attribution_matches_python_loops(spark):
         rb = sum(f for _, _, f in rs) / n
         assert abs(sum(got[d]) - (rp - rb)) < 1e-4, d
     assert len(got) > 10
+
+
+def test_cross_factor_regression_matches_numpy_lstsq(spark):
+    """Per-date 2-factor betas and R² recomputed with numpy least
+    squares over the same quantized panel."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["k"] = ev["props"].str.extract(r"(\d+)").astype(float)
+    panel = defaultdict(list)
+    for code, g in ev.groupby("user_id"):
+        byd = []
+        for d, gd in g.groupby("d"):
+            close = gd.iloc[-1]["value"]
+            cents = (gd["value"] * 100).round().astype("int64")
+            amount = float((cents * gd["k"].astype("int64")).sum()) / 100.0
+            byd.append((d, close, amount))
+        byd.sort()
+        for i in range(len(byd)):
+            if i >= 5 and i + 1 < len(byd):
+                x1 = byd[i][1] / byd[i - 5][1] - 1
+                x2 = math.log(max(byd[i][2], 1.0))
+                r = byd[i + 1][1] / byd[i][1] - 1
+                panel[byd[i][0]].append(
+                    (round(x1 * 1e5) / 1e5, round(x2 * 1e5) / 1e5, round(r * 1e5) / 1e5)
+                )
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    got = {
+        r["d"]: (r["n"], r["beta_mom"], r["beta_liq"], r["r2"])
+        for r in QUERIES["cross_factor_regression"](spark, SF).collect()
+    }
+    checked = 0
+    for d, rows in panel.items():
+        X = np.array([[a, b] for a, b, _ in rows])
+        y = np.array([c for _, _, c in rows])
+        Xc = X - X.mean(axis=0)
+        yc = y - y.mean()
+        G = Xc.T @ Xc
+        if abs(np.linalg.det(G)) < 1e-12 or yc @ yc <= 0:
+            continue
+        beta = np.linalg.solve(G, Xc.T @ yc)
+        resid = yc - Xc @ beta
+        r2 = 1.0 - (resid @ resid) / (yc @ yc)
+        assert d in got, d
+        n, b1, b2, gr2 = got[d]
+        assert n == len(rows)
+        assert abs(b1 - r6(beta[0])) <= 5e-6, (d, b1, beta[0])
+        assert abs(b2 - r6(beta[1])) <= 5e-6, (d, b2, beta[1])
+        assert abs(gr2 - r6(r2)) <= 5e-6, (d, gr2, r2)
+        assert 0.0 <= gr2 <= 1.0 + 1e-9
+        checked += 1
+    assert checked > 10 and checked == len(got)
