@@ -108,7 +108,7 @@ GATE_FIRST: list[str] = [
 #   hll_cumulative_users, interval_join_click_purchase,
 #   snapshot_diff_orders, event_transition_matrix,
 #   cohort_retention_matrix, hll_rolling_users_7d, walkforward_splits,
-#   brinson_attribution
+#   brinson_attribution, cross_factor_regression
 
 
 def _apply_gate_order() -> None:
