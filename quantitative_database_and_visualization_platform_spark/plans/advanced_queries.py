@@ -817,3 +817,197 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (new r6): the Deequ/Glue-style data-profile report —
+# one row per column of the orders table with null count, distinct
+# count, and min/max rendered as strings (numerics via fixed-point
+# cents, dates as DATE strings — never raw double formatting). The
+# operational "what is in this table" pass every lakehouse runs on
+# ingest.
+#
+# Scale shape: ONE aggregate over the table computes every column's
+# stats in the same pass (map-side combined); the per-column unpivot
+# happens on the 1-row result, not on the data.
+# ---------------------------------------------------------------------------
+@query(
+    "data_profile_orders",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS k_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_dist,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+               CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS st_nulls,
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS st_dist,
+               MIN(o_orderstatus) AS st_min, MAX(o_orderstatus) AS st_max,
+               CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS tp_nulls,
+               CAST(COUNT(DISTINCT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS tp_dist,
+               CAST(MIN(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS VARCHAR) AS tp_min,
+               CAST(MAX(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS VARCHAR) AS tp_max,
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS dt_nulls,
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS dt_dist,
+               CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS dt_min,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS dt_max,
+               CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT) AS pr_nulls,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS pr_dist,
+               MIN(o_orderpriority) AS pr_min, MAX(o_orderpriority) AS pr_max
+        FROM orders
+    )
+    SELECT col, n_rows, n_nulls, n_distinct, min_repr, max_repr FROM (
+        SELECT 'o_orderkey' AS col, n_rows, k_nulls AS n_nulls, k_dist AS n_distinct, k_min AS min_repr, k_max AS max_repr FROM s
+        UNION ALL SELECT 'o_orderstatus', n_rows, st_nulls, st_dist, st_min, st_max FROM s
+        UNION ALL SELECT 'o_totalprice_cents', n_rows, tp_nulls, tp_dist, tp_min, tp_max FROM s
+        UNION ALL SELECT 'o_orderdate', n_rows, dt_nulls, dt_dist, dt_min, dt_max FROM s
+        UNION ALL SELECT 'o_orderpriority', n_rows, pr_nulls, pr_dist, pr_min, pr_max FROM s
+    )
+    """,
+)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    date = F.to_date("o_orderdate")
+    n = F.count(F.lit(1))
+    s = o.agg(
+        n.alias("n_rows"),
+        (n - F.count("o_orderkey")).alias("k_nulls"),
+        F.count_distinct("o_orderkey").alias("k_dist"),
+        F.min("o_orderkey").cast("string").alias("k_min"),
+        F.max("o_orderkey").cast("string").alias("k_max"),
+        (n - F.count("o_orderstatus")).alias("st_nulls"),
+        F.count_distinct("o_orderstatus").alias("st_dist"),
+        F.min("o_orderstatus").alias("st_min"),
+        F.max("o_orderstatus").alias("st_max"),
+        (n - F.count("o_totalprice")).alias("tp_nulls"),
+        F.count_distinct(cents).alias("tp_dist"),
+        F.min(cents).cast("string").alias("tp_min"),
+        F.max(cents).cast("string").alias("tp_max"),
+        (n - F.count("o_orderdate")).alias("dt_nulls"),
+        F.count_distinct(date).alias("dt_dist"),
+        F.min(date).cast("string").alias("dt_min"),
+        F.max(date).cast("string").alias("dt_max"),
+        (n - F.count("o_orderpriority")).alias("pr_nulls"),
+        F.count_distinct("o_orderpriority").alias("pr_dist"),
+        F.min("o_orderpriority").alias("pr_min"),
+        F.max("o_orderpriority").alias("pr_max"),
+    )
+    rows = [
+        ("o_orderkey", "k"),
+        ("o_orderstatus", "st"),
+        ("o_totalprice_cents", "tp"),
+        ("o_orderdate", "dt"),
+        ("o_orderpriority", "pr"),
+    ]
+    out = None
+    for col, p in rows:
+        part = s.select(
+            F.lit(col).alias("col"),
+            "n_rows",
+            F.col(f"{p}_nulls").alias("n_nulls"),
+            F.col(f"{p}_dist").alias("n_distinct"),
+            F.col(f"{p}_min").alias("min_repr"),
+            F.col(f"{p}_max").alias("max_repr"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Constraint validation suite (new r6): Deequ-style data-quality checks
+# as one deterministic report — key uniqueness, referential integrity
+# (orders.custkey → customer, lineitem.orderkey → orders), domain
+# enumeration (o_orderpriority), non-negativity (o_totalprice), and
+# freshness span (orderdate within the TPC-H window). Each row: check
+# name, violation count, pass flag. The gate a pipeline runs before
+# promoting a snapshot.
+#
+# Scale shape: each check is one aggregate or one anti-join semi-count —
+# all key-partitioned; the report is check-cardinality.
+# ---------------------------------------------------------------------------
+@query(
+    "data_quality_checks",
+    oracle="""
+    WITH dup AS (
+        SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS v FROM (
+            SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+        ) WHERE c > 1
+    ),
+    orphan_cust AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ),
+    orphan_li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    ),
+    bad_prio AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+        WHERE o_orderpriority NOT IN
+            ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+    ),
+    neg_price AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders WHERE o_totalprice < 0
+    ),
+    stale AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+           OR CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+    )
+    SELECT 'unique_orderkey' AS check_name, v AS n_violations, v = 0 AS passed FROM dup
+    UNION ALL SELECT 'fk_orders_customer', v, v = 0 FROM orphan_cust
+    UNION ALL SELECT 'fk_lineitem_orders', v, v = 0 FROM orphan_li
+    UNION ALL SELECT 'domain_orderpriority', v, v = 0 FROM bad_prio
+    UNION ALL SELECT 'nonnegative_totalprice', v, v = 0 FROM neg_price
+    UNION ALL SELECT 'orderdate_in_window', v, v = 0 FROM stale
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("v"))
+    )
+    orphan_cust = o.join(
+        cust, o["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    orphan_li = li.join(
+        o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    domain = (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    )
+    bad_prio = o.filter(~F.col("o_orderpriority").isin(*domain)).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    neg_price = o.filter(F.col("o_totalprice") < 0).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    d = F.to_date("o_orderdate")
+    stale = o.filter(
+        (d < F.lit("1992-01-01").cast("date")) | (d > F.lit("1998-12-31").cast("date"))
+    ).agg(F.count(F.lit(1)).alias("v"))
+
+    checks = [
+        ("unique_orderkey", dup),
+        ("fk_orders_customer", orphan_cust),
+        ("fk_lineitem_orders", orphan_li),
+        ("domain_orderpriority", bad_prio),
+        ("nonnegative_totalprice", neg_price),
+        ("orderdate_in_window", stale),
+    ]
+    out = None
+    for name, df in checks:
+        part = df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").alias("n_violations"),
+            (F.col("v") == 0).alias("passed"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1170,3 +1170,70 @@ def test_hll_rolling_users_matches_python_band_merge(spark):
     }
     assert got == expect
     assert len(got) == len(days)
+
+
+def test_data_profile_matches_pandas(spark):
+    """Column profile recomputed with pandas primitives."""
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = orders["o_totalprice"].map(lambda p: math.floor(p * 100 + 0.5))
+    dates = pd.to_datetime(orders["o_orderdate"]).dt.date
+    n = len(orders)
+    expect = {
+        "o_orderkey": (n, int(orders["o_orderkey"].isna().sum()),
+                       orders["o_orderkey"].nunique(),
+                       str(int(orders["o_orderkey"].min())),
+                       str(int(orders["o_orderkey"].max()))),
+        "o_orderstatus": (n, int(orders["o_orderstatus"].isna().sum()),
+                          orders["o_orderstatus"].nunique(),
+                          orders["o_orderstatus"].min(),
+                          orders["o_orderstatus"].max()),
+        "o_totalprice_cents": (n, int(orders["o_totalprice"].isna().sum()),
+                               cents.nunique(), str(int(cents.min())),
+                               str(int(cents.max()))),
+        "o_orderdate": (n, int(orders["o_orderdate"].isna().sum()),
+                        dates.nunique(), str(dates.min()), str(dates.max())),
+        "o_orderpriority": (n, int(orders["o_orderpriority"].isna().sum()),
+                            orders["o_orderpriority"].nunique(),
+                            orders["o_orderpriority"].min(),
+                            orders["o_orderpriority"].max()),
+    }
+    got = {
+        r["col"]: (r["n_rows"], r["n_nulls"], r["n_distinct"], r["min_repr"], r["max_repr"])
+        for r in QUERIES["data_profile_orders"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_data_quality_checks_match_pandas(spark):
+    """Constraint suite recomputed with pandas set logic; the synthetic
+    tables must pass every check (violations injected in-memory would
+    be a different dataset)."""
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    dup = int((orders.groupby("o_orderkey").size() - 1).clip(lower=0).sum())
+    oc = int((~orders["o_custkey"].isin(cust["c_custkey"])).sum())
+    ol = int((~li["l_orderkey"].isin(orders["o_orderkey"])).sum())
+    dom = {"1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"}
+    bp = int((~orders["o_orderpriority"].isin(dom)).sum())
+    neg = int((orders["o_totalprice"] < 0).sum())
+    dts = pd.to_datetime(orders["o_orderdate"]).dt.date
+    import datetime
+
+    stale = int(
+        ((dts < datetime.date(1992, 1, 1)) | (dts > datetime.date(1998, 12, 31))).sum()
+    )
+    expect = {
+        "unique_orderkey": dup, "fk_orders_customer": oc,
+        "fk_lineitem_orders": ol, "domain_orderpriority": bp,
+        "nonnegative_totalprice": neg, "orderdate_in_window": stale,
+    }
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in QUERIES["data_quality_checks"](spark, SF).collect()
+    }
+    assert got == expect
+    for r in QUERIES["data_quality_checks"](spark, SF).collect():
+        assert r["passed"] == (r["n_violations"] == 0)
