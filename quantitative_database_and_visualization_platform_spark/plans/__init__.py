@@ -108,7 +108,8 @@ GATE_FIRST: list[str] = [
 #   hll_cumulative_users, interval_join_click_purchase,
 #   snapshot_diff_orders, event_transition_matrix,
 #   cohort_retention_matrix, hll_rolling_users_7d, walkforward_splits,
-#   brinson_attribution, cross_factor_regression
+#   brinson_attribution, cross_factor_regression, data_profile_orders,
+#   data_quality_checks
 
 
 def _apply_gate_order() -> None:
