@@ -3321,3 +3321,69 @@ def hll_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hll_estimate") - F.col("exact_users")) / F.col("exact_users")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor (new r6): the ML-ops check that a new
+# embedding snapshot still lives where the reference did — per label,
+# compare the engine-exact fixed-point centroid of the reference half
+# (even vec_ids) against the current half (odd vec_ids): centroid
+# cosine, L2 distance, and member counts. A drifted label (cos << 1) is
+# where a model update or pipeline bug moved the space.
+#
+# Scale shape: the centroid build is ivf_centroids' single posexplode +
+# (key x 64) aggregate per half; everything after runs on the
+# label-cardinality centroid table.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_drift_by_label",
+    oracle=f"""
+    WITH ref AS (
+        SELECT label AS k, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    cur AS (
+        SELECT label AS k, embedding FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    cref AS ({o_ivf_cents("ref", cid="k")}),
+    ccur AS ({o_ivf_cents("cur", cid="k")}),
+    nref AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_ref FROM ref GROUP BY k),
+    ncur AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_cur FROM cur GROUP BY k)
+    SELECT a.k AS label, nr.n_ref, nc.n_cur,
+           {o_round6(o_cosine("a.cent", "b.cent"))} AS centroid_cos,
+           {o_round6("sqrt(" + o_l2_dist2("a.cent", "b.cent") + ")")} AS centroid_l2
+    FROM cref a
+    JOIN ccur b ON a.k = b.k
+    JOIN nref nr ON a.k = nr.k
+    JOIN ncur nc ON a.k = nc.k
+    """,
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ref = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("label").alias("k"), "embedding"
+    )
+    cur = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("label").alias("k"), "embedding"
+    )
+    cref = ivf_centroids(ref, "embedding", cid="k").select(
+        "k", F.col("__cent").alias("cent_ref")
+    )
+    ccur = ivf_centroids(cur, "embedding", cid="k").select(
+        "k", F.col("__cent").alias("cent_cur")
+    )
+    nref = ref.groupBy("k").agg(F.count(F.lit(1)).alias("n_ref"))
+    ncur = cur.groupBy("k").agg(F.count(F.lit(1)).alias("n_cur"))
+    return (
+        cref.join(ccur, "k")
+        .join(nref, "k")
+        .join(ncur, "k")
+        .select(
+            F.col("k").alias("label"),
+            "n_ref",
+            "n_cur",
+            round6(cosine("cent_ref", "cent_cur")).alias("centroid_cos"),
+            round6(F.sqrt(l2_dist2("cent_ref", "cent_cur"))).alias("centroid_l2"),
+        )
+    )

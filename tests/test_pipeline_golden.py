@@ -1237,3 +1237,54 @@ def test_data_quality_checks_match_pandas(spark):
     assert got == expect
     for r in QUERIES["data_quality_checks"](spark, SF).collect():
         assert r["passed"] == (r["n_violations"] == 0)
+
+
+def test_embedding_drift_matches_numpy_centroids(spark):
+    """Per-label half-split centroids and drift metrics recomputed with
+    numpy + the same 1e6 fixed-point quantization and sequential-fold
+    cosine."""
+    import math
+
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def centroid(vecs):
+        q = np.floor(np.stack(vecs).astype("float64") * 1e6 + 0.5).astype("int64")
+        return (q.sum(axis=0).astype("float64") / len(vecs)) / 1e6
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    expect = {}
+    for lab, g in emb.groupby("label"):
+        ref = [r.embedding for r in g.itertuples() if r.vec_id % 2 == 0]
+        cur = [r.embedding for r in g.itertuples() if r.vec_id % 2 == 1]
+        if not ref or not cur:
+            continue
+        a, b = centroid(ref), centroid(cur)
+        l2 = 0.0
+        for x, y in zip(a, b):
+            l2 += (x - y) * (x - y)
+        expect[lab] = (len(ref), len(cur), r6(cos(a, b)), r6(math.sqrt(l2)))
+
+    got = {
+        r["label"]: (r["n_ref"], r["n_cur"], r["centroid_cos"], r["centroid_l2"])
+        for r in QUERIES["embedding_drift_by_label"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][:2] == expect[k][:2]
+        assert abs(got[k][2] - expect[k][2]) <= 2e-6, (k, got[k], expect[k])
+        assert abs(got[k][3] - expect[k][3]) <= 2e-6, (k, got[k], expect[k])
+    assert len(got) > 3
