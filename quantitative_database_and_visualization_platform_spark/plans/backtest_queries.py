@@ -1436,3 +1436,125 @@ def cross_factor_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("crr")
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume anomaly detection (new r6): the monitoring pass over the panel
+# — flag (code, day) cells whose volume z-score against the TRAILING
+# 10-day window (current day excluded, min 5 observations) exceeds 3.
+# Rolling mean/std via exact integer sums of the raw volumes, the
+# z-score and threshold as one identical IEEE chain on both engines.
+#
+# Scale shape: one code-keyed ordered window, output bounded by true
+# anomalies.
+# ---------------------------------------------------------------------------
+@query(
+    "volume_anomaly_days",
+    oracle=f"""
+    WITH {O_BARS},
+    w AS (
+        SELECT code, d, volume,
+               SUM(volume) OVER tw AS s,
+               SUM(volume * volume) OVER tw AS s2,
+               COUNT(*) OVER tw AS n
+        FROM bars
+        WINDOW tw AS (PARTITION BY code ORDER BY d
+                      ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT code, d, CAST(volume AS BIGINT) AS volume,
+               CAST(s AS DOUBLE) / n AS mu,
+               sqrt(GREATEST(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0))
+                   AS sigma,
+               n
+        FROM w WHERE n >= 5
+    )
+    SELECT code, d, volume,
+           FLOOR(((volume - mu) / sigma) * 1000000 + 0.5)/1000000.0 AS zscore
+    FROM z
+    WHERE sigma > 0 AND abs((volume - mu) / sigma) > 3
+    """,
+)
+def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    tw = (
+        Window.partitionBy("code").orderBy("d").rowsBetween(-10, -1)
+    )
+    w = bars.select(
+        "code",
+        "d",
+        F.col("volume").cast("long").alias("volume"),
+        F.sum("volume").over(tw).alias("s"),
+        F.sum(F.col("volume") * F.col("volume")).over(tw).alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    ).filter(F.col("n") >= 5)
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(F.col("s2").cast("double") / F.col("n") - mu * mu, F.lit(0.0))
+    )
+    z = (F.col("volume") - mu) / sigma
+    return (
+        w.filter((sigma > 0) & (F.abs(z) > 3))
+        .select("code", "d", "volume", round6(z).alias("zscore"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Panel gap report (new r6): data-completeness check pairing the
+# constraint suite — per code, observed days vs the trading-calendar
+# span (distinct days in the whole panel between the code's first and
+# last observation), missing count, and the longest consecutive-day gap
+# (via the day-index lag within the code). A silently sparse feed is
+# the classic backtest poison; this is the report that catches it.
+#
+# Scale shape: the calendar is a date-cardinality broadcast; per-code
+# stats are one keyed window + aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "panel_gap_report",
+    oracle=f"""
+    WITH {O_BARS},
+    cal AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS idx FROM (
+            SELECT DISTINCT d FROM bars
+        )
+    ),
+    obs AS (
+        SELECT b.code, b.d, c.idx,
+               LAG(c.idx) OVER (PARTITION BY b.code ORDER BY b.d) AS prev_idx
+        FROM bars b JOIN cal c ON b.d = c.d
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MAX(idx) - MIN(idx) + 1 AS BIGINT) AS span_days,
+           CAST(MAX(idx) - MIN(idx) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(COALESCE(MAX(idx - prev_idx - 1), 0) AS BIGINT) AS max_gap
+    FROM obs GROUP BY code
+    HAVING MAX(idx) - MIN(idx) + 1 - COUNT(*) > 0
+    """,
+)
+def panel_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir).select("code", "d")
+    cal = (
+        bars.select("d")
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("d")))
+    )
+    obs = bars.join(F.broadcast(cal), "d").withColumn(
+        "prev_idx",
+        F.lag("idx").over(Window.partitionBy("code").orderBy("d")),
+    )
+    span = F.max("idx") - F.min("idx") + 1
+    return (
+        obs.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            span.cast("long").alias("span_days"),
+            (span - F.count(F.lit(1))).cast("long").alias("n_missing"),
+            F.coalesce(
+                F.max(F.col("idx") - F.col("prev_idx") - 1), F.lit(0)
+            ).cast("long").alias("max_gap"),
+        )
+        .filter(F.col("n_missing") > 0)
+    )

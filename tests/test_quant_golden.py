@@ -393,3 +393,71 @@ def test_cross_factor_regression_matches_numpy_lstsq(spark):
         assert 0.0 <= gr2 <= 1.0 + 1e-9
         checked += 1
     assert checked > 10 and checked == len(got)
+
+
+def test_volume_anomaly_matches_python_windows(spark):
+    """Trailing-window z-scores recomputed with list slices."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["k"] = ev["props"].str.extract(r"(\d+)").astype("int64")
+    vols = defaultdict(list)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        vols[code].append((d, int(g["k"].sum())))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for code, seq in vols.items():
+        seq.sort()
+        for i, (d, v) in enumerate(seq):
+            win = [x for _, x in seq[max(0, i - 10) : i]]
+            if len(win) < 5:
+                continue
+            mu = sum(win) / len(win)
+            var = max(sum(x * x for x in win) / len(win) - mu * mu, 0.0)
+            sigma = math.sqrt(var)
+            if sigma > 0 and abs((v - mu) / sigma) > 3:
+                expect[(code, d)] = (v, r6((v - mu) / sigma))
+
+    got = {
+        (r["code"], r["d"]): (r["volume"], r["zscore"])
+        for r in QUERIES["volume_anomaly_days"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 5
+
+
+def test_panel_gap_report_matches_python_sets(spark):
+    """Gap stats recomputed with sorted day-index lists."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    days = sorted(ev["d"].unique())
+    idx = {d: i + 1 for i, d in enumerate(days)}
+    per_code = defaultdict(set)
+    for r in ev.itertuples():
+        per_code[r.user_id].add(r.d)
+    expect = {}
+    for code, ds in per_code.items():
+        ixs = sorted(idx[d] for d in ds)
+        span = ixs[-1] - ixs[0] + 1
+        missing = span - len(ixs)
+        if missing > 0:
+            max_gap = max(b - a - 1 for a, b in zip(ixs, ixs[1:]))
+            expect[code] = (len(ixs), span, missing, max_gap)
+
+    got = {
+        r["code"]: (r["n_obs"], r["span_days"], r["n_missing"], r["max_gap"])
+        for r in QUERIES["panel_gap_report"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 5
