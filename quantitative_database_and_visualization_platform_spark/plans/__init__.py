@@ -109,7 +109,8 @@ GATE_FIRST: list[str] = [
 #   snapshot_diff_orders, event_transition_matrix,
 #   cohort_retention_matrix, hll_rolling_users_7d, walkforward_splits,
 #   brinson_attribution, cross_factor_regression, data_profile_orders,
-#   data_quality_checks, embedding_drift_by_label
+#   data_quality_checks, embedding_drift_by_label, volume_anomaly_days,
+#   panel_gap_report
 
 
 def _apply_gate_order() -> None:
