@@ -1011,3 +1011,87 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / upsert emulation (new r6): apply a keyed delta (updates +
+# inserts) to a base snapshot in ONE full-outer pass — matched keys take
+# the delta row, unmatched-base rows survive, unmatched-delta rows
+# insert; the write-side twin of snapshot_diff_orders. Simulated delta
+# from the orders table: keys %1000 re-priced 10% (updates), keys %997
+# held out of the base (inserts). The audit aggregates the merged
+# result per priority with insert/update counts and a fixed-point price
+# checksum, so the merge itself — not just its row count — is verified.
+#
+# Scale shape: one key-partitioned full outer join + one aggregate; on a
+# MERGE-capable table format the same delta applies as MERGE INTO with
+# identical semantics (this is the engine-side plan it compiles to).
+# ---------------------------------------------------------------------------
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 997 <> 0
+    ),
+    delta AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice * 1.1 AS o_totalprice
+        FROM orders WHERE o_orderkey % 1000 = 0 AND o_orderkey % 997 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        WHERE o_orderkey % 997 = 0
+    ),
+    merged AS (
+        SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS k,
+               COALESCE(d.o_orderpriority, b.o_orderpriority) AS prio,
+               COALESCE(d.o_totalprice, b.o_totalprice) AS price,
+               CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                    WHEN d.o_orderkey IS NULL THEN 'keep'
+                    ELSE 'update' END AS action
+        FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+    )
+    SELECT prio AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+           CAST(count_if(action = 'insert') AS BIGINT) AS n_inserted,
+           CAST(count_if(action = 'update') AS BIGINT) AS n_updated,
+           CAST(SUM(CAST(FLOOR(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS price_cents_after
+    FROM merged GROUP BY prio
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 997 != 0)
+    updates = base.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = o.filter(F.col("o_orderkey") % 997 == 0)
+    delta = updates.unionByName(inserts)
+    b = base.select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderpriority").alias("bp"),
+        F.col("o_totalprice").alias("bv"),
+    )
+    d = delta.select(
+        F.col("o_orderkey").alias("dk"),
+        F.col("o_orderpriority").alias("dp"),
+        F.col("o_totalprice").alias("dv"),
+    )
+    merged = b.join(d, b["bk"] == d["dk"], "full_outer").select(
+        F.coalesce("dp", "bp").alias("prio"),
+        F.coalesce("dv", "bv").alias("price"),
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("dk").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+    return merged.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.count_if(F.col("action") == "insert").alias("n_inserted"),
+        F.count_if(F.col("action") == "update").alias("n_updated"),
+        F.sum(F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")).alias(
+            "price_cents_after"
+        ),
+    )

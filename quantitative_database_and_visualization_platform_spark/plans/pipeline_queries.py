@@ -3387,3 +3387,44 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.sqrt(l2_dist2("cent_ref", "cent_cur"))).alias("centroid_l2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (new r6): evaluate the stopword-heuristic
+# language classifier against the corpus labels — (actual, predicted)
+# counts plus per-actual-language precision-style share. The evaluation
+# loop every classifier-driven curation rule needs before it gates data.
+#
+# Scale shape: one scan with per-row expressions, one (lang x pred)
+# aggregate — output is language-cardinality².
+# ---------------------------------------------------------------------------
+@query(
+    "langid_confusion",
+    oracle=f"""
+    WITH {_O_NORM},
+    feat AS (
+        SELECT d.lang AS lang,
+               {o_text_features()['lang_pred']} AS lang_pred
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    ),
+    m AS (
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM feat GROUP BY lang, lang_pred
+    )
+    SELECT lang, lang_pred, n,
+           FLOOR((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang))
+                 * 1000000 + 0.5)/1000000.0 AS share
+    FROM m
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feat = with_text_features(docs).select("lang", "lang_pred")
+    m = feat.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "lang_pred",
+        "n",
+        round6(F.col("n").cast("double") / F.sum("n").over(tot)).alias("share"),
+    )

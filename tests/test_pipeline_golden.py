@@ -1288,3 +1288,69 @@ def test_embedding_drift_matches_numpy_centroids(spark):
         assert abs(got[k][2] - expect[k][2]) <= 2e-6, (k, got[k], expect[k])
         assert abs(got[k][3] - expect[k][3]) <= 2e-6, (k, got[k], expect[k])
     assert len(got) > 3
+
+
+def test_langid_confusion_matches_python_counters(spark):
+    """Confusion cells and per-language shares recomputed with Counters
+    over the same stopword heuristic."""
+    import math
+    from collections import Counter
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    cells = Counter()
+    for r in _docs().itertuples():
+        w = _words(r.text)
+        ratio = sum(1 for x in w if x in STOPWORDS) / len(w)
+        pred = "en" if ratio > 0.03 else "other"
+        cells[(r.lang, pred)] += 1
+    totals = Counter()
+    for (lang, _), n in cells.items():
+        totals[lang] += n
+    expect = {
+        (lang, pred): (n, r6(n / totals[lang])) for (lang, pred), n in cells.items()
+    }
+    got = {
+        (r["lang"], r["lang_pred"]): (r["n"], r["share"])
+        for r in QUERIES["langid_confusion"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) >= 2
+
+
+def test_merge_upsert_matches_python_dicts(spark):
+    """MERGE semantics (matched update, unmatched insert, survivor keep)
+    recomputed with dict overlay."""
+    import math
+    from collections import defaultdict
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    base = {}
+    for r in orders.itertuples():
+        k = int(r.o_orderkey)
+        if k % 997 != 0:
+            base[k] = (r.o_orderpriority, r.o_totalprice, "keep")
+    merged = dict(base)
+    for r in orders.itertuples():
+        k = int(r.o_orderkey)
+        if k % 997 == 0:
+            merged[k] = (r.o_orderpriority, r.o_totalprice, "insert")
+        elif k % 1000 == 0:
+            merged[k] = (r.o_orderpriority, r.o_totalprice * 1.1, "update")
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for prio, price, action in merged.values():
+        a = agg[prio]
+        a[0] += 1
+        a[1] += action == "insert"
+        a[2] += action == "update"
+        a[3] += math.floor(price * 100 + 0.5)
+    expect = {p: tuple(v) for p, v in agg.items()}
+    got = {
+        r["o_orderpriority"]: (
+            r["n_rows_after"], r["n_inserted"], r["n_updated"], r["price_cents_after"]
+        )
+        for r in QUERIES["merge_upsert_orders"](spark, SF).collect()
+    }
+    assert got == expect
+    assert sum(v[1] for v in got.values()) > 0
