@@ -1095,3 +1095,48 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents_after"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report (new r6): the governance check before a customer
+# extract ships — group sizes over the quasi-identifier pair
+# (nationkey, mktsegment) plus an acctbal sign bucket; groups smaller
+# than k = 5 re-identify individuals and are flagged for suppression or
+# generalization. Output: every equivalence class with its size and
+# violation flag, plus the class rendered as one string key.
+#
+# Scale shape: one map-side-combined groupBy over the quasi-identifier
+# tuple; output is class-cardinality.
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_customers",
+    oracle="""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment, bal_sign
+    )
+    SELECT c_nationkey, c_mktsegment, bal_sign, class_size,
+           class_size < 5 AS violates_k5
+    FROM cls
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg").alias("bal_sign"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_sign")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_sign",
+        "class_size",
+        (F.col("class_size") < 5).alias("violates_k5"),
+    )

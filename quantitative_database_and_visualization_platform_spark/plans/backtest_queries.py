@@ -1558,3 +1558,62 @@ def panel_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_missing") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast evaluation (new r6): the baseline every volume
+# forecast must beat — predict volume_t as volume_{t-5} (weekly
+# seasonal naive) and score MAE and MAPE per code over the days where
+# the lag exists. Errors are exact integer arithmetic (volumes are
+# integral); only the final means divide.
+#
+# Scale shape: one code-keyed lag window + one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_eval_naive",
+    oracle=f"""
+    WITH {O_BARS},
+    p AS (
+        SELECT code, d, CAST(volume AS BIGINT) AS y,
+               CAST(LAG(volume, 5) OVER (PARTITION BY code ORDER BY d) AS BIGINT)
+                   AS yhat
+        FROM bars QUALIFY yhat IS NOT NULL
+    )
+    SELECT code, CAST(COUNT(*) AS BIGINT) AS n_eval,
+           FLOOR((CAST(SUM(abs(y - yhat)) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+               /1000000.0 AS mae,
+           FLOOR((CAST(SUM(CASE WHEN y > 0
+                       THEN CAST(ROUND(abs(y - yhat) / CAST(y AS DOUBLE)
+                                       * 1000000000, 0) AS BIGINT) END) AS DOUBLE)
+                  / 1000000000 / count_if(y > 0)) * 1000000 + 0.5)
+               /1000000.0 AS mape
+    FROM p GROUP BY code
+    """,
+)
+def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    p = bars.select(
+        "code",
+        "d",
+        F.col("volume").cast("long").alias("y"),
+        F.lag("volume", 5).over(w).cast("long").alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return p.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        round6(F.sum(err).cast("double") / F.count(F.lit(1))).alias("mae"),
+        # fixed-point accumulation: a raw double sum is order-dependent
+        round6(
+            F.sum(
+                F.when(
+                    F.col("y") > 0,
+                    F.round(err / F.col("y").cast("double") * 1_000_000_000, 0).cast(
+                        "long"
+                    ),
+                )
+            ).cast("double")
+            / 1_000_000_000
+            / F.count_if(F.col("y") > 0)
+        ).alias("mape"),
+    )

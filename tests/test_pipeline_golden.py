@@ -1354,3 +1354,19 @@ def test_merge_upsert_matches_python_dicts(spark):
     }
     assert got == expect
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_k_anonymity_matches_pandas_groups(spark):
+    """Equivalence classes and k=5 violations recomputed with pandas."""
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    cust["bal_sign"] = cust["c_acctbal"].map(lambda b: "neg" if b < 0 else "nonneg")
+    g = cust.groupby(["c_nationkey", "c_mktsegment", "bal_sign"]).size()
+    expect = {k: (int(n), bool(n < 5)) for k, n in g.items()}
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_sign"]): (
+            r["class_size"], r["violates_k5"]
+        )
+        for r in QUERIES["k_anonymity_customers"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 5

@@ -461,3 +461,44 @@ def test_panel_gap_report_matches_python_sets(spark):
     }
     assert got == expect
     assert len(got) > 5
+
+
+def test_forecast_eval_matches_python_lists(spark):
+    """Seasonal-naive MAE/MAPE recomputed with list arithmetic and the
+    same fixed-point accumulation."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["k"] = ev["props"].str.extract(r"(\d+)").astype("int64")
+    vols = defaultdict(list)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        vols[code].append((d, int(g["k"].sum())))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for code, seq in vols.items():
+        seq.sort()
+        pairs = [
+            (y, seq[i - 5][1]) for i, (_, y) in enumerate(seq) if i >= 5
+        ]
+        if not pairs:
+            continue
+        mae = sum(abs(y - yh) for y, yh in pairs) / len(pairs)
+        pos = [(y, yh) for y, yh in pairs if y > 0]
+        mape = (
+            sum(int(round(abs(y - yh) / y * 1e9)) for y, yh in pos) / 1e9 / len(pos)
+        )
+        expect[code] = (len(pairs), r6(mae), r6(mape))
+
+    got = {
+        r["code"]: (r["n_eval"], r["mae"], r["mape"])
+        for r in QUERIES["forecast_eval_naive"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 10
