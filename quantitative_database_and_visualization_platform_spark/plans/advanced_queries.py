@@ -1140,3 +1140,72 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_size",
         (F.col("class_size") < 5).alias("violates_k5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order/lineitem reconciliation (new r6): the cross-table consistency
+# report — per order, compare the header total against the detail sum
+# Σ extendedprice·(1+tax)·(1−discount), bucket the relative difference
+# (match <0.1%, near <5%, large, or detail-missing), and aggregate per
+# priority. On TPC-H proper every order matches; the synthetic tables
+# here do NOT maintain the invariant, which is exactly what a
+# reconciliation job exists to measure. Per-line amounts quantize to
+# cents BEFORE summing (order-independent exact detail totals).
+#
+# Scale shape: one key-partitioned detail aggregate + one key join +
+# one small aggregate — the standard header/detail audit plan.
+# ---------------------------------------------------------------------------
+@query(
+    "order_lineitem_reconciliation",
+    oracle="""
+    WITH det AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS detail_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    cmp AS (
+        SELECT o.o_orderpriority,
+               CASE WHEN d.l_orderkey IS NULL THEN 'no_detail'
+                    WHEN abs(d.detail_cents - CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT))
+                         <= 0.001 * CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)
+                        THEN 'match'
+                    WHEN abs(d.detail_cents - CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT))
+                         <= 0.05 * CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)
+                        THEN 'near'
+                    ELSE 'large' END AS bucket
+        FROM orders o LEFT JOIN det d ON o.o_orderkey = d.l_orderkey
+    )
+    SELECT o_orderpriority, bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM cmp GROUP BY o_orderpriority, bucket
+    """,
+)
+def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_tax", "l_discount"
+    )
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount"))
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    det = li.groupBy("l_orderkey").agg(F.sum(line_cents).alias("detail_cents"))
+    hdr_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    diff = F.abs(F.col("detail_cents") - hdr_cents)
+    joined = o.join(det, o["o_orderkey"] == det["l_orderkey"], "left")
+    bucket = (
+        F.when(F.col("l_orderkey").isNull(), "no_detail")
+        .when(diff <= 0.001 * hdr_cents, "match")
+        .when(diff <= 0.05 * hdr_cents, "near")
+        .otherwise("large")
+    )
+    return (
+        joined.select("o_orderpriority", bucket.alias("bucket"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

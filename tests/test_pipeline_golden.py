@@ -1370,3 +1370,34 @@ def test_k_anonymity_matches_pandas_groups(spark):
     }
     assert got == expect
     assert len(got) > 5
+
+
+def test_reconciliation_matches_python_dicts(spark):
+    """Header/detail buckets recomputed with dict sums."""
+    import math
+    from collections import Counter, defaultdict
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    det = defaultdict(int)
+    for r in li.itertuples():
+        det[int(r.l_orderkey)] += math.floor(
+            r.l_extendedprice * (1 + r.l_tax) * (1 - r.l_discount) * 100 + 0.5
+        )
+    cells = Counter()
+    for r in orders.itertuples():
+        k = int(r.o_orderkey)
+        hdr = math.floor(r.o_totalprice * 100 + 0.5)
+        if k not in det:
+            b = "no_detail"
+        else:
+            diff = abs(det[k] - hdr)
+            b = "match" if diff <= 0.001 * hdr else ("near" if diff <= 0.05 * hdr else "large")
+        cells[(r.o_orderpriority, b)] += 1
+    expect = dict(cells)
+    got = {
+        (r["o_orderpriority"], r["bucket"]): r["n"]
+        for r in QUERIES["order_lineitem_reconciliation"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 3
