@@ -111,7 +111,8 @@ GATE_FIRST: list[str] = [
 #   brinson_attribution, cross_factor_regression, data_profile_orders,
 #   data_quality_checks, embedding_drift_by_label, volume_anomaly_days,
 #   panel_gap_report, langid_confusion, merge_upsert_orders,
-#   k_anonymity_customers, forecast_eval_naive
+#   k_anonymity_customers, forecast_eval_naive,
+#   order_lineitem_reconciliation
 
 
 def _apply_gate_order() -> None:
