@@ -1617,3 +1617,93 @@ def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count_if(F.col("y") > 0)
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 chart downsampling (new r6): the width-aware line-chart reduction
+# of Jugel et al., "M4: A Visualization-Oriented Time Series Data
+# Aggregation" (PVLDB 7(10), 2014) — split each code's close series
+# into W = 16 equal-count pixel buckets and keep the first / last /
+# min / max points of each bucket, which provably preserves the
+# rasterized line. The serving-side op a dashboard (the reference's
+# K-line pages) calls instead of shipping the raw series. Close values
+# quantize to cents and every pick is a row_number with a full (value,
+# date) tie-break, so the selected points are engine-exact.
+#
+# Scale shape: one code-keyed index window, four rank columns inside
+# one (code, bucket) window pass, then a (code, bucket) conditional
+# aggregate — output is code x W x 4 points regardless of series
+# length.
+# ---------------------------------------------------------------------------
+_M4_W = 16
+
+
+@query(
+    "m4_downsample_close",
+    oracle=f"""
+    WITH {O_BARS},
+    idx AS (
+        SELECT code, d,
+               CAST(FLOOR(close*100 + 0.5) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) - 1 AS i,
+               COUNT(*) OVER (PARTITION BY code) AS n
+        FROM bars
+    ),
+    b AS (
+        SELECT code, d, cents,
+               CAST(FLOOR(i * {_M4_W} * 1.0 / n) AS BIGINT) AS bucket
+        FROM idx
+    ),
+    r AS (
+        SELECT code, bucket, d, cents,
+               ROW_NUMBER() OVER (PARTITION BY code, bucket ORDER BY d) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY code, bucket ORDER BY d DESC) AS rl,
+               ROW_NUMBER() OVER (PARTITION BY code, bucket ORDER BY cents, d) AS rmin,
+               ROW_NUMBER() OVER (PARTITION BY code, bucket ORDER BY cents DESC, d) AS rmax
+        FROM b
+    )
+    SELECT code, bucket,
+           MAX(CASE WHEN rf = 1 THEN d END) AS d_first,
+           MAX(CASE WHEN rf = 1 THEN cents END) AS v_first,
+           MAX(CASE WHEN rl = 1 THEN d END) AS d_last,
+           MAX(CASE WHEN rl = 1 THEN cents END) AS v_last,
+           MAX(CASE WHEN rmin = 1 THEN d END) AS d_min,
+           MAX(CASE WHEN rmin = 1 THEN cents END) AS v_min,
+           MAX(CASE WHEN rmax = 1 THEN d END) AS d_max,
+           MAX(CASE WHEN rmax = 1 THEN cents END) AS v_max
+    FROM r GROUP BY code, bucket
+    """,
+)
+def m4_downsample_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    cw = Window.partitionBy("code")
+    idx = bars.select(
+        "code",
+        "d",
+        F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.row_number().over(cw.orderBy("d")) - 1).alias("i"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    b = idx.select(
+        "code", "d", "cents",
+        F.floor(F.col("i") * _M4_W / F.col("n")).cast("long").alias("bucket"),
+    )
+    pb = Window.partitionBy("code", "bucket")
+    r = b.select(
+        "code", "bucket", "d", "cents",
+        F.row_number().over(pb.orderBy("d")).alias("rf"),
+        F.row_number().over(pb.orderBy(F.col("d").desc())).alias("rl"),
+        F.row_number().over(pb.orderBy("cents", "d")).alias("rmin"),
+        F.row_number().over(pb.orderBy(F.col("cents").desc(), "d")).alias("rmax"),
+    )
+    pick = lambda rn, c: F.max(F.when(F.col(rn) == 1, F.col(c)))
+    return r.groupBy("code", "bucket").agg(
+        pick("rf", "d").alias("d_first"),
+        pick("rf", "cents").alias("v_first"),
+        pick("rl", "d").alias("d_last"),
+        pick("rl", "cents").alias("v_last"),
+        pick("rmin", "d").alias("d_min"),
+        pick("rmin", "cents").alias("v_min"),
+        pick("rmax", "d").alias("d_max"),
+        pick("rmax", "cents").alias("v_max"),
+    )

@@ -502,3 +502,47 @@ def test_forecast_eval_matches_python_lists(spark):
     }
     assert got == expect
     assert len(got) > 10
+
+
+def test_m4_downsample_matches_python_buckets(spark):
+    """M4 picks (first/last/min/max per pixel bucket, full tie-breaks)
+    recomputed with sorted lists; every bucket's min<=first/last<=max
+    envelope property checked."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    series = defaultdict(list)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        series[code].append((d, math.floor(g.iloc[-1]["value"] * 100 + 0.5)))
+
+    expect = {}
+    for code, seq in series.items():
+        seq.sort()
+        n = len(seq)
+        buckets = defaultdict(list)
+        for i, (d, c) in enumerate(seq):
+            buckets[math.floor(i * 16 / n)].append((d, c))
+        for bk, pts in buckets.items():
+            first, last = pts[0], pts[-1]
+            mn = min(pts, key=lambda t: (t[1], t[0]))
+            # max value with earliest-date tie-break
+            mx = sorted(pts, key=lambda t: (-t[1], t[0]))[0]
+            expect[(code, bk)] = (
+                first[0], first[1], last[0], last[1], mn[0], mn[1], mx[0], mx[1]
+            )
+
+    got = {
+        (r["code"], r["bucket"]): (
+            r["d_first"], r["v_first"], r["d_last"], r["v_last"],
+            r["d_min"], r["v_min"], r["d_max"], r["v_max"],
+        )
+        for r in QUERIES["m4_downsample_close"](spark, SF).collect()
+    }
+    assert got == expect
+    for (_, _), (df_, vf, dl, vl, dmn, vmn, dmx, vmx) in got.items():
+        assert vmn <= vf <= vmx and vmn <= vl <= vmx
+        assert dmn >= df_ and dmx >= df_ and dl >= df_
