@@ -3428,3 +3428,57 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         round6(F.col("n").cast("double") / F.sum("n").over(tot)).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size distribution (new r6): how much of the corpus
+# sits in duplicate clusters of each size — the diagnostic that decides
+# whether dedup is worth its cost (a long tail of pairs vs a few giant
+# boilerplate cliques behave differently). One histogram row per
+# cluster size over the verified n-gram pair graph's components, with
+# doc and char mass.
+#
+# Scale shape: reuses the shared verified-pair relation + union-find
+# components, then two small aggregates (component-keyed, size-keyed).
+# ---------------------------------------------------------------------------
+@query(
+    "neardup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_O_NORM}, pairs AS (
+        SELECT a_id, b_id FROM ({_o_ngram_jaccard()})
+    ), edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION ALL
+        SELECT b_id AS src, a_id AS dst FROM pairs
+    ), reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.node = e.src
+    ), comp AS (
+        SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    ), sizes AS (
+        SELECT c.component,
+               CAST(COUNT(*) AS BIGINT) AS sz,
+               CAST(SUM(d.n_chars) AS BIGINT) AS chars
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        GROUP BY c.component
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(chars) AS BIGINT) AS total_chars
+    FROM sizes GROUP BY sz
+    """,
+)
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = dd.connected_components(_ngram_pairs(spark, sf_dir))
+    sizes = comp.join(docs, "doc_id").groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+    )
