@@ -112,7 +112,8 @@ GATE_FIRST: list[str] = [
 #   data_quality_checks, embedding_drift_by_label, volume_anomaly_days,
 #   panel_gap_report, langid_confusion, merge_upsert_orders,
 #   k_anonymity_customers, forecast_eval_naive,
-#   order_lineitem_reconciliation, m4_downsample_close
+#   order_lineitem_reconciliation, m4_downsample_close,
+#   neardup_cluster_sizes
 
 
 def _apply_gate_order() -> None:
