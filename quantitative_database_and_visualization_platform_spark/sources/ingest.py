@@ -188,3 +188,13 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Bulk newline-delimited JSON sink (one file per partition; callers
     control fan-in with coalesce/repartition)."""
     df.write.mode(mode).json(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVED
+    schemas (columns added over time): ``mergeSchema`` unions the file
+    footers into one schema and back-fills absent columns with NULL —
+    the read-side half of additive schema evolution on a lakehouse
+    table. Costs one footer pass per file (footers only, not data), so
+    turn it on for evolving tables rather than globally."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -715,3 +715,37 @@ def test_streaming_hll_sink_matches_batch(spark):
         assert got2 == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
+    """Additive schema evolution: files written before a column existed
+    read back as NULL for that column, files after carry it; row count
+    and values survive exactly."""
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.sources.ingest import (
+        read_parquet_evolved,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "evolved")
+    v1 = docs.select("doc_id", "source").filter(F.col("doc_id") % 2 == 0)
+    v2 = docs.select("doc_id", "source", "lang").filter(F.col("doc_id") % 2 == 1)
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+
+    merged = read_parquet_evolved(spark, out)
+    assert set(merged.columns) == {"doc_id", "source", "lang"}
+    assert merged.count() == docs.count()
+    # pre-evolution rows surface the new column as NULL
+    nulls = merged.filter(F.col("lang").isNull())
+    assert nulls.count() == v1.count()
+    assert {r["doc_id"] % 2 for r in nulls.collect()} == {0}
+    # post-evolution rows keep their values exactly
+    want = {r["doc_id"]: r["lang"] for r in v2.collect()}
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in merged.filter(F.col("lang").isNotNull()).collect()
+    }
+    assert got == want
