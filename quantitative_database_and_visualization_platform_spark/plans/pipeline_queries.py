@@ -3482,3 +3482,82 @@ def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").alias("n_docs"),
         F.sum("chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (new r6): pointwise mutual information over adjacent
+# token pairs — PMI = ln(n·c(ab) / (c(a)·c(b))) with a minimum pair
+# count of 5 — the collocation-mining step behind phrase vocabularies
+# and query expansion (the statistical complement of bpe_merge's raw
+# pair frequencies). Exact integer counts; one identical IEEE ln per
+# surviving pair; top-25 by rounded PMI with full tie-breaks.
+#
+# Scale shape: bigram and unigram counts are two map-side-combined
+# shuffles bounded by vocabulary²/vocabulary; the PMI join is
+# vocabulary-sized; TakeOrderedAndProject ends it.
+# ---------------------------------------------------------------------------
+@query(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT doc_id, w FROM words
+    ),
+    big AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab FROM (
+            SELECT doc_id, w[i] AS a, w[i+1] AS b
+            FROM tok, LATERAL (SELECT UNNEST(range(1, len(w))) AS i)
+        ) GROUP BY a, b
+    ),
+    uni AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT UNNEST(w) AS tk FROM tok
+        ) GROUP BY tk
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)
+    SELECT big.a, big.b, big.cab,
+           FLOOR(ln(CAST(n.n AS DOUBLE) * big.cab
+                    / (CAST(ua.c AS DOUBLE) * ub.c)) * 1000000 + 0.5)
+               /1000000.0 AS pmi
+    FROM big
+    JOIN uni ua ON big.a = ua.tk
+    JOIN uni ub ON big.b = ub.tk
+    CROSS JOIN n
+    WHERE big.cab >= 5
+    ORDER BY pmi DESC, big.a, big.b
+    LIMIT 25
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = managed_persist(
+        docs.select(F.split(dd.normalized_text("text"), " ").alias("w"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS a, w[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    uni = (
+        words.select(F.explode("w").alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("__n"))
+    pmi = F.log(
+        F.col("__n").cast("double") * F.col("cab")
+        / (F.col("ca").cast("double") * F.col("cb"))
+    )
+    return (
+        big.filter(F.col("cab") >= 5)
+        .join(F.broadcast(uni.select(F.col("tk").alias("a"), F.col("c").alias("ca"))), "a")
+        .join(F.broadcast(uni.select(F.col("tk").alias("b"), F.col("c").alias("cb"))), "b")
+        .crossJoin(F.broadcast(n))
+        .select("a", "b", "cab", round6(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(25)
+    )

@@ -1401,3 +1401,32 @@ def test_reconciliation_matches_python_dicts(spark):
     }
     assert got == expect
     assert len(got) > 3
+
+
+def test_token_pmi_matches_python_counters(spark):
+    """PMI top-25 recomputed with Counters and math.log."""
+    import math
+    from collections import Counter
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    uni = Counter()
+    big = Counter()
+    for r in _docs().itertuples():
+        w = _words(r.text)
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    n = sum(uni.values())
+    scored = [
+        (a, b, c, r6(math.log(n * c / (uni[a] * uni[b]))))
+        for (a, b), c in big.items()
+        if c >= 5
+    ]
+    expect = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:25]
+    got = [
+        (r["a"], r["b"], r["cab"], r["pmi"])
+        for r in QUERIES["token_pmi_pairs"](spark, SF).collect()
+    ]
+    assert got == expect
+    assert len(got) == 25
