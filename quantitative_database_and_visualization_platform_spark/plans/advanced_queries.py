@@ -1209,3 +1209,88 @@ def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderpriority", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion attribution (new r6): for every purchase, the first-touch
+# and last-touch click of the same user within the 7 days before it —
+# the marketing-analytics op downstream of the interval join. Touch
+# picks are row_numbers with full (ts, event_id) tie-breaks, so
+# attribution is deterministic under concurrent clicks.
+#
+# Scale shape: a user-keyed equi join with a banded time residual, then
+# one purchase-keyed window pass for both picks — every stage keyed on
+# user or purchase.
+# ---------------------------------------------------------------------------
+@query(
+    "conversion_attribution",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+               event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS purchase_ts,
+               event_id AS purchase_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.p_user AS user_id, p.purchase_ts,
+               c.click_id, c.click_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.click_ts, c.click_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rl
+        FROM p JOIN c ON p.p_user = c.user_id
+            AND c.click_ts <= p.purchase_ts
+            AND c.click_ts >= p.purchase_ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, user_id, purchase_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           MAX(CASE WHEN rf = 1 THEN click_id END) AS first_click_id,
+           MAX(CASE WHEN rf = 1 THEN click_ts END) AS first_click_ts,
+           MAX(CASE WHEN rl = 1 THEN click_id END) AS last_click_id,
+           MAX(CASE WHEN rl = 1 THEN click_ts END) AS last_click_ts
+    FROM touches
+    GROUP BY purchase_id, user_id, purchase_ts
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    touches = p.join(
+        c,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    pw = Window.partitionBy("purchase_id")
+    r = touches.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.row_number().over(pw.orderBy("click_ts", "click_id")).alias("rf"),
+        F.row_number()
+        .over(pw.orderBy(F.col("click_ts").desc(), F.col("click_id").desc()))
+        .alias("rl"),
+    )
+    pick = lambda rn, col: F.max(F.when(F.col(rn) == 1, F.col(col)))
+    return r.groupBy("purchase_id", "user_id", "purchase_ts").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        pick("rf", "click_id").alias("first_click_id"),
+        pick("rf", "click_ts").alias("first_click_ts"),
+        pick("rl", "click_id").alias("last_click_id"),
+        pick("rl", "click_ts").alias("last_click_ts"),
+    )

@@ -1430,3 +1430,37 @@ def test_token_pmi_matches_python_counters(spark):
     ]
     assert got == expect
     assert len(got) == 25
+
+
+def test_conversion_attribution_matches_python_loops(spark):
+    """First/last-touch picks recomputed with list scans."""
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    clicks = defaultdict(list)
+    for r in ev[ev.event_type == "click"].itertuples():
+        clicks[r.user_id].append((r.ts, r.event_id))
+    expect = {}
+    for r in ev[ev.event_type == "purchase"].itertuples():
+        lo = r.ts - pd.Timedelta(days=7)
+        touches = [(t, i) for t, i in clicks.get(r.user_id, []) if lo <= t <= r.ts]
+        if touches:
+            first = min(touches)
+            last = max(touches)
+            expect[r.event_id] = (
+                r.user_id, r.ts.to_pydatetime(), len(touches),
+                first[1], first[0].to_pydatetime(),
+                last[1], last[0].to_pydatetime(),
+            )
+
+    got = {
+        r["purchase_id"]: (
+            r["user_id"], r["purchase_ts"], r["n_touches"],
+            r["first_click_id"], r["first_click_ts"],
+            r["last_click_id"], r["last_click_ts"],
+        )
+        for r in QUERIES["conversion_attribution"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 3
