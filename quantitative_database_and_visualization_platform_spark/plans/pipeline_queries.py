@@ -3561,3 +3561,154 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality (new r6): per-document unigram character
+# entropy H = -Σ p·ln p — the compression-ratio proxy that separates
+# natural text from degenerate/boilerplate strings (low H) and random
+# noise (high H). Exact integer char counts per doc; the entropy sum
+# runs over the ≤ ~40-symbol alphabet in a fixed fold order (sorted
+# characters), so both engines execute the identical IEEE chain.
+# Output: per-source entropy distribution stats + low/high-H doc
+# counts.
+#
+# Scale shape: one explode to (doc, char) counts (alphabet-bounded per
+# doc), a doc-keyed entropy collapse, then a source-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "char_entropy_quality",
+    oracle=f"""
+    WITH {_O_NORM},
+    ch AS (
+        SELECT d.doc_id, d.source, UNNEST(string_split_regex(n.t, '')) AS c
+        FROM docs_n n JOIN documents d ON n.doc_id = d.doc_id
+    ),
+    cnt AS (
+        SELECT doc_id, source, c, CAST(COUNT(*) AS BIGINT) AS k
+        FROM ch WHERE c <> '' GROUP BY doc_id, source, c
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    ),
+    ent AS (
+        SELECT cnt.source, cnt.doc_id,
+               -SUM(CAST(ROUND((CAST(k AS DOUBLE)/t.n)
+                    * ln(CAST(k AS DOUBLE)/t.n) * 1000000000, 0) AS BIGINT))
+                   / 1000000000.0 AS h
+        FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id
+        GROUP BY cnt.source, cnt.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {o_round6("SUM(CAST(ROUND(h*1000000,0) AS BIGINT))/1000000.0 / COUNT(*)")}
+               AS mean_entropy,
+           {o_round6("MIN(h)")} AS min_entropy,
+           {o_round6("MAX(h)")} AS max_entropy,
+           CAST(count_if(h < 2.5) AS BIGINT) AS n_low_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    norm = docs.select(
+        "doc_id", "source", dd.normalized_text("text").alias("t")
+    )
+    ch = managed_persist(
+        norm.select(
+            "doc_id", "source", F.explode(F.split("t", "")).alias("c")
+        ).filter(F.col("c") != "")
+    )
+    cnt = ch.groupBy("doc_id", "source", "c").agg(F.count(F.lit(1)).alias("k"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    # fixed-point per-term quantization: the per-doc entropy sum is an
+    # exact integer addition on both engines
+    term = F.round(p * F.log(p) * 1_000_000_000, 0).cast("long")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("source", "doc_id")
+        .agg((-F.sum(term) / 1_000_000_000.0).alias("h"))
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        round6(
+            F.sum(F.round(F.col("h") * 1_000_000, 0).cast("long")) / 1_000_000.0
+            / F.count(F.lit(1))
+        ).alias("mean_entropy"),
+        round6(F.min("h")).alias("min_entropy"),
+        round6(F.max("h")).alias("max_entropy"),
+        F.count_if(F.col("h") < 2.5).alias("n_low_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus overview (new r6): the one-row dashboard header — docs,
+# token/char mass, vocabulary, language/source fan-out, exact-duplicate
+# docs (md5 groups beyond the first member), and mean quality — each a
+# cheap aggregate over shared relations, composed into the numbers a
+# curation run reports first.
+#
+# Scale shape: one token-explode aggregate + one fingerprint groupBy +
+# two count-distincts; 1-row output.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_overview",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (SELECT doc_id, UNNEST(w) AS tk FROM words),
+    fp AS (
+        SELECT md5(t) AS h, CAST(COUNT(*) AS BIGINT) AS c
+        FROM docs_n GROUP BY md5(t)
+    ),
+    q AS (
+        SELECT CAST(ROUND(({o_text_features()['quality_score']})*1000000, 0) AS BIGINT) AS qq
+        FROM words
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) AS n_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_tokens,
+           (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) FROM tok) AS vocab_size,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+           (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS n_sources,
+           (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM fp WHERE c > 1) AS n_exact_dup_docs,
+           (SELECT FLOOR((CAST(SUM(qq) AS DOUBLE) / COUNT(*) / 1000000)
+                   * 1000000 + 0.5)/1000000.0 FROM q) AS mean_quality
+    """,
+)
+def corpus_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = managed_persist(
+        docs.select("doc_id", "lang", "source", "n_chars", dd.normalized_text("text").alias("t"))
+    )
+    toks = norm.select(F.explode(F.split("t", " ")).alias("tk"))
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tk").alias("vocab_size"),
+    )
+    dup = (
+        norm.groupBy(F.md5("t").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_exact_dup_docs"))
+    )
+    qq = F.round(F.col("quality_score") * 1_000_000, 0).cast("long")
+    quality = with_text_features(docs.select("doc_id", "text")).agg(
+        round6(F.sum(qq).cast("double") / F.count(F.lit(1)) / 1_000_000).alias(
+            "mean_quality"
+        )
+    )
+    base = norm.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(quality))
+        .select(
+            "n_docs", "n_chars", "n_tokens", "vocab_size",
+            "n_langs", "n_sources", "n_exact_dup_docs", "mean_quality",
+        )
+    )

@@ -1464,3 +1464,67 @@ def test_conversion_attribution_matches_python_loops(spark):
     }
     assert got == expect
     assert len(got) > 3
+
+
+def test_char_entropy_matches_python_counters(spark):
+    """Per-doc char entropies and source stats recomputed with Counters
+    and the same fixed-point term quantization."""
+    import math
+    from collections import Counter, defaultdict
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    per_src = defaultdict(list)
+    for r in _docs().itertuples():
+        t = _norm(r.text)
+        cnt = Counter(t)
+        n = sum(cnt.values())
+        s = 0
+        for _, k in cnt.items():
+            p = k / n
+            s += int(round(p * math.log(p) * 1e9))
+        per_src[r.source].append(-s / 1e9)
+
+    expect = {}
+    for src, hs in per_src.items():
+        mean = sum(int(round(h * 1e6)) for h in hs) / 1e6 / len(hs)
+        expect[src] = (
+            len(hs), r6(mean), r6(min(hs)), r6(max(hs)),
+            sum(1 for h in hs if h < 2.5),
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["mean_entropy"], r["min_entropy"],
+            r["max_entropy"], r["n_low_entropy"],
+        )
+        for r in QUERIES["char_entropy_quality"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 2
+
+
+def test_corpus_overview_matches_python(spark):
+    """One-row corpus header recomputed with Counters."""
+    import math
+    from collections import Counter
+
+    docs = _docs()
+    toks = []
+    fps = Counter()
+    quals = []
+    for r in docs.itertuples():
+        w = _words(r.text)
+        toks.extend(w)
+        fps[_norm(r.text)] += 1
+        quals.append(int(round(_quality(r.text) * 1e6)))
+    row = QUERIES["corpus_overview"](spark, SF).collect()[0]
+    assert row["n_docs"] == len(docs)
+    assert row["n_chars"] == int(docs["n_chars"].sum())
+    assert row["n_tokens"] == len(toks)
+    assert row["vocab_size"] == len(set(toks))
+    assert row["n_langs"] == docs["lang"].nunique()
+    assert row["n_sources"] == docs["source"].nunique()
+    assert row["n_exact_dup_docs"] == sum(c - 1 for c in fps.values() if c > 1)
+    mean_q = sum(quals) / len(quals) / 1e6
+    assert row["mean_quality"] == math.floor(mean_q * 1e6 + 0.5) / 1e6
