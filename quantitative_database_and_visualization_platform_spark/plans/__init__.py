@@ -113,7 +113,8 @@ GATE_FIRST: list[str] = [
 #   panel_gap_report, langid_confusion, merge_upsert_orders,
 #   k_anonymity_customers, forecast_eval_naive,
 #   order_lineitem_reconciliation, m4_downsample_close,
-#   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution
+#   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
+#   char_entropy_quality, corpus_overview
 
 
 def _apply_gate_order() -> None:
