@@ -3613,11 +3613,12 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select(
         "doc_id", "source", dd.normalized_text("text").alias("t")
     )
-    ch = managed_persist(
-        norm.select(
-            "doc_id", "source", F.explode(F.split("t", "")).alias("c")
-        ).filter(F.col("c") != "")
-    )
+    # no persist: the char stream has ONE consumer and flows straight
+    # into the map-side-combined (doc, char) partial aggregation —
+    # caching corpus-length rows would cost more than the explode
+    ch = norm.select(
+        "doc_id", "source", F.explode(F.split("t", "")).alias("c")
+    ).filter(F.col("c") != "")
     cnt = ch.groupBy("doc_id", "source", "c").agg(F.count(F.lit(1)).alias("k"))
     tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
     p = F.col("k").cast("double") / F.col("n")
