@@ -1707,3 +1707,78 @@ def m4_downsample_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("rmax", "d").alias("d_max"),
         pick("rmax", "cents").alias("v_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top correlated pairs (new r6): the pairs-trading candidate scan —
+# Pearson correlation of daily returns for every code pair (a < b) with
+# >= 20 overlapping days, top 15 by 6dp-rounded correlation with full
+# tie-breaks. Upstream of pairs_spread_zscore, which takes one chosen
+# pair; this is how the pair gets chosen.
+#
+# Scale shape: a date-keyed self-join fans out to universe² rows per
+# day — bounded by the NAME UNIVERSE (thousands), not the row count, so
+# the join grows with names², never with history length. A 100 TB
+# deployment blocks the pair domain (sector × sector, or factor-model
+# shrinkage) before the join; the corr aggregate itself is one
+# map-side-combined shuffle on the pair key. corr is rounded to 6dp on
+# both engines per the registry convention (cross-engine and
+# partial-agg error ~1e-12, far inside the rounding).
+# ---------------------------------------------------------------------------
+@query(
+    "top_correlated_pairs",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ),
+    pairs AS (
+        SELECT a.code AS code_a, b.code AS code_b,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               FLOOR(corr(a.ret, b.ret) * 1000000 + 0.5)/1000000.0 AS c
+        FROM rets a JOIN rets b ON a.d = b.d AND a.code < b.code
+        GROUP BY a.code, b.code
+        HAVING COUNT(*) >= 20 AND corr(a.ret, b.ret) IS NOT NULL
+    )
+    SELECT code_a, code_b, n_days, c AS correlation
+    FROM pairs
+    ORDER BY c DESC, code_a, code_b
+    LIMIT 15
+    """,
+)
+def top_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = managed_persist(
+        bars.select(
+            "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+        ).filter(F.col("ret").isNotNull())
+    )
+    a = rets.select(
+        F.col("code").alias("code_a"), "d", F.col("ret").alias("ret_a")
+    )
+    b = rets.select(
+        F.col("code").alias("code_b"), F.col("d").alias("d_b"), F.col("ret").alias("ret_b")
+    )
+    joined = a.join(
+        b, (F.col("d") == F.col("d_b")) & (F.col("code_a") < F.col("code_b"))
+    )
+    pairs = (
+        joined.groupBy("code_a", "code_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.corr("ret_a", "ret_b").alias("__c"),
+        )
+        .filter((F.col("n_days") >= 20) & F.col("__c").isNotNull())
+    )
+    return (
+        pairs.select(
+            "code_a", "code_b", "n_days", round6(F.col("__c")).alias("correlation")
+        )
+        .orderBy(F.col("correlation").desc(), "code_a", "code_b")
+        .limit(15)
+    )

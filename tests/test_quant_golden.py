@@ -546,3 +546,53 @@ def test_m4_downsample_matches_python_buckets(spark):
     for (_, _), (df_, vf, dl, vl, dmn, vmn, dmx, vmx) in got.items():
         assert vmn <= vf <= vmx and vmn <= vl <= vmx
         assert dmn >= df_ and dmx >= df_ and dl >= df_
+
+
+def test_top_correlated_pairs_match_numpy(spark):
+    """Pairwise return correlations recomputed with numpy; top-15
+    membership and 6dp values must match."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    closes = defaultdict(dict)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        closes[code][d] = g.iloc[-1]["value"]
+    rets = {}
+    for code, byd in closes.items():
+        days = sorted(byd)
+        rets[code] = {
+            d1: byd[d1] / byd[d0] - 1 for d0, d1 in zip(days, days[1:])
+        }
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    scored = []
+    codes = sorted(rets)
+    for i, a in enumerate(codes):
+        for b in codes[i + 1 :]:
+            common = sorted(set(rets[a]) & set(rets[b]))
+            if len(common) < 20:
+                continue
+            xa = np.array([rets[a][d] for d in common])
+            xb = np.array([rets[b][d] for d in common])
+            c = float(np.corrcoef(xa, xb)[0, 1])
+            if not math.isnan(c):
+                scored.append((a, b, len(common), r6(c)))
+    expect = sorted(scored, key=lambda t: (-t[3], t[0], t[1]))[:15]
+
+    got = [
+        (r["code_a"], r["code_b"], r["n_days"], r["correlation"])
+        for r in QUERIES["top_correlated_pairs"](spark, SF).collect()
+    ]
+    assert len(got) == 15
+    # numpy's corr differs from the engines' accumulation by ~1e-12;
+    # allow one ulp at the 6th decimal on the value, exact on identity
+    assert [(a, b, n) for a, b, n, _ in got] == [(a, b, n) for a, b, n, _ in expect]
+    for (_, _, _, cg), (_, _, _, ce) in zip(got, expect):
+        assert abs(cg - ce) <= 2e-6
