@@ -1528,3 +1528,63 @@ def test_corpus_overview_matches_python(spark):
     assert row["n_exact_dup_docs"] == sum(c - 1 for c in fps.values() if c > 1)
     mean_q = sum(quals) / len(quals) / 1e6
     assert row["mean_quality"] == math.floor(mean_q * 1e6 + 0.5) / 1e6
+
+
+def test_neardup_cluster_sizes_match_python_union_find(spark):
+    """Cluster-size histogram recomputed with brute-force all-pairs
+    Jaccard (t = 0.6 on distinct 3-gram sets) + a plain union-find —
+    so a blocking-soundness bug in the pair generator shows up here as
+    a component split/merge."""
+    from collections import defaultdict
+
+    docs = _docs()
+    sets = {r.doc_id: _shingle_set(r.text) for r in docs.itertuples()}
+    chars = {r.doc_id: r.n_chars for r in docs.itertuples()}
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.6:
+                union(a, b)
+
+    comp_members = defaultdict(list)
+    for a in ids:
+        comp_members[find(a)].append(a)
+    # only docs that appear in at least one pair belong to the graph
+    in_graph = {a for a in ids if find(a) != a} | {
+        find(a) for a in ids if find(a) != a
+    }
+    expect = defaultdict(lambda: [0, 0, 0])
+    for root, members in comp_members.items():
+        members = [m for m in members if m in in_graph]
+        if not members:
+            continue
+        sz = len(members)
+        e = expect[sz]
+        e[0] += 1
+        e[1] += sz
+        e[2] += sum(chars[m] for m in members)
+    expect = {k: tuple(v) for k, v in expect.items()}
+
+    got = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"], r["total_chars"])
+        for r in QUERIES["neardup_cluster_sizes"](spark, SF).collect()
+    }
+    assert got == expect
+    assert sum(v[0] for v in got.values()) > 0
