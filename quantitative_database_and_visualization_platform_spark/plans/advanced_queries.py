@@ -1294,3 +1294,119 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("rl", "click_id").alias("last_click_id"),
         pick("rl", "click_ts").alias("last_click_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (new r6): the experimentation readout — users
+# deterministically split into two arms by md5(user_id) parity, per-user
+# purchase value as the metric, then per-arm mean (exact fixed-point),
+# absolute/relative lift, and the Welch t-statistic. Variances come
+# from exact integer Σx/Σx² in cents, so every arm statistic is the
+# identical IEEE chain on both engines; only genuinely float steps
+# (divisions, sqrt) run in double, rounded to 6dp.
+#
+# Scale shape: one user-keyed aggregate (map-side combined) + one
+# 2-row arm aggregate; 1-row output.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_lift",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT) % 2
+                   AS arm,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS spend_cents
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(spend_cents) AS BIGINT) AS s,
+               CAST(SUM(spend_cents * spend_cents) AS BIGINT) AS s2
+        FROM u GROUP BY arm
+    ),
+    stats AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+            MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+            MAX(CASE WHEN arm = 0 THEN s END) / 100.0
+                / MAX(CASE WHEN arm = 0 THEN n END) AS m0,
+            MAX(CASE WHEN arm = 1 THEN s END) / 100.0
+                / MAX(CASE WHEN arm = 1 THEN n END) AS m1,
+            (CAST(MAX(CASE WHEN arm = 0 THEN s2 END) AS DOUBLE) / 10000
+             - CAST(MAX(CASE WHEN arm = 0 THEN s END) AS DOUBLE) / 100
+               * MAX(CASE WHEN arm = 0 THEN s END) / 100
+               / MAX(CASE WHEN arm = 0 THEN n END))
+              / (MAX(CASE WHEN arm = 0 THEN n END) - 1) AS v0,
+            (CAST(MAX(CASE WHEN arm = 1 THEN s2 END) AS DOUBLE) / 10000
+             - CAST(MAX(CASE WHEN arm = 1 THEN s END) AS DOUBLE) / 100
+               * MAX(CASE WHEN arm = 1 THEN s END) / 100
+               / MAX(CASE WHEN arm = 1 THEN n END))
+              / (MAX(CASE WHEN arm = 1 THEN n END) - 1) AS v1
+        FROM arms
+    )
+    SELECT n0 AS n_control, n1 AS n_treatment,
+           FLOOR(m0*1000000 + 0.5)/1000000.0 AS mean_control,
+           FLOOR(m1*1000000 + 0.5)/1000000.0 AS mean_treatment,
+           FLOOR((m1 - m0)*1000000 + 0.5)/1000000.0 AS abs_lift,
+           FLOOR(((m1 - m0) / m0)*1000000 + 0.5)/1000000.0 AS rel_lift,
+           FLOOR(((m1 - m0) / sqrt(v0/n0 + v1/n1))*1000000 + 0.5)/1000000.0
+               AS welch_t
+    FROM stats
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    ).otherwise(F.lit(0))
+    u = ev.groupBy("user_id").agg(F.sum(cents).alias("spend_cents")).select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm"),
+        "spend_cents",
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend_cents").alias("s"),
+        F.sum(F.col("spend_cents") * F.col("spend_cents")).alias("s2"),
+    )
+    pick = lambda a, c: F.max(F.when(F.col("arm") == a, F.col(c)))
+    stats = arms.agg(
+        pick(0, "n").alias("n0"),
+        pick(1, "n").alias("n1"),
+        (pick(0, "s") / 100.0 / pick(0, "n")).alias("m0"),
+        (pick(1, "s") / 100.0 / pick(1, "n")).alias("m1"),
+        (
+            (
+                pick(0, "s2").cast("double") / 10000
+                - pick(0, "s").cast("double") / 100 * pick(0, "s") / 100 / pick(0, "n")
+            )
+            / (pick(0, "n") - 1)
+        ).alias("v0"),
+        (
+            (
+                pick(1, "s2").cast("double") / 10000
+                - pick(1, "s").cast("double") / 100 * pick(1, "s") / 100 / pick(1, "n")
+            )
+            / (pick(1, "n") - 1)
+        ).alias("v1"),
+    )
+    return stats.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        round6(F.col("m0")).alias("mean_control"),
+        round6(F.col("m1")).alias("mean_treatment"),
+        round6(F.col("m1") - F.col("m0")).alias("abs_lift"),
+        round6((F.col("m1") - F.col("m0")) / F.col("m0")).alias("rel_lift"),
+        round6(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
+        ).alias("welch_t"),
+    )

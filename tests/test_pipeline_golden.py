@@ -1588,3 +1588,44 @@ def test_neardup_cluster_sizes_match_python_union_find(spark):
     }
     assert got == expect
     assert sum(v[0] for v in got.values()) > 0
+
+
+def test_ab_test_lift_matches_python_stats(spark):
+    """Arm means, lift, and Welch t recomputed with hashlib + python
+    statistics on the same cents-quantized per-user spends."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    spend = defaultdict(int)
+    users = set()
+    for r in ev.itertuples():
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            spend[r.user_id] += int(round(r.value * 100))
+    arms = {0: [], 1: []}
+    for uid in users:
+        arm = int(hashlib.md5(str(uid).encode()).hexdigest()[:13], 16) % 2
+        arms[arm].append(spend[uid])
+
+    def stats(xs):
+        n = len(xs)
+        s = sum(xs)
+        s2 = sum(x * x for x in xs)
+        mean = s / 100.0 / n
+        var = (s2 / 10000 - (s / 100) * s / 100 / n) / (n - 1)
+        return n, mean, var
+
+    n0, m0, v0 = stats(arms[0])
+    n1, m1, v1 = stats(arms[1])
+    row = QUERIES["ab_test_lift"](spark, SF).collect()[0]
+    assert (row["n_control"], row["n_treatment"]) == (n0, n1)
+    assert row["mean_control"] == r6(m0)
+    assert row["mean_treatment"] == r6(m1)
+    assert row["abs_lift"] == r6(m1 - m0)
+    assert row["rel_lift"] == r6((m1 - m0) / m0)
+    assert abs(row["welch_t"] - r6((m1 - m0) / math.sqrt(v0 / n0 + v1 / n1))) <= 2e-6
