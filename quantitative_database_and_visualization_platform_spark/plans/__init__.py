@@ -114,7 +114,8 @@ GATE_FIRST: list[str] = [
 #   k_anonymity_customers, forecast_eval_naive,
 #   order_lineitem_reconciliation, m4_downsample_close,
 #   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
-#   char_entropy_quality, corpus_overview, top_correlated_pairs
+#   char_entropy_quality, corpus_overview, top_correlated_pairs,
+#   ab_test_lift
 
 
 def _apply_gate_order() -> None:
