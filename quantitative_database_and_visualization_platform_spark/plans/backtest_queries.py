@@ -1782,3 +1782,67 @@ def top_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("correlation").desc(), "code_a", "code_b")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) volume outliers (new r6): the heavy-tail-safe
+# complement to volume_anomaly_days — per code, the volume median, the
+# median absolute deviation, and the count of days whose robust z-score
+# |v − med| / (1.4826·MAD) exceeds 3. Medians are exact interpolated
+# percentiles over integer volumes on both engines; MAD degenerate
+# codes (MAD = 0) report outliers as NULL rather than dividing by zero.
+#
+# Scale shape: two code-keyed exact-percentile aggregates (the second
+# over |v − med|) and one code-keyed count — no window, no sort beyond
+# the percentile's own.
+# ---------------------------------------------------------------------------
+@query(
+    "robust_volume_outliers",
+    oracle=f"""
+    WITH {O_BARS},
+    med AS (
+        SELECT code, median(CAST(volume AS BIGINT)) AS med
+        FROM bars GROUP BY code
+    ),
+    dev AS (
+        SELECT b.code, CAST(b.volume AS BIGINT) AS v, m.med,
+               abs(CAST(b.volume AS BIGINT) - m.med) AS adev
+        FROM bars b JOIN med m ON b.code = m.code
+    ),
+    mad AS (
+        SELECT code, median(adev) AS mad FROM dev GROUP BY code
+    )
+    SELECT d.code,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(MAX(d.med)*1000000 + 0.5)/1000000.0 AS med_volume,
+           FLOOR(MAX(m.mad)*1000000 + 0.5)/1000000.0 AS mad_volume,
+           CASE WHEN MAX(m.mad) > 0
+                THEN CAST(count_if(d.adev > 3 * 1.4826 * m.mad) AS BIGINT)
+                END AS n_outliers
+    FROM dev d JOIN mad m ON d.code = m.code
+    GROUP BY d.code
+    """,
+)
+def robust_volume_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    bars = daily_bars(spark, sf_dir).select(
+        "code", F.col("volume").cast("long").alias("v")
+    )
+    med = bars.groupBy("code").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    dev = bars.join(med, "code").withColumn(
+        "adev", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("code").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    joined = dev.join(mad, "code")
+    return joined.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        round6(F.max("med")).alias("med_volume"),
+        round6(F.max("mad")).alias("mad_volume"),
+        F.when(
+            F.max("mad") > 0,
+            F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")),
+        ).alias("n_outliers"),
+    )

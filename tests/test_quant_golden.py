@@ -596,3 +596,39 @@ def test_top_correlated_pairs_match_numpy(spark):
     assert [(a, b, n) for a, b, n, _ in got] == [(a, b, n) for a, b, n, _ in expect]
     for (_, _, _, cg), (_, _, _, ce) in zip(got, expect):
         assert abs(cg - ce) <= 2e-6
+
+
+def test_robust_outliers_match_python_statistics(spark):
+    """Median/MAD/robust-z counts recomputed with statistics.median."""
+    import math
+    import statistics
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["k"] = ev["props"].str.extract(r"(\d+)").astype("int64")
+    vols = defaultdict(list)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        vols[code].append(int(g["k"].sum()))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for code, vs in vols.items():
+        med = statistics.median(vs)
+        adev = [abs(v - med) for v in vs]
+        mad = statistics.median(adev)
+        n_out = (
+            sum(1 for a in adev if a > 3 * 1.4826 * mad) if mad > 0 else None
+        )
+        expect[code] = (len(vs), r6(med), r6(mad), n_out)
+
+    got = {
+        r["code"]: (r["n_days"], r["med_volume"], r["mad_volume"], r["n_outliers"])
+        for r in QUERIES["robust_volume_outliers"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) > 10
