@@ -115,7 +115,7 @@ GATE_FIRST: list[str] = [
 #   order_lineitem_reconciliation, m4_downsample_close,
 #   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
 #   char_entropy_quality, corpus_overview, top_correlated_pairs,
-#   ab_test_lift
+#   ab_test_lift, robust_volume_outliers
 
 
 def _apply_gate_order() -> None:
