@@ -1846,3 +1846,70 @@ def robust_volume_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("adev") > 3 * 1.4826 * F.col("mad")),
         ).alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (new r6): per-day Herfindahl-Hirschman index of
+# dollar-volume shares plus the top-5 names' share — the market-
+# structure metric behind "is today's volume broad or concentrated".
+# Shares are exact integer amount-cents over the day total; HHI
+# accumulates per-name share² as 1e-12-quantized integers so the
+# day-level sum is order-independent.
+#
+# Scale shape: one date-keyed aggregate for totals, one date-keyed
+# rank for the top-5 share, one date-keyed collapse — output is
+# calendar-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "market_concentration_daily",
+    oracle=f"""
+    WITH {O_BARS},
+    amt AS (
+        SELECT d, code, CAST(FLOOR(amount*100 + 0.5) AS BIGINT) AS ac
+        FROM bars WHERE amount > 0
+    ),
+    tot AS (
+        SELECT d, CAST(SUM(ac) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_names
+        FROM amt GROUP BY d
+    ),
+    shares AS (
+        SELECT a.d, a.ac, t.t, t.n_names,
+               ROW_NUMBER() OVER (PARTITION BY a.d
+                   ORDER BY a.ac DESC, a.code) AS rnk
+        FROM amt a JOIN tot t ON a.d = t.d
+    )
+    SELECT d, CAST(MAX(n_names) AS BIGINT) AS n_names,
+           FLOOR((SUM(CAST(ROUND((CAST(ac AS DOUBLE)/t)*(CAST(ac AS DOUBLE)/t)
+                  * 1000000000000, 0) AS BIGINT)) / 1000000000000.0)
+                 * 1000000 + 0.5)/1000000.0 AS hhi,
+           FLOOR((CAST(SUM(CASE WHEN rnk <= 5 THEN ac END) AS DOUBLE)
+                  / MAX(t)) * 1000000 + 0.5)/1000000.0 AS top5_share
+    FROM shares GROUP BY d
+    """,
+)
+def market_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    bars = daily_bars(spark, sf_dir).filter(F.col("amount") > 0)
+    amt = bars.select(
+        "d", "code", F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long").alias("ac")
+    )
+    tot = amt.groupBy("d").agg(
+        F.sum("ac").alias("t"), F.count(F.lit(1)).alias("n_names")
+    )
+    shares = amt.join(tot, "d").withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("d").orderBy(F.col("ac").desc(), "code")
+        ),
+    )
+    share = F.col("ac").cast("double") / F.col("t")
+    hhi_term = F.round(share * share * 1_000_000_000_000, 0).cast("long")
+    return shares.groupBy("d").agg(
+        F.max("n_names").alias("n_names"),
+        round6(F.sum(hhi_term) / 1_000_000_000_000.0).alias("hhi"),
+        round6(
+            F.sum(F.when(F.col("rnk") <= 5, F.col("ac"))).cast("double") / F.max("t")
+        ).alias("top5_share"),
+    )

@@ -632,3 +632,45 @@ def test_robust_outliers_match_python_statistics(spark):
     }
     assert got == expect
     assert len(got) > 10
+
+
+def test_market_concentration_matches_python_shares(spark):
+    """HHI and top-5 share recomputed with dict arithmetic; HHI must sit
+    in [1/n, 1]."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    ev["k"] = ev["props"].str.extract(r"(\d+)").astype("int64")
+    amounts = defaultdict(dict)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        cents = (g["value"] * 100).round().astype("int64")
+        amount = float((cents * g["k"]).sum()) / 100.0
+        if amount > 0:
+            amounts[d][code] = math.floor(amount * 100 + 0.5)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for d, per_code in amounts.items():
+        t = sum(per_code.values())
+        hhi_q = sum(
+            int(round((ac / t) * (ac / t) * 1e12)) for ac in per_code.values()
+        )
+        top5 = sum(
+            ac for ac in sorted(per_code.values(), reverse=True)[:5]
+        )
+        expect[d] = (len(per_code), r6(hhi_q / 1e12), r6(top5 / t))
+
+    got = {
+        r["d"]: (r["n_names"], r["hhi"], r["top5_share"])
+        for r in QUERIES["market_concentration_daily"](spark, SF).collect()
+    }
+    assert got == expect
+    for d, (n, hhi, t5) in got.items():
+        assert 1.0 / n - 1e-6 <= hhi <= 1.0 + 1e-6
+        assert 0.0 < t5 <= 1.0 + 1e-6
