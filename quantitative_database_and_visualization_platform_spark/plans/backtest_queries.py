@@ -1913,3 +1913,97 @@ def market_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rnk") <= 5, F.col("ac"))).cast("double") / F.max("t")
         ).alias("top5_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IC decay profile (new r6): the factor-research readout of how fast a
+# signal's information decays — mean daily Spearman rank IC of 5-day
+# momentum against FORWARD returns at horizons 1..5. Average-tie ranks
+# are computed arithmetically (RANK + (ties-1)/2 — identical integer
+# math on both engines), per-day ICs round to 6dp, and the per-horizon
+# mean accumulates those rounded ICs in fixed point.
+#
+# Scale shape: the horizon axis unpivots to long (5× the panel), then
+# every stage is keyed on (horizon, date) — the same one-shuffle IC
+# shape as rank_ic_matrix with horizon replacing the factor axis.
+# ---------------------------------------------------------------------------
+@query(
+    "ic_decay_profile",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d,
+               close / LAG(close, 5) OVER (PARTITION BY code ORDER BY d) - 1
+                   AS mom,
+               {", ".join(
+                   f"LEAD(close, {h}) OVER (PARTITION BY code ORDER BY d) / close - 1 AS f{h}"
+                   for h in range(1, 6)
+               )}
+        FROM bars QUALIFY mom IS NOT NULL
+    ),
+    longf AS (
+        {" UNION ALL ".join(
+            f"SELECT code, d, mom, {h} AS h, f{h} AS fwd FROM panel WHERE f{h} IS NOT NULL"
+            for h in range(1, 6)
+        )}
+    ),
+    ranked AS (
+        SELECT h, d,
+               RANK() OVER (PARTITION BY h, d ORDER BY mom)
+                 + (COUNT(*) OVER (PARTITION BY h, d, mom) - 1) / 2.0 AS rm,
+               RANK() OVER (PARTITION BY h, d ORDER BY fwd)
+                 + (COUNT(*) OVER (PARTITION BY h, d, fwd) - 1) / 2.0 AS rf
+        FROM longf
+    ),
+    daily AS (
+        SELECT h, d,
+               FLOOR(corr(rm, rf)*1000000 + 0.5)/1000000.0 AS ic
+        FROM ranked GROUP BY h, d
+        HAVING corr(rm, rf) IS NOT NULL
+    )
+    SELECT h AS horizon, CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR((SUM(CAST(ROUND(ic*1000000,0) AS BIGINT)) / 1000000.0
+                  / COUNT(*)) * 1000000 + 0.5)/1000000.0 AS mean_ic
+    FROM daily GROUP BY h
+    """,
+)
+def ic_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import round6
+
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("mom"),
+        *[
+            (F.lead("close", h).over(w) / F.col("close") - 1).alias(f"f{h}")
+            for h in range(1, 6)
+        ],
+    ).filter(F.col("mom").isNotNull())
+    longf = None
+    for h in range(1, 6):
+        part = panel.filter(F.col(f"f{h}").isNotNull()).select(
+            "d", "mom", F.lit(h).alias("h"), F.col(f"f{h}").alias("fwd")
+        )
+        longf = part if longf is None else longf.unionByName(part)
+    avg_rank = lambda c: (
+        F.rank().over(Window.partitionBy("h", "d").orderBy(c))
+        + (F.count(F.lit(1)).over(Window.partitionBy("h", "d", c)) - 1) / 2.0
+    )
+    ranked = longf.select(
+        "h", "d", avg_rank("mom").alias("rm"), avg_rank("fwd").alias("rf")
+    )
+    daily = (
+        ranked.groupBy("h", "d")
+        .agg(F.corr("rm", "rf").alias("__c"))
+        .filter(F.col("__c").isNotNull())
+        .select("h", "d", round6(F.col("__c")).alias("ic"))
+    )
+    return daily.groupBy(F.col("h").alias("horizon")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        round6(
+            F.sum(F.round(F.col("ic") * 1_000_000, 0).cast("long")) / 1_000_000.0
+            / F.count(F.lit(1))
+        ).alias("mean_ic"),
+    )

@@ -674,3 +674,57 @@ def test_market_concentration_matches_python_shares(spark):
     for d, (n, hhi, t5) in got.items():
         assert 1.0 / n - 1e-6 <= hhi <= 1.0 + 1e-6
         assert 0.0 < t5 <= 1.0 + 1e-6
+
+
+def test_ic_decay_matches_scipy_spearman(spark):
+    """Per-horizon mean IC recomputed with an independent Spearman
+    (rank via scipy-style average ties through pandas.rank) on the same
+    panel."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(["ts", "event_id"])
+    ev["d"] = pd.to_datetime(ev["ts"]).dt.date
+    closes = defaultdict(list)
+    for (code, d), g in ev.groupby(["user_id", "d"]):
+        closes[code].append((d, g.iloc[-1]["value"]))
+    rows = []
+    for code, seq in closes.items():
+        seq.sort()
+        for i in range(len(seq)):
+            if i < 5:
+                continue
+            mom = seq[i][1] / seq[i - 5][1] - 1
+            for h in range(1, 6):
+                if i + h < len(seq):
+                    rows.append(
+                        (h, seq[i][0], mom, seq[i + h][1] / seq[i][1] - 1)
+                    )
+    df = pd.DataFrame(rows, columns=["h", "d", "mom", "fwd"])
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for h, gh in df.groupby("h"):
+        ics = []
+        for d, g in gh.groupby("d"):
+            rm = g["mom"].rank(method="average")
+            rf = g["fwd"].rank(method="average")
+            c = np.corrcoef(rm, rf)[0, 1]
+            if not math.isnan(c):
+                ics.append(int(round(r6(float(c)) * 1e6)))
+        if ics:
+            expect[h] = (len(ics), r6(sum(ics) / 1e6 / len(ics)))
+
+    got = {
+        r["horizon"]: (r["n_days"], r["mean_ic"])
+        for r in QUERIES["ic_decay_profile"](spark, SF).collect()
+    }
+    assert set(got) == set(expect) == {1, 2, 3, 4, 5}
+    for h in got:
+        assert got[h][0] == expect[h][0]
+        assert abs(got[h][1] - expect[h][1]) <= 3e-6, (h, got[h], expect[h])
