@@ -115,7 +115,8 @@ GATE_FIRST: list[str] = [
 #   order_lineitem_reconciliation, m4_downsample_close,
 #   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
 #   char_entropy_quality, corpus_overview, top_correlated_pairs,
-#   ab_test_lift, robust_volume_outliers
+#   ab_test_lift, robust_volume_outliers, market_concentration_daily,
+#   ic_decay_profile
 
 
 def _apply_gate_order() -> None:
