@@ -2007,3 +2007,193 @@ def ic_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_ic"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR / CVaR (new r6): per-entity 95% value-at-risk and
+# expected shortfall from the daily return history — the tail-risk
+# report the reference's risk page derives from the same daily panel
+# (`Project report.md` factor_db risk columns). VaR is the k-th worst
+# return (k = ceil(n/20), an exact integer order statistic — no
+# interpolation, so both engines pick the identical row; ties broken by
+# date), CVaR the fixed-point mean of the k worst.
+#
+# Scale shape: one partitionBy(code) sort ranks each entity's returns;
+# the aggregate is map-side combined. Order statistics per key never
+# materialize a global sort — survives any number of entities.
+# ---------------------------------------------------------------------------
+@query(
+    "var_cvar_daily",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS ret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), r2 AS (
+        SELECT code, d, ret_c,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY ret_c, d) AS rn,
+               COUNT(*) OVER (PARTITION BY code) AS n
+        FROM rets WHERE ret_c IS NOT NULL
+    )
+    SELECT code, CAST(MAX(n) AS BIGINT) AS n_days,
+           FLOOR((MAX(CASE WHEN rn = (n+19)//20 THEN ret_c END)/{_RS}.0)*1000000 + 0.5)
+             /1000000.0 AS var_95,
+           FLOOR((SUM(CASE WHEN rn <= (n+19)//20 THEN ret_c END)*1.0
+                  / MAX((n+19)//20) / {_RS})*1000000 + 0.5)/1000000.0 AS cvar_95
+    FROM r2 GROUP BY code
+    """,
+)
+def var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("ret_c"),
+    ).filter(F.col("ret_c").isNotNull())
+    r2 = rets.select(
+        "code",
+        "ret_c",
+        F.row_number()
+        .over(Window.partitionBy("code").orderBy("ret_c", "d"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("code")).alias("n"),
+    )
+    k = F.floor((F.col("n") + 19) / 20)  # ceil(n/20) in exact int math
+    return r2.groupBy("code").agg(
+        F.max("n").alias("n_days"),
+        round6(
+            F.max(F.when(F.col("rn") == k, F.col("ret_c"))) / float(_RS)
+        ).alias("var_95"),
+        round6(
+            F.sum(F.when(F.col("rn") <= k, F.col("ret_c"))) * 1.0
+            / F.max(k)
+            / _RS
+        ).alias("cvar_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Underwater report (new r6): drawdown DURATION, complementing
+# backtest_drawdown's depth — per entity, the longest and total number of
+# days spent below the running equity peak. A new peak opens a segment
+# (integer flag cumsum); underwater days are counted per segment. All
+# integer arithmetic on the fixed-point equity curve — exact on both
+# engines under any evaluation order.
+#
+# Scale shape: one partitionBy(code) ordered window builds equity, peak
+# and segment ids in a single pass; the two aggregations afterwards are
+# map-side combined. Nothing global, nothing quadratic.
+# ---------------------------------------------------------------------------
+@query(
+    "underwater_duration",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS ret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), eq AS (
+        SELECT code, d,
+               SUM(ret_c) OVER (PARTITION BY code ORDER BY d ROWS UNBOUNDED PRECEDING) AS eq_c
+        FROM rets WHERE ret_c IS NOT NULL
+    ), peaks AS (
+        SELECT code, d,
+               CASE WHEN eq_c >= MAX(eq_c) OVER (PARTITION BY code ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) THEN 1 ELSE 0 END AS is_peak
+        FROM eq
+    ), seg AS (
+        SELECT code, d, is_peak,
+               SUM(is_peak) OVER (PARTITION BY code ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS seg_id
+        FROM peaks
+    ), per_seg AS (
+        SELECT code, seg_id, CAST(SUM(1 - is_peak) AS BIGINT) AS uw_days
+        FROM seg GROUP BY code, seg_id
+    )
+    SELECT code,
+           CAST(MAX(uw_days) AS BIGINT) AS max_underwater_days,
+           CAST(SUM(uw_days) AS BIGINT) AS total_underwater_days,
+           CAST(SUM(1) AS BIGINT) AS n_segments
+    FROM per_seg GROUP BY code
+    """,
+)
+def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rets = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("ret_c"),
+    ).filter(F.col("ret_c").isNotNull())
+    eq = rets.withColumn("eq_c", F.sum("ret_c").over(run))
+    is_peak = (F.col("eq_c") >= F.max("eq_c").over(run)).cast("long")
+    seg = eq.select(
+        "code",
+        "d",
+        is_peak.alias("is_peak"),
+        F.sum(is_peak).over(run).alias("seg_id"),
+    )
+    per_seg = seg.groupBy("code", "seg_id").agg(
+        F.sum(F.lit(1) - F.col("is_peak")).alias("uw_days")
+    )
+    return per_seg.groupBy("code").agg(
+        F.max("uw_days").alias("max_underwater_days"),
+        F.sum("uw_days").alias("total_underwater_days"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-of-year seasonality (new r6): the calendar-effect panel every
+# quant dashboard carries — per calendar month, the cross-sectional mean
+# daily return, hit rate and dispersion of the whole panel. Fixed-point
+# sums keep the means exact; hit rate is a ratio of exact counts.
+#
+# Scale shape: one lag window per entity, then a 12-bucket aggregate —
+# map-side combined into at most 12 groups.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonality_monthly",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS ret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    )
+    SELECT CAST(MONTH(d) AS INT) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           FLOOR((SUM(ret_c)*1.0 / COUNT(*) / {_RS})*1000000 + 0.5)/1000000.0
+             AS mean_ret,
+           FLOOR((count_if(ret_c > 0)*1.0 / COUNT(*))*1000000 + 0.5)/1000000.0
+             AS hit_rate,
+           FLOOR(((MAX(ret_c) - MIN(ret_c))/{_RS}.0)*1000000 + 0.5)/1000000.0
+             AS ret_range
+    FROM rets WHERE ret_c IS NOT NULL
+    GROUP BY MONTH(d)
+    """,
+)
+def seasonality_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("ret_c"),
+    ).filter(F.col("ret_c").isNotNull())
+    return rets.groupBy(F.month("d").alias("mo")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        round6(F.sum("ret_c") * 1.0 / F.count(F.lit(1)) / _RS).alias("mean_ret"),
+        round6(F.count_if(F.col("ret_c") > 0) * 1.0 / F.count(F.lit(1))).alias(
+            "hit_rate"
+        ),
+        round6((F.max("ret_c") - F.min("ret_c")) / float(_RS)).alias("ret_range"),
+    )
