@@ -538,3 +538,159 @@ def materialized_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         (F.col("value") * k * 100).alias("turnover"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (new r6): data-quality screen over monetary
+# amounts — observed leading-digit distribution of o_totalprice vs the
+# Benford expectation, with the absolute deviation per digit. A standard
+# fraud/synthetic-data detector on financial tables (the reference's
+# data-audit page runs distribution checks of the same shape).
+#
+# Determinism: the leading digit comes from FLOOR → BIGINT → string (both
+# engines truncate identically through FLOOR; a raw double→int cast would
+# diverge: Spark truncates, DuckDB rounds). The Benford expectations are
+# compile-time literals (log10 evaluated once in Python), so no
+# cross-engine libm dependency. Rates are ratios of exact counts.
+#
+# Scale shape: single scan → 9-group aggregate, map-side combined.
+# ---------------------------------------------------------------------------
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), counted AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(COUNT(*) AS BIGINT)) OVER () AS total
+        FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           FLOOR((n*1.0/total)*1000000 + 0.5)/1000000.0 AS obs_rate,
+           CASE digit {' '.join(f'WHEN {d} THEN CAST({p!r} AS DOUBLE)' for d, p in _BENFORD.items())} END
+             AS benford_rate,
+           FLOOR(ABS(n*1.0/total
+                 - CASE digit {' '.join(f'WHEN {d} THEN CAST({p!r} AS DOUBLE)' for d, p in _BENFORD.items())} END)
+                 *1000000 + 0.5)/1000000.0 AS abs_dev
+    FROM counted
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counted = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        # 9-row relation: the global total via an unpartitioned window is
+        # driver-bounded by construction, not a scale smell
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD.items() for x in kv]
+    )[F.col("digit")]
+    obs = F.col("n") * 1.0 / F.col("total")
+    return counted.select(
+        "digit",
+        "n",
+        (F.floor(obs * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("obs_rate"),
+        benford.alias("benford_rate"),
+        (F.floor(F.abs(obs - benford) * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+            "abs_dev"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market share by supplier nation (new r6, TPC-H Q8 shape): for the ASIA
+# region's customer market, each order year's revenue share delivered by
+# NATION_2 suppliers. The densest multi-join in the suite: lineitem ←
+# orders ← customer ← nation ← region on one side, supplier ← nation on
+# the other — all five dimension joins are broadcasts (fixed-cardinality
+# dims), so the plan is ONE pass over lineitem with zero shuffle until
+# the per-year aggregate (map-side combined to #years rows).
+#
+# Determinism: revenue in fixed-point cents, share as ratio of exact
+# integer sums.
+# ---------------------------------------------------------------------------
+@query(
+    "market_share_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(YEAR(o.o_orderdate) AS INT) AS yr,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                 AS rev_c,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+    )
+    SELECT yr,
+           SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)/100.0
+             AS nation_revenue,
+           SUM(rev_c)/100.0 AS market_revenue,
+           FLOOR((SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)*1.0
+                  / SUM(rev_c))*1000000 + 0.5)/1000000.0 AS mkt_share
+    FROM rev GROUP BY yr
+    """,
+)
+def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer-side dim chain collapses to a custkey set; supplier-side to
+    # a (suppkey → nation) map — both broadcast, keeping lineitem unshuffled
+    cust_asia = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        # orders SCALES with the fact side — equi shuffle join (AQE picks
+        # the physical strategy); only the fixed-cardinality dims broadcast
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            rev_c.alias("rev_c"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_2", F.col("rev_c")).otherwise(
+        F.lit(0)
+    )
+    return rev.groupBy("yr").agg(
+        (F.sum(nat) / 100.0).alias("nation_revenue"),
+        (F.sum("rev_c") / 100.0).alias("market_revenue"),
+        (
+            F.floor(F.sum(nat) * 1.0 / F.sum("rev_c") * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("mkt_share"),
+    )
