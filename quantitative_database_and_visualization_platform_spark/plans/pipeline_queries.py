@@ -3713,3 +3713,248 @@ def corpus_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_langs", "n_sources", "n_exact_dup_docs", "mean_quality",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rare-token ratio (new r6): the out-of-vocabulary quality heuristic —
+# fraction of each document's tokens outside the corpus' top-100
+# vocabulary, aggregated per source. Documents dominated by rare tokens
+# are the classic garbage/OCR-noise signal a curation pass drops.
+#
+# Scale shape: one explode → token-count shuffle builds the vocabulary;
+# the top-K head is tiny and BROADCAST back against the token stream
+# (the stream stays unshuffled); per-doc then per-source aggregates are
+# map-side combined. The token stream is persisted once — it has two
+# consumers (vocabulary build + probe), and re-exploding would pay the
+# Generate re-evaluation tax twice.
+# ---------------------------------------------------------------------------
+@query(
+    "rare_token_ratio",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT doc_id, UNNEST(w) AS tk FROM words
+    ), vocab AS (
+        SELECT tk FROM (
+            SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tk
+        ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tk) <= 100
+    ), perdoc AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(count_if(v.tk IS NULL) AS BIGINT) AS n_rare
+        FROM tok t LEFT JOIN vocab v ON t.tk = v.tk
+        GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR((SUM(CAST(ROUND(p.n_rare*1.0/p.n_tok*1000000,0) AS BIGINT))
+                  /1000000.0 / COUNT(*))*1000000 + 0.5)/1000000.0 AS mean_rare_ratio,
+           CAST(count_if(p.n_rare*1.0/p.n_tok > 0.5) AS BIGINT) AS n_flagged
+    FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = managed_persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.split(dd.normalized_text("text"), " ")).alias("tk"),
+        )
+    )
+    vocab = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("__rn", F.row_number().over(Window.orderBy(F.desc("c"), "tk")))
+        .filter(F.col("__rn") <= 100)
+        .select("tk", F.lit(1).alias("__in_vocab"))
+    )
+    perdoc = (
+        tok.join(F.broadcast(vocab), "tk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count_if(F.col("__in_vocab").isNull()).alias("n_rare"),
+        )
+    )
+    ratio = F.col("n_rare") * 1.0 / F.col("n_tok")
+    return (
+        perdoc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round6(
+                F.sum(F.round(ratio * 1_000_000, 0).cast("long")) / 1_000_000.0
+                / F.count(F.lit(1))
+            ).alias("mean_rare_ratio"),
+            F.count_if(ratio > 0.5).alias("n_flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio / hapax quality (new r6): per-document lexical
+# diversity — distinct-type ratio and hapax-legomena ratio, the
+# boilerplate/templated-text detector complementary to the entropy and
+# repetition signals (low TTR = repetitive doc even when char entropy is
+# high).
+#
+# Scale shape: explode → one (doc_id, token) count aggregate (map-side
+# combined; the doc_id axis keeps partial groups small) → per-doc
+# aggregate on the same key, so the second step is shuffle-free under
+# the same partitioning. No global state at all.
+# ---------------------------------------------------------------------------
+@query(
+    "ttr_quality",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT doc_id, UNNEST(w) AS tk FROM words
+    ), freq AS (
+        SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS k
+        FROM tok GROUP BY doc_id, tk
+    ), perdoc AS (
+        SELECT doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(count_if(k = 1) AS BIGINT) AS n_hapax
+        FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, n_hapax,
+           FLOOR((n_types*1.0/n_tokens)*1000000 + 0.5)/1000000.0 AS ttr,
+           FLOOR((n_hapax*1.0/n_types)*1000000 + 0.5)/1000000.0 AS hapax_ratio
+    FROM perdoc
+    """,
+)
+def ttr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    freq = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(dd.normalized_text("text"), " ")).alias("tk"),
+        )
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    perdoc = freq.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count_if(F.col("k") == 1).alias("n_hapax"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        round6(F.col("n_types") * 1.0 / F.col("n_tokens")).alias("ttr"),
+        round6(F.col("n_hapax") * 1.0 / F.col("n_types")).alias("hapax_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source vocabulary JSD (new r6): Jensen-Shannon divergence between
+# each source's unigram distribution and the corpus distribution — the
+# domain-drift detector a mixture-tuning pass reads before reweighting
+# sources (complements embedding_drift_by_label with a text-native
+# signal).
+#
+# The q-side KL sum runs over the WHOLE vocabulary, but tokens absent
+# from the source contribute exactly q·ln2 (p=0 ⇒ m=q/2) — so the sum
+# factors into per-(source,token) terms for PRESENT tokens plus
+# ln2·(1−Q_s) where Q_s is the corpus mass of the source's vocabulary.
+# That identity removes the source×vocabulary cross join entirely: the
+# plan touches only observed (source, token) pairs.
+#
+# Determinism: all probabilities are ratios of exact integer counts; the
+# per-token KL terms are quantized at 1e9 and integer-summed (the
+# char_entropy_quality recipe); ln2 is a compile-time Python literal, so
+# only ln(p/m) crosses into libm — identical on both engines.
+#
+# Scale shape: explode → (source, token) counts (one shuffle), token
+# totals derived from the same relation (second small shuffle on token),
+# broadcast of per-source and corpus totals (source-cardinality rows).
+# ---------------------------------------------------------------------------
+_LN2 = 0.6931471805599453
+
+
+@query(
+    "vocab_jsd_by_source",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT d.source, UNNEST(n.w) AS tk
+        FROM words n JOIN documents d ON n.doc_id = d.doc_id
+    ), st AS (
+        SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS cs
+        FROM tok GROUP BY source, tk
+    ), gt AS (
+        SELECT tk, CAST(SUM(cs) AS BIGINT) AS c FROM st GROUP BY tk
+    ), totals AS (
+        SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY source
+    ), grand AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n FROM gt
+    ), terms AS (
+        SELECT st.source,
+               st.cs*1.0/t.ns AS p,
+               gt.c*1.0/g.n AS q
+        FROM st
+        JOIN gt ON st.tk = gt.tk
+        JOIN totals t ON st.source = t.source
+        CROSS JOIN grand g
+    ), sums AS (
+        SELECT source,
+               SUM(CAST(ROUND(p * ln(p/((p+q)/2)) * 1000000000, 0) AS BIGINT)) AS kl_p_c,
+               SUM(CAST(ROUND(q * ln(q/((p+q)/2)) * 1000000000, 0) AS BIGINT)) AS kl_q_c,
+               SUM(CAST(ROUND(q * 1000000000, 0) AS BIGINT)) AS q_mass_c,
+               CAST(COUNT(*) AS BIGINT) AS vocab_source
+        FROM terms GROUP BY source
+    )
+    SELECT source, vocab_source,
+           FLOOR(((kl_p_c + kl_q_c
+                   + ROUND(CAST({_LN2!r} AS DOUBLE) * (1000000000 - q_mass_c), 0))
+                  / 2000000000.0)*1000000 + 0.5)/1000000.0 AS jsd
+    FROM sums
+    """,
+)
+def vocab_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    st = managed_persist(
+        docs.select(
+            "source",
+            F.explode(F.split(dd.normalized_text("text"), " ")).alias("tk"),
+        )
+        .groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    gt = st.groupBy("tk").agg(F.sum("cs").alias("c"))
+    totals = st.groupBy("source").agg(F.sum("cs").alias("ns"))
+    grand = gt.agg(F.sum("c").alias("n"))
+    p = F.col("cs") * 1.0 / F.col("ns")
+    q = F.col("c") * 1.0 / F.col("n")
+    m = (p + q) / 2
+    q9 = F.round(q * 1_000_000_000, 0).cast("long")
+    terms = (
+        st.join(gt, "tk")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    sums = terms.groupBy("source").agg(
+        F.sum(F.round(p * F.log(p / m) * 1_000_000_000, 0).cast("long")).alias(
+            "kl_p_c"
+        ),
+        F.sum(F.round(q * F.log(q / m) * 1_000_000_000, 0).cast("long")).alias(
+            "kl_q_c"
+        ),
+        F.sum(q9).alias("q_mass_c"),
+        F.count(F.lit(1)).alias("vocab_source"),
+    )
+    jsd = (
+        F.col("kl_p_c")
+        + F.col("kl_q_c")
+        + F.round(F.lit(_LN2) * (F.lit(1_000_000_000) - F.col("q_mass_c")), 0)
+    ) / 2_000_000_000.0
+    return sums.select(
+        "source",
+        "vocab_source",
+        (F.floor(jsd * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("jsd"),
+    )
