@@ -613,12 +613,14 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Market share by supplier nation (new r6, TPC-H Q8 shape): for the ASIA
-# region's customer market, each order year's revenue share delivered by
-# NATION_2 suppliers. The densest multi-join in the suite: lineitem ←
-# orders ← customer ← nation ← region on one side, supplier ← nation on
-# the other — all five dimension joins are broadcasts (fixed-cardinality
-# dims), so the plan is ONE pass over lineitem with zero shuffle until
-# the per-year aggregate (map-side combined to #years rows).
+# region's customer market, each (order year, supplier nation)'s revenue
+# and share of that year's market. The densest multi-join in the suite:
+# lineitem <- orders <- customer <- nation <- region on one side,
+# supplier <- nation on the other -- all dimension joins are broadcasts
+# (fixed-cardinality dims); orders scales with the fact side and joins
+# via shuffle. The per-(year, nation) aggregate is map-side combined to
+# years x nations rows; the year total comes from a second tiny
+# aggregate joined back (never a data-sized window).
 #
 # Determinism: revenue in fixed-point cents, share as ratio of exact
 # integer sums.
@@ -639,14 +641,17 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier s  ON l.l_suppkey = s.s_suppkey
         JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
         WHERE r.r_name = 'ASIA'
+    ), per_nat AS (
+        SELECT yr, supp_nation, SUM(rev_c) AS nat_c
+        FROM rev GROUP BY yr, supp_nation
+    ), per_yr AS (
+        SELECT yr, SUM(nat_c) AS tot_c FROM per_nat GROUP BY yr
     )
-    SELECT yr,
-           SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)/100.0
-             AS nation_revenue,
-           SUM(rev_c)/100.0 AS market_revenue,
-           FLOOR((SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END)*1.0
-                  / SUM(rev_c))*1000000 + 0.5)/1000000.0 AS mkt_share
-    FROM rev GROUP BY yr
+    SELECT n.yr, n.supp_nation,
+           n.nat_c/100.0 AS nation_revenue,
+           y.tot_c/100.0 AS market_revenue,
+           FLOOR((n.nat_c*1.0/y.tot_c)*1000000 + 0.5)/1000000.0 AS mkt_share
+    FROM per_nat n JOIN per_yr y ON n.yr = y.yr
     """,
 )
 def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +662,8 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     # customer-side dim chain collapses to a custkey set; supplier-side to
-    # a (suppkey → nation) map — both broadcast, keeping lineitem unshuffled
+    # a (suppkey -> nation) map -- both broadcast, keeping lineitem's only
+    # shuffle the equi join with orders (AQE picks the physical strategy)
     cust_asia = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -671,8 +677,6 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("long")
     rev = (
-        # orders SCALES with the fact side — equi shuffle join (AQE picks
-        # the physical strategy); only the fixed-cardinality dims broadcast
         li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
                 li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(cust_asia), F.col("o_custkey") == F.col("c_custkey"))
@@ -683,14 +687,15 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    nat = F.when(F.col("supp_nation") == "NATION_2", F.col("rev_c")).otherwise(
-        F.lit(0)
-    )
-    return rev.groupBy("yr").agg(
-        (F.sum(nat) / 100.0).alias("nation_revenue"),
-        (F.sum("rev_c") / 100.0).alias("market_revenue"),
+    per_nat = rev.groupBy("yr", "supp_nation").agg(F.sum("rev_c").alias("nat_c"))
+    per_yr = per_nat.groupBy("yr").agg(F.sum("nat_c").alias("tot_c"))
+    return per_nat.join(F.broadcast(per_yr), "yr").select(
+        "yr",
+        "supp_nation",
+        (F.col("nat_c") / 100.0).alias("nation_revenue"),
+        (F.col("tot_c") / 100.0).alias("market_revenue"),
         (
-            F.floor(F.sum(nat) * 1.0 / F.sum("rev_c") * 1_000_000 + F.lit(0.5))
+            F.floor(F.col("nat_c") * 1.0 / F.col("tot_c") * 1_000_000 + F.lit(0.5))
             / 1_000_000.0
         ).alias("mkt_share"),
     )

@@ -1629,3 +1629,106 @@ def test_ab_test_lift_matches_python_stats(spark):
     assert row["abs_lift"] == r6(m1 - m0)
     assert row["rel_lift"] == r6((m1 - m0) / m0)
     assert abs(row["welch_t"] - r6((m1 - m0) / math.sqrt(v0 / n0 + v1 / n1))) <= 2e-6
+
+
+def test_rare_token_ratio_matches_python_counter(spark):
+    """Top-100 vocabulary and per-source rare ratios recomputed with
+    python Counters."""
+    import collections
+    import math
+
+    docs = _docs()
+    cnt = collections.Counter()
+    for t in docs["text"]:
+        cnt.update(_words(t))
+    vocab = {
+        tk for tk, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    }
+    per_source: dict[str, list[float]] = {}
+    for r in docs.itertuples():
+        w = _words(r.text)
+        ratio = sum(1 for x in w if x not in vocab) / len(w)
+        per_source.setdefault(r.source, []).append(ratio)
+    expect = {}
+    for src, ratios in per_source.items():
+        mean = (
+            sum(int(round(x * 1_000_000)) for x in ratios) / 1_000_000 / len(ratios)
+        )
+        expect[src] = (
+            len(ratios),
+            math.floor(mean * 1_000_000 + 0.5) / 1_000_000,
+            sum(1 for x in ratios if x > 0.5),
+        )
+    got = {
+        r["source"]: (r["n_docs"], r["mean_rare_ratio"], r["n_flagged"])
+        for r in QUERIES["rare_token_ratio"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_ttr_quality_matches_python_counters(spark):
+    """Per-doc type/hapax counts recomputed with python Counters."""
+    import collections
+    import math
+
+    docs = _docs()
+    expect = {}
+    for r in docs.itertuples():
+        freq = collections.Counter(_words(r.text))
+        n_tokens = sum(freq.values())
+        n_types = len(freq)
+        n_hapax = sum(1 for v in freq.values() if v == 1)
+        expect[r.doc_id] = (
+            n_tokens,
+            n_types,
+            n_hapax,
+            math.floor(n_types / n_tokens * 1_000_000 + 0.5) / 1_000_000,
+            math.floor(n_hapax / n_types * 1_000_000 + 0.5) / 1_000_000,
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["n_hapax"], r["ttr"], r["hapax_ratio"])
+        for r in QUERIES["ttr_quality"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_vocab_jsd_matches_python_direct_formula(spark):
+    """JSD recomputed DIRECTLY (full-vocabulary sum, no factoring of the
+    absent-token term) with python floats — breaks the shared-identity
+    blind spot of the engine/oracle pair."""
+    import collections
+    import math
+
+    docs = _docs()
+    per_source: dict[str, collections.Counter] = {}
+    for r in docs.itertuples():
+        per_source.setdefault(r.source, collections.Counter()).update(
+            _words(r.text)
+        )
+    corpus = collections.Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+    expect = {}
+    for src, cs in per_source.items():
+        ns = sum(cs.values())
+        jsd = 0.0
+        for tk, c in corpus.items():
+            p = cs.get(tk, 0) / ns
+            q = c / n
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            jsd += 0.5 * q * math.log(q / m)
+        expect[src] = (len(cs), jsd)
+    got = {
+        r["source"]: (r["vocab_source"], r["jsd"])
+        for r in QUERIES["vocab_jsd_by_source"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for src, (vocab_n, jsd) in expect.items():
+        assert got[src][0] == vocab_n
+        # engine quantizes per-term at 1e9: tolerance scales with vocab
+        assert abs(got[src][1] - jsd) < 5e-5, (src, got[src][1], jsd)
+    # JSD must be non-degenerate for at least one source
+    assert any(v[1] > 1e-4 for v in expect.values())

@@ -728,3 +728,164 @@ def test_ic_decay_matches_scipy_spearman(spark):
     for h in got:
         assert got[h][0] == expect[h][0]
         assert abs(got[h][1] - expect[h][1]) <= 3e-6, (h, got[h], expect[h])
+
+
+def _bars_pd(spark) -> pd.DataFrame:
+    return daily_bars(spark, SF).toPandas().sort_values(["code", "d"])
+
+
+def _rets_quantized(spark) -> pd.DataFrame:
+    """(code, d, ret_c) with the engine's 1e8 fixed-point quantization."""
+    bars = _bars_pd(spark)
+    bars["prev"] = bars.groupby("code")["close"].shift(1)
+    bars = bars.dropna(subset=["prev"])
+    bars["ret_c"] = (
+        ((bars["close"] / bars["prev"] - 1) * 100_000_000).round().astype("int64")
+    )
+    return bars[["code", "d", "ret_c"]]
+
+
+def _r6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def test_var_cvar_matches_python_order_statistics(spark):
+    """VaR/CVaR recomputed with plain python sorting: k-th worst return
+    and the mean of the k worst, k = ceil(n/20)."""
+    rets = _rets_quantized(spark)
+    expect = {}
+    for code, g in rets.groupby("code"):
+        vals = sorted(zip(g["ret_c"], g["d"]))  # ties broken by date
+        n = len(vals)
+        k = -(-n // 20)
+        worst = [v for v, _ in vals[:k]]
+        expect[code] = (
+            n,
+            _r6(worst[-1] / 1e8),
+            _r6(sum(worst) / k / 1e8),
+        )
+    got = {
+        r["code"]: (r["n_days"], r["var_95"], r["cvar_95"])
+        for r in QUERIES["var_cvar_daily"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_underwater_duration_matches_python_scan(spark):
+    """Underwater streaks recomputed with a sequential python scan of
+    each code's fixed-point equity curve."""
+    rets = _rets_quantized(spark)
+    expect = {}
+    for code, g in rets.groupby("code"):
+        eq, peak = 0, None
+        segs: list[int] = []
+        for ret_c in g.sort_values("d")["ret_c"]:
+            eq += ret_c
+            if peak is None or eq >= peak:
+                peak = eq
+                segs.append(0)  # a new peak opens a segment
+            else:
+                segs[-1] += 1
+        expect[code] = (max(segs), sum(segs), len(segs))
+    got = {
+        r["code"]: (
+            r["max_underwater_days"],
+            r["total_underwater_days"],
+            r["n_segments"],
+        )
+        for r in QUERIES["underwater_duration"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_seasonality_matches_python_buckets(spark):
+    """Month-of-year stats recomputed with a python dict accumulation."""
+    rets = _rets_quantized(spark)
+    buckets: dict[int, list[int]] = {}
+    for _, r in rets.iterrows():
+        buckets.setdefault(pd.Timestamp(r["d"]).month, []).append(r["ret_c"])
+    expect = {
+        mo: (
+            len(v),
+            _r6(sum(v) / len(v) / 1e8),
+            _r6(sum(1 for x in v if x > 0) / len(v)),
+            _r6((max(v) - min(v)) / 1e8),
+        )
+        for mo, v in buckets.items()
+    }
+    got = {
+        r["mo"]: (r["n_obs"], r["mean_ret"], r["hit_rate"], r["ret_range"])
+        for r in QUERIES["seasonality_monthly"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_benford_matches_python_counter(spark):
+    """First-digit counts recomputed with a python Counter; expected
+    rates from math.log10 directly."""
+    import collections
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cnt = collections.Counter(
+        int(str(int(math.floor(p)))[0])
+        for p in orders["o_totalprice"]
+        if p >= 1
+    )
+    total = sum(cnt.values())
+    got = {
+        r["digit"]: (r["n"], r["obs_rate"], r["benford_rate"], r["abs_dev"])
+        for r in QUERIES["benford_first_digit"](spark, SF).collect()
+    }
+    assert set(got) == set(cnt)
+    for d, n in cnt.items():
+        exp_rate = _r6(math.log10(1 + 1 / d))
+        assert got[d][0] == n
+        assert got[d][1] == _r6(n / total)
+        assert got[d][2] == exp_rate
+        assert abs(got[d][3] - abs(n / total - exp_rate)) < 2e-6
+
+
+def test_market_share_matches_pandas_joins(spark):
+    """The Q8-shaped per-nation share recomputed with pandas merges and
+    python half-up cent rounding."""
+    import math
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    region = pd.read_parquet(f"{SF}/region.parquet")
+    cn = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    asia_cust = set(cn.loc[cn["r_name"] == "ASIA", "c_custkey"])
+    sn = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    supp_nation = dict(zip(sn["s_suppkey"], sn["n_name"]))
+    df = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    df = df[df["o_custkey"].isin(asia_cust)].copy()
+    # HALF-UP cent rounding (pandas .round is half-even; the engines are
+    # half-up on positive cents)
+    df["rev_c"] = [
+        int(math.floor(x * 100 + 0.5))
+        for x in df["l_extendedprice"] * (1 - df["l_discount"])
+    ]
+    df["yr"] = pd.to_datetime(df["o_orderdate"]).dt.year
+    df["supp_nation"] = df["l_suppkey"].map(supp_nation)
+    totals = df.groupby("yr")["rev_c"].sum().to_dict()
+    expect = {}
+    for (yr, nat), g in df.groupby(["yr", "supp_nation"]):
+        nat_c, tot_c = int(g["rev_c"].sum()), int(totals[yr])
+        expect[(yr, nat)] = (nat_c / 100.0, tot_c / 100.0, _r6(nat_c / tot_c))
+    got = {
+        (r["yr"], r["supp_nation"]): (
+            r["nation_revenue"],
+            r["market_revenue"],
+            r["mkt_share"],
+        )
+        for r in QUERIES["market_share_by_nation"](spark, SF).collect()
+    }
+    assert got == expect
