@@ -2151,16 +2151,19 @@ def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Month-of-year seasonality (new r6): the calendar-effect panel every
-# quant dashboard carries — per calendar month, the cross-sectional mean
-# daily return, hit rate and dispersion of the whole panel. Fixed-point
-# sums keep the means exact; hit rate is a ratio of exact counts.
+# Day-of-week calendar effect (new r6): the calendar-anomaly panel every
+# quant dashboard carries — per weekday, the cross-sectional mean daily
+# return, hit rate and dispersion of the whole panel. (The testdata
+# panel spans one month, so weekday is the calendar axis with
+# cross-engine-stable buckets; Spark's weekday() == DuckDB's isodow()-1,
+# both 0 = Monday.) Fixed-point sums keep the means exact; hit rate is a
+# ratio of exact counts.
 #
-# Scale shape: one lag window per entity, then a 12-bucket aggregate —
-# map-side combined into at most 12 groups.
+# Scale shape: one lag window per entity, then a 7-bucket aggregate —
+# map-side combined into at most 7 groups.
 # ---------------------------------------------------------------------------
 @query(
-    "seasonality_monthly",
+    "calendar_dow_effect",
     oracle=f"""
     WITH {O_BARS},
     rets AS (
@@ -2168,7 +2171,7 @@ def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS ret_c
         FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
     )
-    SELECT CAST(MONTH(d) AS INT) AS mo,
+    SELECT CAST(isodow(d) - 1 AS INT) AS dow,
            CAST(COUNT(*) AS BIGINT) AS n_obs,
            FLOOR((SUM(ret_c)*1.0 / COUNT(*) / {_RS})*1000000 + 0.5)/1000000.0
              AS mean_ret,
@@ -2177,10 +2180,10 @@ def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(((MAX(ret_c) - MIN(ret_c))/{_RS}.0)*1000000 + 0.5)/1000000.0
              AS ret_range
     FROM rets WHERE ret_c IS NOT NULL
-    GROUP BY MONTH(d)
+    GROUP BY isodow(d)
     """,
 )
-def seasonality_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def calendar_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = daily_bars(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
@@ -2189,7 +2192,7 @@ def seasonality_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ret_c"),
     ).filter(F.col("ret_c").isNotNull())
-    return rets.groupBy(F.month("d").alias("mo")).agg(
+    return rets.groupBy(F.weekday("d").cast("int").alias("dow")).agg(
         F.count(F.lit(1)).alias("n_obs"),
         round6(F.sum("ret_c") * 1.0 / F.count(F.lit(1)) / _RS).alias("mean_ret"),
         round6(F.count_if(F.col("ret_c") > 0) * 1.0 / F.count(F.lit(1))).alias(

@@ -800,26 +800,27 @@ def test_underwater_duration_matches_python_scan(spark):
     assert got == expect
 
 
-def test_seasonality_matches_python_buckets(spark):
-    """Month-of-year stats recomputed with a python dict accumulation."""
+def test_calendar_dow_matches_python_buckets(spark):
+    """Day-of-week stats recomputed with a python dict accumulation."""
     rets = _rets_quantized(spark)
     buckets: dict[int, list[int]] = {}
     for _, r in rets.iterrows():
-        buckets.setdefault(pd.Timestamp(r["d"]).month, []).append(r["ret_c"])
+        buckets.setdefault(pd.Timestamp(r["d"]).weekday(), []).append(r["ret_c"])
     expect = {
-        mo: (
+        dow: (
             len(v),
             _r6(sum(v) / len(v) / 1e8),
             _r6(sum(1 for x in v if x > 0) / len(v)),
             _r6((max(v) - min(v)) / 1e8),
         )
-        for mo, v in buckets.items()
+        for dow, v in buckets.items()
     }
     got = {
-        r["mo"]: (r["n_obs"], r["mean_ret"], r["hit_rate"], r["ret_range"])
-        for r in QUERIES["seasonality_monthly"](spark, SF).collect()
+        r["dow"]: (r["n_obs"], r["mean_ret"], r["hit_rate"], r["ret_range"])
+        for r in QUERIES["calendar_dow_effect"](spark, SF).collect()
     }
     assert got == expect
+    assert len(got) == 7  # a weekday axis must not be degenerate
 
 
 def test_benford_matches_python_counter(spark):
