@@ -116,7 +116,9 @@ GATE_FIRST: list[str] = [
 #   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
 #   char_entropy_quality, corpus_overview, top_correlated_pairs,
 #   ab_test_lift, robust_volume_outliers, market_concentration_daily,
-#   ic_decay_profile
+#   ic_decay_profile, var_cvar_daily, underwater_duration,
+#   calendar_dow_effect, benford_first_digit, market_share_by_nation,
+#   rare_token_ratio, ttr_quality, vocab_jsd_by_source
 
 
 def _apply_gate_order() -> None:

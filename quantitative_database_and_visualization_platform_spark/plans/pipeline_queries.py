@@ -3765,8 +3765,11 @@ def rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         tok.groupBy("tk")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("__rn", F.row_number().over(Window.orderBy(F.desc("c"), "tk")))
-        .filter(F.col("__rn") <= 100)
+        # sort+limit compiles to TakeOrderedAndProject (per-partition
+        # top-k, tiny exchange) — a global row_number window would drag
+        # the whole vocabulary through ONE partition at 100 TB
+        .orderBy(F.desc("c"), "tk")
+        .limit(100)
         .select("tk", F.lit(1).alias("__in_vocab"))
     )
     perdoc = (
