@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..factors.panel import O_BARS, daily_bars
-from .registry import query, round6
+from .registry import o_round6, query, round6
 
 # fixed-point scale for returns (≈1e-8 resolution; 150 names × 30 days of
 # ±50% daily returns peaks at ~1e10 micro-units — far inside int64)
@@ -2199,4 +2199,231 @@ def calendar_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_rate"
         ),
         round6((F.max("ret_c") - F.min("ret_c")) / float(_RS)).alias("ret_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candlestick pattern screen (new r6): per-entity counts of the classic
+# K-line patterns (doji, hammer, shooting star, bullish/bearish
+# engulfing) — the pattern layer of the reference's K-line pages
+# (`app/Quantlib/pages/2_Stock_Price.py` renders exactly these shapes).
+# All predicates are IEEE comparisons of identical doubles on both
+# engines (same products, same order), so the booleans agree exactly.
+#
+# Scale shape: one code-keyed lag window + one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "kline_pattern_screen",
+    oracle=f"""
+    WITH {O_BARS},
+    k AS (
+        SELECT code, d, open, high, low, close,
+               LAG(open)  OVER w AS p_open,
+               LAG(close) OVER w AS p_close,
+               abs(close - open) AS body,
+               high - GREATEST(open, close) AS upper,
+               LEAST(open, close) - low AS lower,
+               high - low AS rng
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(count_if(rng > 0 AND body <= 0.1 * rng) AS BIGINT) AS n_doji,
+           CAST(count_if(lower >= 2 * body AND upper <= body AND rng > 0)
+                AS BIGINT) AS n_hammer,
+           CAST(count_if(upper >= 2 * body AND lower <= body AND rng > 0)
+                AS BIGINT) AS n_shooting_star,
+           CAST(count_if(p_close < p_open AND close > open
+                         AND open <= p_close AND close >= p_open)
+                AS BIGINT) AS n_bull_engulf,
+           CAST(count_if(p_close > p_open AND close < open
+                         AND open >= p_close AND close <= p_open)
+                AS BIGINT) AS n_bear_engulf
+    FROM k GROUP BY code
+    """,
+)
+def kline_pattern_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    body = F.abs(F.col("close") - F.col("open"))
+    upper = F.col("high") - F.greatest("open", "close")
+    lower = F.least("open", "close") - F.col("low")
+    rng = F.col("high") - F.col("low")
+    k = bars.select(
+        "code",
+        "open",
+        "close",
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+        body.alias("body"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        rng.alias("rng"),
+    )
+    return k.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count_if((F.col("rng") > 0) & (F.col("body") <= 0.1 * F.col("rng"))).alias(
+            "n_doji"
+        ),
+        F.count_if(
+            (F.col("lower") >= 2 * F.col("body"))
+            & (F.col("upper") <= F.col("body"))
+            & (F.col("rng") > 0)
+        ).alias("n_hammer"),
+        F.count_if(
+            (F.col("upper") >= 2 * F.col("body"))
+            & (F.col("lower") <= F.col("body"))
+            & (F.col("rng") > 0)
+        ).alias("n_shooting_star"),
+        F.count_if(
+            (F.col("p_close") < F.col("p_open"))
+            & (F.col("close") > F.col("open"))
+            & (F.col("open") <= F.col("p_close"))
+            & (F.col("close") >= F.col("p_open"))
+        ).alias("n_bull_engulf"),
+        F.count_if(
+            (F.col("p_close") > F.col("p_open"))
+            & (F.col("close") < F.col("open"))
+            & (F.col("open") >= F.col("p_close"))
+            & (F.col("close") <= F.col("p_open"))
+        ).alias("n_bear_engulf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-sectional percentile bands (new r6): per date, the interpolated
+# P10/P25/P50/P75/P90 of daily returns — the market-breadth fan chart
+# behind the reference's market-overview page. Returns are quantized to
+# 1e8 fixed-point BEFORE the percentile so interpolation runs over
+# identical integers on both engines; band values are round6'd.
+#
+# Scale shape: one code-keyed lag, then one date-keyed exact-percentile
+# aggregate; output is calendar-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_bands_daily",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS ret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    )
+    SELECT d,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           FLOOR((quantile_cont(ret_c, 0.1)/{_RS})*1000000 + 0.5)/1000000.0 AS p10,
+           FLOOR((quantile_cont(ret_c, 0.25)/{_RS})*1000000 + 0.5)/1000000.0 AS p25,
+           FLOOR((quantile_cont(ret_c, 0.5)/{_RS})*1000000 + 0.5)/1000000.0 AS p50,
+           FLOOR((quantile_cont(ret_c, 0.75)/{_RS})*1000000 + 0.5)/1000000.0 AS p75,
+           FLOOR((quantile_cont(ret_c, 0.9)/{_RS})*1000000 + 0.5)/1000000.0 AS p90
+    FROM rets WHERE ret_c IS NOT NULL
+    GROUP BY d
+    """,
+)
+def percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("ret_c"),
+    ).filter(F.col("ret_c").isNotNull())
+    bands = rets.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_names"),
+        *[
+            F.percentile("ret_c", F.lit(p)).alias(f"__p{int(p*100)}")
+            for p in (0.1, 0.25, 0.5, 0.75, 0.9)
+        ],
+    )
+    return bands.select(
+        "d",
+        "n_names",
+        *[
+            round6(F.col(f"__p{q}") / _RS).alias(f"p{q}")
+            for q in (10, 25, 50, 75, 90)
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Return autocorrelation profile (new r6): per lag 1..5, the mean
+# autocorrelation of daily returns across entities — the mean-reversion
+# vs momentum microstructure diagnostic (complements ic_decay_profile's
+# cross-sectional view with a time-series one). Per-(code, lag)
+# correlations run over identical raw doubles on both engines, are
+# round6'd, then averaged with fixed-point sums.
+#
+# Scale shape: one code-keyed window builds all 5 lags in a single
+# pass; the stack/unpivot is row-local; one (code, lag)-keyed corr
+# aggregate and one 5-row collapse.
+# ---------------------------------------------------------------------------
+@query(
+    "acf_lag_profile",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d, close / LAG(close) OVER w - 1 AS ret
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), lagged AS (
+        SELECT code, d, ret,
+               LAG(ret, 1) OVER w AS r1, LAG(ret, 2) OVER w AS r2,
+               LAG(ret, 3) OVER w AS r3, LAG(ret, 4) OVER w AS r4,
+               LAG(ret, 5) OVER w AS r5
+        FROM rets WHERE ret IS NOT NULL
+        WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), long AS (
+        SELECT code, lag, ret, rl FROM (
+            SELECT code, 1 AS lag, ret, r1 AS rl FROM lagged UNION ALL
+            SELECT code, 2, ret, r2 FROM lagged UNION ALL
+            SELECT code, 3, ret, r3 FROM lagged UNION ALL
+            SELECT code, 4, ret, r4 FROM lagged UNION ALL
+            SELECT code, 5, ret, r5 FROM lagged
+        ) WHERE rl IS NOT NULL
+    ), per_code AS (
+        SELECT code, lag, CAST(COUNT(*) AS BIGINT) AS n,
+               {o_round6('corr(ret, rl)')} AS acf
+        FROM long GROUP BY code, lag
+        HAVING COUNT(*) >= 10 AND corr(ret, rl) IS NOT NULL
+    )
+    SELECT CAST(lag AS INT) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_codes,
+           FLOOR((SUM(CAST(ROUND(acf*1000000,0) AS BIGINT))/1000000.0
+                  / COUNT(*))*1000000 + 0.5)/1000000.0 AS mean_acf,
+           {o_round6('MIN(acf)')} AS min_acf,
+           {o_round6('MAX(acf)')} AS max_acf
+    FROM per_code GROUP BY lag
+    """,
+)
+def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    lagged = rets.select(
+        "code",
+        "ret",
+        *[F.lag("ret", i).over(w).alias(f"r{i}") for i in range(1, 6)],
+    )
+    stack = ", ".join(f"{i}, r{i}" for i in range(1, 6))
+    long = lagged.select(
+        "code", "ret", F.expr(f"stack(5, {stack}) AS (lag, rl)")
+    ).filter(F.col("rl").isNotNull())
+    per_code = (
+        long.groupBy("code", "lag")
+        .agg(F.count(F.lit(1)).alias("n"), F.corr("ret", "rl").alias("__c"))
+        .filter((F.col("n") >= 10) & F.col("__c").isNotNull())
+        .select("code", "lag", round6(F.col("__c")).alias("acf"))
+    )
+    return per_code.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        round6(
+            F.sum(F.round(F.col("acf") * 1_000_000, 0).cast("long")) / 1_000_000.0
+            / F.count(F.lit(1))
+        ).alias("mean_acf"),
+        round6(F.min("acf")).alias("min_acf"),
+        round6(F.max("acf")).alias("max_acf"),
     )
