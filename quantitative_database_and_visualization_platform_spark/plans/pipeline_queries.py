@@ -3961,3 +3961,168 @@ def vocab_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_source",
         (F.floor(jsd * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("jsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup impact report (new r6): what exact dedup would remove, by
+# source — docs and token mass before/after keep-first md5 dedup, and
+# the duplicate-token ratio. The curation report a pipeline prints
+# before committing to a dedup pass (pairs with corpus_overview's
+# n_exact_dup_docs scalar).
+#
+# Scale shape: one md5-keyed window marks keepers (uniform hash key, no
+# skew), then a source-keyed aggregate; token counts are row-local
+# expressions.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_impact_report",
+    oracle=f"""
+    WITH {_O_NORM},
+    marked AS (
+        SELECT d.source,
+               CAST(len(w.w) AS BIGINT) AS n_tok,
+               CASE WHEN w.doc_id = MIN(w.doc_id) OVER (PARTITION BY md5(w.t))
+                    THEN 1 ELSE 0 END AS keep
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_before,
+           CAST(SUM(keep) AS BIGINT) AS docs_after,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+           CAST(SUM(keep * n_tok) AS BIGINT) AS tokens_after,
+           FLOOR((1.0 - SUM(keep * n_tok)*1.0/SUM(n_tok))*1000000 + 0.5)/1000000.0
+             AS dup_token_ratio
+    FROM marked GROUP BY source
+    """,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = dd.normalized_text("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.md5(t).alias("h"),
+        F.size(F.split(t, " ")).cast("long").alias("n_tok"),
+    )
+    keep = (
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
+    ).cast("long")
+    marked = base.select("source", "n_tok", keep.alias("keep"))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("keep").alias("docs_after"),
+        F.sum("n_tok").alias("tokens_before"),
+        F.sum(F.col("keep") * F.col("n_tok")).alias("tokens_after"),
+        round6(
+            1.0 - F.sum(F.col("keep") * F.col("n_tok")) * 1.0 / F.sum("n_tok")
+        ).alias("dup_token_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (new r6): measured recall@10 of the SRP bucket search
+# against the exact brute-force ranking, for a deterministic probe
+# panel (every 50th vector) — the acceptance gate a pipeline runs
+# before trusting an ANN index, as a driver-verifiable query (the
+# pytest recall tests check the same property at fixed thresholds).
+#
+# Both rankings order by the IDENTICAL cosine doubles (ties by vec_id),
+# so the per-probe hit sets agree exactly across engines.
+#
+# Scale shape: the audit cost is probe-bounded — |probes| × corpus for
+# the exact side (the definition of ground truth, run on a sampled
+# panel, never the full corpus²) and |probes| × bucket for the ANN
+# side. Probes broadcast; rank windows are per-probe.
+# ---------------------------------------------------------------------------
+@query(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH pr AS (
+        SELECT vec_id AS p_id, embedding AS pe FROM embeddings WHERE vec_id % 50 = 0
+    ), exact AS (
+        SELECT p_id, b_id FROM (
+            SELECT pr.p_id, e.vec_id AS b_id,
+                   ROW_NUMBER() OVER (PARTITION BY pr.p_id
+                       ORDER BY {o_cosine('e.embedding', 'pr.pe')} DESC, e.vec_id) AS rn
+            FROM pr, embeddings e WHERE e.vec_id <> pr.p_id
+        ) WHERE rn <= 10
+    ), bk AS (
+        SELECT vec_id, embedding,
+               {o_srp_bucket('embedding', N_PLANES, DIMS)} AS bucket
+        FROM embeddings
+    ), cand AS (
+        SELECT p.p_id, s.vec_id AS b_id,
+               ROW_NUMBER() OVER (PARTITION BY p.p_id
+                   ORDER BY {o_cosine('s.embedding', 'p.pe')} DESC, s.vec_id) AS rn,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS n_cand
+        FROM pr p
+        JOIN bk pb ON pb.vec_id = p.p_id
+        JOIN bk s ON s.bucket = pb.bucket AND s.vec_id <> p.p_id
+    )
+    SELECT e.p_id,
+           CAST(MAX(c.n_cand) AS BIGINT) AS n_cand,
+           CAST(count_if(c.rn IS NOT NULL AND c.rn <= 10) AS BIGINT) AS n_hit,
+           FLOOR((count_if(c.rn IS NOT NULL AND c.rn <= 10)/10.0)*1000000 + 0.5)
+             /1000000.0 AS recall_at_10
+    FROM exact e
+    LEFT JOIN cand c ON e.p_id = c.p_id AND e.b_id = c.b_id
+    GROUP BY e.p_id
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pr = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("pe")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(pr))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            F.col("vec_id").alias("b_id"),
+            cosine("embedding", "pe").alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("p_id").orderBy(F.desc("cos"), "b_id")
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("p_id", "b_id")
+    )
+    bk = emb.select("vec_id", "embedding", srp_bucket("embedding").alias("bucket"))
+    pbk = (
+        bk.join(F.broadcast(pr), bk.vec_id == pr.p_id)
+        .select("p_id", "pe", "bucket")
+    )
+    cand = (
+        bk.join(F.broadcast(pbk), "bucket")
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            F.col("vec_id").alias("b_id"),
+            cosine("embedding", "pe").alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("p_id").orderBy(F.desc("cos"), "b_id")
+            ),
+        )
+        .withColumn("n_cand", F.count(F.lit(1)).over(Window.partitionBy("p_id")))
+    )
+    hit = F.count_if(F.col("rn").isNotNull() & (F.col("rn") <= 10))
+    return (
+        exact.join(cand, ["p_id", "b_id"], "left")
+        .groupBy("p_id")
+        .agg(
+            F.max("n_cand").alias("n_cand"),
+            hit.alias("n_hit"),
+            (F.floor(hit / 10.0 * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+                "recall_at_10"
+            ),
+        )
+    )
