@@ -4053,20 +4053,25 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
         SELECT p.p_id, s.vec_id AS b_id,
                ROW_NUMBER() OVER (PARTITION BY p.p_id
-                   ORDER BY {o_cosine('s.embedding', 'p.pe')} DESC, s.vec_id) AS rn,
-               COUNT(*) OVER (PARTITION BY p.p_id) AS n_cand
+                   ORDER BY {o_cosine('s.embedding', 'p.pe')} DESC, s.vec_id) AS rn
         FROM pr p
         JOIN bk pb ON pb.vec_id = p.p_id
         JOIN bk s ON s.bucket = pb.bucket AND s.vec_id <> p.p_id
+    ), stats AS (
+        SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY p_id
+    ), hits AS (
+        SELECT e.p_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM exact e JOIN cand c ON e.p_id = c.p_id AND e.b_id = c.b_id
+        WHERE c.rn <= 10
+        GROUP BY e.p_id
     )
-    SELECT e.p_id,
-           CAST(MAX(c.n_cand) AS BIGINT) AS n_cand,
-           CAST(count_if(c.rn IS NOT NULL AND c.rn <= 10) AS BIGINT) AS n_hit,
-           FLOOR((count_if(c.rn IS NOT NULL AND c.rn <= 10)/10.0)*1000000 + 0.5)
-             /1000000.0 AS recall_at_10
-    FROM exact e
-    LEFT JOIN cand c ON e.p_id = c.p_id AND e.b_id = c.b_id
-    GROUP BY e.p_id
+    SELECT pr.p_id,
+           COALESCE(s.n_cand, 0) AS n_cand,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           FLOOR((COALESCE(h.n_hit, 0)/10.0)*1000000 + 0.5)/1000000.0 AS recall_at_10
+    FROM pr
+    LEFT JOIN stats s ON pr.p_id = s.p_id
+    LEFT JOIN hits h ON pr.p_id = h.p_id
     """,
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4098,7 +4103,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bk.join(F.broadcast(pr), bk.vec_id == pr.p_id)
         .select("p_id", "pe", "bucket")
     )
-    cand = (
+    cand = managed_persist(
         bk.join(F.broadcast(pbk), "bucket")
         .filter(F.col("vec_id") != F.col("p_id"))
         .select(
@@ -4112,16 +4117,24 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("p_id").orderBy(F.desc("cos"), "b_id")
             ),
         )
-        .withColumn("n_cand", F.count(F.lit(1)).over(Window.partitionBy("p_id")))
+        .select("p_id", "b_id", "rn")
     )
-    hit = F.count_if(F.col("rn").isNotNull() & (F.col("rn") <= 10))
-    return (
-        exact.join(cand, ["p_id", "b_id"], "left")
+    stats = cand.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    hits = (
+        exact.join(cand.filter(F.col("rn") <= 10), ["p_id", "b_id"])
         .groupBy("p_id")
-        .agg(
-            F.max("n_cand").alias("n_cand"),
-            hit.alias("n_hit"),
-            (F.floor(hit / 10.0 * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return (
+        pr.select("p_id")
+        .join(stats, "p_id", "left")
+        .join(hits, "p_id", "left")
+        .select(
+            "p_id",
+            F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+            n_hit.alias("n_hit"),
+            (F.floor(n_hit / 10.0 * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
                 "recall_at_10"
             ),
         )

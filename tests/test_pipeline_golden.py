@@ -1732,3 +1732,79 @@ def test_vocab_jsd_matches_python_direct_formula(spark):
         assert abs(got[src][1] - jsd) < 5e-5, (src, got[src][1], jsd)
     # JSD must be non-degenerate for at least one source
     assert any(v[1] > 1e-4 for v in expect.values())
+
+
+def test_dedup_impact_matches_python_dict_math(spark):
+    """Before/after doc and token mass recomputed with python dicts
+    (keep-first by min doc_id per normalized-text hash)."""
+    import math
+
+    docs = _docs().sort_values("doc_id")
+    first_by_text: dict[str, int] = {}
+    per_source: dict[str, list[tuple[int, bool]]] = {}
+    for r in docs.itertuples():
+        t = _norm(r.text)
+        keeper = first_by_text.setdefault(t, r.doc_id) == r.doc_id
+        per_source.setdefault(r.source, []).append((len(_words(r.text)), keeper))
+    expect = {}
+    for src, rows in per_source.items():
+        tb = sum(n for n, _ in rows)
+        ta = sum(n for n, k in rows if k)
+        expect[src] = (
+            len(rows),
+            sum(1 for _, k in rows if k),
+            tb,
+            ta,
+            math.floor((1.0 - ta / tb) * 1_000_000 + 0.5) / 1_000_000,
+        )
+    got = {
+        r["source"]: (
+            r["docs_before"], r["docs_after"],
+            r["tokens_before"], r["tokens_after"], r["dup_token_ratio"],
+        )
+        for r in QUERIES["dedup_impact_report"](spark, SF).collect()
+    }
+    assert got == expect
+    # sf0.001 carries no exact duplicates — the duplicate-mass behavior is
+    # bound by the sf0.01 oracle parity run (corpus_overview counts dups
+    # there); here the report must at least be full-coverage and consistent
+    assert sum(v[0] for v in expect.values()) == len(docs)
+
+
+def test_ann_recall_audit_matches_numpy_brute_force(spark):
+    """Recall@10 recomputed with numpy: exact top-10 by cosine and the
+    SRP bucket membership recomputed from the engine's own bucket
+    column (the bucket hash is already independently golden-tested)."""
+    import numpy as np
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import srp_bucket
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding", srp_bucket("embedding").alias("b")).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    bucket = {r["vec_id"]: r["b"] for r in rows}
+    norms = np.linalg.norm(mat, axis=1)
+    expect = {}
+    for pi, pid in enumerate(ids):
+        if pid % 50 != 0:
+            continue
+        cos = (mat @ mat[pi]) / (norms * norms[pi])
+        order = sorted(
+            (int(i) for i in range(len(ids)) if ids[i] != pid),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        exact = {int(ids[i]) for i in order[:10]}
+        cand = [int(ids[i]) for i in order if bucket[int(ids[i])] == bucket[pid]]
+        hits = len(exact & set(cand[:10]))
+        expect[int(pid)] = (len(cand), hits, hits / 10.0)
+    got = {
+        r["p_id"]: (r["n_cand"], r["n_hit"], r["recall_at_10"])
+        for r in QUERIES["ann_recall_audit"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for pid, (n_cand, hits, rec) in expect.items():
+        assert got[pid][0] == n_cand, (pid, got[pid], n_cand)
+        assert got[pid][1] == hits
+        assert abs(got[pid][2] - rec) < 1e-6

@@ -890,3 +890,96 @@ def test_market_share_matches_pandas_joins(spark):
         for r in QUERIES["market_share_by_nation"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_kline_patterns_match_python_scan(spark):
+    """Pattern counts recomputed with a sequential python scan over each
+    code's OHLC rows."""
+    bars = _bars_pd(spark)
+    expect = {}
+    for code, g in bars.groupby("code"):
+        g = g.sort_values("d")
+        n = doji = hammer = star = bull = bear = 0
+        prev = None
+        for r in g.itertuples():
+            n += 1
+            body = abs(r.close - r.open)
+            upper = r.high - max(r.open, r.close)
+            lower = min(r.open, r.close) - r.low
+            rng = r.high - r.low
+            if rng > 0 and body <= 0.1 * rng:
+                doji += 1
+            if lower >= 2 * body and upper <= body and rng > 0:
+                hammer += 1
+            if upper >= 2 * body and lower <= body and rng > 0:
+                star += 1
+            if prev is not None:
+                po, pc = prev
+                if pc < po and r.close > r.open and r.open <= pc and r.close >= po:
+                    bull += 1
+                if pc > po and r.close < r.open and r.open >= pc and r.close <= po:
+                    bear += 1
+            prev = (r.open, r.close)
+        expect[code] = (n, doji, hammer, star, bull, bear)
+    got = {
+        r["code"]: (
+            r["n_days"], r["n_doji"], r["n_hammer"], r["n_shooting_star"],
+            r["n_bull_engulf"], r["n_bear_engulf"],
+        )
+        for r in QUERIES["kline_pattern_screen"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_percentile_bands_match_numpy_quantiles(spark):
+    """Bands recomputed with numpy's linear-interpolation quantiles over
+    the same fixed-point integers."""
+    rets = _rets_quantized(spark)
+    expect = {}
+    for d, g in rets.groupby("d"):
+        v = np.sort(g["ret_c"].to_numpy(dtype=np.float64))
+        qs = [
+            _r6(float(np.quantile(v, p, method="linear")) / 1e8)
+            for p in (0.1, 0.25, 0.5, 0.75, 0.9)
+        ]
+        expect[pd.Timestamp(d).date()] = (len(v), *qs)
+    got = {
+        r["d"]: (r["n_names"], r["p10"], r["p25"], r["p50"], r["p75"], r["p90"])
+        for r in QUERIES["percentile_bands_daily"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_acf_profile_matches_numpy_corrcoef(spark):
+    """Per-lag mean autocorrelation recomputed with numpy corrcoef over
+    raw (unquantized) returns."""
+    bars = _bars_pd(spark)
+    bars["prev"] = bars.groupby("code")["close"].shift(1)
+    bars["ret"] = bars["close"] / bars["prev"] - 1
+    bars = bars.dropna(subset=["ret"])
+    per_lag: dict[int, list[float]] = {}
+    for code, g in bars.groupby("code"):
+        r = g.sort_values("d")["ret"].to_numpy()
+        for lag in range(1, 6):
+            if len(r) - lag >= 10:
+                c = float(np.corrcoef(r[lag:], r[:-lag])[0, 1])
+                if not np.isnan(c):
+                    per_lag.setdefault(lag, []).append(_r6(c))
+    expect = {
+        lag: (
+            len(v),
+            _r6(sum(int(round(x * 1e6)) for x in v) / 1e6 / len(v)),
+            _r6(min(v)),
+            _r6(max(v)),
+        )
+        for lag, v in per_lag.items()
+    }
+    got = {
+        r["lag"]: (r["n_codes"], r["mean_acf"], r["min_acf"], r["max_acf"])
+        for r in QUERIES["acf_lag_profile"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for lag in expect:
+        assert got[lag][0] == expect[lag][0]
+        for i in (1, 2, 3):
+            assert abs(got[lag][i] - expect[lag][i]) <= 2e-6, (lag, i, got[lag], expect[lag])
