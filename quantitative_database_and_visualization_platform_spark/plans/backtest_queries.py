@@ -2427,3 +2427,339 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.min("acf")).alias("min_acf"),
         round6(F.max("acf")).alias("max_acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Amihud illiquidity (new r6): mean(|ret| / dollar volume) per entity —
+# the classic price-impact proxy (Amihud 2002), scaled by 1e6 for
+# readability. |ret| is quantized fixed-point; the per-day ratio is
+# quantized at 1e12 before the mean so the sum is order-independent.
+#
+# Scale shape: one code-keyed lag + one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "amihud_illiquidity",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d, amount,
+               CAST(ROUND(abs(close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS aret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), terms AS (
+        SELECT code,
+               CAST(ROUND((aret_c/{_RS}.0) / amount * 1e12, 0) AS BIGINT) AS illiq_p
+        FROM rets WHERE aret_c IS NOT NULL AND amount > 0
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR((SUM(illiq_p)*1.0 / COUNT(*) / 1e6)*1000000 + 0.5)/1000000.0
+             AS amihud_x1e6
+    FROM terms GROUP BY code
+    """,
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code",
+        "amount",
+        F.round(F.abs(F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("aret_c"),
+    ).filter(F.col("aret_c").isNotNull() & (F.col("amount") > 0))
+    illiq_p = F.round(
+        (F.col("aret_c") / float(_RS)) / F.col("amount") * 1e12, 0
+    ).cast("long")
+    return rets.select("code", illiq_p.alias("illiq_p")).groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        round6(F.sum("illiq_p") * 1.0 / F.count(F.lit(1)) / 1e6).alias(
+            "amihud_x1e6"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Roll effective-spread estimator (new r6): 2·sqrt(−cov(Δp_t, Δp_{t−1}))
+# per entity when the serial covariance is negative (Roll 1984); NULL
+# otherwise, with the covariance reported for diagnostics. Price
+# changes are identical doubles on both engines; covar_samp then round6.
+#
+# Scale shape: one code-keyed window builds Δp and its lag; one
+# code-keyed covariance aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "roll_spread_estimator",
+    oracle=f"""
+    WITH {O_BARS},
+    dp AS (
+        SELECT code, d,
+               CAST(ROUND((close - LAG(close) OVER w)*1000000, 0) AS BIGINT) AS dpc
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), pairs AS (
+        SELECT code, dpc, LAG(dpc) OVER (PARTITION BY code ORDER BY d) AS dpp
+        FROM dp WHERE dpc IS NOT NULL
+    ), m AS (
+        SELECT code,
+               CAST(COUNT(dpp) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN dpp IS NOT NULL THEN dpc END) AS BIGINT) AS sx,
+               CAST(SUM(dpp) AS BIGINT) AS sy,
+               CAST(SUM(dpc * dpp) AS BIGINT) AS sxy
+        FROM pairs GROUP BY code
+    )
+    SELECT code, n AS n_days,
+           {o_round6('CASE WHEN n >= 2 THEN (sxy*1.0 - sx*1.0*sy/n) / (n - 1) / 1e12 END')}
+             AS serial_cov,
+           {o_round6('CASE WHEN n >= 2 AND (sxy*1.0 - sx*1.0*sy/n) < 0 '
+                     'THEN 2 * sqrt(-(sxy*1.0 - sx*1.0*sy/n) / (n - 1) / 1e12) END')}
+             AS roll_spread
+    FROM m
+    """,
+)
+def roll_spread_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    dp = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") - F.lag("close").over(w)) * 1_000_000, 0)
+        .cast("long")
+        .alias("dpc"),
+    ).filter(F.col("dpc").isNotNull())
+    pairs = dp.select("code", "dpc", F.lag("dpc").over(w).alias("dpp"))
+    # exact integer moments: |dpc| <= ~5e8 here, so dpc*dpp <= ~2.5e17 and
+    # the per-code sum stays inside int64; sx*1.0*sy crosses 2^53 so it is
+    # ONE correctly-rounded double product on both engines (identical)
+    m = pairs.groupBy("code").agg(
+        F.count("dpp").alias("n"),
+        F.sum(F.when(F.col("dpp").isNotNull(), F.col("dpc"))).alias("sx"),
+        F.sum("dpp").alias("sy"),
+        F.sum(F.col("dpc") * F.col("dpp")).alias("sxy"),
+    )
+    num = F.col("sxy") * 1.0 - F.col("sx") * 1.0 * F.col("sy") / F.col("n")
+    cov = num / (F.col("n") - 1) / 1e12
+    return m.select(
+        "code",
+        F.col("n").alias("n_days"),
+        round6(F.when(F.col("n") >= 2, cov)).alias("serial_cov"),
+        round6(
+            F.when((F.col("n") >= 2) & (num < 0), 2 * F.sqrt(-cov))
+        ).alias("roll_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volatility term structure (new r6): per entity, annualized realized
+# volatility over the trailing 5/10/20-day windows at the latest date,
+# plus the 5/20 ratio — the vol-regime gauge. Variance comes from exact
+# integer moment sums (Σr, Σr²) of fixed-point returns, so the only
+# float steps are the final divisions and sqrt (round6'd).
+#
+# Scale shape: one code-keyed ordered window computing three frame
+# aggregates in a single pass; one row per entity via last-date filter.
+# ---------------------------------------------------------------------------
+@query(
+    "vol_term_structure",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*10000,0) AS BIGINT) AS r
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), m AS (
+        SELECT code, d,
+               CAST(COUNT(*) OVER w5 AS BIGINT) AS n5,
+               CAST(SUM(r) OVER w5 AS BIGINT) AS s5,
+               CAST(SUM(r*r) OVER w5 AS BIGINT) AS q5,
+               CAST(COUNT(*) OVER w10 AS BIGINT) AS n10,
+               CAST(SUM(r) OVER w10 AS BIGINT) AS s10,
+               CAST(SUM(r*r) OVER w10 AS BIGINT) AS q10,
+               CAST(COUNT(*) OVER w20 AS BIGINT) AS n20,
+               CAST(SUM(r) OVER w20 AS BIGINT) AS s20,
+               CAST(SUM(r*r) OVER w20 AS BIGINT) AS q20,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d DESC) AS rn
+        FROM rets WHERE r IS NOT NULL
+        WINDOW w5 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w10 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT code, d AS asof_d,
+           {o_round6('sqrt((q5*1.0 - s5*1.0*s5/n5) / (n5 - 1) * 252) / 10000')} AS vol_5,
+           {o_round6('sqrt((q10*1.0 - s10*1.0*s10/n10) / (n10 - 1) * 252) / 10000')} AS vol_10,
+           {o_round6('sqrt((q20*1.0 - s20*1.0*s20/n20) / (n20 - 1) * 252) / 10000')} AS vol_20,
+           {o_round6('CASE WHEN (q20*1.0 - s20*1.0*s20/n20) > 0 THEN '
+                     'sqrt((q5*1.0 - s5*1.0*s5/n5) / (n5 - 1) * 252)'
+                     ' / sqrt((q20*1.0 - s20*1.0*s20/n20) / (n20 - 1) * 252) END')}
+             AS vol_ratio_5_20
+    FROM m WHERE rn = 1 AND n5 >= 5 AND n20 >= 20
+    """,
+)
+def vol_term_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    # 1e4 quantization: |ret| reaches ~1e4 in this panel, so 1e4 scale
+    # keeps r*r window sums inside int64 (1e8 scale would overflow — the
+    # synthetic panel has 9000x single-day moves)
+    rets = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0)
+        .cast("long")
+        .alias("r"),
+    ).filter(F.col("r").isNotNull())
+    frames = {5: w.rowsBetween(-4, 0), 10: w.rowsBetween(-9, 0), 20: w.rowsBetween(-19, 0)}
+    cols = []
+    for k, fr in frames.items():
+        cols += [
+            F.count(F.lit(1)).over(fr).alias(f"n{k}"),
+            F.sum("r").over(fr).alias(f"s{k}"),
+            F.sum(F.col("r") * F.col("r")).over(fr).alias(f"q{k}"),
+        ]
+    m = rets.select(
+        "code",
+        "d",
+        *cols,
+        F.row_number()
+        .over(Window.partitionBy("code").orderBy(F.desc("d")))
+        .alias("rn"),
+    ).filter((F.col("rn") == 1) & (F.col("n5") >= 5) & (F.col("n20") >= 20))
+
+    def var_num(k: int):
+        return F.col(f"q{k}") * 1.0 - F.col(f"s{k}") * 1.0 * F.col(f"s{k}") / F.col(f"n{k}")
+
+    def vol(k: int):
+        return F.sqrt(var_num(k) / (F.col(f"n{k}") - 1) * 252) / 10_000
+
+    return m.select(
+        "code",
+        F.col("d").alias("asof_d"),
+        round6(vol(5)).alias("vol_5"),
+        round6(vol(10)).alias("vol_10"),
+        round6(vol(20)).alias("vol_20"),
+        round6(
+            F.when(
+                var_num(20) > 0,
+                F.sqrt(var_num(5) / (F.col("n5") - 1) * 252)
+                / F.sqrt(var_num(20) / (F.col("n20") - 1) * 252),
+            )
+        ).alias("vol_ratio_5_20"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overnight gap stats (new r6): per entity, the open-vs-previous-close
+# gap distribution — mean gap, gap-up frequency, and the largest gap in
+# either direction. Gaps are fixed-point quantized like returns.
+#
+# Scale shape: one code-keyed lag + one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "gap_open_stats",
+    oracle=f"""
+    WITH {O_BARS},
+    gaps AS (
+        SELECT code,
+               CAST(ROUND((open / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS gap_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR((SUM(gap_c)*1.0 / COUNT(*) / {_RS})*1000000 + 0.5)/1000000.0
+             AS mean_gap,
+           FLOOR((count_if(gap_c > 0)*1.0 / COUNT(*))*1000000 + 0.5)/1000000.0
+             AS gap_up_rate,
+           FLOOR((MAX(gap_c)/{_RS}.0)*1000000 + 0.5)/1000000.0 AS max_gap_up,
+           FLOOR((MIN(gap_c)/{_RS}.0)*1000000 + 0.5)/1000000.0 AS max_gap_down
+    FROM gaps WHERE gap_c IS NOT NULL
+    GROUP BY code
+    """,
+)
+def gap_open_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    gaps = bars.select(
+        "code",
+        F.round((F.col("open") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("gap_c"),
+    ).filter(F.col("gap_c").isNotNull())
+    n = F.count(F.lit(1))
+    return gaps.groupBy("code").agg(
+        n.alias("n_days"),
+        round6(F.sum("gap_c") * 1.0 / n / _RS).alias("mean_gap"),
+        round6(F.count_if(F.col("gap_c") > 0) * 1.0 / n).alias("gap_up_rate"),
+        round6(F.max("gap_c") / float(_RS)).alias("max_gap_up"),
+        round6(F.min("gap_c") / float(_RS)).alias("max_gap_down"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Win/loss streak analysis (new r6): per entity, the longest up and
+# down streaks and the count of streaks of each sign — run-length
+# encoding via the classic "group id = row_number − sign-partitioned
+# row_number" identity, all integer arithmetic.
+#
+# Scale shape: one code-keyed window pass builds the group ids; two
+# map-side aggregates collapse them.
+# ---------------------------------------------------------------------------
+@query(
+    "streak_analysis",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CASE WHEN CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) > 0
+                    THEN 1
+                    WHEN CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) < 0
+                    THEN -1 ELSE 0 END AS sgn
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), grp AS (
+        SELECT code, d, sgn,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d)
+                 - ROW_NUMBER() OVER (PARTITION BY code, sgn ORDER BY d) AS gid
+        FROM rets WHERE sgn IS NOT NULL AND sgn <> 0
+    ), runs AS (
+        SELECT code, sgn, gid, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM grp GROUP BY code, sgn, gid
+    )
+    SELECT code,
+           CAST(MAX(CASE WHEN sgn = 1 THEN run_len ELSE 0 END) AS BIGINT) AS max_up_streak,
+           CAST(MAX(CASE WHEN sgn = -1 THEN run_len ELSE 0 END) AS BIGINT) AS max_down_streak,
+           CAST(count_if(sgn = 1) AS BIGINT) AS n_up_runs,
+           CAST(count_if(sgn = -1) AS BIGINT) AS n_down_runs
+    FROM runs GROUP BY code
+    """,
+)
+def streak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    ret_c = F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0).cast(
+        "long"
+    )
+    sgn = (
+        F.when(ret_c > 0, 1).when(ret_c < 0, -1).when(ret_c.isNotNull(), 0)
+    )
+    grp = (
+        bars.select("code", "d", sgn.alias("sgn"))
+        .filter(F.col("sgn").isNotNull() & (F.col("sgn") != 0))
+        .select(
+            "code",
+            "sgn",
+            (
+                F.row_number().over(w)
+                - F.row_number().over(
+                    Window.partitionBy("code", "sgn").orderBy("d")
+                )
+            ).alias("gid"),
+        )
+    )
+    runs = grp.groupBy("code", "sgn", "gid").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("code").agg(
+        F.max(F.when(F.col("sgn") == 1, F.col("run_len")).otherwise(0)).alias(
+            "max_up_streak"
+        ),
+        F.max(F.when(F.col("sgn") == -1, F.col("run_len")).otherwise(0)).alias(
+            "max_down_streak"
+        ),
+        F.count_if(F.col("sgn") == 1).alias("n_up_runs"),
+        F.count_if(F.col("sgn") == -1).alias("n_down_runs"),
+    )
