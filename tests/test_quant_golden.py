@@ -983,3 +983,158 @@ def test_acf_profile_matches_numpy_corrcoef(spark):
         assert got[lag][0] == expect[lag][0]
         for i in (1, 2, 3):
             assert abs(got[lag][i] - expect[lag][i]) <= 2e-6, (lag, i, got[lag], expect[lag])
+
+
+def test_amihud_matches_python_loop(spark):
+    """Amihud terms recomputed with a python loop over (|ret|, amount)."""
+    import math
+
+    bars = _bars_pd(spark)
+    bars["prev"] = bars.groupby("code")["close"].shift(1)
+    bars = bars.dropna(subset=["prev"])
+    expect = {}
+    for code, g in bars.groupby("code"):
+        terms = []
+        for r in g.itertuples():
+            aret_c = int(round(abs(r.close / r.prev - 1) * 1e8))
+            if r.amount > 0:
+                terms.append(int(round(aret_c / 1e8 / r.amount * 1e12)))
+        if terms:
+            expect[code] = (
+                len(terms),
+                _r6(sum(terms) / len(terms) / 1e6),
+            )
+    got = {
+        r["code"]: (r["n_days"], r["amihud_x1e6"])
+        for r in QUERIES["amihud_illiquidity"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_roll_spread_matches_numpy_cov(spark):
+    """Serial covariance recomputed with numpy over the same quantized
+    price changes; spread = 2*sqrt(-cov) when negative."""
+    import math
+
+    bars = _bars_pd(spark)
+    got = {
+        r["code"]: (r["n_days"], r["serial_cov"], r["roll_spread"])
+        for r in QUERIES["roll_spread_estimator"](spark, SF).collect()
+    }
+    expect = {}
+    for code, g in bars.groupby("code"):
+        closes = g.sort_values("d")["close"].to_list()
+        dpc = [
+            int(round((b - a) * 1e6)) for a, b in zip(closes, closes[1:])
+        ]
+        pairs = [(y, x) for x, y in zip(dpc, dpc[1:])]  # (current, prev)
+        n = len(pairs)
+        if n == 0:
+            expect[code] = (0, None, None)
+            continue
+        if n < 2:
+            expect[code] = (n, None, None)
+            continue
+        x = np.array([p for _, p in pairs], dtype=np.float64)
+        y = np.array([c for c, _ in pairs], dtype=np.float64)
+        cov = float(np.cov(y, x, ddof=1)[0, 1]) / 1e12
+        spread = 2 * math.sqrt(-cov) if cov < 0 else None
+        expect[code] = (n, _r6(cov), _r6(spread) if spread is not None else None)
+    assert set(got) == set(expect)
+    for code, (n, cov, spread) in expect.items():
+        assert got[code][0] == n
+        if cov is None:
+            assert got[code][1] is None
+        else:
+            assert abs(got[code][1] - cov) < 2e-6, (code, got[code], cov)
+        if spread is None:
+            assert got[code][2] is None
+        else:
+            assert abs(got[code][2] - spread) < 2e-6
+
+
+def test_vol_term_structure_matches_numpy_std(spark):
+    """Trailing vols recomputed with numpy sample std over the same
+    1e-4-quantized returns."""
+    bars = _bars_pd(spark)
+    bars["prev"] = bars.groupby("code")["close"].shift(1)
+    bars = bars.dropna(subset=["prev"])
+    bars["r"] = ((bars["close"] / bars["prev"] - 1) * 10_000).round().astype("int64")
+    expect = {}
+    for code, g in bars.groupby("code"):
+        r = g.sort_values("d")["r"].to_numpy(dtype=np.float64)
+        if len(r) < 20:
+            continue
+        vols = {}
+        for k in (5, 10, 20):
+            vols[k] = float(np.std(r[-k:], ddof=1) * np.sqrt(252)) / 10_000
+        ratio = vols[5] / vols[20] if np.std(r[-20:], ddof=1) > 0 else None
+        expect[code] = (
+            _r6(vols[5]), _r6(vols[10]), _r6(vols[20]),
+            _r6(ratio) if ratio is not None else None,
+        )
+    got = {
+        r["code"]: (r["vol_5"], r["vol_10"], r["vol_20"], r["vol_ratio_5_20"])
+        for r in QUERIES["vol_term_structure"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for code, exp in expect.items():
+        for i in range(4):
+            if exp[i] is None:
+                assert got[code][i] is None
+            else:
+                assert abs(got[code][i] - exp[i]) < 2e-6, (code, i, got[code], exp)
+
+
+def test_gap_stats_match_python_loop(spark):
+    bars = _bars_pd(spark)
+    bars["prev"] = bars.groupby("code")["close"].shift(1)
+    bars = bars.dropna(subset=["prev"])
+    expect = {}
+    for code, g in bars.groupby("code"):
+        gaps = [int(round((r.open / r.prev - 1) * 1e8)) for r in g.itertuples()]
+        expect[code] = (
+            len(gaps),
+            _r6(sum(gaps) / len(gaps) / 1e8),
+            _r6(sum(1 for x in gaps if x > 0) / len(gaps)),
+            _r6(max(gaps) / 1e8),
+            _r6(min(gaps) / 1e8),
+        )
+    got = {
+        r["code"]: (
+            r["n_days"], r["mean_gap"], r["gap_up_rate"],
+            r["max_gap_up"], r["max_gap_down"],
+        )
+        for r in QUERIES["gap_open_stats"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_streaks_match_python_runlength(spark):
+    rets = _rets_quantized(spark)
+    expect = {}
+    for code, g in rets.groupby("code"):
+        signs = [1 if x > 0 else (-1 if x < 0 else 0) for x in g.sort_values("d")["ret_c"]]
+        signs = [s for s in signs if s != 0]
+        runs: list[tuple[int, int]] = []
+        for s in signs:
+            if runs and runs[-1][0] == s:
+                runs[-1] = (s, runs[-1][1] + 1)
+            else:
+                runs.append((s, 1))
+        if not runs:
+            continue
+        expect[code] = (
+            max((l for s, l in runs if s == 1), default=0),
+            max((l for s, l in runs if s == -1), default=0),
+            sum(1 for s, _ in runs if s == 1),
+            sum(1 for s, _ in runs if s == -1),
+        )
+    got = {
+        r["code"]: (
+            r["max_up_streak"], r["max_down_streak"],
+            r["n_up_runs"], r["n_down_runs"],
+        )
+        for r in QUERIES["streak_analysis"](spark, SF).collect()
+    }
+    assert got == expect
