@@ -118,7 +118,11 @@ GATE_FIRST: list[str] = [
 #   ab_test_lift, robust_volume_outliers, market_concentration_daily,
 #   ic_decay_profile, var_cvar_daily, underwater_duration,
 #   calendar_dow_effect, benford_first_digit, market_share_by_nation,
-#   rare_token_ratio, ttr_quality, vocab_jsd_by_source
+#   rare_token_ratio, ttr_quality, vocab_jsd_by_source,
+#   kline_pattern_screen, percentile_bands_daily, acf_lag_profile,
+#   dedup_impact_report, ann_recall_audit, amihud_illiquidity,
+#   roll_spread_estimator, vol_term_structure, gap_open_stats,
+#   streak_analysis
 
 
 def _apply_gate_order() -> None:
