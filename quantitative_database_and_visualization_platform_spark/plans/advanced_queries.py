@@ -1410,3 +1410,271 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
         ).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity report (new r6): the companion privacy audit to
+# k_anonymity_customers — within each quasi-identifier equivalence
+# class, how many DISTINCT values of the sensitive attribute (order
+# priority of the customers' orders) appear. A class can be k-anonymous
+# yet expose everyone's attribute when l = 1.
+#
+# Scale shape: one customer⋈orders equi join (hash-partitioned on
+# custkey), then a two-level aggregate on the QI key.
+# ---------------------------------------------------------------------------
+@query(
+    "l_diversity_report",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ), cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct
+        FROM joined GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, n_rows, l_distinct,
+           l_distinct < 3 AS violates_l3
+    FROM cls
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    )
+    cls = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderpriority").alias("l_distinct"),
+    )
+    return cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        "l_distinct",
+        (F.col("l_distinct") < 3).alias("violates_l3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history build (new r6): collapse a sequence of keyed
+# snapshots into validity intervals — the dimension-table maintenance
+# op every warehouse runs (the write-side twin of snapshot_diff's
+# read-side classification). Three deterministic snapshot versions are
+# derived from orders (priority mutated on key-modulus rules, the
+# snapshot_diff convention); consecutive equal states merge into one
+# interval via the change-flag running sum; valid_to comes from the
+# next interval's valid_from.
+#
+# Scale shape: one key-partitioned ordered window over (key, version)
+# + one (key, interval) aggregate + one interval-level lead — all on
+# the same key partitioning, no data-sized global state.
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_history_build",
+    oracle="""
+    WITH snaps AS (
+        SELECT o_orderkey AS k, 1 AS ver, o_orderpriority AS attr FROM orders
+        UNION ALL
+        SELECT o_orderkey, 2,
+               CASE WHEN o_orderkey % 5 = 0 THEN '9-REVISED' ELSE o_orderpriority END
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 3,
+               CASE WHEN o_orderkey % 3 = 0 THEN '8-FINAL'
+                    WHEN o_orderkey % 5 = 0 THEN '9-REVISED'
+                    ELSE o_orderpriority END
+        FROM orders
+    ), flagged AS (
+        SELECT k, ver, attr,
+               CASE WHEN LAG(attr) OVER w IS NULL
+                         OR attr <> LAG(attr) OVER w THEN 1 ELSE 0 END AS chg
+        FROM snaps WINDOW w AS (PARTITION BY k ORDER BY ver)
+    ), seg AS (
+        SELECT k, ver, attr,
+               SUM(chg) OVER (PARTITION BY k ORDER BY ver
+                   ROWS UNBOUNDED PRECEDING) AS iid
+        FROM flagged
+    ), intervals AS (
+        SELECT k, iid, MIN(attr) AS attr,
+               CAST(MIN(ver) AS INT) AS valid_from
+        FROM seg GROUP BY k, iid
+    )
+    SELECT k AS o_orderkey, attr, valid_from,
+           CAST(LEAD(valid_from) OVER (PARTITION BY k ORDER BY valid_from) - 1
+                AS INT) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY k ORDER BY valid_from) IS NULL
+             AS is_current
+    FROM intervals
+    """,
+)
+def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    v1 = o.select("k", F.lit(1).alias("ver"), F.col("o_orderpriority").alias("attr"))
+    v2 = o.select(
+        "k",
+        F.lit(2).alias("ver"),
+        F.when(F.col("k") % 5 == 0, "9-REVISED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("attr"),
+    )
+    v3 = o.select(
+        "k",
+        F.lit(3).alias("ver"),
+        F.when(F.col("k") % 3 == 0, "8-FINAL")
+        .when(F.col("k") % 5 == 0, "9-REVISED")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("attr"),
+    )
+    snaps = v1.unionByName(v2).unionByName(v3)
+    w = Window.partitionBy("k").orderBy("ver")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = (
+        F.when(
+            F.lag("attr").over(w).isNull()
+            | (F.col("attr") != F.lag("attr").over(w)),
+            1,
+        )
+        .otherwise(0)
+    )
+    seg = snaps.withColumn("chg", chg).withColumn("iid", F.sum("chg").over(run))
+    intervals = seg.groupBy("k", "iid").agg(
+        F.min("attr").alias("attr"),
+        F.min("ver").cast("int").alias("valid_from"),
+    )
+    wi = Window.partitionBy("k").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(wi)
+    return intervals.select(
+        F.col("k").alias("o_orderkey"),
+        "attr",
+        "valid_from",
+        (nxt - 1).cast("int").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph (new r6): nodes are nations,
+# directed edges customer-nation → supplier-nation weighted by exact
+# revenue cents (one lineitem-sized shuffle builds the graph — at
+# 100 TB that aggregation IS the job; the 10 damped iterations then run
+# on the fixed-cardinality nation graph). Per-iteration ranks are
+# quantized to 1e12 integers and every contribution term is quantized
+# before summing, so the recursion is bit-identical on both engines.
+#
+# Scale shape: fact-sized edge aggregation (hash shuffle on the nation
+# pair), then 10 iterations of tiny joins; dangling-free by
+# construction (every customer nation ships somewhere).
+# ---------------------------------------------------------------------------
+@query(
+    "pagerank_nation_trade",
+    oracle="""
+    WITH RECURSIVE rev0 AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                   AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ), rev AS (
+        -- zero-weight self-loops close the node set under the group-by:
+        -- every nation is a SOURCE at every sf (verified), so each node
+        -- re-appears as a dst each iteration even when nobody ships to it
+        SELECT src, dst, w FROM rev0
+        UNION ALL
+        SELECT n_nationkey, n_nationkey, 0 FROM nation
+    ), outw AS (
+        SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM rev GROUP BY src
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
+    ), pr AS (
+        SELECT 0 AS it, n_nationkey AS node,
+               CAST(ROUND(1000000000000.0 / n, 0) AS BIGINT) AS r_p
+        FROM nation, nn
+        UNION ALL
+        SELECT pr.it + 1, rev.dst,
+               CAST(ROUND(150000000000.0 / nn.n, 0) AS BIGINT)
+               + SUM(CAST(ROUND(0.85 * pr.r_p * rev.w / outw.tw, 0) AS BIGINT))
+        FROM pr
+        JOIN rev ON rev.src = pr.node
+        JOIN outw ON outw.src = pr.node
+        CROSS JOIN nn
+        WHERE pr.it < 10
+        GROUP BY pr.it + 1, rev.dst, nn.n
+    )
+    SELECT node AS nationkey,
+           FLOOR((r_p/1000000000000.0)*1000000 + 0.5)/1000000.0 AS pagerank
+    FROM pr WHERE it = 10
+    """,
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    real_edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+            rev_c.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    # zero-weight self-loops: see the oracle comment — they keep every
+    # node in the rank relation without a per-iteration left join
+    edges = real_edges.unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0).cast("long").alias("w"),
+        )
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    # the edge graph is nation²-bounded: localCheckpoint truncates the
+    # fact-sized lineage so the 10 iterations replan on a tiny leaf
+    edges = edges.join(outw, "src").localCheckpoint()
+    n_nodes = nodes.count()
+    r = nodes.select(
+        "node",
+        F.lit(int(round(1_000_000_000_000.0 / n_nodes))).alias("r_p"),
+    )
+    for _ in range(10):
+        r = (
+            edges.join(r, edges.src == r.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(0.85 * F.col("r_p") * F.col("w") / F.col("tw"), 0)
+                .cast("long")
+                .alias("term"),
+            )
+            .groupBy("node")
+            .agg(
+                (
+                    F.lit(int(round(150_000_000_000.0 / n_nodes)))
+                    + F.sum("term")
+                ).alias("r_p")
+            )
+            .localCheckpoint()
+        )
+    return r.select(
+        F.col("node").alias("nationkey"),
+        (F.floor(F.col("r_p") / 1_000_000_000_000.0 * 1_000_000 + F.lit(0.5))
+         / 1_000_000.0).alias("pagerank"),
+    )

@@ -2763,3 +2763,97 @@ def streak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("sgn") == 1).alias("n_up_runs"),
         F.count_if(F.col("sgn") == -1).alias("n_down_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Risk-adjusted ratio panel (new r6): per entity, annualized Sharpe,
+# Sortino (downside deviation uses min(r,0)² population form) and
+# Calmar (annualized mean over |max drawdown|) — the summary row the
+# reference's backtest page prints per strategy. Every moment is an
+# exact integer sum of 1e4-quantized returns (the vol_term_structure
+# scale — Σr² must stay inside int64 with this panel's outliers);
+# drawdown reuses the fixed-point equity-curve construction.
+#
+# Scale shape: one code-keyed lag + one code-keyed running window for
+# the drawdown + one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "risk_adjusted_ratios",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*10000,0) AS BIGINT) AS r
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), eq AS (
+        SELECT code, d, r,
+               SUM(r) OVER (PARTITION BY code ORDER BY d ROWS UNBOUNDED PRECEDING) AS eq_c
+        FROM rets WHERE r IS NOT NULL
+    ), dd AS (
+        SELECT code, d, r, eq_c,
+               eq_c - MAX(eq_c) OVER (PARTITION BY code ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS dd_c
+        FROM eq
+    ), m AS (
+        SELECT code,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS s,
+               CAST(SUM(r*r) AS BIGINT) AS q,
+               CAST(SUM(CASE WHEN r < 0 THEN r*r ELSE 0 END) AS BIGINT) AS qd,
+               CAST(MIN(dd_c) AS BIGINT) AS mdd_c
+        FROM dd GROUP BY code
+    )
+    SELECT code, n AS n_days,
+           {o_round6('CASE WHEN n >= 2 AND (q*1.0 - s*1.0*s/n) > 0 THEN '
+                     '(s*1.0/n) / sqrt((q*1.0 - s*1.0*s/n) / (n - 1)) * sqrt(252) END')}
+             AS sharpe,
+           {o_round6('CASE WHEN qd > 0 THEN '
+                     '(s*1.0/n) / sqrt(qd*1.0/n) * sqrt(252) END')} AS sortino,
+           {o_round6('CASE WHEN mdd_c < 0 THEN '
+                     '(s*1.0/n*252) / (-mdd_c*1.0) END')} AS calmar
+    FROM m
+    """,
+)
+def risk_adjusted_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rets = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0)
+        .cast("long")
+        .alias("r"),
+    ).filter(F.col("r").isNotNull())
+    eq = rets.withColumn("eq_c", F.sum("r").over(run))
+    dd = eq.withColumn("dd_c", F.col("eq_c") - F.max("eq_c").over(run))
+    m = dd.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r") * F.col("r")).alias("q"),
+        F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0)).alias(
+            "qd"
+        ),
+        F.min("dd_c").alias("mdd_c"),
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    var_num = F.col("q") * 1.0 - F.col("s") * 1.0 * F.col("s") / F.col("n")
+    return m.select(
+        "code",
+        F.col("n").alias("n_days"),
+        round6(
+            F.when(
+                (F.col("n") >= 2) & (var_num > 0),
+                mean / F.sqrt(var_num / (F.col("n") - 1)) * F.sqrt(F.lit(252.0)),
+            )
+        ).alias("sharpe"),
+        round6(
+            F.when(
+                F.col("qd") > 0,
+                mean / F.sqrt(F.col("qd") * 1.0 / F.col("n")) * F.sqrt(F.lit(252.0)),
+            )
+        ).alias("sortino"),
+        round6(
+            F.when(F.col("mdd_c") < 0, (mean * 252) / (-F.col("mdd_c") * 1.0))
+        ).alias("calmar"),
+    )
