@@ -1808,3 +1808,20 @@ def test_ann_recall_audit_matches_numpy_brute_force(spark):
         assert got[pid][0] == n_cand, (pid, got[pid], n_cand)
         assert got[pid][1] == hits
         assert abs(got[pid][2] - rec) < 1e-6
+
+
+def test_l_diversity_matches_pandas(spark):
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    df = cust.merge(orders, left_on="c_custkey", right_on="o_custkey")
+    expect = {}
+    for (nk, seg), g in df.groupby(["c_nationkey", "c_mktsegment"]):
+        l = g["o_orderpriority"].nunique()
+        expect[(nk, seg)] = (len(g), l, l < 3)
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (
+            r["n_rows"], r["l_distinct"], r["violates_l3"],
+        )
+        for r in QUERIES["l_diversity_report"](spark, SF).collect()
+    }
+    assert got == expect

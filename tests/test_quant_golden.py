@@ -1138,3 +1138,116 @@ def test_streaks_match_python_runlength(spark):
         for r in QUERIES["streak_analysis"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_risk_ratios_match_numpy(spark):
+    """Sharpe/Sortino/Calmar recomputed with numpy over the same
+    1e-4-quantized returns and a python drawdown scan."""
+    bars = _bars_pd(spark)
+    bars["prev"] = bars.groupby("code")["close"].shift(1)
+    bars = bars.dropna(subset=["prev"])
+    bars["r"] = ((bars["close"] / bars["prev"] - 1) * 10_000).round().astype("int64")
+    expect = {}
+    for code, g in bars.groupby("code"):
+        r = g.sort_values("d")["r"].to_numpy(dtype=np.float64)
+        n = len(r)
+        mean = r.sum() / n
+        sharpe = sortino = calmar = None
+        if n >= 2 and np.std(r, ddof=1) > 0:
+            sharpe = _r6(float(mean / np.std(r, ddof=1) * np.sqrt(252)))
+        dn = r[r < 0]
+        if len(dn) > 0:
+            sortino = _r6(float(mean / np.sqrt((dn ** 2).sum() / n) * np.sqrt(252)))
+        eq = np.cumsum(r)
+        dd = eq - np.maximum.accumulate(eq)
+        if dd.min() < 0:
+            calmar = _r6(float(mean * 252 / -dd.min()))
+        expect[code] = (n, sharpe, sortino, calmar)
+    got = {
+        r["code"]: (r["n_days"], r["sharpe"], r["sortino"], r["calmar"])
+        for r in QUERIES["risk_adjusted_ratios"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for code, exp in expect.items():
+        assert got[code][0] == exp[0]
+        for i in (1, 2, 3):
+            if exp[i] is None:
+                assert got[code][i] is None, (code, i, got[code])
+            else:
+                assert abs(got[code][i] - exp[i]) < 2e-6, (code, i, got[code], exp)
+
+
+def test_scd2_intervals_match_python_scan(spark):
+    """Validity intervals recomputed with a per-key python scan over the
+    three deterministic snapshot versions."""
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    expect = set()
+    for r in orders.itertuples():
+        k, p = r.o_orderkey, r.o_orderpriority
+        v2 = "9-REVISED" if k % 5 == 0 else p
+        v3 = "8-FINAL" if k % 3 == 0 else ("9-REVISED" if k % 5 == 0 else p)
+        seq = [(1, p), (2, v2), (3, v3)]
+        intervals = []
+        for ver, attr in seq:
+            if intervals and intervals[-1][0] == attr:
+                continue
+            intervals.append((attr, ver))
+        for i, (attr, vfrom) in enumerate(intervals):
+            vto = intervals[i + 1][1] - 1 if i + 1 < len(intervals) else None
+            expect.add((k, attr, vfrom, vto, vto is None))
+    got = {
+        (r["o_orderkey"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in QUERIES["scd2_history_build"](spark, SF).collect()
+    }
+    assert got == expect
+    # the mutation rules must actually produce multi-interval histories
+    assert any(not cur for (_, _, _, _, cur) in expect)
+
+
+def test_pagerank_matches_python_iteration(spark):
+    """PageRank recomputed with plain python dict iterations using the
+    same 1e12 integer quantization (independent of both engines' join
+    machinery)."""
+    import math
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    df = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    df["w"] = [
+        int(math.floor(x * 100 + 0.5))
+        for x in df["l_extendedprice"] * (1 - df["l_discount"])
+    ]
+    edges: dict[tuple[int, int], int] = {}
+    for r in df.itertuples():
+        key = (r.c_nationkey, r.s_nationkey)
+        edges[key] = edges.get(key, 0) + r.w
+    nodes = sorted(nation["n_nationkey"])
+    for nd in nodes:
+        edges.setdefault((nd, nd), edges.get((nd, nd), 0))
+    outw: dict[int, int] = {}
+    for (s, _), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+    n = len(nodes)
+    rank = {nd: int(round(1e12 / n)) for nd in nodes}
+    base = int(round(0.15 * 1e12 / n))
+    for _ in range(10):
+        inflow = {nd: 0 for nd in nodes}
+        for (s, dst), w in edges.items():
+            inflow[dst] += int(round(0.85 * rank[s] * w / outw[s]))
+        rank = {nd: base + inflow[nd] for nd in nodes}
+    expect = {nd: math.floor(rank[nd] / 1e12 * 1e6 + 0.5) / 1e6 for nd in nodes}
+    got = {
+        r["nationkey"]: r["pagerank"]
+        for r in QUERIES["pagerank_nation_trade"](spark, SF).collect()
+    }
+    assert got == expect
+    # ranks must sum to ~1 and be non-uniform
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert len(set(got.values())) > 1
