@@ -122,7 +122,8 @@ GATE_FIRST: list[str] = [
 #   kline_pattern_screen, percentile_bands_daily, acf_lag_profile,
 #   dedup_impact_report, ann_recall_audit, amihud_illiquidity,
 #   roll_spread_estimator, vol_term_structure, gap_open_stats,
-#   streak_analysis
+#   streak_analysis, risk_adjusted_ratios, l_diversity_report,
+#   scd2_history_build, pagerank_nation_trade
 
 
 def _apply_gate_order() -> None:
