@@ -2857,3 +2857,92 @@ def risk_adjusted_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mdd_c") < 0, (mean * 252) / (-F.col("mdd_c") * 1.0))
         ).alias("calmar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MA-crossover signal backtest (new r6): golden/death crosses of the
+# 5- vs 20-day moving average per entity — signal counts and the mean
+# next-day return after each signal type, the simplest strategy the
+# reference's screener feeds. MAs are exact integer means of price
+# cents; the cross test compares integer cross-products (ma5*20n vs
+# ma20*5n avoids any division), so signal booleans are exact.
+#
+# Scale shape: one code-keyed window pass (two frame sums + lead), one
+# code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "ma_crossover_signals",
+    oracle=f"""
+    WITH {O_BARS},
+    m AS (
+        SELECT code, d, close,
+               CAST(SUM(CAST(ROUND(close*100,0) AS BIGINT)) OVER w5 AS BIGINT) AS s5,
+               CAST(COUNT(*) OVER w5 AS BIGINT) AS n5,
+               CAST(SUM(CAST(ROUND(close*100,0) AS BIGINT)) OVER w20 AS BIGINT) AS s20,
+               CAST(COUNT(*) OVER w20 AS BIGINT) AS n20,
+               LEAD(close) OVER (PARTITION BY code ORDER BY d) / close - 1 AS fwd_ret
+        FROM bars
+        WINDOW w5 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               w20 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), sig AS (
+        SELECT code, d, fwd_ret,
+               s5 * n20 > s20 * n5 AS above,
+               LAG(s5 * n20 > s20 * n5) OVER (PARTITION BY code ORDER BY d) AS p_above
+        FROM m WHERE n20 >= 20
+    ), crosses AS (
+        SELECT code,
+               CASE WHEN above AND NOT p_above THEN 'golden'
+                    WHEN NOT above AND p_above THEN 'death' END AS sig_type,
+               CAST(ROUND(fwd_ret*{_RS},0) AS BIGINT) AS fwd_c
+        FROM sig WHERE p_above IS NOT NULL
+    )
+    SELECT code,
+           CAST(count_if(sig_type = 'golden') AS BIGINT) AS n_golden,
+           CAST(count_if(sig_type = 'death') AS BIGINT) AS n_death,
+           FLOOR((SUM(CASE WHEN sig_type = 'golden' THEN fwd_c END)*1.0
+                  / NULLIF(COUNT(CASE WHEN sig_type = 'golden' THEN fwd_c END), 0)
+                  / {_RS})*1000000 + 0.5)/1000000.0 AS mean_ret_after_golden,
+           FLOOR((SUM(CASE WHEN sig_type = 'death' THEN fwd_c END)*1.0
+                  / NULLIF(COUNT(CASE WHEN sig_type = 'death' THEN fwd_c END), 0)
+                  / {_RS})*1000000 + 0.5)/1000000.0 AS mean_ret_after_death
+    FROM crosses GROUP BY code
+    """,
+)
+def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    cents = F.round(F.col("close") * 100, 0).cast("long")
+    m = bars.select(
+        "code",
+        "d",
+        F.sum(cents).over(w.rowsBetween(-4, 0)).alias("s5"),
+        F.count(F.lit(1)).over(w.rowsBetween(-4, 0)).alias("n5"),
+        F.sum(cents).over(w.rowsBetween(-19, 0)).alias("s20"),
+        F.count(F.lit(1)).over(w.rowsBetween(-19, 0)).alias("n20"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("fwd_ret"),
+    ).filter(F.col("n20") >= 20)
+    above = F.col("s5") * F.col("n20") > F.col("s20") * F.col("n5")
+    sig = m.select(
+        "code",
+        "d",
+        "fwd_ret",
+        above.alias("above"),
+        F.lag(above).over(w).alias("p_above"),
+    ).filter(F.col("p_above").isNotNull())
+    sig_type = (
+        F.when(F.col("above") & ~F.col("p_above"), "golden")
+        .when(~F.col("above") & F.col("p_above"), "death")
+    )
+    crosses = sig.select(
+        "code",
+        sig_type.alias("sig_type"),
+        F.round(F.col("fwd_ret") * _RS, 0).cast("long").alias("fwd_c"),
+    )
+    g = F.when(F.col("sig_type") == "golden", F.col("fwd_c"))
+    dth = F.when(F.col("sig_type") == "death", F.col("fwd_c"))
+    return crosses.groupBy("code").agg(
+        F.count_if(F.col("sig_type") == "golden").alias("n_golden"),
+        F.count_if(F.col("sig_type") == "death").alias("n_death"),
+        round6(F.sum(g) * 1.0 / F.count(g) / _RS).alias("mean_ret_after_golden"),
+        round6(F.sum(dth) * 1.0 / F.count(dth) / _RS).alias("mean_ret_after_death"),
+    )

@@ -699,3 +699,127 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("mkt_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring (new r6): the classic recency/frequency/monetary
+# segmentation — per customer, days since last order, order count and
+# lifetime cents-exact spend, each bucketed into quintiles (ntile with
+# the customer key as the deterministic tie-break), composed into the
+# 3-digit RFM segment.
+#
+# Scale shape: one custkey-keyed aggregate over orders, then three
+# global ntile windows — at 100 TB the aggregate output is
+# customer-sized (orders-of-magnitude smaller than the fact table) and
+# the quintile assignment would move to approx-percentile boundaries;
+# the exact global windows are kept here because the oracle demands
+# exact quintiles.
+# ---------------------------------------------------------------------------
+@query(
+    "rfm_customer_scores",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2002-01-01')
+                 AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_c
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT custkey, recency_days, frequency, monetary_c,
+               NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_c, custkey) AS m_score
+        FROM agg
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+           monetary_c/100.0 AS monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_segment
+    FROM scored
+    """,
+)
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    # global ntile windows over the CUSTOMER-sized aggregate (not the
+    # fact table); deterministic tie-break on the key
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "custkey"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary_c", "custkey"))
+    scored = agg.select(
+        "custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_c",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_c") / 100.0).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias(
+            "rfm_segment"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram builder (new r6): the catalog-statistics op — a
+# 10-bucket equi-depth histogram of order totals (bucket boundaries =
+# interpolated decile values over cents-exact integers, per-bucket row
+# counts from exact rank arithmetic). What ANALYZE TABLE computes for
+# the optimizer's selectivity estimates.
+#
+# Scale shape: one global sort-free aggregate pass: bucket membership
+# comes from ntile over the cents integers (deterministic tie-break on
+# the key), so counts and bounds are exact without a global sort node —
+# Spark's window sort is range-partitioned.
+# ---------------------------------------------------------------------------
+@query(
+    "histogram_equi_depth",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ), b AS (
+        SELECT k, c, NTILE(10) OVER (ORDER BY c, k) AS bucket FROM v
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(c)/100.0 AS lo,
+           MAX(c)/100.0 AS hi,
+           SUM(c)/100.0 AS bucket_mass
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    b = v.select(
+        "c", F.ntile(10).over(Window.orderBy("c", "k")).alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.min("c") / 100.0).alias("lo"),
+        (F.max("c") / 100.0).alias("hi"),
+        (F.sum("c") / 100.0).alias("bucket_mass"),
+    )
