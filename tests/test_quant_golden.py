@@ -1251,3 +1251,130 @@ def test_pagerank_matches_python_iteration(spark):
     # ranks must sum to ~1 and be non-uniform
     assert abs(sum(got.values()) - 1.0) < 1e-3
     assert len(set(got.values())) > 1
+
+
+def test_ma_crossover_matches_python_scan(spark):
+    """Cross events and post-signal returns recomputed with a python
+    scan using integer cross-products (no division)."""
+    bars = _bars_pd(spark)
+    expect = {}
+    for code, g in bars.groupby("code"):
+        g = g.sort_values("d")
+        closes = [int(round(c * 100)) for c in g["close"]]
+        raw = g["close"].to_list()
+        rows = []
+        for i in range(len(closes)):
+            if i + 1 < 20:
+                continue
+            s5, n5 = sum(closes[i - 4 : i + 1]), 5
+            s20, n20 = sum(closes[i - 19 : i + 1]), 20
+            fwd = raw[i + 1] / raw[i] - 1 if i + 1 < len(raw) else None
+            rows.append((s5 * n20 > s20 * n5, fwd))
+        golden, death = [], []
+        ng = nd = 0
+        for (above, fwd), (p_above, _) in zip(rows[1:], rows[:-1]):
+            if above and not p_above:
+                ng += 1
+                if fwd is not None:
+                    golden.append(int(round(fwd * 1e8)))
+            elif not above and p_above:
+                nd += 1
+                if fwd is not None:
+                    death.append(int(round(fwd * 1e8)))
+        if not rows[1:]:
+            continue
+        expect[code] = (
+            ng,
+            nd,
+            _r6(sum(golden) / len(golden) / 1e8) if golden else None,
+            _r6(sum(death) / len(death) / 1e8) if death else None,
+        )
+    got = {
+        r["code"]: (
+            r["n_golden"], r["n_death"],
+            r["mean_ret_after_golden"], r["mean_ret_after_death"],
+        )
+        for r in QUERIES["ma_crossover_signals"](spark, SF).collect()
+    }
+    assert got == expect
+    # the panel must actually produce crosses
+    assert any(v[0] + v[1] > 0 for v in expect.values())
+
+
+def test_rfm_scores_match_pandas_quintiles(spark):
+    """RFM quintiles recomputed with a python sort + explicit ntile."""
+    import datetime
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    agg = {}
+    for r in orders.itertuples():
+        k = r.o_custkey
+        c = int(math.floor(r.o_totalprice * 100 + 0.5))
+        d = pd.Timestamp(r.o_orderdate).date()
+        if k not in agg:
+            agg[k] = [d, 0, 0]
+        agg[k][0] = max(agg[k][0], d)
+        agg[k][1] += 1
+        agg[k][2] += c
+
+    def ntile(keys_sorted, n=5):
+        total = len(keys_sorted)
+        out = {}
+        base, extra = divmod(total, n)
+        idx = 0
+        for b in range(1, n + 1):
+            size = base + (1 if b <= extra else 0)
+            for _ in range(size):
+                out[keys_sorted[idx]] = b
+                idx += 1
+        return out
+
+    ref = datetime.date(2002, 1, 1)
+    rec = {k: (ref - v[0]).days for k, v in agg.items()}
+    r_sc = ntile(sorted(agg, key=lambda k: (-rec[k], k)))
+    f_sc = ntile(sorted(agg, key=lambda k: (agg[k][1], k)))
+    m_sc = ntile(sorted(agg, key=lambda k: (agg[k][2], k)))
+    expect = {
+        k: (
+            rec[k], agg[k][1], agg[k][2] / 100.0,
+            r_sc[k], f_sc[k], m_sc[k],
+            r_sc[k] * 100 + f_sc[k] * 10 + m_sc[k],
+        )
+        for k in agg
+    }
+    got = {
+        r["custkey"]: (
+            r["recency_days"], r["frequency"], r["monetary"],
+            r["r_score"], r["f_score"], r["m_score"], r["rfm_segment"],
+        )
+        for r in QUERIES["rfm_customer_scores"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_equi_depth_histogram_matches_python_ntile(spark):
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    vals = sorted(
+        (int(math.floor(p * 100 + 0.5)), k)
+        for k, p in zip(orders["o_orderkey"], orders["o_totalprice"])
+    )
+    total = len(vals)
+    base, extra = divmod(total, 10)
+    expect = {}
+    idx = 0
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        chunk = [c for c, _ in vals[idx : idx + size]]
+        idx += size
+        expect[b] = (
+            len(chunk), min(chunk) / 100.0, max(chunk) / 100.0,
+            sum(chunk) / 100.0,
+        )
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo"], r["hi"], r["bucket_mass"])
+        for r in QUERIES["histogram_equi_depth"](spark, SF).collect()
+    }
+    assert got == expect
