@@ -123,7 +123,8 @@ GATE_FIRST: list[str] = [
 #   dedup_impact_report, ann_recall_audit, amihud_illiquidity,
 #   roll_spread_estimator, vol_term_structure, gap_open_stats,
 #   streak_analysis, risk_adjusted_ratios, l_diversity_report,
-#   scd2_history_build, pagerank_nation_trade
+#   scd2_history_build, pagerank_nation_trade, rfm_customer_scores,
+#   histogram_equi_depth, ma_crossover_signals
 
 
 def _apply_gate_order() -> None:
