@@ -4139,3 +4139,102 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster profile (new r6): the k-means index diagnostics a
+# pipeline reads before trusting IVF routing or cluster-balanced
+# sampling — per coarse cluster, the member count, the mean cosine of
+# members to their centroid (cohesion; per-row values quantized at 1e6
+# then fixed-point-averaged), and the majority label with its share.
+# Reuses the shared deterministic seeds→assign→refine→assign chain, so
+# the clusters are bit-identical to embedding_ann_ivf's.
+#
+# Scale shape: centroid build is one posexplode aggregate; the profile
+# is one broadcast join (centroids are k-bounded) + two cluster-keyed
+# aggregates.
+# ---------------------------------------------------------------------------
+def _o_cluster_profile() -> str:
+    return f"""
+    WITH {_o_ivf_assign()}, scored AS (
+        SELECT a2.cid, a2.label,
+               CAST(FLOOR({o_cosine('a2.embedding', 'c.cent')} * 1000000 + 0.5)
+                    AS BIGINT) AS cos6
+        FROM a2 JOIN cents c USING (cid)
+    ), sizes AS (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+               FLOOR((SUM(cos6)*1.0 / COUNT(*) / 1000000.0)*1000000 + 0.5)/1000000.0
+                 AS mean_cos_to_centroid
+        FROM scored GROUP BY cid
+    ), lab AS (
+        SELECT cid, label AS majority_label, cnt FROM (
+            SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY COUNT(*) DESC, label) AS rn
+            FROM scored GROUP BY cid, label
+        ) WHERE rn = 1
+    )
+    SELECT s.cid AS cluster, s.n_members, s.mean_cos_to_centroid,
+           l.majority_label,
+           FLOOR((l.cnt*1.0 / s.n_members)*1000000 + 0.5)/1000000.0
+             AS majority_share
+    FROM sizes s JOIN lab l ON s.cid = l.cid
+    """
+
+
+@query("embedding_cluster_profile", oracle=_o_cluster_profile())
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    a1 = nearest_centroid(emb, seeds, "embedding", "vec_id")
+    cents = ivf_centroids(a1, "embedding").select(
+        F.col("cid").alias("__cid"), "__cent"
+    )
+    a2 = nearest_centroid(emb, cents, "embedding", "vec_id")
+    scored = a2.join(
+        F.broadcast(cents.select(F.col("__cid").alias("cid"), "__cent")), "cid"
+    ).select(
+        "cid",
+        "label",
+        F.floor(cosine("embedding", "__cent") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cos6"),
+    )
+    sizes = scored.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            F.floor(
+                (F.sum("cos6") * 1.0 / F.count(F.lit(1)) / 1_000_000.0)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("mean_cos_to_centroid"),
+    )
+    lab = (
+        scored.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.desc("cnt"), "label")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return sizes.join(lab, "cid").select(
+        F.col("cid").alias("cluster"),
+        "n_members",
+        "mean_cos_to_centroid",
+        F.col("label").alias("majority_label"),
+        (
+            F.floor(F.col("cnt") * 1.0 / F.col("n_members") * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("majority_share"),
+    )

@@ -1825,3 +1825,71 @@ def test_l_diversity_matches_pandas(spark):
         for r in QUERIES["l_diversity_report"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_cluster_profile_matches_numpy_kmeans_step(spark):
+    """Cluster profile recomputed with numpy: the same seeds→assign→
+    refine→assign chain (independent matrix implementation), then
+    python-side cohesion and majority-label math."""
+    import math
+
+    import numpy as np
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    mat = np.array([list(v) for v in emb["embedding"]], dtype=np.float64)
+    labels = emb["label"].to_list()
+    seeds = {int(ids[i]): mat[i] for i in range(8)}
+
+    def assign(cents: dict[int, np.ndarray]) -> list[int]:
+        out = []
+        for i in range(len(ids)):
+            best = min(
+                cents.items(),
+                key=lambda kv: (
+                    math.floor(float(((mat[i] - kv[1]) ** 2).sum()) * 1e6 + 0.5),
+                    kv[0],
+                ),
+            )
+            out.append(best[0])
+        return out
+
+    a1 = assign(seeds)
+    cents2: dict[int, np.ndarray] = {}
+    for cid in set(a1):
+        members = mat[[i for i in range(len(ids)) if a1[i] == cid]]
+        q = np.floor(members * 1e6 + 0.5).astype("int64").sum(axis=0)
+        cents2[cid] = (q / len(members)) / 1e6
+    a2 = assign(cents2)
+    per: dict[int, list[int]] = {}
+    labs: dict[int, dict[str, int]] = {}
+    for i, cid in enumerate(a2):
+        cos = float(
+            mat[i] @ cents2[cid]
+            / (np.linalg.norm(mat[i]) * np.linalg.norm(cents2[cid]))
+        )
+        per.setdefault(cid, []).append(int(math.floor(cos * 1e6 + 0.5)))
+        labs.setdefault(cid, {})
+        labs[cid][labels[i]] = labs[cid].get(labels[i], 0) + 1
+    expect = {}
+    for cid, cos6 in per.items():
+        maj = min(labs[cid].items(), key=lambda kv: (-kv[1], kv[0]))
+        expect[cid] = (
+            len(cos6),
+            math.floor(sum(cos6) / len(cos6) / 1e6 * 1e6 + 0.5) / 1e6,
+            maj[0],
+            math.floor(maj[1] / len(cos6) * 1e6 + 0.5) / 1e6,
+        )
+    got = {
+        r["cluster"]: (
+            r["n_members"], r["mean_cos_to_centroid"],
+            r["majority_label"], r["majority_share"],
+        )
+        for r in QUERIES["embedding_cluster_profile"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for cid, exp in expect.items():
+        assert got[cid][0] == exp[0]
+        assert abs(got[cid][1] - exp[1]) <= 2e-6, (cid, got[cid], exp)
+        assert got[cid][2] == exp[2]
+        assert abs(got[cid][3] - exp[3]) <= 2e-6
