@@ -124,7 +124,8 @@ GATE_FIRST: list[str] = [
 #   roll_spread_estimator, vol_term_structure, gap_open_stats,
 #   streak_analysis, risk_adjusted_ratios, l_diversity_report,
 #   scd2_history_build, pagerank_nation_trade, rfm_customer_scores,
-#   histogram_equi_depth, ma_crossover_signals, embedding_cluster_profile
+#   histogram_equi_depth, ma_crossover_signals, embedding_cluster_profile,
+#   minhash_pr_audit
 
 
 def _apply_gate_order() -> None:

@@ -4238,3 +4238,111 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("majority_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH precision/recall audit (new r6): the acceptance gate for
+# the LSH banding config — candidate pairs from the 4×2 band join vs
+# the EXACT Jaccard-≥τ pair relation (the prefix-filtered relation the
+# dedup family shares; its completeness at τ is the repo's PPJoin
+# soundness argument — and the ORACLE recomputes ground truth by brute
+# force over ALL pairs, so an engine-side completeness bug would land
+# here as a row mismatch, not stay hidden in a shared shape).
+#
+# Scale shape: both inputs are pair relations already bounded by their
+# own generators (Σ bucket² / prefix buckets); the audit itself is one
+# full-outer key join + a 1-row aggregate.
+# ---------------------------------------------------------------------------
+def _o_minhash_pr() -> str:
+    mh = ",\n               ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS m{i}"
+        for i in range(dd.N_MINHASH)
+    )
+    rows = dd.N_MINHASH // dd.N_BANDS
+    band_selects = "\n        UNION ALL ".join(
+        "SELECT doc_id, "
+        + f"{b} AS band, "
+        + " || ".join(f"m{b * rows + r}" for r in range(rows))
+        + " AS key FROM sigs"
+        for b in range(dd.N_BANDS)
+    )
+    jac = (
+        "len(list_intersect(a.s, b.s)) / "
+        "CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)"
+    )
+    return f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    sigs AS (
+        SELECT doc_id, s, {mh} FROM sh
+    ), bands AS (
+        {band_selects}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    ), exact AS (
+        -- brute-force ground truth: every pair with Jaccard >= {_NGRAM_T}
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {jac} >= {_NGRAM_T}
+    ), joined AS (
+        SELECT COALESCE(e.a_id, c.a_id) AS a_id,
+               e.a_id IS NOT NULL AS is_exact,
+               c.a_id IS NOT NULL AS is_cand
+        FROM exact e FULL OUTER JOIN cand c
+          ON e.a_id = c.a_id AND e.b_id = c.b_id
+    )
+    SELECT CAST(count_if(is_exact) AS BIGINT) AS n_exact,
+           CAST(count_if(is_cand) AS BIGINT) AS n_cand,
+           CAST(count_if(is_exact AND is_cand) AS BIGINT) AS tp,
+           CAST(count_if(is_cand AND NOT is_exact) AS BIGINT) AS fp,
+           CAST(count_if(is_exact AND NOT is_cand) AS BIGINT) AS fn,
+           FLOOR((count_if(is_exact AND is_cand)*1.0
+                  / NULLIF(count_if(is_cand), 0))*1000000 + 0.5)/1000000.0
+             AS precision,
+           FLOOR((count_if(is_exact AND is_cand)*1.0
+                  / NULLIF(count_if(is_exact), 0))*1000000 + 0.5)/1000000.0
+             AS recall
+    FROM joined
+    """
+
+
+@query("minhash_pr_audit", oracle=_o_minhash_pr())
+def minhash_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    shingled = managed_persist(dd.with_shingles(docs))
+    sigs = managed_persist(
+        dd.with_minhash_bands(shingled.select("doc_id", "shingles"))
+    )
+    cand = dd.lsh_candidate_pairs(sigs).select(
+        "a_id", "b_id", F.lit(True).alias("is_cand")
+    )
+    exact = _ngram_pairs(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(True).alias("is_exact")
+    )
+    joined = exact.join(cand, ["a_id", "b_id"], "full_outer").select(
+        F.coalesce(F.col("is_exact"), F.lit(False)).alias("is_exact"),
+        F.coalesce(F.col("is_cand"), F.lit(False)).alias("is_cand"),
+    )
+    tp = F.count_if(F.col("is_exact") & F.col("is_cand"))
+    n_cand = F.count_if(F.col("is_cand"))
+    n_exact = F.count_if(F.col("is_exact"))
+    return joined.agg(
+        n_exact.alias("n_exact"),
+        n_cand.alias("n_cand"),
+        tp.alias("tp"),
+        F.count_if(F.col("is_cand") & ~F.col("is_exact")).alias("fp"),
+        F.count_if(F.col("is_exact") & ~F.col("is_cand")).alias("fn"),
+        (
+            F.floor(tp * 1.0 / F.nullif(n_cand, F.lit(0)) * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("precision"),
+        (
+            F.floor(tp * 1.0 / F.nullif(n_exact, F.lit(0)) * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("recall"),
+    )

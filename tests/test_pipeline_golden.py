@@ -1893,3 +1893,50 @@ def test_cluster_profile_matches_numpy_kmeans_step(spark):
         assert abs(got[cid][1] - exp[1]) <= 2e-6, (cid, got[cid], exp)
         assert got[cid][2] == exp[2]
         assert abs(got[cid][3] - exp[3]) <= 2e-6
+
+
+def test_minhash_pr_audit_matches_python_brute_force(spark):
+    """P/R audit recomputed fully in python: md5 minhash signatures,
+    band-key candidates, and brute-force exact-Jaccard ground truth."""
+    import hashlib
+    import math
+
+    docs = _docs()
+    sets = {r.doc_id: _shingle_set(r.text) for r in docs.itertuples()}
+    sets = {k: v for k, v in sets.items() if v}
+
+    def h(i: int, x: str) -> str:
+        return hashlib.md5(f"{i}:{x}".encode()).hexdigest()
+
+    sigs = {
+        k: [min(h(i, x) for x in s) for i in range(8)] for k, s in sets.items()
+    }
+    cand = set()
+    keys = sorted(sigs)
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for k in keys:
+        for b in range(4):
+            key = (b, sigs[k][2 * b] + sigs[k][2 * b + 1])
+            buckets.setdefault(key, []).append(k)
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((min(a, b), max(a, b)))
+    exact = set()
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.6:
+                exact.add((a, b))
+    tp = len(exact & cand)
+    expect = (
+        len(exact), len(cand), tp, len(cand - exact), len(exact - cand),
+        math.floor(tp / len(cand) * 1e6 + 0.5) / 1e6 if cand else None,
+        math.floor(tp / len(exact) * 1e6 + 0.5) / 1e6 if exact else None,
+    )
+    r = QUERIES["minhash_pr_audit"](spark, SF).collect()[0]
+    got = (
+        r["n_exact"], r["n_cand"], r["tp"], r["fp"], r["fn"],
+        r["precision"], r["recall"],
+    )
+    assert got == expect
