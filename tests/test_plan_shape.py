@@ -312,3 +312,47 @@ def test_interval_join_hashes_on_user(spark):
     assert "NestedLoop" not in plan, plan[:3000]
     assert "Cartesian" not in plan, plan[:3000]
     assert "user_id" in plan and ("SortMergeJoin" in plan or "HashJoin" in plan), plan[:3000]
+
+
+def test_market_share_no_forced_broadcast_of_scaling_sides(spark):
+    """The Q8-shaped join may hint-broadcast only the fixed-cardinality
+    dim chains (nation/region collapse + supplier map + customer pool +
+    the per-year totals); orders and lineitem must reach the optimizer
+    unhinted so AQE sizes their join at runtime."""
+    import re
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    logical = (
+        QUERIES["market_share_by_nation"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # no hint may sit directly over a scaling-table scan: every
+    # ResolvedHint in this plan wraps a dim-chain/aggregate subtree
+    assert "lineitem" not in "".join(re.findall(r"ResolvedHint.*", logical))
+    # the fact side must enter a join without a broadcast hint of its own
+    assert logical.count("ResolvedHint") <= 4, logical[:3000]
+
+
+def test_rare_token_topk_is_take_ordered(spark):
+    """The top-100 vocabulary head must compile to TakeOrderedAndProject
+    (per-partition top-k), never a single-partition global row_number
+    sort — the difference between a tiny exchange and dragging the whole
+    vocabulary through one task at 100 TB."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["rare_token_ratio"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+
+
+def test_pagerank_iterations_run_on_checkpointed_leaf(spark):
+    """The 10 PageRank iterations must replan on the nation²-bounded
+    localCheckpoint leaf, not re-analyze the fact-sized edge aggregation
+    — the executed plan of the returned rank relation may not scan
+    lineitem at all."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["pagerank_nation_trade"](spark, SF))
+    assert "lineitem" not in plan, plan[:3000]
