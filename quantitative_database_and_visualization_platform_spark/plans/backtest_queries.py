@@ -2946,3 +2946,68 @@ def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.sum(g) * 1.0 / F.count(g) / _RS).alias("mean_ret_after_golden"),
         round6(F.sum(dth) * 1.0 / F.count(dth) / _RS).alias("mean_ret_after_death"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraday hour-of-day profile (new r6): the U-shaped liquidity curve —
+# per hour bucket, event count, exact volume mass and its share of the
+# total, and the fixed-point mean tick value. Runs on the raw tick
+# stream (not bars): the axis the reference's tick pages bin on.
+#
+# Scale shape: single scan → 24-group aggregate, map-side combined; the
+# global total is a broadcast of a 1-row aggregate (never a window over
+# the stream).
+# ---------------------------------------------------------------------------
+@query(
+    "intraday_hour_profile",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+               CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS k,
+               CAST(ROUND(value*100,0) AS BIGINT) AS v_c
+        FROM events
+    ), hourly AS (
+        SELECT hr, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS volume,
+               CAST(SUM(v_c) AS BIGINT) AS v_sum
+        FROM t GROUP BY hr
+    ), tot AS (
+        SELECT CAST(SUM(volume) AS BIGINT) AS tv FROM hourly
+    )
+    SELECT hr, n_events, volume,
+           FLOOR((volume*1.0/tv)*1000000 + 0.5)/1000000.0 AS volume_share,
+           FLOOR((v_sum*1.0/n_events/100.0)*1000000 + 0.5)/1000000.0 AS mean_value
+    FROM hourly, tot
+    """,
+)
+def intraday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hr"),
+        F.regexp_extract("props", r"(\d+)", 1).cast("long").alias("k"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    hourly = t.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("volume"),
+        F.sum("v_c").alias("v_sum"),
+    )
+    tot = hourly.agg(F.sum("volume").alias("tv"))
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        "hr",
+        "n_events",
+        "volume",
+        (
+            F.floor(F.col("volume") * 1.0 / F.col("tv") * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("volume_share"),
+        (
+            F.floor(
+                F.col("v_sum") * 1.0 / F.col("n_events") / 100.0 * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("mean_value"),
+    )

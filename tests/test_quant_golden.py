@@ -1378,3 +1378,35 @@ def test_equi_depth_histogram_matches_python_ntile(spark):
         for r in QUERIES["histogram_equi_depth"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_intraday_profile_matches_python_counter(spark):
+    import math
+    import re
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    agg: dict[int, list[int]] = {}
+    for r in ev.itertuples():
+        hr = pd.Timestamp(r.ts).hour
+        k = int(re.search(r"(\d+)", r.props).group(1))
+        v_c = int(math.floor(r.value * 100 + 0.5))
+        if hr not in agg:
+            agg[hr] = [0, 0, 0]
+        agg[hr][0] += 1
+        agg[hr][1] += k
+        agg[hr][2] += v_c
+    tv = sum(v[1] for v in agg.values())
+    expect = {
+        hr: (
+            n, vol,
+            math.floor(vol / tv * 1e6 + 0.5) / 1e6,
+            math.floor(vs / n / 100.0 * 1e6 + 0.5) / 1e6,
+        )
+        for hr, (n, vol, vs) in agg.items()
+    }
+    got = {
+        r["hr"]: (r["n_events"], r["volume"], r["volume_share"], r["mean_value"])
+        for r in QUERIES["intraday_hour_profile"](spark, SF).collect()
+    }
+    assert got == expect
+    assert len(got) == 24
