@@ -2205,8 +2205,9 @@ def calendar_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Candlestick pattern screen (new r6): per-entity counts of the classic
 # K-line patterns (doji, hammer, shooting star, bullish/bearish
-# engulfing) — the pattern layer of the reference's K-line pages
-# (`app/Quantlib/pages/2_Stock_Price.py` renders exactly these shapes).
+# engulfing) — the pattern layer over the reference's K-line rendering
+# and similar-K-line retrospective (`app/Quantlib/pages/4_Stock
+# deepdive.py:113-115` Candlestick traces; `:263-266` 相似K线形态回溯).
 # All predicates are IEEE comparisons of identical doubles on both
 # engines (same products, same order), so the booleans agree exactly.
 #
@@ -2550,7 +2551,8 @@ def roll_spread_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Volatility term structure (new r6): per entity, annualized realized
 # volatility over the trailing 5/10/20-day windows at the latest date,
-# plus the 5/20 ratio — the vol-regime gauge. Variance comes from exact
+# plus the 5/20 ratio — the vol-regime gauge extending the reference's
+# volatility_20 panel (`app/Quantlib/pages/4_Stock deepdive.py:73,204`). Variance comes from exact
 # integer moment sums (Σr, Σr²) of fixed-point returns, so the only
 # float steps are the final divisions and sqrt (round6'd).
 #
@@ -2952,7 +2954,8 @@ def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Intraday hour-of-day profile (new r6): the U-shaped liquidity curve —
 # per hour bucket, event count, exact volume mass and its share of the
 # total, and the fixed-point mean tick value. Runs on the raw tick
-# stream (not bars): the axis the reference's tick pages bin on.
+# stream (not bars): the microstructure axis of the reference's
+# stock_3tick_db lake (`Project report.md:381` 高频微观库).
 #
 # Scale shape: single scan → 24-group aggregate, map-side combined; the
 # global total is a broadcast of a 1-row aggregate (never a window over
