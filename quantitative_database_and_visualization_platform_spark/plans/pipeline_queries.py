@@ -4346,3 +4346,156 @@ def minhash_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sweep (new r6): how many pairs survive at each
+# candidate Jaccard cutoff (0.6/0.7/0.8/0.9) and how many docs they
+# touch — the tuning curve read before fixing the dedup threshold.
+# One pass over the SHARED verified pair relation (complete down to
+# τ=0.6 by the prefix-filter soundness argument), no new pair
+# generation.
+# ---------------------------------------------------------------------------
+@query(
+    "neardup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_o_ngram_jaccard()}),
+    th AS (SELECT UNNEST([0.6, 0.7, 0.8, 0.9]) AS thr)
+    SELECT th.thr,
+           CAST(count_if(p.jaccard >= th.thr) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.jaccard >= th.thr THEN p.a_id END)
+                + COUNT(DISTINCT CASE WHEN p.jaccard >= th.thr THEN p.b_id END)
+                AS BIGINT) AS n_doc_slots
+    FROM th LEFT JOIN pairs p ON TRUE
+    GROUP BY th.thr
+    """,
+)
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _ngram_pairs(spark, sf_dir)
+    th = spark.range(4).select((0.6 + F.col("id") * 0.1).alias("thr"))
+    # threshold axis is 4 rows — broadcast it against the pair relation
+    j = pairs.crossJoin(F.broadcast(th))
+    keep = F.col("jaccard") >= F.col("thr")
+    return j.groupBy("thr").agg(
+        F.count_if(keep).alias("n_pairs"),
+        (
+            F.countDistinct(F.when(keep, F.col("a_id")))
+            + F.countDistinct(F.when(keep, F.col("b_id")))
+        ).alias("n_doc_slots"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (new r6): the verified near-dup pairs
+# cross-tabulated by (source_a, source_b) with source pairs ordered
+# canonically — "which sources copy each other", the question that
+# decides whether dedup runs within or across sources. Reuses the
+# shared pair relation; two broadcast-sized doc→source joins.
+# ---------------------------------------------------------------------------
+@query(
+    "cross_source_dup_matrix",
+    oracle=f"""
+    WITH pairs AS ({_o_ngram_jaccard()})
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR((SUM(CAST(ROUND(p.jaccard*1000000,0) AS BIGINT))/1000000.0
+                  / COUNT(*))*1000000 + 0.5)/1000000.0 AS mean_jaccard
+    FROM pairs p
+    JOIN documents da ON p.a_id = da.doc_id
+    JOIN documents db ON p.b_id = db.doc_id
+    GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _ngram_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("a_id"), F.col("source").alias("sa")
+            ),
+            "a_id",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("b_id"), F.col("source").alias("sb")
+            ),
+            "b_id",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            "jaccard",
+        )
+    )
+    return j.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        round6(
+            F.sum(F.round(F.col("jaccard") * 1_000_000, 0).cast("long"))
+            / 1_000_000.0
+            / F.count(F.lit(1))
+        ).alias("mean_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard assignment balance (new r6): hash documents into 16 training
+# shards and report each shard's doc count and token mass plus its
+# deviation from the mean — the write-balance audit run before
+# materializing shards (a skewed shard serializes the slowest writer at
+# 100 TB). Hash assignment is the md5-prefix integer mod (the
+# dataset_split convention, identical in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "shard_assignment_balance",
+    oracle=f"""
+    WITH {_O_NORM},
+    assigned AS (
+        SELECT ('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 13))::BIGINT % 16
+                 AS shard,
+               CAST(len(w.w) AS BIGINT) AS n_tok
+        FROM words w
+    ), shards AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens
+        FROM assigned GROUP BY shard
+    ), tot AS (
+        SELECT CAST(SUM(tokens) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k
+        FROM shards
+    )
+    SELECT shard, n_docs, tokens,
+           FLOOR((tokens*1.0 / (t*1.0/k))*1000000 + 0.5)/1000000.0
+             AS load_vs_mean
+    FROM shards, tot
+    """,
+)
+def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long")
+            % 16
+        ).alias("shard"),
+        F.size(F.split(dd.normalized_text("text"), " ")).cast("long").alias("n_tok"),
+    )
+    shards = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+    )
+    tot = shards.agg(
+        F.sum("tokens").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    return shards.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "tokens",
+        (
+            F.floor(
+                F.col("tokens") * 1.0 / (F.col("t") * 1.0 / F.col("k")) * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("load_vs_mean"),
+    )
