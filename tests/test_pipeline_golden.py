@@ -1940,3 +1940,85 @@ def test_minhash_pr_audit_matches_python_brute_force(spark):
         r["precision"], r["recall"],
     )
     assert got == expect
+
+
+def _exact_pairs_06() -> dict[tuple[int, int], float]:
+    """Brute-force exact-Jaccard pairs >= 0.6 with 6-dp rounding."""
+    import math
+
+    docs = _docs()
+    sets = {r.doc_id: _shingle_set(r.text) for r in docs.itertuples()}
+    out = {}
+    keys = sorted(k for k, v in sets.items() if v)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.6:
+                out[(a, b)] = math.floor(j * 1e6 + 0.5) / 1e6
+    return out
+
+
+def test_threshold_sweep_matches_python_sets(spark):
+    pairs = _exact_pairs_06()
+    expect = {}
+    for i in range(4):
+        thr = 0.6 + i * 0.1
+        kept = {k: v for k, v in pairs.items() if v >= thr}
+        slots = len({a for a, _ in kept}) + len({b for _, b in kept})
+        expect[round(thr, 6)] = (len(kept), slots)
+    got = {
+        round(r["thr"], 6): (r["n_pairs"], r["n_doc_slots"])
+        for r in QUERIES["neardup_threshold_sweep"](spark, SF).collect()
+    }
+    assert got == expect
+    assert expect[0.6][0] > 0  # the corpus must exercise the sweep
+
+
+def test_cross_source_matrix_matches_python_sets(spark):
+    import math
+
+    docs = _docs()
+    src = dict(zip(docs["doc_id"], docs["source"]))
+    pairs = _exact_pairs_06()
+    agg: dict[tuple[str, str], list[int]] = {}
+    for (a, b), j in pairs.items():
+        key = tuple(sorted((src[a], src[b])))
+        agg.setdefault(key, []).append(int(round(j * 1e6)))
+    expect = {
+        k: (
+            len(v),
+            math.floor(sum(v) / 1e6 / len(v) * 1e6 + 0.5) / 1e6,
+        )
+        for k, v in agg.items()
+    }
+    got = {
+        (r["source_x"], r["source_y"]): (r["n_pairs"], r["mean_jaccard"])
+        for r in QUERIES["cross_source_dup_matrix"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_shard_balance_matches_python_hash(spark):
+    import hashlib
+    import math
+
+    docs = _docs()
+    agg: dict[int, list[int]] = {}
+    for r in docs.itertuples():
+        shard = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:13], 16) % 16
+        agg.setdefault(shard, []).append(len(_words(r.text)))
+    t = sum(sum(v) for v in agg.values())
+    k = len(agg)
+    expect = {
+        shard: (
+            len(v), sum(v),
+            math.floor(sum(v) / (t / k) * 1e6 + 0.5) / 1e6,
+        )
+        for shard, v in agg.items()
+    }
+    got = {
+        r["shard"]: (r["n_docs"], r["tokens"], r["load_vs_mean"])
+        for r in QUERIES["shard_assignment_balance"](spark, SF).collect()
+    }
+    assert got == expect
