@@ -1678,3 +1678,149 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("r_p") / 1_000_000_000_000.0 * 1_000_000 + F.lit(0.5))
          / 1_000_000.0).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time out-of-orderness profile (new r6): how late events arrive
+# relative to the per-user high-water mark — the measurement that picks
+# a streaming watermark delay (`withWatermark` in the tick-bar and
+# session-window streams). Lateness of an event = seconds its user's
+# max-seen event time exceeds its own (0 for in-order rows), from exact
+# integer microseconds; per event type: late ratio, p95 and max.
+#
+# Scale shape: one user-keyed ordered window (running max of event
+# time), then a type-keyed aggregate. The p95 is an exact interpolated
+# percentile over integer microseconds.
+# ---------------------------------------------------------------------------
+@query(
+    "out_of_orderness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ev_us,
+               epoch_us(ts)
+               + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))::BIGINT % 172800)
+                 * 1000000 AS arr_us
+        FROM events
+    ), seq AS (
+        SELECT event_type,
+               GREATEST(
+                   MAX(ev_us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - ev_us, 0) AS late_us
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(count_if(late_us > 0) AS BIGINT) AS n_late,
+           FLOOR((count_if(late_us > 0)*1.0 / COUNT(*))*1000000 + 0.5)/1000000.0
+             AS late_ratio,
+           FLOOR((quantile_cont(late_us, 0.95)/1000000.0)*1000000 + 0.5)/1000000.0
+             AS p95_late_s,
+           FLOOR((MAX(late_us)/1000000.0)*1000000 + 0.5)/1000000.0 AS max_late_s
+    FROM seq WHERE late_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def out_of_orderness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # the synthetic stream arrives perfectly ordered, so arrival disorder
+    # is SIMULATED with a deterministic md5 jitter (0..48 h — the panel
+    # has ~one event per user per day, so the jitter must straddle the
+    # inter-event gap to create inversions) — the O_FUND precedent: the
+    # operator (watermark-delay measurement) is real, only the disorder
+    # is synthetic, and both engines derive it identically
+    jitter = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 172_800
+    )
+    arr = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("ev_us"),
+        (us + jitter * 1_000_000).alias("arr_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = arr.select(
+        "event_type",
+        F.greatest(F.max("ev_us").over(w) - F.col("ev_us"), F.lit(0)).alias(
+            "late_us"
+        ),
+    ).filter(F.col("late_us").isNotNull())
+    n = F.count(F.lit(1))
+    late = F.count_if(F.col("late_us") > 0)
+    return seq.groupBy("event_type").agg(
+        n.alias("n_events"),
+        late.alias("n_late"),
+        (F.floor(late * 1.0 / n * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+            "late_ratio"
+        ),
+        (
+            F.floor(
+                F.percentile("late_us", F.lit(0.95)) / 1_000_000.0 * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("p95_late_s"),
+        (
+            F.floor(F.max("late_us") / 1_000_000.0 * 1_000_000 + F.lit(0.5))
+            / 1_000_000.0
+        ).alias("max_late_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-priority delay report (new r6, TPC-H Q4 shape): per (order year,
+# priority), how many orders have at least one lineitem shipped more
+# than 90 days after the order date — the EXISTS/semi-join pattern over
+# a date-arithmetic predicate (the testdata has no commitdate, so the
+# ship-lag stands in for Q4's commit-vs-receipt test).
+#
+# Scale shape: the late-lineitem side reduces to DISTINCT orderkeys
+# BEFORE the join (semi join on the key), so the orders scan joins a
+# shrunken set; group-by is (year × 5 priorities)-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_delay",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS yr, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(count_if(late.l_orderkey IS NOT NULL) AS BIGINT) AS n_delayed,
+           FLOOR((count_if(late.l_orderkey IS NOT NULL)*1.0 / COUNT(*))
+                 *1000000 + 0.5)/1000000.0 AS delayed_ratio
+    FROM orders o LEFT JOIN late ON o.o_orderkey = late.l_orderkey
+    GROUP BY YEAR(o.o_orderdate), o.o_orderpriority
+    """,
+)
+def order_priority_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select(F.col("l_orderkey").alias("late_key"))
+        .distinct()
+    )
+    j = o.join(late, o.o_orderkey == F.col("late_key"), "left")
+    delayed = F.count_if(F.col("late_key").isNotNull())
+    n = F.count(F.lit(1))
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_orderpriority"
+    ).agg(
+        n.alias("n_orders"),
+        delayed.alias("n_delayed"),
+        (F.floor(delayed * 1.0 / n * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+            "delayed_ratio"
+        ),
+    )
