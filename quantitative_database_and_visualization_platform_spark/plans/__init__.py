@@ -126,7 +126,8 @@ GATE_FIRST: list[str] = [
 #   scd2_history_build, pagerank_nation_trade, rfm_customer_scores,
 #   histogram_equi_depth, ma_crossover_signals, embedding_cluster_profile,
 #   minhash_pr_audit, intraday_hour_profile, neardup_threshold_sweep,
-#   cross_source_dup_matrix, shard_assignment_balance
+#   cross_source_dup_matrix, shard_assignment_balance,
+#   out_of_orderness_profile, order_priority_delay
 
 
 def _apply_gate_order() -> None:

@@ -1410,3 +1410,93 @@ def test_intraday_profile_matches_python_counter(spark):
     }
     assert got == expect
     assert len(got) == 24
+
+
+def test_out_of_orderness_matches_python_scan(spark):
+    """Lateness recomputed with a python per-user scan in simulated
+    arrival order (same md5 jitter)."""
+    import hashlib
+    import math
+
+    # read through the engine's loader: the parquet carries NANOS
+    # timestamps and pandas' floor-to-micros differs from the engines'
+    # conversion on near-tie rows — the golden recomputes the LOGIC, not
+    # the ingestion
+    from pyspark.sql import functions as SF_
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type",
+        SF_.unix_micros(SF_.col("ts").cast("timestamp")).alias("ev_us"),
+    ).collect()
+    rows = []
+    for r in ev:
+        jit = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:6], 16) % 172_800
+        rows.append((r.user_id, r.event_type, r.ev_us, r.ev_us + jit * 1_000_000, r.event_id))
+    per_user: dict[int, list] = {}
+    for u, et, ev_us, arr, eid in rows:
+        per_user.setdefault(u, []).append((arr, eid, ev_us, et))
+    agg: dict[str, list[int]] = {}
+    for u, lst in per_user.items():
+        mx = None
+        for arr, eid, ev_us, et in sorted(lst):
+            # both engines' GREATEST ignores the NULL running max, so the
+            # first arrival per user counts with lateness 0
+            late = max((mx - ev_us), 0) if mx is not None else 0
+            agg.setdefault(et, []).append(late)
+            mx = ev_us if mx is None else max(mx, ev_us)
+    expect = {}
+    for et, v in agg.items():
+        s = sorted(v)
+        idx = (len(s) - 1) * 0.95
+        lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+        p95 = s[lo] + (s[hi] - s[lo]) * (idx - lo)
+        expect[et] = (
+            len(v),
+            sum(1 for x in v if x > 0),
+            math.floor(sum(1 for x in v if x > 0) / len(v) * 1e6 + 0.5) / 1e6,
+            math.floor(p95 / 1e6 * 1e6 + 0.5) / 1e6,
+            math.floor(max(v) / 1e6 * 1e6 + 0.5) / 1e6,
+        )
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_late"], r["late_ratio"],
+            r["p95_late_s"], r["max_late_s"],
+        )
+        for r in QUERIES["out_of_orderness_profile"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for et, exp in expect.items():
+        assert got[et][:3] == exp[:3], (et, got[et], exp)
+        assert abs(got[et][3] - exp[3]) < 2e-6
+        assert abs(got[et][4] - exp[4]) < 2e-6
+    assert any(v[1] > 0 for v in expect.values())  # disorder must exist
+
+
+def test_order_priority_delay_matches_pandas(spark):
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    j = li.merge(orders[["o_orderkey", "o_orderdate"]], left_on="l_orderkey",
+                 right_on="o_orderkey")
+    late_keys = set(
+        j.loc[
+            pd.to_datetime(j["l_shipdate"])
+            > pd.to_datetime(j["o_orderdate"]) + pd.Timedelta(days=90),
+            "l_orderkey",
+        ]
+    )
+    expect = {}
+    orders["yr"] = pd.to_datetime(orders["o_orderdate"]).dt.year
+    for (yr, pri), g in orders.groupby(["yr", "o_orderpriority"]):
+        n = len(g)
+        d = int(g["o_orderkey"].isin(late_keys).sum())
+        expect[(yr, pri)] = (n, d, math.floor(d / n * 1e6 + 0.5) / 1e6)
+    got = {
+        (r["yr"], r["o_orderpriority"]): (
+            r["n_orders"], r["n_delayed"], r["delayed_ratio"],
+        )
+        for r in QUERIES["order_priority_delay"](spark, SF).collect()
+    }
+    assert got == expect
