@@ -3014,3 +3014,116 @@ def intraday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("mean_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume-price correlation (new r6): per entity, the correlation between
+# |return| and relative volume change — the "volume confirms the move"
+# diagnostic. Inputs are identical doubles on both engines; corr is
+# round6'd per code (single-valued aggregates, no rank boundary risk).
+# ---------------------------------------------------------------------------
+@query(
+    "volume_price_corr",
+    oracle=f"""
+    WITH {O_BARS},
+    x AS (
+        SELECT code, d,
+               abs(close / LAG(close) OVER w - 1) AS aret,
+               volume*1.0 / NULLIF(LAG(volume) OVER w, 0) - 1 AS dvol
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    )
+    SELECT code, CAST(COUNT(*) AS BIGINT) AS n_days,
+           {o_round6('corr(aret, dvol)')} AS vol_price_corr
+    FROM x WHERE aret IS NOT NULL AND dvol IS NOT NULL
+    GROUP BY code
+    HAVING corr(aret, dvol) IS NOT NULL
+    """,
+)
+def volume_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    x = bars.select(
+        "code",
+        F.abs(F.col("close") / F.lag("close").over(w) - 1).alias("aret"),
+        (
+            F.col("volume") * 1.0 / F.nullif(F.lag("volume").over(w), F.lit(0)) - 1
+        ).alias("dvol"),
+    ).filter(F.col("aret").isNotNull() & F.col("dvol").isNotNull())
+    return (
+        x.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.corr("aret", "dvol").alias("__c"),
+        )
+        .filter(F.col("__c").isNotNull())
+        .select("code", "n_days", round6(F.col("__c")).alias("vol_price_corr"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extreme-day return concentration (new r6): what fraction of each
+# entity's total absolute return mass sits in its 5 largest absolute
+# days — the "miss the best days" concentration statistic. Exact
+# integer order statistics and sums.
+#
+# Scale shape: one code-keyed lag + one code-keyed rank + one
+# aggregate, all on the same key.
+# ---------------------------------------------------------------------------
+@query(
+    "extreme_day_concentration",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND(abs(close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT) AS aret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), ranked AS (
+        SELECT code, aret_c,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY aret_c DESC, d) AS rn
+        FROM rets WHERE aret_c IS NOT NULL
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR((SUM(CASE WHEN rn <= 5 THEN aret_c ELSE 0 END)*1.0
+                  / NULLIF(SUM(aret_c), 0))*1000000 + 0.5)/1000000.0
+             AS top5_abs_share
+    FROM ranked GROUP BY code
+    HAVING SUM(aret_c) > 0
+    """,
+)
+def extreme_day_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code",
+        "d",
+        F.round(F.abs(F.col("close") / F.lag("close").over(w) - 1) * _RS, 0)
+        .cast("long")
+        .alias("aret_c"),
+    ).filter(F.col("aret_c").isNotNull())
+    ranked = rets.select(
+        "code",
+        "aret_c",
+        F.row_number()
+        .over(Window.partitionBy("code").orderBy(F.desc("aret_c"), "d"))
+        .alias("rn"),
+    )
+    top5 = F.sum(F.when(F.col("rn") <= 5, F.col("aret_c")).otherwise(0))
+    tot = F.sum("aret_c")
+    return (
+        ranked.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            top5.alias("__t"),
+            tot.alias("__s"),
+        )
+        .filter(F.col("__s") > 0)
+        .select(
+            "code",
+            "n_days",
+            (
+                F.floor(F.col("__t") * 1.0 / F.col("__s") * 1_000_000 + F.lit(0.5))
+                / 1_000_000.0
+            ).alias("top5_abs_share"),
+        )
+    )

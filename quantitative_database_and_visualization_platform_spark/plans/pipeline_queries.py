@@ -4499,3 +4499,53 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("load_vs_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length × quality curation grid (new r6): the 2-D histogram a curation
+# pass reads to pick its joint thresholds — token-length quintile
+# against quality-score band, with doc counts and token mass per cell.
+# Quintiles use ntile over the doc-sized length relation with doc_id
+# tie-breaks; quality bands are fixed cutoffs of the shared quality
+# expression.
+# ---------------------------------------------------------------------------
+@query(
+    "length_quality_grid",
+    oracle=f"""
+    WITH {_O_NORM},
+    feat AS (
+        SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tok,
+               {o_text_features()['quality_score']} AS q
+        FROM words w
+    ), binned AS (
+        SELECT doc_id, n_tok,
+               NTILE(5) OVER (ORDER BY n_tok, doc_id) AS len_q,
+               CASE WHEN q < 0.5 THEN 'low' WHEN q < 0.8 THEN 'mid'
+                    ELSE 'high' END AS q_band
+        FROM feat
+    )
+    SELECT len_q, q_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM binned GROUP BY len_q, q_band
+    """,
+)
+def length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feat = with_text_features(docs).select(
+        "doc_id", F.col("n_tokens").alias("n_tok"), "quality_score"
+    )
+    binned = feat.select(
+        "n_tok",
+        # doc-sized relation: the global ntile is the documented exact-
+        # quintile choice (the rfm_customer_scores convention)
+        F.ntile(5).over(Window.orderBy("n_tok", "doc_id")).alias("len_q"),
+        F.when(F.col("quality_score") < 0.5, "low")
+        .when(F.col("quality_score") < 0.8, "mid")
+        .otherwise("high")
+        .alias("q_band"),
+    )
+    return binned.groupBy("len_q", "q_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+    )

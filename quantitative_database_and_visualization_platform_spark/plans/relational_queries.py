@@ -823,3 +823,75 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("c") / 100.0).alias("hi"),
         (F.sum("c") / 100.0).alias("bucket_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation trade balance (new r6): per nation, revenue earned as the
+# supplier side vs spent as the customer side of the same lineitem
+# flow, and the net balance — the two-role aggregation over the trade
+# graph (the PageRank query's edge relation read as a balance sheet).
+# Cents-exact unioned contributions, one uniform-key aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_trade_balance",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS cust_nation, s.s_nationkey AS supp_nation,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                 AS rev_c
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), roles AS (
+        SELECT supp_nation AS nationkey, rev_c, 0 AS spent_c FROM rev
+        UNION ALL
+        SELECT cust_nation, 0, rev_c FROM rev
+    )
+    SELECT n.n_name AS nation,
+           SUM(r.rev_c)/100.0 AS earned,
+           SUM(r.spent_c)/100.0 AS spent,
+           (SUM(r.rev_c) - SUM(r.spent_c))/100.0 AS balance
+    FROM roles r JOIN nation n ON r.nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").alias("cust_nation"),
+            F.col("s_nationkey").alias("supp_nation"),
+            rev_c.alias("rev_c"),
+        )
+    )
+    roles = rev.select(
+        F.col("supp_nation").alias("nationkey"),
+        F.col("rev_c"),
+        F.lit(0).cast("long").alias("spent_c"),
+    ).unionByName(
+        rev.select(
+            F.col("cust_nation").alias("nationkey"),
+            F.lit(0).cast("long").alias("rev_c"),
+            F.col("rev_c").alias("spent_c"),
+        )
+    )
+    return (
+        roles.join(F.broadcast(nation), roles.nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum("rev_c") / 100.0).alias("earned"),
+            (F.sum("spent_c") / 100.0).alias("spent"),
+            ((F.sum("rev_c") - F.sum("spent_c")) / 100.0).alias("balance"),
+        )
+    )
