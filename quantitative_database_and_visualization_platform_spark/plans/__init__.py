@@ -127,7 +127,8 @@ GATE_FIRST: list[str] = [
 #   histogram_equi_depth, ma_crossover_signals, embedding_cluster_profile,
 #   minhash_pr_audit, intraday_hour_profile, neardup_threshold_sweep,
 #   cross_source_dup_matrix, shard_assignment_balance,
-#   out_of_orderness_profile, order_priority_delay
+#   out_of_orderness_profile, order_priority_delay, volume_price_corr,
+#   extreme_day_concentration, nation_trade_balance, length_quality_grid
 
 
 def _apply_gate_order() -> None:

@@ -2022,3 +2022,27 @@ def test_shard_balance_matches_python_hash(spark):
         for r in QUERIES["shard_assignment_balance"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_length_quality_grid_matches_python(spark):
+    docs = _docs()
+    feats = []
+    for r in docs.itertuples():
+        w = _words(r.text)
+        feats.append((r.doc_id, len(w), _quality(r.text)))
+    total = len(feats)
+    base, extra = divmod(total, 5)
+    grid: dict[tuple[int, str], list[int]] = {}
+    idx = 0
+    for q in range(1, 6):
+        size = base + (1 if q <= extra else 0)
+        for doc_id, n_tok, qual in sorted(feats, key=lambda t: (t[1], t[0]))[idx : idx + size]:
+            band = "low" if qual < 0.5 else ("mid" if qual < 0.8 else "high")
+            grid.setdefault((q, band), []).append(n_tok)
+        idx += size
+    expect = {k: (len(v), sum(v)) for k, v in grid.items()}
+    got = {
+        (r["len_q"], r["q_band"]): (r["n_docs"], r["tokens"])
+        for r in QUERIES["length_quality_grid"](spark, SF).collect()
+    }
+    assert got == expect

@@ -1500,3 +1500,87 @@ def test_order_priority_delay_matches_pandas(spark):
         for r in QUERIES["order_priority_delay"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_volume_price_corr_matches_numpy(spark):
+    bars = _bars_pd(spark)
+    expect = {}
+    for code, g in bars.groupby("code"):
+        g = g.sort_values("d")
+        aret, dvol = [], []
+        prev_c = prev_v = None
+        for r in g.itertuples():
+            if prev_c is not None and prev_v not in (None, 0):
+                aret.append(abs(r.close / prev_c - 1))
+                dvol.append(r.volume / prev_v - 1)
+            prev_c, prev_v = r.close, r.volume
+        if len(aret) >= 2:
+            c = float(np.corrcoef(aret, dvol)[0, 1])
+            if not np.isnan(c):
+                expect[code] = (len(aret), _r6(c))
+    got = {
+        r["code"]: (r["n_days"], r["vol_price_corr"])
+        for r in QUERIES["volume_price_corr"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for code, (n, c) in expect.items():
+        assert got[code][0] == n
+        assert abs(got[code][1] - c) <= 2e-6, (code, got[code], c)
+
+
+def test_extreme_day_concentration_matches_python(spark):
+    import math
+
+    rets = _rets_quantized(spark)
+    expect = {}
+    for code, g in rets.groupby("code"):
+        a = sorted((abs(x) for x in g["ret_c"]), reverse=True)
+        tot = sum(a)
+        if tot > 0:
+            expect[code] = (
+                len(a),
+                math.floor(sum(a[:5]) / tot * 1e6 + 0.5) / 1e6,
+            )
+    got = {
+        r["code"]: (r["n_days"], r["top5_abs_share"])
+        for r in QUERIES["extreme_day_concentration"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_nation_trade_balance_matches_pandas(spark):
+    import math
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_nationkey"]]
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")[["s_suppkey", "s_nationkey"]]
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    df = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    )
+    df["rev_c"] = [
+        int(math.floor(x * 100 + 0.5))
+        for x in df["l_extendedprice"] * (1 - df["l_discount"])
+    ]
+    earned: dict[str, int] = {}
+    spent: dict[str, int] = {}
+    for r in df.itertuples():
+        earned[names[r.s_nationkey]] = earned.get(names[r.s_nationkey], 0) + r.rev_c
+        spent[names[r.c_nationkey]] = spent.get(names[r.c_nationkey], 0) + r.rev_c
+    expect = {
+        n: (
+            earned.get(n, 0) / 100.0,
+            spent.get(n, 0) / 100.0,
+            (earned.get(n, 0) - spent.get(n, 0)) / 100.0,
+        )
+        for n in set(earned) | set(spent)
+    }
+    got = {
+        r["nation"]: (r["earned"], r["spent"], r["balance"])
+        for r in QUERIES["nation_trade_balance"](spark, SF).collect()
+    }
+    assert got == expect
