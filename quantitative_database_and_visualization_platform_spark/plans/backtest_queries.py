@@ -3127,3 +3127,56 @@ def extreme_day_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top5_abs_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sector breadth (new r6): per (date, sector), the share of names
+# trading above their own 20-day moving average — the breadth heatmap
+# behind "is the rally broad or narrow" (reference sector pages). The
+# above-MA test compares integer cross-products (close·n vs Σcents), so
+# the boolean is exact; sectors are the synthetic 5-sector IndClass
+# (code % 5, the brinson/alpha-ind convention).
+#
+# Scale shape: one code-keyed window pass + one (d, sector) aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "sector_breadth_daily",
+    oracle=f"""
+    WITH {O_BARS},
+    m AS (
+        SELECT code, d, code % 5 AS sector,
+               CAST(ROUND(close*100,0) AS BIGINT) AS c_cents,
+               CAST(SUM(CAST(ROUND(close*100,0) AS BIGINT)) OVER w20 AS BIGINT) AS s20,
+               CAST(COUNT(*) OVER w20 AS BIGINT) AS n20
+        FROM bars
+        WINDOW w20 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, CAST(sector AS BIGINT) AS sector,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           CAST(count_if(c_cents * n20 > s20) AS BIGINT) AS n_above_ma20,
+           FLOOR((count_if(c_cents * n20 > s20)*1.0 / COUNT(*))*1000000 + 0.5)
+             /1000000.0 AS breadth
+    FROM m WHERE n20 >= 20
+    GROUP BY d, sector
+    """,
+)
+def sector_breadth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w20 = Window.partitionBy("code").orderBy("d").rowsBetween(-19, 0)
+    cents = F.round(F.col("close") * 100, 0).cast("long")
+    m = bars.select(
+        "d",
+        (F.col("code") % 5).alias("sector"),
+        cents.alias("c_cents"),
+        F.sum(cents).over(w20).alias("s20"),
+        F.count(F.lit(1)).over(w20).alias("n20"),
+    ).filter(F.col("n20") >= 20)
+    above = F.count_if(F.col("c_cents") * F.col("n20") > F.col("s20"))
+    n = F.count(F.lit(1))
+    return m.groupBy("d", "sector").agg(
+        n.alias("n_names"),
+        above.alias("n_above_ma20"),
+        (F.floor(above * 1.0 / n * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+            "breadth"
+        ),
+    )

@@ -4549,3 +4549,44 @@ def length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token length by language (new r6): per language, the token-length
+# histogram (short 1–3 / mid 4–6 / long 7+ chars) and the exact mean
+# length — the tokenizer-design diagnostic alongside
+# vocab_coverage_curve (long-token languages fragment differently under
+# BPE). One explode + one lang-keyed aggregate, all integer arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "token_length_by_lang",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT d.lang, length(UNNEST(w.w)) AS l
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(count_if(l <= 3) AS BIGINT) AS n_short,
+           CAST(count_if(l BETWEEN 4 AND 6) AS BIGINT) AS n_mid,
+           CAST(count_if(l >= 7) AS BIGINT) AS n_long,
+           FLOOR((SUM(l)*1.0 / COUNT(*))*1000000 + 0.5)/1000000.0 AS mean_len
+    FROM tok GROUP BY lang
+    """,
+)
+def token_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "lang", F.explode(F.split(dd.normalized_text("text"), " ")).alias("tk")
+    ).select("lang", F.length("tk").alias("l"))
+    n = F.count(F.lit(1))
+    return tok.groupBy("lang").agg(
+        n.alias("n_tokens"),
+        F.count_if(F.col("l") <= 3).alias("n_short"),
+        F.count_if((F.col("l") >= 4) & (F.col("l") <= 6)).alias("n_mid"),
+        F.count_if(F.col("l") >= 7).alias("n_long"),
+        (F.floor(F.sum("l") * 1.0 / n * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+            "mean_len"
+        ),
+    )

@@ -895,3 +895,121 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.sum("rev_c") - F.sum("spent_c")) / 100.0).alias("balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Order cadence stats (new r6): per customer with ≥ 3 orders, the mean
+# and max gap in days between consecutive orders plus the active span —
+# the purchase-cadence profile (the orders-table twin of the panel gap
+# report). Gaps are exact integer day differences; ties on the same
+# date break by order key.
+#
+# Scale shape: one custkey-keyed ordered window + one custkey aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "order_cadence_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day',
+                   CAST(LAG(o_orderdate) OVER w AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT custkey,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+           FLOOR((SUM(gap_d)*1.0 / COUNT(*))*1000000 + 0.5)/1000000.0 AS mean_gap_days,
+           CAST(MAX(gap_d) AS BIGINT) AS max_gap_days,
+           CAST(SUM(gap_d) AS BIGINT) AS span_days
+    FROM seq WHERE gap_d IS NOT NULL
+    GROUP BY custkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def order_cadence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    n = F.count(F.lit(1))
+    return (
+        seq.groupBy("custkey")
+        .agg(
+            (n + 1).alias("n_orders"),
+            (
+                F.floor(F.sum("gap_d") * 1.0 / n * 1_000_000 + F.lit(0.5))
+                / 1_000_000.0
+            ).alias("mean_gap_days"),
+            F.max("gap_d").alias("max_gap_days"),
+            F.sum("gap_d").cast("long").alias("span_days"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration by part type (new r6): per p_type, the HHI of
+# supplier revenue shares and the top supplier's share — the
+# supply-chain-risk twin of market_concentration_daily. Shares are
+# exact cents ratios; HHI accumulates 1e-12-quantized share² integers.
+#
+# Scale shape: lineitem⋈part equi shuffle (part scales with data, no
+# hint), (type, supplier) aggregate, type-keyed collapse.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_concentration_by_type",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_type, l.l_suppkey,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                   AS BIGINT)) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type, l.l_suppkey
+    ), tot AS (
+        SELECT p_type, CAST(SUM(rev_c) AS BIGINT) AS t FROM rev GROUP BY p_type
+    )
+    SELECT r.p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           FLOOR((SUM(CAST(ROUND((r.rev_c*1.0/t.t)*(r.rev_c*1.0/t.t)*1000000000000, 0)
+                 AS BIGINT))/1000000000000.0)*1000000 + 0.5)/1000000.0 AS hhi,
+           FLOOR((MAX(r.rev_c)*1.0/MAX(t.t))*1000000 + 0.5)/1000000.0 AS top_share
+    FROM rev r JOIN tot t ON r.p_type = t.p_type
+    GROUP BY r.p_type
+    """,
+)
+def supplier_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("p_type", "l_suppkey", rev_c.alias("rc"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("rc").alias("rev_c"))
+    )
+    tot = rev.groupBy("p_type").agg(F.sum("rev_c").alias("t"))
+    share = F.col("rev_c") * 1.0 / F.col("t")
+    hhi_term = F.round(share * share * F.lit(1_000_000_000_000.0), 0).cast("long")
+    j = rev.join(F.broadcast(tot), "p_type")
+    return j.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (
+            F.floor(
+                F.sum(hhi_term) / 1_000_000_000_000.0 * 1_000_000 + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("hhi"),
+        (
+            F.floor(
+                F.max("rev_c") * 1.0 / F.max("t") * 1_000_000 + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("top_share"),
+    )
