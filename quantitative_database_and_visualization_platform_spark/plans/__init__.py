@@ -128,7 +128,9 @@ GATE_FIRST: list[str] = [
 #   minhash_pr_audit, intraday_hour_profile, neardup_threshold_sweep,
 #   cross_source_dup_matrix, shard_assignment_balance,
 #   out_of_orderness_profile, order_priority_delay, volume_price_corr,
-#   extreme_day_concentration, nation_trade_balance, length_quality_grid
+#   extreme_day_concentration, nation_trade_balance, length_quality_grid,
+#   sector_breadth_daily, order_cadence_stats,
+#   supplier_concentration_by_type, token_length_by_lang
 
 
 def _apply_gate_order() -> None:

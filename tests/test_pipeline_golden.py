@@ -2046,3 +2046,27 @@ def test_length_quality_grid_matches_python(spark):
         for r in QUERIES["length_quality_grid"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_token_length_by_lang_matches_python(spark):
+    import math
+
+    docs = _docs()
+    agg: dict[str, list[int]] = {}
+    for r in docs.itertuples():
+        agg.setdefault(r.lang, []).extend(len(t) for t in _words(r.text))
+    expect = {
+        lang: (
+            len(v),
+            sum(1 for x in v if x <= 3),
+            sum(1 for x in v if 4 <= x <= 6),
+            sum(1 for x in v if x >= 7),
+            math.floor(sum(v) / len(v) * 1e6 + 0.5) / 1e6,
+        )
+        for lang, v in agg.items()
+    }
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_short"], r["n_mid"], r["n_long"], r["mean_len"])
+        for r in QUERIES["token_length_by_lang"](spark, SF).collect()
+    }
+    assert got == expect

@@ -1584,3 +1584,92 @@ def test_nation_trade_balance_matches_pandas(spark):
         for r in QUERIES["nation_trade_balance"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_sector_breadth_matches_python(spark):
+    import math
+
+    bars = _bars_pd(spark)
+    rows = []
+    for code, g in bars.groupby("code"):
+        g = g.sort_values("d")
+        cents = [int(round(c * 100)) for c in g["close"]]
+        ds = g["d"].to_list()
+        for i in range(len(cents)):
+            if i + 1 < 20:
+                continue
+            s20 = sum(cents[i - 19 : i + 1])
+            rows.append((ds[i], code % 5, cents[i] * 20 > s20))
+    agg: dict[tuple, list[bool]] = {}
+    for d, sec, above in rows:
+        agg.setdefault((pd.Timestamp(d).date(), sec), []).append(above)
+    expect = {
+        k: (
+            len(v), sum(v),
+            math.floor(sum(v) / len(v) * 1e6 + 0.5) / 1e6,
+        )
+        for k, v in agg.items()
+    }
+    got = {
+        (r["d"], r["sector"]): (r["n_names"], r["n_above_ma20"], r["breadth"])
+        for r in QUERIES["sector_breadth_daily"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_order_cadence_matches_python(spark):
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    expect = {}
+    for k, g in orders.groupby("o_custkey"):
+        seq = sorted(
+            (pd.Timestamp(r.o_orderdate).date(), r.o_orderkey)
+            for r in g.itertuples()
+        )
+        gaps = [
+            (b[0] - a[0]).days for a, b in zip(seq, seq[1:])
+        ]
+        if len(gaps) >= 2:
+            expect[k] = (
+                len(gaps) + 1,
+                math.floor(sum(gaps) / len(gaps) * 1e6 + 0.5) / 1e6,
+                max(gaps),
+                sum(gaps),
+            )
+    got = {
+        r["custkey"]: (
+            r["n_orders"], r["mean_gap_days"], r["max_gap_days"], r["span_days"],
+        )
+        for r in QUERIES["order_cadence_stats"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_supplier_concentration_matches_python(spark):
+    import math
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")[["p_partkey", "p_type"]]
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    df["rev_c"] = [
+        int(math.floor(x * 100 + 0.5))
+        for x in df["l_extendedprice"] * (1 - df["l_discount"])
+    ]
+    expect = {}
+    for pt, g in df.groupby("p_type"):
+        by_supp = g.groupby("l_suppkey")["rev_c"].sum()
+        t = int(by_supp.sum())
+        hhi_c = sum(
+            int(round((int(v) / t) * (int(v) / t) * 1e12)) for v in by_supp
+        )
+        expect[pt] = (
+            len(by_supp),
+            math.floor(hhi_c / 1e12 * 1e6 + 0.5) / 1e6,
+            math.floor(int(by_supp.max()) / t * 1e6 + 0.5) / 1e6,
+        )
+    got = {
+        r["p_type"]: (r["n_suppliers"], r["hhi"], r["top_share"])
+        for r in QUERIES["supplier_concentration_by_type"](spark, SF).collect()
+    }
+    assert got == expect
