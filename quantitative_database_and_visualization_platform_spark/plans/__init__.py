@@ -40,9 +40,9 @@ GATE_WINDOW = 50
 #   2. sliding_window_stats — r5's one red row (oracle TIMESTAMPTZ, fixed
 #      this round with CAST(... AS TIMESTAMP)), re-gated to prove the fix;
 #   3. the 15 queries NEW in round 6 (pipeline ops + session windows);
-#   4. cheap previously-driver-green fillers (each <0.35 s spark+oracle at
-#      check scale per ORACLE_TIMINGS.json) so the gate stays fast and a
-#      mid-gate session death costs the least possible evidence.
+#   4. 24 never-driver-verified session-3 additions — with 100+ queries
+#      now queued, every slot carries NEW binding evidence instead of
+#      re-verifying driver-proven queries (the earlier filler plan).
 GATE_FIRST: list[str] = [
     # --- 1. never driver-verified (late-r5 additions) ---
     "neardup_canonical",
@@ -73,31 +73,34 @@ GATE_FIRST: list[str] = [
     "doc_novelty_score",
     "weighted_resample_topk",
     "pipeline_retention_funnel",
-    # --- 4. cheap driver-green fillers (re-verification, lowest cost first) ---
-    "materialized_turnover",
-    "multimodal_meta",
-    "point_lookup",
-    "regex_extract_props",
-    "histogram_value_bins",
-    "in_list_priority_stats",
-    "like_filter_brand_stats",
-    "scalar_function_surface",
-    "dataset_split_train_val",
-    "grouping_sets_priority_status",
-    "latest_event_per_user",
-    "similarity_topk",
-    "scalar_subquery_peer",
-    "union_active_delisted",
-    "dedup_exact",
-    "global_market_stats",
-    "fallback_priority_rollup",
-    "prev_day_change",
-    "rolling_product",
-    "window_function_surface",
-    "pivot_event_matrix",
-    "text_analysis",
-    "range_join_price_band",
-    "tick_bars_minute",
+    # --- 4. never driver-verified session-3 additions (each <2.5 s
+    # spark+oracle at check scale; all scalar-column, oracle-backed,
+    # hostile-session-rehearsed) — these replace the earlier plan's
+    # re-verification fillers so every slot carries NEW binding evidence
+    "var_cvar_daily",
+    "underwater_duration",
+    "calendar_dow_effect",
+    "benford_first_digit",
+    "market_share_by_nation",
+    "rare_token_ratio",
+    "ttr_quality",
+    "vocab_jsd_by_source",
+    "kline_pattern_screen",
+    "percentile_bands_daily",
+    "acf_lag_profile",
+    "dedup_impact_report",
+    "amihud_illiquidity",
+    "roll_spread_estimator",
+    "vol_term_structure",
+    "gap_open_stats",
+    "streak_analysis",
+    "risk_adjusted_ratios",
+    "l_diversity_report",
+    "scd2_history_build",
+    "rfm_customer_scores",
+    "histogram_equi_depth",
+    "ma_crossover_signals",
+    "intraday_hour_profile",
 ]
 
 # Queued for the ROUND-7 window (registered + oracle-enforced by pytest,
@@ -116,16 +119,9 @@ GATE_FIRST: list[str] = [
 #   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
 #   char_entropy_quality, corpus_overview, top_correlated_pairs,
 #   ab_test_lift, robust_volume_outliers, market_concentration_daily,
-#   ic_decay_profile, var_cvar_daily, underwater_duration,
-#   calendar_dow_effect, benford_first_digit, market_share_by_nation,
-#   rare_token_ratio, ttr_quality, vocab_jsd_by_source,
-#   kline_pattern_screen, percentile_bands_daily, acf_lag_profile,
-#   dedup_impact_report, ann_recall_audit, amihud_illiquidity,
-#   roll_spread_estimator, vol_term_structure, gap_open_stats,
-#   streak_analysis, risk_adjusted_ratios, l_diversity_report,
-#   scd2_history_build, pagerank_nation_trade, rfm_customer_scores,
-#   histogram_equi_depth, ma_crossover_signals, embedding_cluster_profile,
-#   minhash_pr_audit, intraday_hour_profile, neardup_threshold_sweep,
+#   ic_decay_profile, ann_recall_audit, pagerank_nation_trade,
+#   embedding_cluster_profile,
+#   minhash_pr_audit, neardup_threshold_sweep,
 #   cross_source_dup_matrix, shard_assignment_balance,
 #   out_of_orderness_profile, order_priority_delay, volume_price_corr,
 #   extreme_day_concentration, nation_trade_balance, length_quality_grid,
