@@ -126,7 +126,8 @@ GATE_FIRST: list[str] = [
 #   out_of_orderness_profile, order_priority_delay, volume_price_corr,
 #   extreme_day_concentration, nation_trade_balance, length_quality_grid,
 #   sector_breadth_daily, order_cadence_stats,
-#   supplier_concentration_by_type, token_length_by_lang
+#   supplier_concentration_by_type, token_length_by_lang,
+#   cube_nation_segment, sql_interface_revenue
 
 
 def _apply_gate_order() -> None:

@@ -1013,3 +1013,92 @@ def supplier_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFram
             / 1_000_000.0
         ).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE rollup (new r6): revenue and order counts over ALL subsets of
+# (nation, segment) — the cube completing the rollup/grouping-sets
+# family (`rollup_priority_status`, `grouping_sets_priority_status`).
+# GROUPING() flags disambiguate NULL group keys from NULL data, CAST to
+# INT on both engines.
+#
+# Scale shape: one custkey equi join + one cube aggregate (Spark
+# expands the grouping sets map-side; output is Σ|subset| bounded).
+# ---------------------------------------------------------------------------
+@query(
+    "cube_nation_segment",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(GROUPING(n.n_name) AS INT) AS g_nation,
+           CAST(GROUPING(c.c_mktsegment) AS INT) AS g_segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice*100,0) AS BIGINT))/100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    """,
+)
+def cube_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        )
+    )
+    return j.cube("nation", "segment").agg(
+        F.grouping("nation").cast("int").alias("g_nation"),
+        F.grouping("segment").cast("int").alias("g_segment"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price_c") / 100.0).alias("revenue"),
+    ).select("nation", "segment", "g_nation", "g_segment", "n_orders", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# SQL-interface surface (new r6): the same engine driven through
+# `spark.sql` over registered temp views instead of the DataFrame API —
+# the entry path a SQL-first user of the reference would take. The
+# query itself is a representative multi-join aggregate; Catalyst
+# compiles both surfaces to the same plan, and the oracle binds the
+# result exactly like every DataFrame query.
+# ---------------------------------------------------------------------------
+@query(
+    "sql_interface_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT))/100.0
+             AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # register session-scoped views (idempotent) and drive via pure SQL
+    for t in ("lineitem", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"__sql_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               -- SQL-string surface: the bare 100.0 literal is DECIMAL in
+               -- Spark SQL (unlike the Column API), so the quotient must
+               -- be cast back to DOUBLE for the driver's schema hash
+               CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100,0) AS BIGINT))/100.0
+                 AS DOUBLE) AS revenue
+        FROM __sql_lineitem l
+        JOIN __sql_orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN __sql_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY c.c_mktsegment
+        """
+    )

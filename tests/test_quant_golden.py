@@ -1673,3 +1673,59 @@ def test_supplier_concentration_matches_python(spark):
         for r in QUERIES["supplier_concentration_by_type"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_cube_matches_pandas_subsets(spark):
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    df = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    df["price_c"] = [
+        int(math.floor(x * 100 + 0.5)) for x in df["o_totalprice"]
+    ]
+    expect = {}
+    def add(key, g):
+        expect[key] = (len(g), int(g["price_c"].sum()) / 100.0)
+    for (n, s), g in df.groupby(["n_name", "c_mktsegment"]):
+        add((n, s, 0, 0), g)
+    for n, g in df.groupby("n_name"):
+        add((n, None, 0, 1), g)
+    for s, g in df.groupby("c_mktsegment"):
+        add((None, s, 1, 0), g)
+    add((None, None, 1, 1), df)
+    got = {
+        (r["nation"], r["segment"], r["g_nation"], r["g_segment"]): (
+            r["n_orders"], r["revenue"],
+        )
+        for r in QUERIES["cube_nation_segment"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_sql_interface_matches_pandas(spark):
+    import math
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    df = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    df = df[pd.to_datetime(df["o_orderdate"]) >= pd.Timestamp("1996-01-01")]
+    df["rev_c"] = [
+        int(math.floor(x * 100 + 0.5))
+        for x in df["l_extendedprice"] * (1 - df["l_discount"])
+    ]
+    expect = {
+        s: (g["o_orderkey"].nunique(), int(g["rev_c"].sum()) / 100.0)
+        for s, g in df.groupby("c_mktsegment")
+    }
+    got = {
+        r["segment"]: (r["n_orders"], r["revenue"])
+        for r in QUERIES["sql_interface_revenue"](spark, SF).collect()
+    }
+    assert got == expect
