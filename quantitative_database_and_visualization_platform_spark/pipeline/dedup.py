@@ -297,7 +297,11 @@ def _uf_partition(rows):
 
 
 def connected_components(
-    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_iter: int = 25
+    pairs: DataFrame,
+    a: str = "a_id",
+    b: str = "b_id",
+    max_iter: int = 25,
+    edges_per_partition: int = 500_000,
 ) -> DataFrame:
     """Duplicate-cluster assembly: connected components of the undirected
     near-dup pair graph, component id = minimum doc id reachable. The
@@ -324,7 +328,14 @@ def connected_components(
 
     Deterministic by construction: local roots are component minima, so
     the composed label of every node is the global minimum of its
-    component regardless of partitioning or round count.
+    component regardless of partitioning or round count. A node whose
+    edges span several partitions appears once per partition in a
+    round's local mapping (possibly under different interim roots);
+    those rows all converge to the same final label, so the result is
+    deduplicated per round and at the end — row multiplicity must be
+    exactly one per node, independent of `edges_per_partition` (the
+    per-round partition sizing knob, parameterized so tests can force
+    the multi-partition path on small graphs).
     """
     spark = pairs.sparkSession
     edges = managed_persist(
@@ -343,13 +354,21 @@ def connected_components(
             1,
             min(
                 4 * spark.sparkContext.defaultParallelism,
-                int(n_edges // 500_000) + 1,
+                int(n_edges // edges_per_partition) + 1,
             ),
         )
-        m = spark.createDataFrame(
-            cur.repartition(n_part, "src").rdd.mapPartitions(_uf_partition),
-            schema="node long, root long",
-        ).localCheckpoint(eager=True)
+        # a node whose edges land in >1 partition yields one local-root
+        # row per partition — distinct() here keeps the composed mapping
+        # one row per (node, root) pair so multiplicity cannot compound
+        # across rounds (rows stay node-cardinality-bounded)
+        m = (
+            spark.createDataFrame(
+                cur.repartition(n_part, "src").rdd.mapPartitions(_uf_partition),
+                schema="node long, root long",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         if total is None:
             total = m
         else:
@@ -362,6 +381,7 @@ def connected_components(
                     F.col("doc_id").alias("node"),
                     F.coalesce("root", "comp").alias("root"),
                 )
+                .distinct()
                 .localCheckpoint(eager=True)
             )
         ma = m.withColumnsRenamed({"node": "src", "root": "sr"})
@@ -381,6 +401,9 @@ def connected_components(
         )
     if total is None:
         return spark.createDataFrame([], schema=out_schema)
+    # final distinct: at convergence every surviving (node, root) pair for
+    # a node agrees on root, so this collapses multi-partition multiplicity
+    # to exactly one row per node without changing any value
     return total.select(
         F.col("node").alias("doc_id"), F.col("root").alias("component")
-    )
+    ).distinct()

@@ -63,19 +63,26 @@ def two_phase_quota_pick(
     survivors = with_h.filter(F.col("__h") < thresh)
 
     # containment check: every group must keep >= min(quota, group size)
-    # survivors, else its prefix may miss a true top-quota row
+    # survivors, else its prefix may miss a true top-quota row. Audit
+    # from `counts` (ALL groups), not from the survivors — a group whose
+    # survivor set is empty has no survivor-side row and would otherwise
+    # escape the audit entirely
+    sc = survivors.groupBy(group).agg(F.count(F.lit(1)).alias("__sc"))
     audit = (
-        survivors.groupBy(group)
-        .agg(F.count(F.lit(1)).alias("__sc"), F.first("__gc").alias("__gc"))
+        counts.join(sc, group, "left")
         .withColumn("__need", F.least(quota_col, F.col("__gc")))
-        .filter(F.col("__sc") < F.col("__need"))
+        .filter(F.coalesce("__sc", F.lit(0)) < F.col("__need"))
     )
     short = [r[group] for r in audit.collect()]  # ~never non-empty
     if short:
-        # fallback: full exact rank for the undershooting groups only
-        survivors = survivors.unionByName(
+        # fallback: full exact rank for the undershooting groups only —
+        # REPLACE those groups' prefix with the whole group (a superset)
+        # instead of union+dropDuplicates, which would collapse
+        # legitimately duplicate (group, key) rows the one-phase window
+        # form keeps (r6 ADVICE)
+        survivors = survivors.filter(~F.col(group).isin(short)).unionByName(
             with_h.filter(F.col(group).isin(short))
-        ).dropDuplicates([group, key])
+        )
 
     w = Window.partitionBy(group).orderBy(
         F.md5(F.col(key).cast("string")), key

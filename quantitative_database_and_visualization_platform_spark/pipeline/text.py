@@ -110,8 +110,12 @@ def chunk_tokens(df: DataFrame, chunk: int = 64, stride: int = 48) -> DataFrame:
     (input columns minus text) + chunk_id / start_tok / n_tok /
     chunk_hash. Shuffle-free map work: the token array is persisted as a
     stored attribute before the per-row sequence explode (the Generate
-    collapse trap), chunks start at stride multiples, and only the final
-    chunk may be shorter than `chunk`."""
+    collapse trap), chunks start at stride multiples, and only the FINAL
+    chunk may be shorter than `chunk`: the sequence stops at the last k
+    that still covers a new token (k_max = ceil((n - chunk) / stride),
+    floored at 0), so with chunk > stride no emitted chunk is a suffix
+    subset of its predecessor (r6 ADVICE — the old (n-1) div stride
+    bound emitted fully-redundant clamped tails)."""
     from ..session import managed_persist
 
     wdf = managed_persist(
@@ -119,7 +123,12 @@ def chunk_tokens(df: DataFrame, chunk: int = 64, stride: int = 48) -> DataFrame:
     )
     ch = wdf.withColumn(
         "__k",
-        F.explode(F.expr(f"sequence(0, (size(__w) - 1) div {stride})")),
+        F.explode(
+            F.expr(
+                f"sequence(0, greatest(0, "
+                f"(size(__w) - {chunk} + {stride} - 1) div {stride}))"
+            )
+        ),
     )
     clen = F.least(F.lit(chunk), F.size("__w") - F.col("__k") * stride)
     return ch.select(

@@ -1910,7 +1910,8 @@ _CHUNK, _STRIDE = 64, 48
     WITH {_O_NORM},
     ch AS (
         SELECT doc_id, w, len(w) AS n,
-               UNNEST(range(0, ((len(w) - 1) // {_STRIDE}) + 1)) AS k
+               UNNEST(range(0, GREATEST(0,
+                   (len(w) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}) + 1)) AS k
         FROM words
     )
     SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
@@ -2421,7 +2422,8 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_O_NORM},
     ch AS (
         SELECT doc_id, len(w) AS n, w,
-               UNNEST(range(0, ((len(w) - 1) // {_STRIDE}) + 1)) AS k
+               UNNEST(range(0, GREATEST(0,
+                   (len(w) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}) + 1)) AS k
         FROM words
     ),
     hashes AS (

@@ -350,7 +350,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_stats",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL 30 MINUTE
@@ -358,7 +358,11 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), s AS (
         SELECT user_id, ts, value,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               -- event_id tiebreak must match the LAG window above: with two
+               -- events at an identical boundary ts, an untied ORDER BY ts
+               -- could sort the new_s=1 row after its tie and hand the tie
+               -- to the previous session (r6 ADVICE)
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM gaps
     )

@@ -4,7 +4,10 @@ the sketch twin of rollup_sink's continuous aggregate. Register merge is
 max(), which is idempotent PER REGISTER but the store rewrite still
 rides the batch_id high-water mark so a replayed batch cannot interleave
 with a torn rewrite (same at-least-once contract as the rollup sink; the
-id commits atomically inside the store file).
+id commits atomically inside the store file, and the store itself
+commits through versioned_store's atomic pointer swap, so a crash
+mid-rewrite can neither lose the accumulated registers nor be mistaken
+for bootstrap).
 
 Scale design: each micro-batch shuffles only its OWN (group x 256)
 register cells; the stored table is group-cardinality x 256 rows
@@ -20,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline.sketches import hll_estimate_from_registers, hll_registers
+from .versioned_store import commit_store, read_store
 
 
 def start_hll_sink(events: DataFrame, store_path: str, group: str = "event_type",
@@ -30,17 +34,14 @@ def start_hll_sink(events: DataFrame, store_path: str, group: str = "event_type"
     spark = events.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        try:
-            current = spark.read.parquet(store_path)
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            current, last = None, None
-        else:
-            last = current.agg(F.max("last_batch_id")).collect()[0][0]
+        # read_store returns None ONLY at true bootstrap (nothing ever
+        # committed); a torn/corrupt store raises and the stream retries
+        current = read_store(spark, store_path)
+        last = (
+            None
+            if current is None
+            else current.agg(F.max("last_batch_id")).collect()[0][0]
+        )
         if last is not None and batch_id <= last:
             return  # at-least-once replay: already merged
         delta = hll_registers(batch_df, group, element)
@@ -54,10 +55,9 @@ def start_hll_sink(events: DataFrame, store_path: str, group: str = "event_type"
             .agg(F.max("max_rho").alias("max_rho"))
             .withColumn("last_batch_id", F.lit(int(batch_id)))
         )
-        rows = out.collect()  # (groups x 256)-bounded by construction
-        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(store_path)
+        # (groups x 256)-bounded by construction, so the versioned
+        # commit's driver materialization is bounded
+        commit_store(out, store_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -68,5 +68,7 @@ def start_hll_sink(events: DataFrame, store_path: str, group: str = "event_type"
 
 
 def read_hll_estimates(spark, store_path: str, group: str = "event_type") -> DataFrame:
-    regs = spark.read.parquet(store_path).drop("last_batch_id")
-    return hll_estimate_from_registers(regs, group)
+    cur = read_store(spark, store_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed HLL store at {store_path}")
+    return hll_estimate_from_registers(cur.drop("last_batch_id"), group)

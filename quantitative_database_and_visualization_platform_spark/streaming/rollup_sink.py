@@ -15,16 +15,20 @@ re-delivered after a failure between the store rewrite and the
 checkpoint commit) is skipped instead of double-counted. The id rides
 IN the store file itself so it commits atomically with the data it
 describes — a sidecar meta file would reintroduce the torn-write
-window it exists to close. The store here is a parquet directory
-rewritten per batch (bucket-count-sized, tiny); a production
-deployment swaps in a MERGE-capable table format carrying the same
-batch_id high-water mark.
+window it exists to close. The store itself commits through
+versioned_store (write-new-version, atomic pointer swap, GC after):
+a crash at any point leaves the previous committed rollup readable,
+so store loss can never be mistaken for bootstrap. The store is
+bucket-count-sized (tiny); a production deployment swaps in a
+MERGE-capable table format carrying the same batch_id high-water mark.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .versioned_store import commit_store, read_store
 
 
 def _partial_rollup(df: DataFrame) -> DataFrame:
@@ -58,22 +62,17 @@ def start_rollup_sink(events: DataFrame, store_path: str):
         # failure: a transient read error or torn write must RAISE (and be
         # retried by the stream) — treating it as bootstrap would silently
         # discard the accumulated rollup and overwrite it with one batch's
-        # delta. An old-format store (no last_batch_id column) keeps its
-        # DATA; only the high-water mark is unknown.
-        from pyspark.errors import AnalysisException
-
-        try:
-            current = spark.read.parquet(store_path)
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            current, last = None, None
+        # delta. read_store encodes exactly that contract (None only when
+        # nothing was ever committed). An old-format store (no
+        # last_batch_id column) keeps its DATA; only the high-water mark
+        # is unknown.
+        current = read_store(spark, store_path)
+        if current is None:
+            last = None
+        elif "last_batch_id" in current.columns:
+            last = current.agg(F.max("last_batch_id")).collect()[0][0]
         else:
-            if "last_batch_id" in current.columns:
-                last = current.agg(F.max("last_batch_id")).collect()[0][0]
-            else:
-                last = None
+            last = None
         if last is not None and batch_id <= last:
             # at-least-once replay of an already-merged batch: merging it
             # again would double-count event_cnt/value_cents
@@ -91,15 +90,11 @@ def start_rollup_sink(events: DataFrame, store_path: str):
                 F.sum("value_cents").alias("value_cents"),
             )
             .withColumn("last_batch_id", F.lit(int(batch_id)))
-            # the store is bucket-count-sized; collect to driver-side rows
-            # ONLY at this cardinality (days × types), then overwrite
-            # atomically-enough for a test store. A production job uses
-            # MERGE INTO on a transactional table instead of rewrite.
+            # the store is bucket-count-sized (days × types), so the
+            # versioned commit's driver materialization is bounded; a
+            # production job uses MERGE INTO on a transactional table.
         )
-        rows = out.collect()
-        spark.createDataFrame(rows, out.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(store_path)
+        commit_store(out, store_path, batch_id)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -110,7 +105,10 @@ def start_rollup_sink(events: DataFrame, store_path: str):
 
 
 def read_rollup(spark, store_path: str) -> DataFrame:
-    return spark.read.parquet(store_path).select(
+    cur = read_store(spark, store_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed rollup store at {store_path}")
+    return cur.select(
         "day",
         "event_type",
         "event_cnt",

@@ -175,6 +175,29 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_multi_partition_no_duplicate_rows(spark):
+    """Force the >1-edge-partition path (production shape at >500k edges)
+    on a chain graph: every node must appear EXACTLY once with the chain
+    minimum as its label — a node union-found in several partitions used
+    to emit one row per partition (r6 ADVICE high)."""
+    from quantitative_database_and_visualization_platform_spark.pipeline.dedup import (
+        connected_components,
+    )
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    n = 300  # chain 0-1-...-300 plus an island pair, split across ~30 parts
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(1000, 1001)], ["a_id", "b_id"]
+    )
+    try:
+        rows = connected_components(pairs, edges_per_partition=10).collect()
+    finally:
+        release_managed()
+    labels = [(r["doc_id"], r["component"]) for r in rows]
+    assert len(labels) == len(set(d for d, _ in labels)) == n + 3
+    assert dict(labels) == {**{i: 0 for i in range(n + 1)}, 1000: 1000, 1001: 1000}
+
+
 def test_kmv_estimate_is_exact_below_k(spark):
     df = spark.range(0, 40).select(
         F.lit("g").alias("g"), (F.col("id") % 37).alias("x")

@@ -374,7 +374,7 @@ def test_doc_chunking_matches_python_slices(spark):
     for r in _docs().itertuples():
         w = _words(r.text)
         n = len(w)
-        for k in range((n - 1) // 48 + 1):
+        for k in range(max(0, -((n - 64) // -48)) + 1):
             start = k * 48
             clen = min(64, n - start)
             h = hashlib.md5(" ".join(w[start : start + clen]).encode()).hexdigest()

@@ -424,12 +424,20 @@ def test_chunking_tiles_every_token(spark, n_tokens):
         for r in chunk_tokens(df).collect()
     )
     covered = set()
+    prev_end = 0
     for k, (cid, start, n_tok, h) in enumerate(got):
         assert cid == k and start == k * 48
         assert n_tok == min(64, n_tokens - start)
         assert h == hashlib.md5(" ".join(words[start : start + n_tok]).encode()).hexdigest()
+        # every chunk past the first must cover at least one NEW token —
+        # no clamped-tail chunk may be a subset of its predecessor
+        if k > 0:
+            assert start + n_tok > prev_end, (start, n_tok, prev_end)
+        prev_end = start + n_tok
         covered |= set(range(start, start + n_tok))
     assert covered == set(range(n_tokens))
+    # chunk count: exactly ceil((n - 64) / 48) + 1, floored at one chunk
+    assert len(got) == (1 if n_tokens <= 64 else -((n_tokens - 64) // -48) + 1)
     # no chunk starts at/after the end of the doc
     assert all(start < n_tokens for _, start, _, _ in got)
 

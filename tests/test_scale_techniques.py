@@ -204,3 +204,38 @@ def test_two_phase_quota_pick_matches_one_phase_window(spark):
         F.col("__h") < F.ceil(frac * F.lit(float(sp.HASH_SPACE))).cast("long")
     ).count()
     assert surv < docs.count() * 0.2, surv
+
+
+def test_two_phase_quota_pick_fallback_keeps_duplicate_keys(spark):
+    """safety=0 zeroes the hash threshold, so EVERY group takes the
+    exact-rank fallback — with duplicate (group, key) rows the fallback
+    must keep both copies, matching the one-phase window form (the old
+    dropDuplicates fallback silently collapsed them; r6 ADVICE)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.sampling import (
+        two_phase_quota_pick,
+    )
+
+    rows = [("g", i) for i in range(1, 9) for _ in range(2)]  # every key twice
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    for quota in (3, 6, 100):
+        want = sorted(
+            (r["lang"], r["doc_id"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= quota)
+            .collect()
+        )
+        got = sorted(
+            (r["lang"], r["doc_id"])
+            for r in two_phase_quota_pick(df, "lang", "doc_id", quota, safety=0.0).collect()
+        )
+        assert got == want, f"quota={quota}"
+        if quota >= 6:  # even quota cut: every kept key keeps BOTH copies
+            from collections import Counter
+
+            assert all(c == 2 for c in Counter(got).values()), Counter(got)

@@ -426,9 +426,13 @@ def test_rollup_sink_replay_is_idempotent(spark):
 
         # simulate the at-least-once redelivery by driving the REAL
         # merge_batch closure by hand with an already-merged batch id
+        from quantitative_database_and_visualization_platform_spark.streaming.versioned_store import (
+            read_store,
+        )
+
         batch = spark.read.parquet(f"{tmp}/in")
         last = (
-            spark.read.parquet(f"{tmp}/store")
+            read_store(spark, f"{tmp}/store")
             .agg(F.max("last_batch_id"))
             .collect()[0][0]
         )
@@ -507,9 +511,13 @@ def test_rollup_sink_keeps_old_format_store_data(spark):
             [Row(ts=dt.datetime(2024, 1, 1, 12, 0), event_type="click", value=1.0)]
         )
         merge(batch, 7)
+        from quantitative_database_and_visualization_platform_spark.streaming.versioned_store import (
+            read_store,
+        )
+
         out = {
             (r["day"], r["event_type"]): (r["event_cnt"], r["value_cents"])
-            for r in spark.read.parquet(store).collect()
+            for r in read_store(spark, store).collect()
         }
         # 5 accumulated + 1 new, not reset to 1
         assert out[(dt.date(2024, 1, 1), "click")] == (6, 600)
@@ -546,6 +554,54 @@ def test_rollup_sink_raises_on_corrupt_store(spark):
         assert open(f"{store}/part-00000.parquet").read().startswith("this is not")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_versioned_store_crash_semantics(spark, tmp_path):
+    """The r6 ADVICE failure mode: losing the committed store mid-rewrite
+    and mistaking the loss for bootstrap. The versioned commit must
+    (a) keep the OLD version readable while a newer uncommitted version
+    dir exists (crash before the pointer swap), (b) treat orphan version
+    debris with no pointer as bootstrap (crashed FIRST commit — nothing
+    was ever committed), and (c) RAISE when the pointed-at version is
+    missing (real loss, never bootstrap)."""
+    import os
+
+    import pytest
+
+    from quantitative_database_and_visualization_platform_spark.streaming.versioned_store import (
+        commit_store,
+        read_store,
+    )
+
+    store = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1, 10)], "k int, v int")
+    commit_store(df1.withColumn("last_batch_id", F.lit(0)), store, 0)
+    assert [(r["k"], r["v"]) for r in read_store(spark, store).collect()] == [(1, 10)]
+
+    # (a) crash BEFORE pointer swap: new version dir written, pointer old
+    spark.createDataFrame([(9, 99)], "k int, v int").write.parquet(
+        f"{store}/_v_000000000001"
+    )
+    assert [(r["k"], r["v"]) for r in read_store(spark, store).collect()] == [(1, 10)]
+    # a real commit for the same id then supersedes the debris cleanly
+    commit_store(df1.withColumn("v", F.lit(20)), store, 1)
+    assert [(r["k"], r["v"]) for r in read_store(spark, store).collect()] == [(1, 20)]
+    assert not os.path.exists(f"{store}/_v_000000000000")  # GC'd after swap
+
+    # (b) orphan debris, no pointer ever written -> bootstrap (None)
+    store2 = str(tmp_path / "store2")
+    spark.createDataFrame([(9, 99)], "k int, v int").write.parquet(
+        f"{store2}/_v_000000000000"
+    )
+    assert read_store(spark, store2) is None
+
+    # (c) pointer present but version dir gone -> loss must RAISE
+    import shutil
+
+    ptr = open(f"{store}/_CURRENT").read().strip()
+    shutil.rmtree(f"{store}/{ptr}")
+    with pytest.raises(Exception):
+        read_store(spark, store).collect()
 
 
 def test_streaming_session_windows_match_batch(spark):
