@@ -32,102 +32,72 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-6 window. With r5's 49 green rows, every registered query except
-# the late-r5 additions has had a binding driver row in some round. This
-# window therefore holds, in order:
-#   1. the 10 never-driver-verified late-r5 queries — green rows here mean
-#      every pre-r6 query has had a binding driver row;
-#   2. sliding_window_stats — r5's one red row (oracle TIMESTAMPTZ, fixed
-#      this round with CAST(... AS TIMESTAMP)), re-gated to prove the fix;
-#   3. the 15 queries NEW in round 6 (pipeline ops + session windows);
-#   4. 24 never-driver-verified session-3 additions — with 100+ queries
-#      now queued, every slot carries NEW binding evidence instead of
-#      re-verifying driver-proven queries (the earlier filler plan).
+# Round-7 window. r6's 50 rows were all green, so every query registered
+# before the round-6 session-3 batch now has a binding driver row. This
+# window holds 50 of the 58 still-never-driver-verified queries (the r6
+# session-3 late batch plus the r6 queue), cheapest-first by measured
+# spark+oracle cost (ORACLE_TIMINGS.json) — total rehearsed gate cost
+# ~60 s. The 8 most expensive spill to the round-8 queue below and stay
+# pytest-enforced in the meantime.
 GATE_FIRST: list[str] = [
-    # --- 1. never driver-verified (late-r5 additions) ---
-    "neardup_canonical",
-    "doc_packing",
-    "source_mixing_weights",
-    "dedup_containment",
-    "backtest_turnover_cost",
-    "fama_macbeth_mom",
-    "fama_macbeth_summary",
-    "event_study_car",
-    "vwap_slippage_daily",
-    "pairs_spread_zscore",
-    # --- 2. r5 red row, oracle repaired this round ---
-    "sliding_window_stats",
-    # --- 3. new in round 6 ---
-    "exact_substring_dedup",
-    "dsir_importance",
-    "lang_mix_drift",
-    "semdedup_prune",
-    "bpe_merge_candidates",
-    "lm_perplexity_buckets",
-    "doc_chunking_overlap",
-    "source_overlap_matrix",
-    "zipf_token_curve",
-    "session_window_stats",
-    "template_prefix_clusters",
-    "cluster_balanced_sample",
-    "doc_novelty_score",
-    "weighted_resample_topk",
-    "pipeline_retention_funnel",
-    # --- 4. never driver-verified session-3 additions (each <2.5 s
-    # spark+oracle at check scale; all scalar-column, oracle-backed,
-    # hostile-session-rehearsed) — these replace the earlier plan's
-    # re-verification fillers so every slot carries NEW binding evidence
-    "var_cvar_daily",
-    "underwater_duration",
-    "calendar_dow_effect",
-    "benford_first_digit",
-    "market_share_by_nation",
-    "rare_token_ratio",
-    "ttr_quality",
-    "vocab_jsd_by_source",
-    "kline_pattern_screen",
-    "percentile_bands_daily",
-    "acf_lag_profile",
-    "dedup_impact_report",
-    "amihud_illiquidity",
-    "roll_spread_estimator",
-    "vol_term_structure",
-    "gap_open_stats",
-    "streak_analysis",
-    "risk_adjusted_ratios",
-    "l_diversity_report",
-    "scd2_history_build",
-    "rfm_customer_scores",
-    "histogram_equi_depth",
-    "ma_crossover_signals",
-    "intraday_hour_profile",
+    "k_anonymity_customers",
+    "token_length_by_lang",
+    "length_histogram_by_source",
+    "shard_assignment_balance",
+    "interval_join_click_purchase",
+    "forecast_eval_naive",
+    "event_transition_matrix",
+    "conversion_attribution",
+    "ab_test_lift",
+    "cohort_retention_matrix",
+    "langid_confusion",
+    "merge_upsert_orders",
+    "out_of_orderness_profile",
+    "cube_nation_segment",
+    "length_quality_grid",
+    "order_cadence_stats",
+    "volume_anomaly_days",
+    "mixture_temperature_weights",
+    "vocab_coverage_curve",
+    "order_lineitem_reconciliation",
+    "corpus_overview",
+    "data_profile_orders",
+    "data_quality_checks",
+    "extreme_day_concentration",
+    "order_priority_delay",
+    "token_pmi_pairs",
+    "panel_gap_report",
+    "sector_breadth_daily",
+    "neardup_threshold_sweep",
+    "snapshot_diff_orders",
+    "volume_price_corr",
+    "char_entropy_quality",
+    "supplier_concentration_by_type",
+    "market_concentration_daily",
+    "sql_interface_revenue",
+    "embedding_rank_fusion",
+    "hll_cumulative_users",
+    "nation_trade_balance",
+    "m4_downsample_close",
+    "cross_factor_regression",
+    "robust_volume_outliers",
+    "embedding_drift_by_label",
+    "bm25_topk",
+    "brinson_attribution",
+    "top_correlated_pairs",
+    "hll_distinct_by_source",
+    "ann_recall_audit",
+    "walkforward_splits",
+    "minhash_accuracy_audit",
+    "bloom_decontamination",
 ]
 
-# Queued for the ROUND-7 window (registered + oracle-enforced by pytest,
-# no driver row yet — landed after this round's 50 slots filled):
-#   chunk_level_dedup, length_histogram_by_source, minhash_accuracy_audit,
-#   vocab_coverage_curve, hll_distinct_by_source, bloom_decontamination,
-#   embedding_rank_fusion, bm25_topk, mixture_temperature_weights,
-#   hll_cumulative_users, interval_join_click_purchase,
-#   snapshot_diff_orders, event_transition_matrix,
-#   cohort_retention_matrix, hll_rolling_users_7d, walkforward_splits,
-#   brinson_attribution, cross_factor_regression, data_profile_orders,
-#   data_quality_checks, embedding_drift_by_label, volume_anomaly_days,
-#   panel_gap_report, langid_confusion, merge_upsert_orders,
-#   k_anonymity_customers, forecast_eval_naive,
-#   order_lineitem_reconciliation, m4_downsample_close,
-#   neardup_cluster_sizes, token_pmi_pairs, conversion_attribution,
-#   char_entropy_quality, corpus_overview, top_correlated_pairs,
-#   ab_test_lift, robust_volume_outliers, market_concentration_daily,
-#   ic_decay_profile, ann_recall_audit, pagerank_nation_trade,
-#   embedding_cluster_profile,
-#   minhash_pr_audit, neardup_threshold_sweep,
-#   cross_source_dup_matrix, shard_assignment_balance,
-#   out_of_orderness_profile, order_priority_delay, volume_price_corr,
-#   extreme_day_concentration, nation_trade_balance, length_quality_grid,
-#   sector_breadth_daily, order_cadence_stats,
-#   supplier_concentration_by_type, token_length_by_lang,
-#   cube_nation_segment, sql_interface_revenue
+# Queued for the ROUND-8 window (registered + oracle-enforced by pytest,
+# no driver row yet — the 8 most expensive r7-queue spills, plus any
+# queries new in round 7):
+#   cross_source_dup_matrix, ic_decay_profile, embedding_cluster_profile,
+#   neardup_cluster_sizes, pagerank_nation_trade, hll_rolling_users_7d,
+#   minhash_pr_audit, chunk_level_dedup
 
 
 def _apply_gate_order() -> None:

@@ -23,38 +23,84 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-5
-# (the 10 late-r5 additions) plus the one r5 RED row whose oracle was
-# repaired this round (sliding_window_stats: TIMESTAMPTZ → TIMESTAMP) —
-# all must sit inside the r6 window so each gets a binding driver row
+# every query with no driver correctness row in any of rounds 1-6
+# (CORRECTNESS_r0{1..6}.json union) — each must sit in the r7 window OR
+# in the explicitly-queued round-8 spill below. The spill exists because
+# 58 never-verified queries compete for 50 slots; the 8 most expensive
+# (by ORACLE_TIMINGS) wait one round, pytest-enforced in the meantime.
 NEVER_DRIVER_VERIFIED = [
-    "neardup_canonical",
-    "doc_packing",
-    "source_mixing_weights",
-    "dedup_containment",
-    "backtest_turnover_cost",
-    "fama_macbeth_mom",
-    "fama_macbeth_summary",
-    "event_study_car",
-    "vwap_slippage_daily",
-    "pairs_spread_zscore",
-    "sliding_window_stats",
-    # new in round 6 (registered this round, no driver row yet)
-    "exact_substring_dedup",
-    "dsir_importance",
-    "lang_mix_drift",
-    "semdedup_prune",
-    "bpe_merge_candidates",
-    "lm_perplexity_buckets",
-    "doc_chunking_overlap",
-    "source_overlap_matrix",
-    "zipf_token_curve",
-    "session_window_stats",
-    "template_prefix_clusters",
-    "cluster_balanced_sample",
-    "doc_novelty_score",
-    "weighted_resample_topk",
-    "pipeline_retention_funnel",
+    # r6 session-3 / queue additions, never in a gate window yet
+    "chunk_level_dedup",
+    "length_histogram_by_source",
+    "minhash_accuracy_audit",
+    "vocab_coverage_curve",
+    "hll_distinct_by_source",
+    "bloom_decontamination",
+    "embedding_rank_fusion",
+    "bm25_topk",
+    "mixture_temperature_weights",
+    "hll_cumulative_users",
+    "interval_join_click_purchase",
+    "snapshot_diff_orders",
+    "event_transition_matrix",
+    "cohort_retention_matrix",
+    "hll_rolling_users_7d",
+    "walkforward_splits",
+    "brinson_attribution",
+    "cross_factor_regression",
+    "data_profile_orders",
+    "data_quality_checks",
+    "embedding_drift_by_label",
+    "volume_anomaly_days",
+    "panel_gap_report",
+    "langid_confusion",
+    "merge_upsert_orders",
+    "k_anonymity_customers",
+    "forecast_eval_naive",
+    "order_lineitem_reconciliation",
+    "m4_downsample_close",
+    "neardup_cluster_sizes",
+    "token_pmi_pairs",
+    "conversion_attribution",
+    "char_entropy_quality",
+    "corpus_overview",
+    "top_correlated_pairs",
+    "ab_test_lift",
+    "robust_volume_outliers",
+    "market_concentration_daily",
+    "ic_decay_profile",
+    "ann_recall_audit",
+    "pagerank_nation_trade",
+    "embedding_cluster_profile",
+    "minhash_pr_audit",
+    "neardup_threshold_sweep",
+    "cross_source_dup_matrix",
+    "shard_assignment_balance",
+    "out_of_orderness_profile",
+    "order_priority_delay",
+    "volume_price_corr",
+    "extreme_day_concentration",
+    "nation_trade_balance",
+    "length_quality_grid",
+    "sector_breadth_daily",
+    "order_cadence_stats",
+    "supplier_concentration_by_type",
+    "token_length_by_lang",
+    "cube_nation_segment",
+    "sql_interface_revenue",
+]
+
+# round-8 spill: the 8 most expensive never-verified queries (gate cost
+# budget); must stay in sync with the queue comment in plans/__init__.py
+QUEUED_NEXT_ROUND = [
+    "cross_source_dup_matrix",
+    "ic_decay_profile",
+    "embedding_cluster_profile",
+    "neardup_cluster_sizes",
+    "pagerank_nation_trade",
+    "hll_rolling_users_7d",
+    "minhash_pr_audit",
+    "chunk_level_dedup",
 ]
 
 
@@ -72,8 +118,20 @@ def test_every_window_slot_has_an_oracle():
 
 
 def test_never_verified_queries_are_inside_window():
-    outside = [n for n in NEVER_DRIVER_VERIFIED if n not in GATE_FIRST]
+    """Every never-driver-verified query is either in this round's window
+    or explicitly queued for the next — none may silently fall through."""
+    outside = [
+        n
+        for n in NEVER_DRIVER_VERIFIED
+        if n not in GATE_FIRST and n not in QUEUED_NEXT_ROUND
+    ]
     assert outside == []
+    # the spill is an exception list, not a parking lot: nothing queued
+    # may also occupy a window slot, and the window must be FULL of
+    # never-verified queries while any remain outside
+    assert not set(QUEUED_NEXT_ROUND) & set(GATE_FIRST)
+    if len(NEVER_DRIVER_VERIFIED) > len(GATE_FIRST):
+        assert all(n in NEVER_DRIVER_VERIFIED for n in GATE_FIRST)
 
 
 def test_oracle_order_mirrors_query_order():
