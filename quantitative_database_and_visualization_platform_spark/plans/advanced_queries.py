@@ -1824,3 +1824,195 @@ def order_priority_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delayed_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nation-trade triangle census (new r7): triangle counting + local
+# clustering coefficient on the undirected nation trade graph (the
+# same edge derivation as pagerank_nation_trade, deduplicated to
+# u < v pairs). Triangles come from the canonical three-way edge join
+# e(u,v) |x| e(v,w) |x| e(u,w) with u < v < w, so each triangle is
+# produced exactly once; per-node counts unfold each triangle to its
+# three corners.
+#
+# Scale shape: the expensive part is the fact-sized edge derivation
+# (one shuffle, nation-pair cardinality out); the triangle join runs on
+# the TINY distinct edge set. On a general (non-dimension) graph the
+# same plan holds with the standard degree-ordering refinement: orient
+# each edge from lower- to higher-degree endpoint so the join fan-out
+# is bounded by arboricity, not max degree.
+# ---------------------------------------------------------------------------
+@query(
+    "nation_trade_triangles",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), e AS (
+        SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0
+    ), tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corners AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ), tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    )
+    SELECT d.node AS nationkey, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               FLOOR(COALESCE(t.n_triangles, 0) * 2.0
+                     / (d.degree * (d.degree - 1)) * 1000000 + 0.5) / 1000000.0
+           END AS clustering_coef
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    """,
+)
+def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tcnt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("nationkey"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(
+                F.coalesce("n_triangles", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0,
+        ).alias("clustering_coef"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# t-closeness report (new r7): the third privacy lens after
+# k_anonymity_customers and l_diversity_report — per quasi-identifier
+# class (nation x mktsegment), the total-variation distance between the
+# class's sensitive-attribute distribution (order priority) and the
+# GLOBAL distribution: t = 1/2 * sum_v |p_class(v) - p_global(v)|.
+# A class with t above threshold leaks the sensitive attribute even
+# when k-anonymity and l-diversity hold.
+#
+# Scale shape: one (class x value) aggregate; the global distribution
+# is a values-cardinality broadcast. The |.| sum runs at (class x
+# value) cardinality — never row scale. Ratios are exact integer
+# quotients floored at 6 dp on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "t_closeness_report",
+    oracle="""
+    WITH joined AS (
+        SELECT c.c_nationkey, c.c_mktsegment, o.o_orderpriority AS v
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ), gdist AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS gn FROM joined GROUP BY v
+    ), gtot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS gt FROM joined
+    ), cls AS (
+        SELECT c_nationkey, c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cn
+        FROM joined GROUP BY c_nationkey, c_mktsegment, v
+    ), ctot AS (
+        SELECT c_nationkey, c_mktsegment, CAST(SUM(cn) AS BIGINT) AS ct
+        FROM cls GROUP BY c_nationkey, c_mktsegment
+    ), diffs AS (
+        -- every (class, value) pair, including values ABSENT from the
+        -- class (cn = 0): the cross join is (classes x 5 priorities)
+        SELECT t.c_nationkey, t.c_mktsegment, t.ct, g.gn, gtot.gt,
+               COALESCE(c.cn, 0) AS cn
+        FROM ctot t
+        CROSS JOIN gdist g
+        CROSS JOIN gtot
+        LEFT JOIN cls c ON c.c_nationkey = t.c_nationkey
+                       AND c.c_mktsegment = t.c_mktsegment AND c.v = g.v
+    )
+    -- exact integer cross-products: |cn*gt - gn*ct| stays in int64 at
+    -- check scale (cn,gn <= gt; gt^2 < 2^63 up to ~3e9 joined rows), so
+    -- the TV-distance numerator is order-independent on both engines
+    SELECT c_nationkey, c_mktsegment, CAST(MIN(ct) AS BIGINT) AS n_rows,
+           FLOOR(CAST(SUM(ABS(cn * gt - gn * ct)) AS BIGINT)
+                 / (2.0 * MIN(ct) * MIN(gt))
+                 * 1000000 + 0.5) / 1000000.0 AS t_distance
+    FROM diffs GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_nationkey", "c_mktsegment", F.col("o_orderpriority").alias("v")
+    )
+    glob = joined.groupBy("v").agg(F.count(F.lit(1)).alias("gn"))
+    gtot = joined.agg(F.count(F.lit(1)).alias("gt"))
+    cls = joined.groupBy("c_nationkey", "c_mktsegment", "v").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    ctot = cls.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("cn").alias("ct"))
+    diffs = (
+        ctot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(gtot))
+        .join(cls, ["c_nationkey", "c_mktsegment", "v"], "left")
+        .withColumn("cn", F.coalesce("cn", F.lit(0)))
+    )
+    return diffs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("ct").alias("n_rows"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("cn") * F.col("gt") - F.col("gn") * F.col("ct")))
+                / (2.0 * F.min("ct") * F.min("gt"))
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("t_distance"),
+    )

@@ -3180,3 +3180,235 @@ def sector_breadth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "breadth"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC range volatility estimators (new r7): per entity, the three
+# classic daily-bar volatility estimators side by side — close-to-close
+# (sample stddev of log returns), Parkinson (high/low range), and
+# Garman-Klass (range + open/close body) — annualized at 252. The
+# range estimators extract ~5-7x more information per bar than
+# close-to-close, the standard microstructure upgrade on any OHLC
+# panel (the reference's factor layer stores exactly these OHLC
+# columns, `quant_db_ddl.md:95-105`).
+#
+# Determinism: log terms are quantized to integer 1e-4 units
+# immediately (ROUND(ln(.)*1e4)), so all second moments are exact
+# int64 sums on both engines (|ln(h/l)| <= ~9.1 on this panel ->
+# x^2 <= 8.3e9, x30 days well inside int64); GK's per-day term is
+# algebraically >= 0.11*x^2 (|ln(C/O)| <= ln(H/L) always), so the
+# sqrt argument cannot go negative beyond quantization noise — round6
+# normalizes a NaN from the degenerate case to NULL on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "ohlc_vol_estimators",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code,
+               CAST(ROUND(ln(high / low) * 10000, 0) AS BIGINT) AS x,
+               CAST(ROUND(ln(close / open) * 10000, 0) AS BIGINT) AS y,
+               CAST(ROUND(ln(close / LAG(close) OVER (PARTITION BY code ORDER BY d))
+                          * 10000, 0) AS BIGINT) AS z
+        FROM bars
+    ), m AS (
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(COUNT(z) AS BIGINT) AS nz,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(z * z) AS BIGINT) AS szz
+        FROM t GROUP BY code
+    )
+    SELECT code, n AS n_days,
+           {o_round6('sqrt(sxx / 1e8 / (4 * ln(2) * n) * 252)')} AS parkinson_vol,
+           {o_round6('sqrt((0.5 * sxx - 0.3862943611198906 * syy) / 1e8 / n * 252)')}
+             AS garman_klass_vol,
+           {o_round6('CASE WHEN nz >= 2 THEN '
+                     'sqrt((szz * 1.0 - sz * 1.0 * sz / nz) / (nz - 1) / 1e8 * 252) END')}
+             AS close_close_vol
+    FROM m
+    """,
+)
+def ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    t = bars.select(
+        "code",
+        F.round(F.log(F.col("high") / F.col("low")) * 10_000, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("close") / F.col("open")) * 10_000, 0)
+        .cast("long")
+        .alias("y"),
+        F.round(F.log(F.col("close") / F.lag("close").over(w)) * 10_000, 0)
+        .cast("long")
+        .alias("z"),
+    )
+    m = t.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.count("z").alias("nz"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    import math
+
+    gk_num = 0.5 * F.col("sxx") - (2 * math.log(2) - 1) * F.col("syy")
+    cc_var = (F.col("szz") * 1.0 - F.col("sz") * 1.0 * F.col("sz") / F.col("nz")) / (
+        F.col("nz") - 1
+    )
+    return m.select(
+        "code",
+        F.col("n").alias("n_days"),
+        round6(
+            F.sqrt(F.col("sxx") / 1e8 / (4 * math.log(2) * F.col("n")) * 252)
+        ).alias("parkinson_vol"),
+        round6(F.sqrt(gk_num / 1e8 / F.col("n") * 252)).alias("garman_klass_vol"),
+        round6(
+            F.when(F.col("nz") >= 2, F.sqrt(cc_var / 1e8 * 252))
+        ).alias("close_close_vol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kyle's lambda (new r7): per entity, the price-impact slope — OLS of
+# the daily return (basis points) on SIGNED volume (volume carrying the
+# candle direction), the classic microstructure illiquidity measure
+# next to amihud_illiquidity / roll_spread_estimator. lambda_bp is
+# basis points of price move per unit of signed volume.
+#
+# Determinism: returns quantized at 1e4 (the panel's 1e4 lesson — 9000x
+# single-day moves), signed volume is already integral; all four OLS
+# moments are exact int64 sums (max |r*sv| ~ 2.5e10 x 30 days), and the
+# slope combines CAST-down BIGINT sums in double arithmetic exactly as
+# vol_term_structure does.
+# ---------------------------------------------------------------------------
+@query(
+    "kyle_lambda_daily",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1)
+                          * 10000, 0) AS BIGINT) AS r,
+               volume * CASE WHEN close > open THEN 1
+                             WHEN close < open THEN -1 ELSE 0 END AS sv
+        FROM bars
+    ), m AS (
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS sr,
+               CAST(SUM(sv) AS BIGINT) AS ssv,
+               CAST(SUM(r * sv) AS BIGINT) AS srv,
+               CAST(SUM(sv * sv) AS BIGINT) AS svv
+        FROM t WHERE r IS NOT NULL GROUP BY code
+    )
+    SELECT code, n AS n_days,
+           {o_round6('(n * 1.0 * srv - sr * 1.0 * ssv) / (n * 1.0 * svv - ssv * 1.0 * ssv)')}
+             AS lambda_bp,
+           {o_round6('CASE WHEN (n * 1.0 * svv - ssv * 1.0 * ssv) > 0 THEN '
+                     '(n * 1.0 * srv - sr * 1.0 * ssv) / sqrt(n * 1.0 * svv - ssv * 1.0 * ssv) '
+                     '/ 10000.0 / sqrt(n * 1.0) END')} AS impact_tstat_scale
+    FROM m WHERE n * svv - ssv * ssv > 0
+    """,
+)
+def kyle_lambda_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    sv = F.col("volume") * F.when(F.col("close") > F.col("open"), 1).when(
+        F.col("close") < F.col("open"), -1
+    ).otherwise(0)
+    t = bars.select(
+        "code",
+        "d",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0)
+        .cast("long")
+        .alias("r"),
+        sv.alias("sv"),
+    ).filter(F.col("r").isNotNull())
+    m = t.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum("sv").alias("ssv"),
+        F.sum(F.col("r") * F.col("sv")).alias("srv"),
+        F.sum(F.col("sv") * F.col("sv")).alias("svv"),
+    )
+    var_num = F.col("n") * 1.0 * F.col("svv") - F.col("ssv") * 1.0 * F.col("ssv")
+    cov_num = F.col("n") * 1.0 * F.col("srv") - F.col("sr") * 1.0 * F.col("ssv")
+    return m.filter(
+        F.col("n") * F.col("svv") - F.col("ssv") * F.col("ssv") > 0
+    ).select(
+        "code",
+        F.col("n").alias("n_days"),
+        round6(cov_num / var_num).alias("lambda_bp"),
+        round6(
+            F.when(
+                var_num > 0,
+                cov_num / F.sqrt(var_num) / 10_000.0 / F.sqrt(F.col("n") * 1.0),
+            )
+        ).alias("impact_tstat_scale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonal decomposition of market volume (new r7): the
+# moving-average decomposition every seasonality screen starts with —
+# total market volume per day, a CENTERED 7-day MA as trend, and the
+# day-of-week seasonal component as the mean detrended value. All in
+# integer "sevenths" (detr7 = 7*V - Sum7) so no float accumulates:
+# seasonal = Sum(detr7) / (7*n) is one exact division per output row.
+#
+# Scale shape: one fact-sized (day) aggregate; everything after runs on
+# the ~#days series (a deliberate driver-bounded tail, same convention
+# as the other market-level queries).
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_dow_volume",
+    oracle=f"""
+    WITH {O_BARS},
+    daily AS (
+        SELECT d, CAST(SUM(volume) AS BIGINT) AS v
+        FROM bars GROUP BY d
+    ), tr AS (
+        SELECT d, v,
+               CAST(SUM(v) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS s7,
+               CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS c7
+        FROM daily
+    ), det AS (
+        SELECT d, v, 7 * v - s7 AS detr7
+        FROM tr WHERE c7 = 7
+    )
+    SELECT CAST(isodow(d) - 1 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {o_round6('SUM(v) * 1.0 / COUNT(*)')} AS avg_volume,
+           {o_round6('CAST(SUM(detr7) AS BIGINT) / (7.0 * COUNT(*))')}
+             AS seasonal_component
+    FROM det GROUP BY isodow(d) - 1
+    """,
+)
+def seasonal_dow_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    daily = bars.groupBy("d").agg(F.sum("volume").cast("long").alias("v"))
+    # ~#days rows: the unpartitioned centered window is calendar-bounded
+    # (30 days on this panel, ~250/yr in production), never fact-sized
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "d",
+            "v",
+            F.sum("v").over(w7).alias("s7"),
+            F.count(F.lit(1)).over(w7).alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .withColumn("detr7", 7 * F.col("v") - F.col("s7"))
+    )
+    return det.groupBy(F.weekday("d").cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        round6(F.sum("v") * 1.0 / F.count(F.lit(1))).alias("avg_volume"),
+        round6(F.sum("detr7") / (7.0 * F.count(F.lit(1)))).alias(
+            "seasonal_component"
+        ),
+    )

@@ -4592,3 +4592,61 @@ def token_length_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (new r7): for each anchor vector, the top-k most
+# similar vectors carrying a DIFFERENT label — the contrastive-training
+# data prep step (negatives that are hard because they look like the
+# anchor). Exactness baseline over a bounded anchor set: the anchors
+# broadcast against the corpus scan, per-anchor top-k via a rank window
+# on (rounded cos, vec_id). At 100 TB the same query swaps the
+# brute-force candidate pass for the SRP/IVF bucket generators above
+# (identical downstream rank) — the anchor set stays bounded either
+# way, so the broadcast never inverts.
+# ---------------------------------------------------------------------------
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT a.a_id, a.a_label, e.vec_id AS neg_id, e.label AS neg_label,
+               ROUND({o_cosine('e.embedding', 'a.a_emb')}, 6) AS cos
+        FROM embeddings e, anchors a
+        WHERE e.label <> a.a_label
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                     ORDER BY cos DESC, neg_id) AS rn
+        FROM scored
+    )
+    SELECT a_id, a_label, neg_id, neg_label, cos, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    anchors = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .withColumn("cos", F.round(cosine("embedding", "a_emb"), 6))
+        .select(
+            "a_id",
+            "a_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cos",
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), "neg_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )

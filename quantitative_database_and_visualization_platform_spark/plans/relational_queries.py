@@ -1102,3 +1102,199 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_mktsegment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-quantity order revenue (new r7) — TPC-H Q17 shape: a correlated
+# scalar subquery (per-part average quantity) decorrelated into an
+# aggregate + equi join, per brand. The reference expresses this class
+# as nested f-string SQL over ClickHouse (`QuantDB.py` screener
+# subqueries); Spark-first it is a groupBy + join Catalyst can
+# broadcast, never a per-row subquery.
+#
+# Scale shape: the per-part average is part-cardinality (≪ fact) and
+# AQE broadcasts it back onto the fact scan; one fact shuffle total for
+# the final brand rollup. l_quantity is integral (1..50), so sums and
+# the 0.4×avg threshold are exact on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "small_qty_order_revenue",
+    oracle=f"""
+    WITH pa AS (
+        SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           CAST({o_sum_fixed('l.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < CAST(0.4 AS DOUBLE) * pa.avg_qty
+    GROUP BY p.p_brand
+    """,
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            (sum_fixed("l_extendedprice") / 7.0).alias("avg_yearly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sole problem supplier (new r7) — TPC-H Q21 shape: multi-EXISTS /
+# NOT-EXISTS correlation ("suppliers whose lineitems were the ONLY
+# returned ones in a multi-supplier order") rewritten as one per-order
+# aggregate: distinct-supplier count, distinct returning-supplier
+# count, and MIN over the returning suppliers (which IS the supplier
+# when exactly one returns). No self-join of the fact against itself —
+# the classic EXISTS rewrite scans lineitem three times; this scans it
+# once and shuffles on the natural l_orderkey key.
+# ---------------------------------------------------------------------------
+@query(
+    "sole_problem_supplier",
+    oracle="""
+    WITH per AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS ns,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nr,
+               MIN(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS r_supp
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.s_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN supplier s ON s.s_suppkey = per.r_supp
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE per.ns >= 2 AND per.nr = 1
+    GROUP BY s.s_name, n.n_name
+    """,
+)
+def sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(r_supp).alias("nr"),
+        F.min(r_supp).alias("r_supp"),
+    )
+    return (
+        per.filter((F.col("ns") >= 2) & (F.col("nr") == 1))
+        .join(F.broadcast(s), F.col("r_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Idle high-balance customers (new r7) — TPC-H Q22 shape: a global
+# scalar aggregate (average positive account balance) gating an
+# anti join ("rich customers with no urgent order"), rolled up by
+# nation. The scalar is a 1-row broadcast crossJoin; the anti join is
+# a broadcast-able LeftAnti on the filtered (urgent-only) order keys.
+# ---------------------------------------------------------------------------
+@query(
+    "idle_high_balance_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT {o_sum_fixed('c_acctbal')} / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           {o_sum_fixed('c.c_acctbal')} AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((sum_fixed("c_acctbal") / F.count(F.lit(1))).alias("__ab"))
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            sum_fixed("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dominant supplier per part (new r7) — TPC-H Q20 shape: a correlated
+# quantity-threshold subquery ("suppliers holding an outsized share of
+# a part's shipped volume") decorrelated into two aggregates joined on
+# the part key, rolled up per supplier. Shares are compared against
+# 20% of the part total among parts with >=2 suppliers (the classic
+# 50% threshold is degenerate on this uniformly-spread testdata — 100
+# suppliers split every part nearly evenly).
+#
+# Scale shape: both aggregates shuffle on l_partkey (the finer one
+# reuses the exchange under AQE); quantities are integral so shares
+# are exact.
+# ---------------------------------------------------------------------------
+@query(
+    "dominant_supplier_parts",
+    oracle="""
+    WITH tot AS (
+        SELECT l_partkey, SUM(l_quantity) AS tq,
+               COUNT(DISTINCT l_suppkey) AS ns
+        FROM lineitem GROUP BY l_partkey
+    ), per AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_dominated_parts,
+           CAST(SUM(per.sq) AS BIGINT) AS dominated_qty
+    FROM per
+    JOIN tot ON tot.l_partkey = per.l_partkey
+    JOIN supplier s ON s.s_suppkey = per.l_suppkey
+    WHERE tot.ns >= 2 AND per.sq > CAST(0.2 AS DOUBLE) * tot.tq
+    GROUP BY s.s_name
+    """,
+)
+def dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    tot = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("tq"),
+        F.countDistinct("l_suppkey").alias("ns"),
+    )
+    per = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    return (
+        per.join(tot, "l_partkey")
+        .filter((F.col("ns") >= 2) & (F.col("sq") > 0.2 * F.col("tq")))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated_parts"),
+            F.sum("sq").cast("long").alias("dominated_qty"),
+        )
+    )

@@ -1,0 +1,296 @@
+"""Independent-reference tests for the round-7 operators.
+
+Same philosophy as test_quant_golden.py: the DuckDB oracles share each
+query's formula by construction, so these recompute the semantics with
+an INDEPENDENT implementation (pandas group math, plain-python sets and
+adjacency maps, numpy linear algebra) at sf0.001 and compare to the
+registered query's output.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(spark, table: str) -> pd.DataFrame:
+    return load_table(spark, SF, table).toPandas()
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000.0
+
+
+def test_small_qty_order_revenue_matches_pandas(spark):
+    li = _pdf(spark, "lineitem")
+    part = _pdf(spark, "part")[["p_partkey", "p_brand"]]
+    avg_qty = li.groupby("l_partkey")["l_quantity"].mean()
+    small = li[li["l_quantity"] < 0.4 * li["l_partkey"].map(avg_qty)].merge(
+        part, left_on="l_partkey", right_on="p_partkey"
+    )
+    want = {
+        b: (
+            len(g),
+            (g["l_extendedprice"] * 100).round().astype("int64").sum() / 100.0 / 7.0,
+        )
+        for b, g in small.groupby("p_brand")
+    }
+    got = {
+        r["p_brand"]: (r["n_small_lines"], r["avg_yearly"])
+        for r in QUERIES["small_qty_order_revenue"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for b in want:
+        assert got[b][0] == want[b][0], b
+        assert abs(got[b][1] - want[b][1]) < 1e-9, b
+
+
+def test_sole_problem_supplier_matches_python_sets(spark):
+    li = _pdf(spark, "lineitem")
+    s = _pdf(spark, "supplier").set_index("s_suppkey")
+    n = _pdf(spark, "nation").set_index("n_nationkey")["n_name"]
+    want: dict[tuple, int] = {}
+    for _, g in li.groupby("l_orderkey"):
+        supps = set(g["l_suppkey"])
+        rsupps = set(g.loc[g["l_returnflag"] == "R", "l_suppkey"])
+        if len(supps) >= 2 and len(rsupps) == 1:
+            sk = next(iter(rsupps))
+            key = (s.loc[sk, "s_name"], n[s.loc[sk, "s_nationkey"]])
+            want[key] = want.get(key, 0) + 1
+    got = {
+        (r["s_name"], r["n_name"]): r["numwait"]
+        for r in QUERIES["sole_problem_supplier"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_idle_high_balance_customers_matches_pandas(spark):
+    c = _pdf(spark, "customer")
+    o = _pdf(spark, "orders")
+    pos = c[c["c_acctbal"] > 0]["c_acctbal"]
+    ab = (pos * 100).round().astype("int64").sum() / 100.0 / len(pos)
+    urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
+    rich = c[(c["c_acctbal"] > ab) & ~c["c_custkey"].isin(urgent)]
+    want = {
+        nk: (
+            len(g),
+            (g["c_acctbal"] * 100).round().astype("int64").sum() / 100.0,
+        )
+        for nk, g in rich.groupby("c_nationkey")
+    }
+    got = {
+        r["c_nationkey"]: (r["n_custs"], r["total_bal"])
+        for r in QUERIES["idle_high_balance_customers"](spark, SF).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_dominant_supplier_parts_matches_pandas(spark):
+    li = _pdf(spark, "lineitem")
+    s = _pdf(spark, "supplier").set_index("s_suppkey")["s_name"]
+    tot = li.groupby("l_partkey").agg(
+        tq=("l_quantity", "sum"), ns=("l_suppkey", "nunique")
+    )
+    per = li.groupby(["l_partkey", "l_suppkey"])["l_quantity"].sum().reset_index()
+    per = per.join(tot, on="l_partkey")
+    dom = per[(per["ns"] >= 2) & (per["l_quantity"] > 0.2 * per["tq"])]
+    want = {
+        s[sk]: (len(g), int(g["l_quantity"].sum()))
+        for sk, g in dom.groupby("l_suppkey")
+    }
+    got = {
+        r["s_name"]: (r["n_dominated_parts"], r["dominated_qty"])
+        for r in QUERIES["dominant_supplier_parts"](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_nation_trade_triangles_matches_python_adjacency(spark):
+    from itertools import combinations
+
+    li = _pdf(spark, "lineitem")[["l_orderkey", "l_suppkey"]]
+    o = _pdf(spark, "orders")[["o_orderkey", "o_custkey"]]
+    c = _pdf(spark, "customer").set_index("c_custkey")["c_nationkey"]
+    s = _pdf(spark, "supplier").set_index("s_suppkey")["s_nationkey"]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    a = j["o_custkey"].map(c)
+    b = j["l_suppkey"].map(s)
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    nodes = {u for e in edges for u in e}
+    adj = {u: set() for u in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {u: 0 for u in nodes}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    got = {
+        r["nationkey"]: (r["degree"], r["n_triangles"], r["clustering_coef"])
+        for r in QUERIES["nation_trade_triangles"](spark, SF).collect()
+    }
+    assert set(got) == nodes
+    for u in nodes:
+        deg = len(adj[u])
+        assert got[u][0] == deg
+        assert got[u][1] == tri[u], u
+        if deg >= 2:
+            assert got[u][2] == _r6(2.0 * tri[u] / (deg * (deg - 1)))
+        else:
+            assert got[u][2] is None
+
+
+def test_t_closeness_matches_python_distributions(spark):
+    c = _pdf(spark, "customer")
+    o = _pdf(spark, "orders")
+    j = c.merge(o, left_on="c_custkey", right_on="o_custkey")
+    gt = len(j)
+    gdist = j["o_orderpriority"].value_counts().to_dict()
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (r["n_rows"], r["t_distance"])
+        for r in QUERIES["t_closeness_report"](spark, SF).collect()
+    }
+    want_keys = set()
+    for (nk, seg), g in j.groupby(["c_nationkey", "c_mktsegment"]):
+        want_keys.add((nk, seg))
+        ct = len(g)
+        cdist = g["o_orderpriority"].value_counts().to_dict()
+        tv = 0.5 * sum(
+            abs(cdist.get(v, 0) / ct - gn / gt) for v, gn in gdist.items()
+        )
+        n_rows, t_distance = got[(nk, seg)]
+        assert n_rows == ct
+        assert abs(t_distance - tv) < 2e-6, (nk, seg, t_distance, tv)
+    assert set(got) == want_keys
+
+
+def _bars_pdf(spark) -> pd.DataFrame:
+    return daily_bars(spark, SF).toPandas().sort_values(["code", "d"])
+
+
+def test_ohlc_vol_estimators_match_numpy(spark):
+    bars = _bars_pdf(spark)
+    got = {
+        r["code"]: (
+            r["n_days"],
+            r["parkinson_vol"],
+            r["garman_klass_vol"],
+            r["close_close_vol"],
+        )
+        for r in QUERIES["ohlc_vol_estimators"](spark, SF).collect()
+    }
+    for code, g in bars.groupby("code"):
+        x = np.floor(np.log(g["high"] / g["low"]) * 1e4 + 0.5).astype("int64")
+        y_raw = np.log(g["close"] / g["open"]) * 1e4
+        y = np.where(y_raw >= 0, np.floor(y_raw + 0.5), np.ceil(y_raw - 0.5)).astype(
+            "int64"
+        )
+        z_raw = np.log(g["close"].to_numpy()[1:] / g["close"].to_numpy()[:-1]) * 1e4
+        z = np.where(z_raw >= 0, np.floor(z_raw + 0.5), np.ceil(z_raw - 0.5)).astype(
+            "int64"
+        )
+        n = len(g)
+        park = math.sqrt((x * x).sum() / 1e8 / (4 * math.log(2) * n) * 252)
+        gk_num = 0.5 * (x * x).sum() - (2 * math.log(2) - 1) * (y * y).sum()
+        gk = math.sqrt(gk_num / 1e8 / n * 252)
+        nz = len(z)
+        cc = (
+            math.sqrt(
+                ((z * z).sum() - z.sum() ** 2 / nz) / (nz - 1) / 1e8 * 252
+            )
+            if nz >= 2
+            else None
+        )
+        gn, gp, gg, gc = got[code]
+        assert gn == n
+        assert abs(gp - park) < 2e-6, code
+        assert abs(gg - gk) < 2e-6, code
+        if cc is None:
+            assert gc is None
+        else:
+            assert abs(gc - cc) < 2e-6, code
+
+
+def test_kyle_lambda_matches_numpy_polyfit(spark):
+    bars = _bars_pdf(spark)
+    got = {
+        r["code"]: (r["n_days"], r["lambda_bp"])
+        for r in QUERIES["kyle_lambda_daily"](spark, SF).collect()
+    }
+    checked = 0
+    for code, g in bars.groupby("code"):
+        close = g["close"].to_numpy()
+        raw = (close[1:] / close[:-1] - 1) * 1e4
+        r = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5))
+        sign = np.sign(g["close"].to_numpy() - g["open"].to_numpy())[1:]
+        sv = g["volume"].to_numpy()[1:] * sign
+        if np.var(sv) == 0:
+            assert code not in got
+            continue
+        slope = np.polyfit(sv.astype(float), r.astype(float), 1)[0]
+        assert got[code][0] == len(r)
+        assert abs(got[code][1] - slope) < 2e-5, (code, got[code][1], slope)
+        checked += 1
+    assert checked > 5
+
+
+def test_seasonal_dow_volume_matches_pandas_rolling(spark):
+    bars = _bars_pdf(spark)
+    daily = (
+        bars.groupby("d")["volume"].sum().astype("int64").sort_index().reset_index()
+    )
+    trend = daily["volume"].rolling(7, center=True).mean()
+    det = daily.assign(detr=daily["volume"] - trend).dropna()
+    det["dow"] = pd.to_datetime(det["d"]).dt.weekday
+    got = {
+        r["dow"]: (r["n_days"], r["avg_volume"], r["seasonal_component"])
+        for r in QUERIES["seasonal_dow_volume"](spark, SF).collect()
+    }
+    for dow, g in det.groupby("dow"):
+        n, av, sc = got[dow]
+        assert n == len(g)
+        assert abs(av - g["volume"].mean()) < 2e-6
+        assert abs(sc - g["detr"].mean()) < 2e-6, (dow, sc, g["detr"].mean())
+    assert set(got) == set(det["dow"].unique())
+
+
+def test_hard_negative_mining_matches_numpy_cosine(spark):
+    emb = _pdf(spark, "embeddings")
+    vecs = np.stack(emb["embedding"].to_numpy())
+    norms = np.linalg.norm(vecs, axis=1)
+    got: dict[int, list] = {}
+    for r in QUERIES["hard_negative_mining"](spark, SF).collect():
+        got.setdefault(r["a_id"], []).append(
+            (r["rn"], r["neg_id"], r["neg_label"], r["cos"])
+        )
+    anchors = emb[emb["vec_id"] % 100 == 0]
+    assert set(got) == set(anchors["vec_id"])
+    for _, a in anchors.iterrows():
+        av = np.array(a["embedding"])
+        cos = vecs @ av / (norms * np.linalg.norm(av))
+        mask = emb["label"].to_numpy() != a["label"]
+        cand = sorted(
+            zip(
+                np.round(cos[mask], 6),
+                emb["vec_id"].to_numpy()[mask],
+                emb["label"].to_numpy()[mask],
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = sorted(got[a["vec_id"]])
+        for (rn, neg_id, neg_label, c), (wc, wid, wlab) in zip(mine, cand):
+            assert neg_id == wid and neg_label == wlab
+            assert abs(c - wc) < 2e-6
