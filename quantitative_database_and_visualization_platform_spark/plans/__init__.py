@@ -93,11 +93,15 @@ GATE_FIRST: list[str] = [
 ]
 
 # Queued for the ROUND-8 window (registered + oracle-enforced by pytest,
-# no driver row yet — the 8 most expensive r7-queue spills, plus any
+# no driver row yet — the 8 most expensive r7-queue spills, plus the
 # queries new in round 7):
 #   cross_source_dup_matrix, ic_decay_profile, embedding_cluster_profile,
 #   neardup_cluster_sizes, pagerank_nation_trade, hll_rolling_users_7d,
-#   minhash_pr_audit, chunk_level_dedup
+#   minhash_pr_audit, chunk_level_dedup,
+#   small_qty_order_revenue, sole_problem_supplier,
+#   idle_high_balance_customers, dominant_supplier_parts,
+#   nation_trade_triangles, t_closeness_report, ohlc_vol_estimators,
+#   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining
 
 
 def _apply_gate_order() -> None:

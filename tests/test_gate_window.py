@@ -88,6 +88,17 @@ NEVER_DRIVER_VERIFIED = [
     "token_length_by_lang",
     "cube_nation_segment",
     "sql_interface_revenue",
+    # new in round 7 (registered this round, no driver row yet)
+    "small_qty_order_revenue",
+    "sole_problem_supplier",
+    "idle_high_balance_customers",
+    "dominant_supplier_parts",
+    "nation_trade_triangles",
+    "t_closeness_report",
+    "ohlc_vol_estimators",
+    "kyle_lambda_daily",
+    "seasonal_dow_volume",
+    "hard_negative_mining",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -101,6 +112,17 @@ QUEUED_NEXT_ROUND = [
     "hll_rolling_users_7d",
     "minhash_pr_audit",
     "chunk_level_dedup",
+    # new in round 7 — landed after this round's window was pinned
+    "small_qty_order_revenue",
+    "sole_problem_supplier",
+    "idle_high_balance_customers",
+    "dominant_supplier_parts",
+    "nation_trade_triangles",
+    "t_closeness_report",
+    "ohlc_vol_estimators",
+    "kyle_lambda_daily",
+    "seasonal_dow_volume",
+    "hard_negative_mining",
 ]
 
 
