@@ -101,7 +101,8 @@ GATE_FIRST: list[str] = [
 #   small_qty_order_revenue, sole_problem_supplier,
 #   idle_high_balance_customers, dominant_supplier_parts,
 #   nation_trade_triangles, t_closeness_report, ohlc_vol_estimators,
-#   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining
+#   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining,
+#   embedding_silhouette, trade_reachability_hops
 
 
 def _apply_gate_order() -> None:

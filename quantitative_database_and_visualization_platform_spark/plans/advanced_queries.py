@@ -2016,3 +2016,112 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("t_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trade-route hop distance (new r7): BFS shortest-hop distance from a
+# source nation over the SPARSE directed trade graph (top-40 customer->
+# supplier nation edges by revenue — thresholding keeps the graph
+# multi-hop instead of near-complete). Spark has no recursive CTE, so
+# the engine side runs the canonical distributed-BFS loop: per round,
+# expand the frontier through the edge list, anti-join out already-
+# visited nodes, localCheckpoint to truncate lineage. Rounds =
+# eccentricity of the source (bounded by the 8-hop cap both sides).
+# The oracle IS a recursive CTE (UNION-distinct working table keeps the
+# row set (nodes x hops)-bounded, no path blowup), so this query pins
+# Spark's iterative-join answer against a genuinely different
+# evaluation strategy.
+#
+# Scale shape: the fact-sized edge aggregation dominates; each BFS
+# round is a frontier-sized hash join against the (tiny, broadcast)
+# edge list. On a billion-node graph the identical loop runs with the
+# edge list as the big side and the frontier shuffled on src — the
+# pattern, not the graph size, is what this query locks in.
+# ---------------------------------------------------------------------------
+@query(
+    "trade_reachability_hops",
+    oracle="""
+    WITH RECURSIVE rev AS (
+        SELECT cn.n_nationkey AS src, sn.n_nationkey AS dst,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                   AS BIGINT)) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_nationkey <> sn.n_nationkey
+        GROUP BY cn.n_nationkey, sn.n_nationkey
+    ), ranked AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (ORDER BY w DESC, src, dst) AS rk
+        FROM rev
+    ), e AS (
+        SELECT src, dst FROM ranked WHERE rk <= 40
+    ), walk AS (
+        -- source = the src of the single heaviest edge (data-derived on
+        -- both sides; a fixed node id can be isolated in the sparsified
+        -- graph at small sf)
+        SELECT src AS node, 0 AS hops FROM ranked WHERE rk = 1
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < 8
+    )
+    SELECT node AS nationkey, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def trade_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    w_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+            w_c.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    # nation²-bounded: the unpartitioned rank window runs on <= 625 rows
+    rk = Window.orderBy(F.desc("w"), "src", "dst")
+    ranked = managed_persist(
+        rev.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") <= 40)
+    )
+    e = ranked.select("src", "dst")
+    # source = src of the heaviest edge: one bounded 1-row driver read
+    source = int(ranked.filter(F.col("rk") == 1).collect()[0]["src"])
+    spark_s = li.sparkSession
+    visited = spark_s.createDataFrame(
+        [(source, 0)], "node bigint, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for h in range(1, 9):
+        nxt = (
+            frontier.join(F.broadcast(e), F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+        )
+        # frontier cardinality is a bounded scalar per round (BFS invariant)
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.col("node").alias("nationkey"), F.col("hops").cast("int").alias("hops")
+    )

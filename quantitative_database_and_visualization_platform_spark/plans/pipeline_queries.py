@@ -4650,3 +4650,82 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding silhouette by label (new r7): the centroid-simplified
+# silhouette score — per vector, a = squared distance to its own
+# label's centroid, b = min squared distance to any OTHER label's
+# centroid, s = (b - a) / max(a, b); reported as the per-label mean.
+# The standard label-quality / cluster-separation diagnostic before
+# training on weak labels.
+#
+# Determinism: centroids come from the IVF engine-exact fixed-point
+# means (identical bits both engines); per-vector distances are
+# floor-quantized to integer 1e-6 units BEFORE the min/ratio (the
+# nearest_centroid convention — list_sum association may differ
+# sub-ulp), and each s is quantized at 1e-6 so the per-label mean is
+# an exact integer sum.
+#
+# Scale shape: one aggregation pass for centroids (labels x dims),
+# then a (corpus x labels) broadcast cross — labels are bounded, so
+# the probe side never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_silhouette",
+    oracle=f"""
+    WITH cents AS ({o_ivf_cents('embeddings', cid='label')}),
+    d AS (
+        SELECT e.vec_id, e.label, c.label AS clabel,
+               CAST(FLOOR({o_l2_dist2('e.embedding', 'c.cent')} * 1000000 + 0.5)
+                    AS BIGINT) AS d2q
+        FROM embeddings e, cents c
+    ), ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel =  label THEN d2q END) AS a,
+               MIN(CASE WHEN clabel <> label THEN d2q END) AS b
+        FROM d GROUP BY vec_id, label
+    ), s AS (
+        SELECT label,
+               CAST(FLOOR((b - a) * 1.0 / GREATEST(a, b) * 1000000 + 0.5)
+                    AS BIGINT) AS sq
+        FROM ab WHERE GREATEST(a, b) > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           FLOOR(CAST(SUM(sq) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 1000000.0
+             AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+)
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = ivf_centroids(emb, "embedding", cid="label").withColumnRenamed(
+        "label", "clabel"
+    )
+    d = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "d2q",
+        F.floor(l2_dist2("embedding", "__cent") * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2q"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2q"))).alias("b"),
+    )
+    s = ab.filter(F.greatest("a", "b") > 0).select(
+        "label",
+        F.floor(
+            (F.col("b") - F.col("a")) * 1.0 / F.greatest("a", "b") * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.floor(F.sum("sq") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)) / 1_000_000.0).alias(
+            "mean_silhouette"
+        ),
+    )

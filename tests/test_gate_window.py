@@ -99,6 +99,8 @@ NEVER_DRIVER_VERIFIED = [
     "kyle_lambda_daily",
     "seasonal_dow_volume",
     "hard_negative_mining",
+    "embedding_silhouette",
+    "trade_reachability_hops",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -123,6 +125,8 @@ QUEUED_NEXT_ROUND = [
     "kyle_lambda_daily",
     "seasonal_dow_volume",
     "hard_negative_mining",
+    "embedding_silhouette",
+    "trade_reachability_hops",
 ]
 
 

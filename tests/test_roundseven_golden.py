@@ -294,3 +294,67 @@ def test_hard_negative_mining_matches_numpy_cosine(spark):
         for (rn, neg_id, neg_label, c), (wc, wid, wlab) in zip(mine, cand):
             assert neg_id == wid and neg_label == wlab
             assert abs(c - wc) < 2e-6
+
+
+def test_embedding_silhouette_matches_numpy(spark):
+    """Plain-float numpy silhouette (un-quantized centroids/distances)
+    must agree with the engine's fixed-point form to ~1e-3 — verifies
+    the SEMANTICS, not the shared quantization recipe."""
+    emb = _pdf(spark, "embeddings")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(float)
+    labels = emb["label"].to_numpy()
+    cents = {l: vecs[labels == l].mean(axis=0) for l in np.unique(labels)}
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_silhouette"])
+        for r in QUERIES["embedding_silhouette"](spark, SF).collect()
+    }
+    for lab in cents:
+        mask = labels == lab
+        d_own = ((vecs[mask] - cents[lab]) ** 2).sum(axis=1)
+        d_other = np.stack(
+            [((vecs[mask] - c) ** 2).sum(axis=1) for l2, c in cents.items() if l2 != lab]
+        ).min(axis=0)
+        s = (d_other - d_own) / np.maximum(d_own, d_other)
+        n, ms = got[lab]
+        assert n == mask.sum()
+        assert abs(ms - s.mean()) < 1e-3, (lab, ms, s.mean())
+
+
+def test_trade_reachability_matches_python_bfs(spark):
+    from collections import deque
+
+    li = _pdf(spark, "lineitem")[["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]]
+    o = _pdf(spark, "orders")[["o_orderkey", "o_custkey"]]
+    c = _pdf(spark, "customer").set_index("c_custkey")["c_nationkey"]
+    s = _pdf(spark, "supplier").set_index("s_suppkey")["s_nationkey"]
+    j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    j["src"] = j["o_custkey"].map(c)
+    j["dst"] = j["l_suppkey"].map(s)
+    j = j[j["src"] != j["dst"]]
+    j["w"] = (j["l_extendedprice"] * (1 - j["l_discount"]) * 100).round().astype("int64")
+    rev = j.groupby(["src", "dst"])["w"].sum().reset_index()
+    rev = rev.sort_values(["w", "src", "dst"], ascending=[False, True, True])
+    top = rev.head(40)[["src", "dst"]]
+    adj: dict[int, list] = {}
+    for u, v in top.itertuples(index=False):
+        adj.setdefault(u, []).append(v)
+    source = int(top.iloc[0]["src"])
+    dist = {source: 0}
+    dq = deque([source])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 8:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {
+        r["nationkey"]: r["hops"]
+        for r in QUERIES["trade_reachability_hops"](spark, SF).collect()
+    }
+    assert got == dist
+    # structure check: the sparsified graph must actually be traversed
+    # (multi-node); multi-HOP is additionally asserted at sf0.01 by the
+    # oracle row counts (hops up to the graph eccentricity)
+    assert len(got) > 1 and max(got.values()) >= 1
