@@ -610,10 +610,11 @@ def test_chunk_level_dedup_matches_python_sets(spark):
     chunks: dict[int, set] = {}
     for r in _docs().itertuples():
         w = _words(r.text)
+        n = len(w)
         hs = set()
-        for k in range((len(w) - 1) // 48 + 1):
+        for k in range(max(0, -((n - 64) // -48)) + 1):
             start = k * 48
-            clen = min(64, len(w) - start)
+            clen = min(64, n - start)
             hs.add(hashlib.md5(" ".join(w[start : start + clen]).encode()).hexdigest())
         chunks[r.doc_id] = hs
     ids = sorted(chunks)
