@@ -102,7 +102,7 @@ GATE_FIRST: list[str] = [
 #   idle_high_balance_customers, dominant_supplier_parts,
 #   nation_trade_triangles, t_closeness_report, ohlc_vol_estimators,
 #   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining,
-#   embedding_silhouette, trade_reachability_hops
+#   embedding_silhouette, trade_reachability_hops, pii_scrub_report
 
 
 def _apply_gate_order() -> None:

@@ -4729,3 +4729,98 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_silhouette"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub report (new r7): regex-based detection + redaction of
+# emails / phone numbers / IPv4 addresses — the privacy pass every
+# training-data pipeline runs before release. The testdata corpus
+# carries no real PII, so deterministic synthetic PII is derived from
+# doc_id and appended to every document on BOTH engines (the O_FUND
+# synthetic-fixture convention): the OPERATOR under test — the regex
+# chain and the char-mass accounting — is real; only the planted
+# needles are synthetic. Patterns are deliberately alternation-free so
+# Java-regex (Spark) and RE2 (DuckDB) agree on match extents.
+#
+# Scale shape: pure per-row expressions + one source-keyed aggregate —
+# embarrassingly parallel, no shuffle before the bounded rollup.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d{1,3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+
+@query(
+    "pii_scrub_report",
+    oracle=f"""
+    WITH derived AS (
+        SELECT doc_id, source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id, source, t,
+               len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_em,
+               len(regexp_extract_all(t, '{_PII_IP}')) AS n_ip,
+               regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{_PII_IP}', '[IP]', 'g'),
+                      '{_PII_PHONE}', '[PHONE]', 'g') AS red
+        FROM derived
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_em) AS BIGINT) AS n_emails,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+           CAST(SUM(len(regexp_extract_all(red, '\\[PHONE\\]'))) AS BIGINT)
+             AS n_phones,
+           CAST(SUM(len(t) - len(red)) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source
+    """,
+)
+def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    derived = docs.withColumn("t", t)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IP,
+            "[IP]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    scrubbed = derived.select(
+        "source",
+        "t",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), 0)).alias("n_em"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), 0)).alias("n_ip"),
+        red.alias("red"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_em").alias("n_emails"),
+        F.sum("n_ip").alias("n_ips"),
+        F.sum(F.size(F.regexp_extract_all("red", F.lit(r"\[PHONE\]"), 0))).alias(
+            "n_phones"
+        ),
+        F.sum(F.length("t") - F.length("red")).alias("chars_removed"),
+    )

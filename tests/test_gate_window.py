@@ -101,6 +101,7 @@ NEVER_DRIVER_VERIFIED = [
     "hard_negative_mining",
     "embedding_silhouette",
     "trade_reachability_hops",
+    "pii_scrub_report",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -127,6 +128,7 @@ QUEUED_NEXT_ROUND = [
     "hard_negative_mining",
     "embedding_silhouette",
     "trade_reachability_hops",
+    "pii_scrub_report",
 ]
 
 

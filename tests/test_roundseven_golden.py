@@ -358,3 +358,40 @@ def test_trade_reachability_matches_python_bfs(spark):
     # (multi-node); multi-HOP is additionally asserted at sf0.01 by the
     # oracle row counts (hops up to the graph eccentricity)
     assert len(got) > 1 and max(got.values()) >= 1
+
+
+def test_pii_scrub_matches_python_re(spark):
+    """Recompute the scrub with python's `re` — a THIRD regex engine
+    (Java on Spark, RE2 in DuckDB), so an engine-specific match-extent
+    quirk in the shared patterns cannot pass silently."""
+    import re
+
+    docs = _pdf(spark, "documents")
+    em = re.compile(r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}")
+    ip = re.compile(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}")
+    ph = re.compile(r"\+?\d{1,3}-\d{3}-\d{4}")
+    agg: dict[str, list] = {}
+    for r in docs.itertuples():
+        t = (
+            f"{r.text} contact user{r.doc_id}@example.com or "
+            f"+1-555-{r.doc_id % 10000:04d} from 10.0.{r.doc_id % 256}"
+            f".{(r.doc_id * 7) % 256}"
+        )
+        n_em = len(em.findall(t))
+        n_ip_ = len(ip.findall(t))
+        red = ph.sub("[PHONE]", ip.sub("[IP]", em.sub("[EMAIL]", t)))
+        n_ph = red.count("[PHONE]")
+        a = agg.setdefault(r.source, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += n_em
+        a[2] += n_ip_
+        a[3] += n_ph
+        a[4] += len(t) - len(red)
+    got = {
+        r["source"]: [
+            r["n_docs"], r["n_emails"], r["n_ips"], r["n_phones"], r["chars_removed"]
+        ]
+        for r in QUERIES["pii_scrub_report"](spark, SF).collect()
+    }
+    assert got == agg
+    assert all(v[1] >= v[0] and v[3] >= v[0] for v in got.values())
