@@ -241,8 +241,12 @@ edges_strategy = st.lists(
 
 
 @settings(max_examples=8, deadline=None)
-@given(edges_strategy)
-def test_connected_components_match_union_find(spark, edges):
+@given(edges_strategy, st.sampled_from([3, 7, 500_000]))
+def test_connected_components_match_union_find(spark, edges, epp):
+    """epp (edges_per_partition) also draws SMALL values so random graphs
+    exercise the multi-partition union-find path (the r6 ADVICE duplicate-
+    row bug lived only there); the dict comprehension below doubles as the
+    one-row-per-node check via the explicit length assert."""
     from quantitative_database_and_visualization_platform_spark.pipeline.dedup import (
         connected_components,
     )
@@ -251,7 +255,9 @@ def test_connected_components_match_union_find(spark, edges):
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["a_id", "b_id"])
     try:
-        got = {r["doc_id"]: r["component"] for r in connected_components(df).collect()}
+        rows = connected_components(df, edges_per_partition=epp).collect()
+        got = {r["doc_id"]: r["component"] for r in rows}
+        assert len(rows) == len(got), "duplicate (doc_id, component) rows"
     finally:
         release_managed()
     # reference union-find
