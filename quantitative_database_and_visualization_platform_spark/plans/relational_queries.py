@@ -1160,7 +1160,11 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count, and MIN over the returning suppliers (which IS the supplier
 # when exactly one returns). No self-join of the fact against itself —
 # the classic EXISTS rewrite scans lineitem three times; this scans it
-# once and shuffles on the natural l_orderkey key.
+# once and shuffles on the natural l_orderkey key. The distinct counts
+# are computed as a TWO-LEVEL aggregate ((order, supplier) pre-agg,
+# then per-order counts) instead of two countDistinct()s — multiple
+# distinct aggregates plan an Expand that triples the fact scan
+# (measured 55 s -> two-level form at the 100x sweep).
 # ---------------------------------------------------------------------------
 @query(
     "sole_problem_supplier",
@@ -1185,11 +1189,13 @@ def sole_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("ns"),
-        F.countDistinct(r_supp).alias("nr"),
-        F.min(r_supp).alias("r_supp"),
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("has_r").alias("nr"),
+        F.min(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias("r_supp"),
     )
     return (
         per.filter((F.col("ns") >= 2) & (F.col("nr") == 1))
