@@ -102,7 +102,9 @@ GATE_FIRST: list[str] = [
 #   idle_high_balance_customers, dominant_supplier_parts,
 #   nation_trade_triangles, t_closeness_report, ohlc_vol_estimators,
 #   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining,
-#   embedding_silhouette, trade_reachability_hops, pii_scrub_report
+#   embedding_silhouette, trade_reachability_hops, pii_scrub_report,
+#   min_unit_cost_supplier, top_value_parts,
+#   top_revenue_supplier_quarter, variance_ratio_test
 
 
 def _apply_gate_order() -> None:

@@ -3412,3 +3412,92 @@ def seasonal_dow_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_component"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Variance-ratio test (new r7): the Lo-MacKinlay random-walk check —
+# per entity, VR(5) = Var(5-day overlapping log return) / (5 x Var(
+# 1-day log return)). VR > 1 signals momentum, VR < 1 mean reversion;
+# the standard microstructure/efficiency screen next to acf_lag_profile.
+#
+# Determinism: log returns quantized at 1e4 (int64); the overlapping
+# 5-day sums are exact integer window sums; both variances come from
+# exact integer moments, so the ratio is one double expression on both
+# engines. Quantization bound: |z| <= ~9e4 (ln of the panel's 9000x
+# move), z5 <= 4.5e5, z5^2 <= 2.1e11, x 30 days well inside int64.
+# ---------------------------------------------------------------------------
+@query(
+    "variance_ratio_test",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code, d,
+               CAST(ROUND(ln(close / LAG(close) OVER (PARTITION BY code ORDER BY d))
+                          * 10000, 0) AS BIGINT) AS z
+        FROM bars
+    ), z5 AS (
+        SELECT code, d, z,
+               CAST(SUM(z) OVER (PARTITION BY code ORDER BY d
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS s5,
+               CAST(COUNT(z) OVER (PARTITION BY code ORDER BY d
+                                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c5
+        FROM t WHERE z IS NOT NULL
+    ), m AS (
+        SELECT code,
+               CAST(COUNT(z) AS BIGINT) AS n1,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               CAST(SUM(z * z) AS BIGINT) AS szz,
+               CAST(count_if(c5 = 5) AS BIGINT) AS n5,
+               CAST(SUM(CASE WHEN c5 = 5 THEN s5 END) AS BIGINT) AS s5s,
+               CAST(SUM(CASE WHEN c5 = 5 THEN s5 * s5 END) AS BIGINT) AS s5q
+        FROM z5 GROUP BY code
+    )
+    SELECT code, n1 AS n_days,
+           {o_round6('((s5q * 1.0 - s5s * 1.0 * s5s / n5) / (n5 - 1)) '
+                     '/ (5.0 * (szz * 1.0 - sz * 1.0 * sz / n1) / (n1 - 1))')}
+             AS vr5
+    FROM m
+    WHERE n5 >= 2 AND (szz * n1 - sz * sz) > 0
+    """,
+)
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    t = bars.select(
+        "code",
+        "d",
+        F.round(F.log(F.col("close") / F.lag("close").over(w)) * 10_000, 0)
+        .cast("long")
+        .alias("z"),
+    ).filter(F.col("z").isNotNull())
+    w5 = w.rowsBetween(-4, 0)
+    z5 = t.select(
+        "code",
+        "z",
+        F.sum("z").over(w5).alias("s5"),
+        F.count("z").over(w5).alias("c5"),
+    )
+    full = F.col("c5") == 5
+    m = z5.groupBy("code").agg(
+        F.count("z").alias("n1"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.count_if(full).alias("n5"),
+        F.sum(F.when(full, F.col("s5"))).alias("s5s"),
+        F.sum(F.when(full, F.col("s5") * F.col("s5"))).alias("s5q"),
+    )
+    var1 = (F.col("szz") * 1.0 - F.col("sz") * 1.0 * F.col("sz") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var5 = (F.col("s5q") * 1.0 - F.col("s5s") * 1.0 * F.col("s5s") / F.col("n5")) / (
+        F.col("n5") - 1
+    )
+    return m.filter(
+        (F.col("n5") >= 2) & (F.col("szz") * F.col("n1") - F.col("sz") * F.col("sz") > 0)
+    ).select(
+        "code",
+        F.col("n1").alias("n_days"),
+        round6(var5 / (5.0 * var1)).alias("vr5"),
+    )

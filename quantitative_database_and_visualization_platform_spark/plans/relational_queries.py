@@ -1304,3 +1304,155 @@ def dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").cast("long").alias("dominated_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Min-unit-cost supplier per part (new r7) — TPC-H Q2 shape: a
+# correlated MIN subquery ("the supplier offering this part cheapest")
+# decorrelated into a per-(part, supplier) aggregate, a per-part MIN,
+# and an equality join back. Unit cost = cents(extendedprice)/quantity,
+# both exact integer sums, so the MIN and the equality carry identical
+# doubles on both engines (one division each side).
+#
+# Scale shape: both aggregates key on l_partkey and share the exchange
+# under AQE; the min side is part-cardinality and broadcasts back.
+# ---------------------------------------------------------------------------
+@query(
+    "min_unit_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), cost AS (
+        SELECT l_partkey, l_suppkey, cents * 1.0 / qty / 100.0 AS unit_cost
+        FROM ps
+    ), m AS (
+        SELECT l_partkey, MIN(unit_cost) AS mc FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey, s.s_name,
+           FLOOR(c.unit_cost * 1000000 + 0.5) / 1000000.0 AS unit_cost
+    FROM cost c
+    JOIN m ON m.l_partkey = c.l_partkey AND c.unit_cost = m.mc
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    """,
+)
+def min_unit_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    cost = ps.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("cents") * 1.0 / F.col("qty") / 100.0).alias("unit_cost"),
+    )
+    m = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("mc"))
+    return (
+        cost.join(m, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("mc"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey",
+            "s_name",
+            (F.floor(F.col("unit_cost") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+                "unit_cost"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-value parts (new r7) — TPC-H Q11 shape: a scalar subquery in the
+# HAVING clause ("parts whose stocked value exceeds a fraction of the
+# GLOBAL total") decorrelated into a 1-row broadcast crossJoin against
+# the per-part aggregate. Cents-exact on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "top_value_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n FROM pv
+    )
+    -- scale-free threshold: value > 1.5x the MEAN part value (a fixed
+    -- fraction-of-total is degenerate when part count is below 1/frac)
+    SELECT pv.l_partkey, pv.cents / 100.0 AS part_value
+    FROM pv, tot
+    WHERE pv.cents * tot.n * 1.0 > 1.5 * tot.t
+    """,
+)
+def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+                "long"
+            )
+        ).alias("cents")
+    )
+    tot = pv.agg(F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * F.col("n") * 1.0 > 1.5 * F.col("t"))
+        .select("l_partkey", (F.col("cents") / 100.0).alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top revenue supplier (new r7) — TPC-H Q15 shape: a revenue "view"
+# over a shipdate quarter, then the supplier(s) achieving the MAX
+# (equality against a 1-row aggregate, not a LIMIT — ties must all
+# surface). Cents-exact, so the max-equality is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "top_revenue_supplier_quarter",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ), mx AS (SELECT MAX(cents) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.cents / 100.0 AS total_revenue
+    FROM rev, mx
+    JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.cents = mx.m
+    """,
+)
+def top_revenue_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    mx = rev.agg(F.max("cents").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("cents") == F.col("m"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("cents") / 100.0).alias("total_revenue"))
+    )

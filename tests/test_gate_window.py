@@ -102,6 +102,10 @@ NEVER_DRIVER_VERIFIED = [
     "embedding_silhouette",
     "trade_reachability_hops",
     "pii_scrub_report",
+    "min_unit_cost_supplier",
+    "top_value_parts",
+    "top_revenue_supplier_quarter",
+    "variance_ratio_test",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -129,6 +133,10 @@ QUEUED_NEXT_ROUND = [
     "embedding_silhouette",
     "trade_reachability_hops",
     "pii_scrub_report",
+    "min_unit_cost_supplier",
+    "top_value_parts",
+    "top_revenue_supplier_quarter",
+    "variance_ratio_test",
 ]
 
 

@@ -39,7 +39,7 @@ def test_small_qty_order_revenue_matches_pandas(spark):
     want = {
         b: (
             len(g),
-            (g["l_extendedprice"] * 100).round().astype("int64").sum() / 100.0 / 7.0,
+            np.floor(g["l_extendedprice"] * 100 + 0.5).astype("int64").sum() / 100.0 / 7.0,
         )
         for b, g in small.groupby("p_brand")
     }
@@ -76,13 +76,13 @@ def test_idle_high_balance_customers_matches_pandas(spark):
     c = _pdf(spark, "customer")
     o = _pdf(spark, "orders")
     pos = c[c["c_acctbal"] > 0]["c_acctbal"]
-    ab = (pos * 100).round().astype("int64").sum() / 100.0 / len(pos)
+    ab = np.floor(pos * 100 + 0.5).astype("int64").sum() / 100.0 / len(pos)
     urgent = set(o.loc[o["o_orderpriority"] == "1-URGENT", "o_custkey"])
     rich = c[(c["c_acctbal"] > ab) & ~c["c_custkey"].isin(urgent)]
     want = {
         nk: (
             len(g),
-            (g["c_acctbal"] * 100).round().astype("int64").sum() / 100.0,
+            np.floor(g["c_acctbal"] * 100 + 0.5).astype("int64").sum() / 100.0,
         )
         for nk, g in rich.groupby("c_nationkey")
     }
@@ -331,7 +331,7 @@ def test_trade_reachability_matches_python_bfs(spark):
     j["src"] = j["o_custkey"].map(c)
     j["dst"] = j["l_suppkey"].map(s)
     j = j[j["src"] != j["dst"]]
-    j["w"] = (j["l_extendedprice"] * (1 - j["l_discount"]) * 100).round().astype("int64")
+    j["w"] = np.floor(j["l_extendedprice"] * (1 - j["l_discount"]) * 100 + 0.5).astype("int64")
     rev = j.groupby(["src", "dst"])["w"].sum().reset_index()
     rev = rev.sort_values(["w", "src", "dst"], ascending=[False, True, True])
     top = rev.head(40)[["src", "dst"]]
@@ -395,3 +395,85 @@ def test_pii_scrub_matches_python_re(spark):
     }
     assert got == agg
     assert all(v[1] >= v[0] and v[3] >= v[0] for v in got.values())
+
+
+def test_min_unit_cost_supplier_matches_pandas(spark):
+    li = _pdf(spark, "lineitem")
+    s = _pdf(spark, "supplier").set_index("s_suppkey")["s_name"]
+    g = li.groupby(["l_partkey", "l_suppkey"]).agg(
+        cents=("l_extendedprice", lambda x: np.floor(x * 100 + 0.5).astype("int64").sum()),
+        qty=("l_quantity", "sum"),
+    )
+    g["uc"] = g["cents"] / g["qty"] / 100.0
+    want = set()
+    for pk, grp in g.groupby(level=0):
+        mc = grp["uc"].min()
+        for (pk2, sk), row in grp[grp["uc"] == mc].iterrows():
+            want.add((pk, s[sk], _r6(row["uc"])))
+    got = {
+        (r["l_partkey"], r["s_name"], r["unit_cost"])
+        for r in QUERIES["min_unit_cost_supplier"](spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_top_value_parts_matches_pandas(spark):
+    li = _pdf(spark, "lineitem")
+    # half-up like both engines, not pandas' half-even .round()
+    cents = (
+        np.floor(li["l_extendedprice"] * (1 - li["l_discount"]) * 100 + 0.5)
+        .astype("int64")
+        .groupby(li["l_partkey"])
+        .sum()
+    )
+    t, n = cents.sum(), len(cents)
+    want = {pk: c / 100.0 for pk, c in cents.items() if c * n * 1.0 > 1.5 * t}
+    got = {
+        r["l_partkey"]: r["part_value"]
+        for r in QUERIES["top_value_parts"](spark, SF).collect()
+    }
+    assert got == want and 0 < len(got) < len(cents)
+
+
+def test_top_revenue_supplier_quarter_matches_pandas(spark):
+    li = _pdf(spark, "lineitem")
+    s = _pdf(spark, "supplier").set_index("s_suppkey")["s_name"]
+    q = li[
+        (li["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1996-04-01"))
+    ]
+    cents = (
+        np.floor(q["l_extendedprice"] * (1 - q["l_discount"]) * 100 + 0.5)
+        .astype("int64")
+        .groupby(q["l_suppkey"])
+        .sum()
+    )
+    m = cents.max()
+    want = {(sk, s[sk], c / 100.0) for sk, c in cents.items() if c == m}
+    got = {
+        (r["s_suppkey"], r["s_name"], r["total_revenue"])
+        for r in QUERIES["top_revenue_supplier_quarter"](spark, SF).collect()
+    }
+    assert got == want and len(got) >= 1
+
+
+def test_variance_ratio_matches_numpy(spark):
+    bars = _bars_pdf(spark)
+    got = {
+        r["code"]: (r["n_days"], r["vr5"])
+        for r in QUERIES["variance_ratio_test"](spark, SF).collect()
+    }
+    checked = 0
+    for code, g in bars.groupby("code"):
+        close = g["close"].to_numpy()
+        raw = np.log(close[1:] / close[:-1]) * 1e4
+        z = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5))
+        if len(z) < 6 or np.var(z) == 0:
+            assert code not in got
+            continue
+        z5 = np.convolve(z, np.ones(5), mode="valid")  # overlapping 5-sums
+        vr = z5.var(ddof=1) / (5.0 * z.var(ddof=1))
+        assert got[code][0] == len(z)
+        assert abs(got[code][1] - vr) < 2e-6, (code, got[code][1], vr)
+        checked += 1
+    assert checked > 5
