@@ -9,6 +9,7 @@ from .session_windows import session_stats  # noqa: F401
 from .stateful import running_user_stats  # noqa: F401
 from .tick_bars import (  # noqa: F401
     click_purchase_interval_join,
+    click_purchase_outer_join,
     sliding_type_stats,
     stream_events,
     streaming_minute_bars,

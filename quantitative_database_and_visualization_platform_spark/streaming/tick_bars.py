@@ -154,3 +154,45 @@ def sliding_type_stats(
             "value_total",
         )
     )
+
+
+def click_purchase_outer_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "10 minutes", watermark: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: like
+    click_purchase_interval_join, plus a NULL-purchase row for every
+    click whose join window closed with no match — the abandonment
+    signal an attribution pipeline needs.
+
+    Outer results are what make watermarks load-bearing rather than
+    just an eviction hint: a click can only be declared unmatched once
+    the watermark proves no qualifying purchase can still arrive
+    (watermark > click_ts + within), so each null row is emitted
+    exactly once, deterministically, and state stays bounded. The same
+    body runs as the batch twin (plain left join) for the parity test;
+    the streaming run emits null rows ONLY for clicks the final
+    watermark closed, which the test mirrors.
+    """
+    c = (
+        clicks.withColumn("click_ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "click_ts", F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.withColumn("purchase_ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            "purchase_ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )

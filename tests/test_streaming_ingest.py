@@ -805,3 +805,72 @@ def test_parquet_schema_evolution_roundtrip(spark, tmp_path):
         for r in merged.filter(F.col("lang").isNotNull()).collect()
     }
     assert got == want
+
+
+def test_stream_stream_outer_join_matches_batch(spark):
+    """LEFT OUTER stream-stream interval join: matched rows must equal
+    the batch twin exactly; null (unmatched-click) rows must appear for
+    every click whose join window the FINAL watermark provably closed,
+    and never for a click that has a batch match."""
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        click_purchase_outer_join,
+        stream_events,
+    )
+
+    ev_stream = stream_events(spark, SF)
+    joined = click_purchase_outer_join(
+        ev_stream.filter(F.col("event_type") == "click"),
+        ev_stream.filter(F.col("event_type") == "purchase"),
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssoj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssoj_test").toPandas()
+
+    ev = load_table(spark, SF, "events")
+    want = click_purchase_outer_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).toPandas()
+
+    key = ["click_id", "purchase_id"]
+    gm = got[got["purchase_id"].notna()].sort_values(key).reset_index(drop=True)
+    wm = want[want["purchase_id"].notna()].sort_values(key).reset_index(drop=True)
+    assert len(gm) == len(wm) > 0
+    assert gm.equals(wm)
+
+    import pandas as pd
+
+    # the GLOBAL watermark is the MIN across both input watermarks
+    # (multipleWatermarkPolicy=min): each side's watermark derives from
+    # its OWN max event time, so the closure predicate must use the
+    # smaller of the two (the last click itself can never be declared
+    # unmatched — its own side's watermark stops at it)
+    side_max = [
+        ev.filter(F.col("event_type") == t)
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .collect()[0][0]
+        for t in ("click", "purchase")
+    ]
+    final_wm = min(side_max) - pd.Timedelta("5 minutes")
+    got_null = set(got.loc[got["purchase_id"].isna(), "click_id"])
+    want_null = want[want["purchase_id"].isna()]
+    # strictly-closed unmatched clicks MUST have a null row — with a
+    # 1-minute margin: the state-eviction comparison at the exact
+    # watermark boundary is implementation-defined (>= vs >), so the
+    # red-line stays clear of it
+    closed = want_null[
+        want_null["click_ts"] + pd.Timedelta("11 minutes") < final_wm
+    ]
+    missing = set(closed["click_id"]) - got_null
+    assert missing == set(), f"{len(missing)} closed unmatched clicks never emitted"
+    # ...and no emitted null row may contradict the batch join
+    assert got_null <= set(want_null["click_id"])
+    assert len(got_null) > 0
