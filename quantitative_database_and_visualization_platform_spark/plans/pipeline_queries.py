@@ -4824,3 +4824,86 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("t") - F.length("red")).alias("chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases (new r7): per source, split the corpus into three
+# quality-ordered training phases by TOKEN budget — phase 1 = the
+# highest-quality docs holding the first 10% of the source's token
+# mass, phase 2 the next 20%, phase 3 the rest (the curriculum-learning
+# data prep: warm up on clean text, anneal onto the tail).
+#
+# Scale shape: the running token sum is a SOURCE-partitioned window
+# (never the unpartitioned global cumsum, which would drag the corpus
+# through one task); phase boundaries are integer comparisons
+# (c*10 <= T, c*10 <= 3*T) on exact token cumsums, and the quality
+# ordering key is the 1e6-quantized score with a doc_id tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "curriculum_phases",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), dw AS (
+        SELECT doc_id, source, t, string_split(t, ' ') AS w FROM d
+    ), f AS (
+        SELECT doc_id, source,
+               {o_text_features()['n_tokens']} AS n_tokens,
+               CAST(FLOOR(({o_text_features()['quality_score']}) * 1000000 + 0.5)
+                    AS BIGINT) AS qq
+        FROM dw
+    ), c AS (
+        SELECT doc_id, source, n_tokens, qq,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY qq DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS tt
+        FROM f
+    )
+    SELECT source,
+           CAST(CASE WHEN ct * 10 <= tt THEN 1
+                     WHEN ct * 10 <= 3 * tt THEN 2 ELSE 3 END AS INT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+           FLOOR(CAST(SUM(qq) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 1000000.0
+             AS avg_quality
+    FROM c GROUP BY source, 2
+    """,
+)
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    f = with_text_features(docs).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("quality_score") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("qq"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("qq"), "doc_id")
+    c = f.select(
+        "source",
+        "n_tokens",
+        "qq",
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("ct"),
+        F.sum("n_tokens")
+        .over(Window.partitionBy("source").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("tt"),
+    )
+    phase = (
+        F.when(F.col("ct") * 10 <= F.col("tt"), 1)
+        .when(F.col("ct") * 10 <= 3 * F.col("tt"), 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return c.groupBy("source", phase.alias("phase")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("phase_tokens"),
+        (F.floor(F.sum("qq") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)) / 1_000_000.0).alias(
+            "avg_quality"
+        ),
+    )

@@ -106,6 +106,7 @@ NEVER_DRIVER_VERIFIED = [
     "top_value_parts",
     "top_revenue_supplier_quarter",
     "variance_ratio_test",
+    "curriculum_phases",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -137,6 +138,7 @@ QUEUED_NEXT_ROUND = [
     "top_value_parts",
     "top_revenue_supplier_quarter",
     "variance_ratio_test",
+    "curriculum_phases",
 ]
 
 

@@ -477,3 +477,42 @@ def test_variance_ratio_matches_numpy(spark):
         assert abs(got[code][1] - vr) < 2e-6, (code, got[code][1], vr)
         checked += 1
     assert checked > 5
+
+
+def test_curriculum_phases_matches_python(spark):
+    """Recompute the token-budget curriculum split with a plain-python
+    sort + running sum over independently recomputed quality scores."""
+    docs = _pdf(spark, "documents")
+    stop = {"the", "a", "of", "to", "and", "is", "in"}
+    rows = []
+    for r in docs.itertuples():
+        t = " ".join(r.text.split()).lower().strip()
+        w = t.split(" ")
+        sr = sum(1 for x in w if x in stop) / len(w)
+        q = 0.6 * min(len(w) / 100.0, 1.0) + 0.4 * min(sr * 10, 1.0)
+        rows.append((r.source, r.doc_id, len(w), math.floor(q * 1e6 + 0.5)))
+    agg: dict[tuple, list] = {}
+    for source in {r[0] for r in rows}:
+        sub = sorted(
+            (r for r in rows if r[0] == source), key=lambda r: (-r[3], r[1])
+        )
+        tt = sum(r[2] for r in sub)
+        ct = 0
+        for _, _, n_tok, qq in sub:
+            ct += n_tok
+            phase = 1 if ct * 10 <= tt else (2 if ct * 10 <= 3 * tt else 3)
+            a = agg.setdefault((source, phase), [0, 0, 0])
+            a[0] += 1
+            a[1] += n_tok
+            a[2] += qq
+    got = {
+        (r["source"], r["phase"]): (r["n_docs"], r["phase_tokens"], r["avg_quality"])
+        for r in QUERIES["curriculum_phases"](spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, tok, qqs) in agg.items():
+        gn, gt, gq = got[k]
+        assert (gn, gt) == (n, tok), k
+        assert gq == math.floor(qqs / n + 0.5) / 1e6, k
+    # every source must produce all three phases at this corpus size
+    assert {ph for _, ph in got} == {1, 2, 3}
