@@ -104,7 +104,8 @@ GATE_FIRST: list[str] = [
 #   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining,
 #   embedding_silhouette, trade_reachability_hops, pii_scrub_report,
 #   min_unit_cost_supplier, top_value_parts,
-#   top_revenue_supplier_quarter, variance_ratio_test, curriculum_phases
+#   top_revenue_supplier_quarter, variance_ratio_test, curriculum_phases,
+#   leadlag_cross_correlation
 
 
 def _apply_gate_order() -> None:

@@ -3501,3 +3501,101 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_days"),
         round6(var5 / (5.0 * var1)).alias("vr5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation profile (new r7): corr(r_A(t), r_B(t+L))
+# for L in -3..+3 between the panel's canonical pair (the two lowest
+# codes, the pairs_spread_zscore convention) — the lead-lag discovery
+# scan that precedes building a pairs/leader-follower strategy. The
+# AUTO-correlation twin is acf_lag_profile; this is the cross version.
+#
+# Determinism: returns quantized at 1e4; per-lag moments are exact
+# int64 sums (|r| <= 9e7 on this panel -> r_a*r_b <= 8.1e15 x 30 rows);
+# the corr combines CAST-down sums in double arithmetic. Row alignment
+# is by per-series date rank, so a missing date shifts, not breaks, the
+# lag indexing (both engines rank identically).
+# ---------------------------------------------------------------------------
+@query(
+    "leadlag_cross_correlation",
+    oracle=f"""
+    WITH {O_BARS},
+    two AS (
+        SELECT code FROM (SELECT DISTINCT code FROM bars) ORDER BY code LIMIT 2
+    ), rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1)
+                          * 10000, 0) AS BIGINT) AS rq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) - 1 AS rn
+        FROM bars WHERE code IN (SELECT code FROM two)
+    ), a AS (
+        SELECT rn, rq AS x FROM rets
+        WHERE code = (SELECT MIN(code) FROM two) AND rq IS NOT NULL
+    ), b AS (
+        SELECT rn, rq AS y FROM rets
+        WHERE code = (SELECT MAX(code) FROM two) AND rq IS NOT NULL
+    ), m AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.x) AS BIGINT) AS sx,
+               CAST(SUM(b.y) AS BIGINT) AS sy,
+               CAST(SUM(a.x * a.x) AS BIGINT) AS sxx,
+               CAST(SUM(b.y * b.y) AS BIGINT) AS syy,
+               CAST(SUM(a.x * b.y) AS BIGINT) AS sxy
+        FROM range(-3, 4) l(lag)
+        JOIN a ON TRUE
+        JOIN b ON b.rn = a.rn + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           {o_round6('(n * 1.0 * sxy - sx * 1.0 * sy) '
+                     '/ sqrt(n * 1.0 * sxx - sx * 1.0 * sx) '
+                     '/ sqrt(n * 1.0 * syy - sy * 1.0 * sy)')} AS xcorr
+    FROM m
+    WHERE n >= 3 AND n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def leadlag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    two = [
+        r["code"]
+        for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
+    ]  # two scalars, the pair definition — not data-sized driver work
+    w = Window.partitionBy("code").orderBy("d")
+    rets = (
+        bars.filter(F.col("code").isin(two))
+        .select(
+            "code",
+            F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0)
+            .cast("long")
+            .alias("rq"),
+            (F.row_number().over(w) - 1).alias("rn"),
+        )
+        .filter(F.col("rq").isNotNull())
+    )
+    a = rets.filter(F.col("code") == two[0]).select("rn", F.col("rq").alias("x"))
+    b = rets.filter(F.col("code") == two[1]).select(
+        F.col("rn").alias("brn"), F.col("rq").alias("y")
+    )
+    lags = a.sparkSession.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    m = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("brn") == F.col("rn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    dx = F.sqrt(F.col("n") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+    dy = F.sqrt(F.col("n") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+    return m.filter(
+        (F.col("n") >= 3)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+        & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+    ).select("lag", "n", round6(num / dx / dy).alias("xcorr"))

@@ -107,6 +107,7 @@ NEVER_DRIVER_VERIFIED = [
     "top_revenue_supplier_quarter",
     "variance_ratio_test",
     "curriculum_phases",
+    "leadlag_cross_correlation",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -139,6 +140,7 @@ QUEUED_NEXT_ROUND = [
     "top_revenue_supplier_quarter",
     "variance_ratio_test",
     "curriculum_phases",
+    "leadlag_cross_correlation",
 ]
 
 

@@ -516,3 +516,34 @@ def test_curriculum_phases_matches_python(spark):
         assert gq == math.floor(qqs / n + 0.5) / 1e6, k
     # every source must produce all three phases at this corpus size
     assert {ph for _, ph in got} == {1, 2, 3}
+
+
+def test_leadlag_cross_correlation_matches_numpy(spark):
+    bars = _bars_pdf(spark)
+    codes = sorted(bars["code"].unique())[:2]
+    series = {}
+    for c in codes:
+        close = bars[bars["code"] == c].sort_values("d")["close"].to_numpy()
+        raw = (close[1:] / close[:-1] - 1) * 1e4
+        series[c] = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5))
+    x, y = series[codes[0]], series[codes[1]]
+    got = {
+        r["lag"]: (r["n"], r["xcorr"])
+        for r in QUERIES["leadlag_cross_correlation"](spark, SF).collect()
+    }
+    for lag in range(-3, 4):
+        # align x[i] with y[i + lag]
+        if lag >= 0:
+            xs, ys = x[: len(y) - lag], y[lag:]
+        else:
+            xs, ys = x[-lag:], y[: len(x) + lag]
+        n = min(len(xs), len(ys))
+        xs, ys = xs[:n], ys[:n]
+        if n < 3 or np.var(xs) == 0 or np.var(ys) == 0:
+            assert lag not in got
+            continue
+        want = np.corrcoef(xs, ys)[0, 1]
+        gn, gc = got[lag]
+        assert gn == n, lag
+        assert abs(gc - want) < 2e-6, (lag, gc, want)
+    assert len(got) == 7
