@@ -379,3 +379,22 @@ def test_small_qty_avg_join_is_broadcast(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan[:3000]
+
+
+def test_curriculum_cumsum_window_is_source_partitioned(spark):
+    """The running token sum must be a source-keyed window — an
+    unpartitioned global cumsum would drag the whole corpus through a
+    single task at 100 TB."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    logical = (
+        QUERIES["curriculum_phases"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
+    assert specs, logical[:2000]
+    assert all("source" in sp for sp in specs), specs
