@@ -105,7 +105,7 @@ GATE_FIRST: list[str] = [
 #   embedding_silhouette, trade_reachability_hops, pii_scrub_report,
 #   min_unit_cost_supplier, top_value_parts,
 #   top_revenue_supplier_quarter, variance_ratio_test, curriculum_phases,
-#   leadlag_cross_correlation
+#   leadlag_cross_correlation, cusum_changepoint, gini_revenue_by_nation
 
 
 def _apply_gate_order() -> None:

@@ -3599,3 +3599,74 @@ def leadlag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
         & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
     ).select("lag", "n", round6(num / dx / dy).alias("xcorr"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint alarms (new r7): the one-sided CUSUM statistic
+# S_t = max(0, S_{t-1} + z_t - k) over daily returns, alarming when
+# S_t > h — the sequential mean-shift detector a monitoring pipeline
+# runs per entity. The recursion is NOT window-expressible directly,
+# but factors through the prefix-sum identity
+#     S_t = C_t - min(C_0..C_t),  C_t = cumsum(z - k)
+# (with C_0 = 0 prepended), so both engines compute it with one
+# cumulative sum and one running min — exact integer arithmetic at the
+# 1e4 return quantization, no recursion, no Python.
+#
+# k (allowance) = 50 bp, h (threshold) = 300 bp, both in quantized
+# units; alarms reset is deliberately NOT modeled (standard one-shot
+# CUSUM surveillance: report excursions above h).
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1)
+                          * 10000, 0) AS BIGINT) - 50 AS zk
+        FROM bars
+    ), c1 AS (
+        -- DuckDB window calls cannot nest: stage the cumsum first
+        SELECT code, d,
+               CAST(SUM(zk) OVER (PARTITION BY code ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ct
+        FROM t WHERE zk IS NOT NULL
+    ), c AS (
+        SELECT code, d, ct,
+               CAST(LEAST(0, MIN(ct) OVER (PARTITION BY code ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                    AS BIGINT) AS mn
+        FROM c1
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(count_if(ct - mn > 3000) AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN ct - mn > 3000 THEN d END) AS first_alarm,
+           CAST(MAX(ct - mn) AS BIGINT) AS max_cusum
+    FROM c GROUP BY code
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    zk = (
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0).cast("long")
+        - 50
+    )
+    t = bars.select("code", "d", zk.alias("zk")).filter(F.col("zk").isNotNull())
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = t.select(
+        "code",
+        "d",
+        F.sum("zk").over(cum).alias("ct"),
+        # C_0 = 0 prepend == clamp the running min at zero
+        F.least(F.lit(0), F.min(F.sum("zk").over(cum)).over(cum)).alias("mn"),
+    )
+    s = F.col("ct") - F.col("mn")
+    return c.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count_if(s > 3000).alias("n_alarm_days"),
+        F.min(F.when(s > 3000, F.col("d"))).alias("first_alarm"),
+        F.max(s).alias("max_cusum"),
+    )

@@ -1456,3 +1456,70 @@ def top_revenue_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", (F.col("cents") / 100.0).alias("total_revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini revenue concentration (new r7): per nation, the Gini coefficient
+# of customer order revenue — the inequality statistic behind
+# "whale-customer" risk reports, computed with the rank formula
+#     G = 2*sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n
+# over cents-exact revenues sorted ascending with a custkey tiebreak
+# (ties make the rank form order-dependent; the tiebreak pins both
+# engines to the same permutation, and the formula itself is
+# tie-invariant since equal x swap freely).
+#
+# Scale shape: custkey aggregate, then a NATION-partitioned rank window
+# and one integer-moment aggregate per nation — no global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "gini_revenue_by_nation",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_nationkey, o.o_custkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey, o.o_custkey
+    ), ranked AS (
+        SELECT c_nationkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY cents, o_custkey) AS i
+        FROM cust
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) / 100.0 AS total_revenue,
+           FLOOR((2.0 * CAST(SUM(i * cents) AS BIGINT)
+                  / (COUNT(*) * 1.0 * CAST(SUM(cents) AS BIGINT))
+                  - (COUNT(*) + 1.0) / COUNT(*)) * 1000000 + 0.5) / 1000000.0
+             AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        "c_nationkey", "cents", F.row_number().over(w).alias("i")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("cents")
+    six = F.sum(F.col("i") * F.col("cents"))
+    return ranked.groupBy("c_nationkey").agg(
+        n.alias("n_customers"),
+        (sx / 100.0).alias("total_revenue"),
+        (
+            F.floor(
+                (2.0 * six / (n * 1.0 * sx) - (n + 1.0) / n) * 1_000_000 + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("gini"),
+    )

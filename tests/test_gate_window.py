@@ -108,6 +108,8 @@ NEVER_DRIVER_VERIFIED = [
     "variance_ratio_test",
     "curriculum_phases",
     "leadlag_cross_correlation",
+    "cusum_changepoint",
+    "gini_revenue_by_nation",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -141,6 +143,8 @@ QUEUED_NEXT_ROUND = [
     "variance_ratio_test",
     "curriculum_phases",
     "leadlag_cross_correlation",
+    "cusum_changepoint",
+    "gini_revenue_by_nation",
 ]
 
 

@@ -547,3 +547,57 @@ def test_leadlag_cross_correlation_matches_numpy(spark):
         assert gn == n, lag
         assert abs(gc - want) < 2e-6, (lag, gc, want)
     assert len(got) == 7
+
+
+def test_cusum_matches_sequential_python(spark):
+    """Recompute the CUSUM with the literal RECURSION
+    S_t = max(0, S_{t-1} + z_t - k) — the engine uses the prefix-sum
+    identity S_t = C_t - min(0, min C), so agreement proves the
+    factorization, not just the formula."""
+    bars = _bars_pdf(spark)
+    got = {
+        r["code"]: (r["n_days"], r["n_alarm_days"], r["first_alarm"], r["max_cusum"])
+        for r in QUERIES["cusum_changepoint"](spark, SF).collect()
+    }
+    for code, g in bars.groupby("code"):
+        g = g.sort_values("d")
+        close = g["close"].to_numpy()
+        raw = (close[1:] / close[:-1] - 1) * 1e4
+        z = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype("int64")
+        dates = g["d"].to_numpy()[1:]
+        s, alarms, first, mx = 0, 0, None, 0
+        for zt, d in zip(z, dates):
+            s = max(0, s + int(zt) - 50)
+            mx = max(mx, s)
+            if s > 3000:
+                alarms += 1
+                if first is None:
+                    first = d
+        gn, ga, gf, gm = got[code]
+        assert gn == len(z)
+        assert (ga, gm) == (alarms, mx), code
+        assert (gf is None and first is None) or (gf == first), code
+
+
+def test_gini_matches_python_sort(spark):
+    """Gini recomputed with the mean-absolute-difference definition
+    G = sum_ij |x_i - x_j| / (2 n^2 mu) — an algebraically different
+    formula than the engine's rank form."""
+    c = _pdf(spark, "customer")
+    o = _pdf(spark, "orders")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j["o_totalprice"] * 100 + 0.5).astype("int64")
+    got = {
+        r["c_nationkey"]: (r["n_customers"], r["total_revenue"], r["gini"])
+        for r in QUERIES["gini_revenue_by_nation"](spark, SF).collect()
+    }
+    for nk, g in j.groupby("c_nationkey"):
+        x = g.groupby("o_custkey")["cents"].sum().to_numpy().astype(float)
+        n = len(x)
+        mad = np.abs(x[:, None] - x[None, :]).sum()
+        gini = mad / (2 * n * n * x.mean())
+        gn, gt, gg = got[nk]
+        assert gn == n
+        assert abs(gt - x.sum() / 100.0) < 1e-9
+        assert abs(gg - gini) < 2e-6, (nk, gg, gini)
+    assert set(got) == set(j["c_nationkey"].unique())
