@@ -1469,7 +1469,12 @@ def top_revenue_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tie-invariant since equal x swap freely).
 #
 # Scale shape: custkey aggregate, then a NATION-partitioned rank window
-# and one integer-moment aggregate per nation — no global sort.
+# and one integer-moment aggregate per nation — no global sort. The
+# rank moment sum(i*cents) grows as n² x mean-cents and exits int64
+# around ~14k customers/nation at these magnitudes, so it is summed as
+# a hi/lo 2^20 split: each partial sum stays an exact int64, and the
+# recombine (hi*2^20 + lo) is one identical double expression on both
+# engines — order-independent by construction, unlike a raw double sum.
 # ---------------------------------------------------------------------------
 @query(
     "gini_revenue_by_nation",
@@ -1489,7 +1494,8 @@ def top_revenue_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(cents) AS BIGINT) / 100.0 AS total_revenue,
-           FLOOR((2.0 * CAST(SUM(i * cents) AS BIGINT)
+           FLOOR((2.0 * (CAST(SUM(i * (cents // 1048576)) AS BIGINT) * 1048576.0
+                         + CAST(SUM(i * (cents % 1048576)) AS BIGINT))
                   / (COUNT(*) * 1.0 * CAST(SUM(cents) AS BIGINT))
                   - (COUNT(*) + 1.0) / COUNT(*)) * 1000000 + 0.5) / 1000000.0
              AS gini
@@ -1512,7 +1518,11 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count(F.lit(1))
     sx = F.sum("cents")
-    six = F.sum(F.col("i") * F.col("cents"))
+    six = (
+        F.sum(F.col("i") * F.floor(F.col("cents") / 1_048_576).cast("long"))
+        * 1_048_576.0
+        + F.sum(F.col("i") * (F.col("cents") % 1_048_576))
+    )
     return ranked.groupBy("c_nationkey").agg(
         n.alias("n_customers"),
         (sx / 100.0).alias("total_revenue"),
