@@ -105,7 +105,8 @@ GATE_FIRST: list[str] = [
 #   embedding_silhouette, trade_reachability_hops, pii_scrub_report,
 #   min_unit_cost_supplier, top_value_parts,
 #   top_revenue_supplier_quarter, variance_ratio_test, curriculum_phases,
-#   leadlag_cross_correlation, cusum_changepoint, gini_revenue_by_nation
+#   leadlag_cross_correlation, cusum_changepoint, gini_revenue_by_nation,
+#   event_path_trigrams, weighted_median_unit_price, join_skew_report
 
 
 def _apply_gate_order() -> None:

@@ -1533,3 +1533,151 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantity-weighted median unit price per brand (new r7): Spark has no
+# native weighted percentile, so the operator is built from first
+# principles — sort by unit price inside each brand, run an exact
+# integer cumulative weight, and pick the first row where
+# 2*cumweight >= totalweight (the lower weighted median). Ties in unit
+# price are pinned by the (orderkey, linenumber) unique key so both
+# engines walk the same permutation.
+#
+# Scale shape: one brand-partitioned sort window + one aggregate — the
+# same shape as any grouped rank, no global sort, no collect.
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_median_unit_price",
+    oracle="""
+    WITH u AS (
+        SELECT p.p_brand, l.l_orderkey, l.l_linenumber,
+               l.l_extendedprice / l.l_quantity AS up,
+               CAST(l.l_quantity AS BIGINT) AS w
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), c AS (
+        SELECT p_brand, up, w,
+               CAST(SUM(w) OVER (PARTITION BY p_brand
+                    ORDER BY up, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+        FROM u
+    ), pick AS (
+        SELECT p_brand, up, tw,
+               ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cw) AS rn
+        FROM c WHERE 2 * cw >= tw
+    )
+    SELECT p_brand, CAST(tw AS BIGINT) AS total_qty,
+           FLOOR(up * 1000000 + 0.5) / 1000000.0 AS weighted_median_price
+    FROM pick WHERE rn = 1
+    """,
+)
+def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    u = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    ws = (
+        Window.partitionBy("p_brand")
+        .orderBy("up", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = u.select(
+        "p_brand",
+        "up",
+        F.sum("w").over(ws).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    ).filter(2 * F.col("cw") >= F.col("tw"))
+    pick = Window.partitionBy("p_brand").orderBy("cw")
+    return (
+        c.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("tw").alias("total_qty"),
+            (F.floor(F.col("up") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias(
+                "weighted_median_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew audit report (new r7): the pre-flight measurement an
+# engineer runs BEFORE keying a 100 TB shuffle — per candidate join key
+# of the fact table, the row count, distinct-key count, heaviest key's
+# share, and the max/avg skew factor, plus the top-3 heavy keys (flat
+# string, driver-hashable). A skew factor near 1 means hash partitions
+# balance; a large one calls for salting or AQE skew-join.
+#
+# Scale shape: one aggregate per audited key (each a uniform-key
+# shuffle), key-cardinality intermediates, TakeOrdered for the top-3.
+# ---------------------------------------------------------------------------
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH keys AS (
+        SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+        UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        UNION ALL SELECT 'l_orderkey', l_orderkey FROM lineitem
+    ), per AS (
+        SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS c
+        FROM keys GROUP BY key_col, k
+    ), ranked AS (
+        SELECT key_col, k, c,
+               ROW_NUMBER() OVER (PARTITION BY key_col ORDER BY c DESC, k) AS rn
+        FROM per
+    )
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           FLOOR(MAX(c) * COUNT(*) * 1.0 / SUM(c) * 1000000 + 0.5) / 1000000.0
+             AS skew_factor,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(k AS VARCHAR) END, ','
+                      ORDER BY rn) AS top3_keys
+    FROM ranked GROUP BY key_col
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = [
+        li.select(F.lit(c).alias("key_col"), F.col(c).alias("k"))
+        for c in ("l_partkey", "l_suppkey", "l_orderkey")
+    ]
+    keys = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    per = keys.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    rk = Window.partitionBy("key_col").orderBy(F.desc("c"), "k")
+    ranked = per.withColumn("rn", F.row_number().over(rk))
+    return ranked.groupBy("key_col").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        (
+            F.floor(
+                F.max("c") * F.count(F.lit(1)) * 1.0 / F.sum("c") * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000.0
+        ).alias("skew_factor"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= 3, F.struct("rn", F.col("k")))
+                    )
+                ),
+                lambda s: s["k"].cast("string"),
+            ),
+        ).alias("top3_keys"),
+    )

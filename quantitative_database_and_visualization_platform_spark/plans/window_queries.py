@@ -377,3 +377,65 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.session_windows import session_stats
 
     return session_stats(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Event-path trigram mining (new r7): the most common 3-step event-type
+# sequences across per-(user, day) journeys — the "user path" analysis
+# a product funnel team runs beyond single-step funnels. Paths are
+# ordered by (ts, event_id) inside each journey (deterministic ties),
+# trigram strings like 'click>view>purchase' counted globally, top 20
+# by (count desc, trigram).
+#
+# Scale shape: the per-journey event list is bounded by events/user/day
+# (never corpus-sized); the trigram explode is linear in events; the
+# head is TakeOrderedAndProject. The path array is persisted before the
+# explode (Generate re-collapse trap).
+# ---------------------------------------------------------------------------
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH j AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               list(event_type ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), tri AS (
+        SELECT path[k + 1] || '>' || path[k + 2] || '>' || path[k + 3] AS trigram
+        FROM j, UNNEST(range(0, GREATEST(0, len(path) - 2))) t(k)
+        WHERE len(path) >= 3
+    )
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
+    ev = _events(spark, sf_dir)
+    j = managed_persist(
+        ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("path")
+        )
+        .filter(F.size("path") >= 3)
+    )
+    tri = j.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(path) - 3),"
+                " i -> concat(path[i], '>', path[i+1], '>', path[i+2]))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )

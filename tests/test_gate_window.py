@@ -110,6 +110,9 @@ NEVER_DRIVER_VERIFIED = [
     "leadlag_cross_correlation",
     "cusum_changepoint",
     "gini_revenue_by_nation",
+    "event_path_trigrams",
+    "weighted_median_unit_price",
+    "join_skew_report",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -145,6 +148,9 @@ QUEUED_NEXT_ROUND = [
     "leadlag_cross_correlation",
     "cusum_changepoint",
     "gini_revenue_by_nation",
+    "event_path_trigrams",
+    "weighted_median_unit_price",
+    "join_skew_report",
 ]
 
 

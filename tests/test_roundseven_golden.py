@@ -601,3 +601,62 @@ def test_gini_matches_python_sort(spark):
         assert abs(gt - x.sum() / 100.0) < 1e-9
         assert abs(gg - gini) < 2e-6, (nk, gg, gini)
     assert set(got) == set(j["c_nationkey"].unique())
+
+
+def test_event_path_trigrams_matches_python(spark):
+    from collections import Counter
+
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    cnt: Counter = Counter()
+    for _, g in ev.groupby(["user_id", "day"]):
+        path = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for i in range(len(path) - 2):
+            cnt[f"{path[i]}>{path[i+1]}>{path[i+2]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["trigram"], r["n"])
+        for r in QUERIES["event_path_trigrams"](spark, SF).collect()
+    ]
+    assert got == want and len(got) == 20
+
+
+def test_weighted_median_matches_python(spark):
+    li = _pdf(spark, "lineitem")
+    p = _pdf(spark, "part").set_index("p_partkey")["p_brand"]
+    li["brand"] = li["l_partkey"].map(p)
+    li["up"] = li["l_extendedprice"] / li["l_quantity"]
+    got = {
+        r["p_brand"]: (r["total_qty"], r["weighted_median_price"])
+        for r in QUERIES["weighted_median_unit_price"](spark, SF).collect()
+    }
+    for brand, g in li.groupby("brand"):
+        g = g.sort_values(["up", "l_orderkey", "l_linenumber"])
+        w = g["l_quantity"].astype("int64").to_numpy()
+        tw = w.sum()
+        cw = w.cumsum()
+        idx = int(np.argmax(2 * cw >= tw))  # first crossing
+        wm = g["up"].to_numpy()[idx]
+        gt, gm = got[brand]
+        assert gt == tw
+        assert gm == _r6(wm), (brand, gm, wm)
+    assert set(got) == set(li["brand"].unique())
+
+
+def test_join_skew_report_matches_python(spark):
+    from collections import Counter
+
+    li = _pdf(spark, "lineitem")
+    got = {
+        r["key_col"]: (
+            r["n_rows"], r["n_keys"], r["max_key_rows"], r["skew_factor"], r["top3_keys"]
+        )
+        for r in QUERIES["join_skew_report"](spark, SF).collect()
+    }
+    for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+        c = Counter(li[col])
+        n, k, mx = len(li), len(c), max(c.values())
+        top3 = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want = (n, k, mx, _r6(mx * k / n), ",".join(str(x) for x, _ in top3))
+        assert got[col] == want, (col, got[col], want)
+    assert set(got) == {"l_partkey", "l_suppkey", "l_orderkey"}
