@@ -3670,3 +3670,144 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(s > 3000, F.col("d"))).alias("first_alarm"),
         F.max(s).alias("max_cusum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Block-bootstrap Sharpe confidence interval (new r7): the Monte-Carlo
+# statistic made DETERMINISTIC and distributed — per entity, B=50
+# circular-block resamples (block length 5) of the quantized daily
+# returns, a Sharpe per resample from exact integer moments, and the
+# 5th/95th order statistics as the CI. "Randomness" is an arithmetic
+# hash (b*1000003 + j*7919) mod n for the block start — pure integer
+# expressions both engines evaluate identically, so the whole bootstrap
+# is value-hash reproducible (the property a compliance re-run needs).
+#
+# Scale shape: the resample index relation is (B x n) rows PER ENTITY,
+# built by a broadcast cross join of two tiny ranges and joined back to
+# the returns on (code, idx) — one code-keyed shuffle; per-(code, b)
+# moments aggregate map-side; the order-statistic pick is a
+# code-partitioned rank over B=50 rows per code.
+# ---------------------------------------------------------------------------
+_BB_B, _BB_L = 50, 5
+
+
+@query(
+    "bootstrap_sharpe_ci",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code,
+               CAST(ROUND((close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1)
+                          * 10000, 0) AS BIGINT) AS r,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) - 2 AS idx
+        FROM bars
+    ), z AS (
+        SELECT code, r, idx, CAST(COUNT(*) OVER (PARTITION BY code) AS BIGINT) AS n
+        FROM t WHERE r IS NOT NULL
+    ), draws AS (
+        -- resample b, position p (0..n-1): block j = p // L, offset p % L,
+        -- source index = (hash(b, j) + p % L) % n
+        SELECT z.code, b.b, z2.r
+        FROM (SELECT DISTINCT code, n FROM z) z
+        CROSS JOIN range({_BB_B}) b(b)
+        -- position range covers a full trading year; p < n trims per code
+        CROSS JOIN range(0, 400) p(p)
+        JOIN z z2 ON z2.code = z.code
+                 AND z2.idx = ((b.b * 1000003 + (p.p // {_BB_L}) * 7919)
+                               + p.p % {_BB_L}) % z.n
+        WHERE p.p < z.n
+    ), stats AS (
+        SELECT code, b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r) AS BIGINT) AS s, CAST(SUM(r * r) AS BIGINT) AS q
+        FROM draws GROUP BY code, b
+    ), sharpe AS (
+        SELECT code, b, n,
+               CASE WHEN q * n > s * s THEN
+                   FLOOR(s * 1.0 / n / sqrt((q * 1.0 - s * 1.0 * s / n) / (n - 1))
+                         * sqrt(252.0) * 1000000 + 0.5) / 1000000.0
+               END AS sh
+        FROM stats
+    ), ranked AS (
+        SELECT code, sh,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY sh, b) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY code) AS BIGINT) AS nb
+        FROM sharpe WHERE sh IS NOT NULL
+    )
+    SELECT code, MIN(nb) AS n_resamples,
+           MIN(CASE WHEN rk = CAST(CEIL(nb * 0.05) AS BIGINT) THEN sh END) AS ci_lo,
+           MIN(CASE WHEN rk = CAST(CEIL(nb * 0.95) AS BIGINT) THEN sh END) AS ci_hi
+    FROM ranked GROUP BY code
+    """,
+)
+def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    t = bars.select(
+        "code",
+        F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0)
+        .cast("long")
+        .alias("r"),
+        (F.row_number().over(w) - 2).alias("idx"),
+    ).filter(F.col("r").isNotNull())
+    z = t.withColumn(
+        "n",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("code").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    spark_s = bars.sparkSession
+    b = spark_s.range(_BB_B).select(F.col("id").alias("b"))
+    p = spark_s.range(0, 400).select(F.col("id").alias("p"))
+    codes = z.select("code", "n").distinct()
+    draws = (
+        codes.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(p))
+        .filter(F.col("p") < F.col("n"))
+        .withColumn(
+            "idx",
+            (
+                (F.col("b") * 1000003 + F.floor(F.col("p") / _BB_L) * 7919)
+                + F.col("p") % _BB_L
+            )
+            % F.col("n"),
+        )
+        .join(z.select("code", "idx", "r"), ["code", "idx"])
+    )
+    stats = draws.groupBy("code", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r") * F.col("r")).alias("q"),
+    )
+    var_num = (F.col("q") * 1.0 - F.col("s") * 1.0 * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    sh = F.when(
+        F.col("q") * F.col("n") > F.col("s") * F.col("s"),
+        F.floor(
+            F.col("s") * 1.0 / F.col("n") / F.sqrt(var_num) * F.sqrt(F.lit(252.0))
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000.0,
+    )
+    sharpe = stats.select("code", "b", sh.alias("sh")).filter(F.col("sh").isNotNull())
+    rw = Window.partitionBy("code").orderBy("sh", "b")
+    nb = F.count(F.lit(1)).over(
+        Window.partitionBy("code").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = sharpe.select(
+        "code", "sh", F.row_number().over(rw).alias("rk"), nb.alias("nb")
+    )
+    return ranked.groupBy("code").agg(
+        F.min("nb").alias("n_resamples"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(F.col("nb") * 0.05), F.col("sh"))
+        ).alias("ci_lo"),
+        F.min(
+            F.when(F.col("rk") == F.ceil(F.col("nb") * 0.95), F.col("sh"))
+        ).alias("ci_hi"),
+    )

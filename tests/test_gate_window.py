@@ -113,6 +113,7 @@ NEVER_DRIVER_VERIFIED = [
     "event_path_trigrams",
     "weighted_median_unit_price",
     "join_skew_report",
+    "bootstrap_sharpe_ci",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -151,6 +152,7 @@ QUEUED_NEXT_ROUND = [
     "event_path_trigrams",
     "weighted_median_unit_price",
     "join_skew_report",
+    "bootstrap_sharpe_ci",
 ]
 
 

@@ -660,3 +660,41 @@ def test_join_skew_report_matches_python(spark):
         want = (n, k, mx, _r6(mx * k / n), ",".join(str(x) for x, _ in top3))
         assert got[col] == want, (col, got[col], want)
     assert set(got) == {"l_partkey", "l_suppkey", "l_orderkey"}
+
+
+def test_bootstrap_sharpe_ci_matches_python(spark):
+    """Recompute the deterministic block bootstrap with plain-python
+    loops — same hash arithmetic, independent evaluation path."""
+    bars = _bars_pdf(spark)
+    got = {
+        r["code"]: (r["n_resamples"], r["ci_lo"], r["ci_hi"])
+        for r in QUERIES["bootstrap_sharpe_ci"](spark, SF).collect()
+    }
+    checked = 0
+    for code, g in bars.groupby("code"):
+        close = g.sort_values("d")["close"].to_numpy()
+        raw = (close[1:] / close[:-1] - 1) * 1e4
+        z = np.where(raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)).astype("int64")
+        n = len(z)
+        shs = []
+        for b in range(50):
+            idxs = [
+                ((b * 1000003 + (p // 5) * 7919) + p % 5) % n for p in range(n)
+            ]
+            zz = z[idxs].astype(float)
+            if zz.var(ddof=1) == 0:
+                continue
+            sh = zz.mean() / zz.std(ddof=1) * math.sqrt(252.0)
+            shs.append(math.floor(sh * 1e6 + 0.5) / 1e6)
+        shs.sort()
+        nb = len(shs)
+        if nb == 0:
+            assert code not in got
+            continue
+        lo = shs[math.ceil(nb * 0.05) - 1]
+        hi = shs[math.ceil(nb * 0.95) - 1]
+        gn, gl, gh = got[code]
+        assert gn == nb
+        assert gl == lo and gh == hi, (code, (gl, gh), (lo, hi))
+        checked += 1
+    assert checked > 5
