@@ -4907,3 +4907,109 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-ablation audit (new r7): for each probe, compare
+# the top-10 cosine neighborhood under the FULL 64-dim embedding with
+# the top-10 under the first-16-dims truncation — the measurement that
+# decides whether a Matryoshka-style truncated index (4x cheaper
+# storage/bandwidth) keeps enough ranking quality. Reports per-probe
+# overlap, Jaccard, and both top-1 ids.
+#
+# Scale shape: probes are a bounded broadcast; both scores come from
+# the SAME candidate scan (the truncated cosine just sums fewer dims);
+# per-probe top-10 via rank windows over the probe-bounded candidate
+# relation. At 100 TB the candidate pass swaps in the SRP/IVF
+# generators exactly like hard_negative_mining.
+# ---------------------------------------------------------------------------
+@query(
+    "matryoshka_dim_audit",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS p_id, embedding AS p_emb
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT p.p_id, e.vec_id,
+               ROUND({o_cosine('e.embedding', 'p.p_emb')}, 6) AS cf,
+               ROUND({o_cosine('e.embedding', 'p.p_emb', 16)}, 6) AS ct
+        FROM embeddings e, probes p
+        WHERE e.vec_id <> p.p_id
+    ), rf AS (
+        SELECT p_id, vec_id, cf,
+               ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY cf DESC, vec_id) AS r
+        FROM scored
+    ), rt AS (
+        SELECT p_id, vec_id, ct,
+               ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY ct DESC, vec_id) AS r
+        FROM scored
+    ), tf AS (SELECT p_id, vec_id, r FROM rf WHERE r <= 10),
+       tt AS (SELECT p_id, vec_id, r FROM rt WHERE r <= 10),
+    ov AS (
+        SELECT tf.p_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM tf JOIN tt ON tt.p_id = tf.p_id AND tt.vec_id = tf.vec_id
+        GROUP BY tf.p_id
+    )
+    SELECT tf.p_id AS probe_id,
+           COALESCE(MIN(ov.n_overlap), 0) AS n_overlap,
+           FLOOR(COALESCE(MIN(ov.n_overlap), 0) * 1.0
+                 / (20 - COALESCE(MIN(ov.n_overlap), 0)) * 1000000 + 0.5)
+                 / 1000000.0 AS jaccard_10,
+           MIN(CASE WHEN tf.r = 1 THEN tf.vec_id END) AS top1_full,
+           MIN(CASE WHEN tt.r = 1 THEN tt.vec_id END) AS top1_trunc
+    FROM tf
+    JOIN tt ON tt.p_id = tf.p_id
+    LEFT JOIN ov ON ov.p_id = tf.p_id
+    GROUP BY tf.p_id
+    """,
+)
+def matryoshka_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "vec_id",
+            F.round(cosine("embedding", "p_emb"), 6).alias("cf"),
+            F.round(
+                cosine("slice(embedding, 1, 16)", "slice(p_emb, 1, 16)"), 6
+            ).alias("ct"),
+        )
+    )
+    scored = managed_persist(scored)
+    wf = Window.partitionBy("p_id").orderBy(F.desc("cf"), "vec_id")
+    wt = Window.partitionBy("p_id").orderBy(F.desc("ct"), "vec_id")
+    tf = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= 10)
+        .select("p_id", "vec_id", "r")
+    )
+    tt = (
+        scored.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= 10)
+        .select("p_id", F.col("vec_id").alias("t_vec"), F.col("r").alias("t_r"))
+    )
+    ov = (
+        tf.join(tt, (tf.p_id == tt.p_id) & (tf.vec_id == tt.t_vec))
+        .groupBy(tf.p_id)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .withColumnRenamed("p_id", "o_pid")
+    )
+    joined = (
+        tf.join(tt, "p_id").join(ov, F.col("o_pid") == F.col("p_id"), "left")
+    )
+    n_ov = F.coalesce(F.min("n_overlap"), F.lit(0))
+    return joined.groupBy("p_id").agg(
+        n_ov.alias("n_overlap"),
+        (
+            F.floor(n_ov * 1.0 / (20 - n_ov) * 1_000_000 + F.lit(0.5)) / 1_000_000.0
+        ).alias("jaccard_10"),
+        F.min(F.when(F.col("r") == 1, F.col("vec_id"))).alias("top1_full"),
+        F.min(F.when(F.col("t_r") == 1, F.col("t_vec"))).alias("top1_trunc"),
+    ).withColumnRenamed("p_id", "probe_id")

@@ -114,6 +114,7 @@ NEVER_DRIVER_VERIFIED = [
     "weighted_median_unit_price",
     "join_skew_report",
     "bootstrap_sharpe_ci",
+    "matryoshka_dim_audit",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -153,6 +154,7 @@ QUEUED_NEXT_ROUND = [
     "weighted_median_unit_price",
     "join_skew_report",
     "bootstrap_sharpe_ci",
+    "matryoshka_dim_audit",
 ]
 
 

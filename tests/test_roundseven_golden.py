@@ -698,3 +698,35 @@ def test_bootstrap_sharpe_ci_matches_python(spark):
         assert gl == lo and gh == hi, (code, (gl, gh), (lo, hi))
         checked += 1
     assert checked > 5
+
+
+def test_matryoshka_dim_audit_matches_numpy(spark):
+    emb = _pdf(spark, "embeddings")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(float)
+    ids = emb["vec_id"].to_numpy()
+    got = {
+        r["probe_id"]: (r["n_overlap"], r["jaccard_10"], r["top1_full"], r["top1_trunc"])
+        for r in QUERIES["matryoshka_dim_audit"](spark, SF).collect()
+    }
+
+    def top10(p_vec, dims, p_id):
+        v = vecs[:, :dims]
+        pv = p_vec[:dims]
+        cos = np.round(
+            v @ pv / (np.linalg.norm(v, axis=1) * np.linalg.norm(pv)), 6
+        )
+        cand = [(c, i) for c, i in zip(cos, ids) if i != p_id]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        return [i for _, i in cand[:10]]
+
+    probes = emb[emb["vec_id"] % 100 == 0]
+    assert set(got) == set(probes["vec_id"])
+    for _, p in probes.iterrows():
+        pv = np.array(p["embedding"], dtype=float)
+        tf = top10(pv, 64, p["vec_id"])
+        tt = top10(pv, 16, p["vec_id"])
+        n = len(set(tf) & set(tt))
+        gn, gj, g1f, g1t = got[p["vec_id"]]
+        assert gn == n
+        assert gj == _r6(n / (20 - n))
+        assert g1f == tf[0] and g1t == tt[0]
