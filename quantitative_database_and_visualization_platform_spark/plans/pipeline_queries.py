@@ -5013,3 +5013,121 @@ def matryoshka_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("r") == 1, F.col("vec_id"))).alias("top1_full"),
         F.min(F.when(F.col("t_r") == 1, F.col("t_vec"))).alias("top1_trunc"),
     ).withColumnRenamed("p_id", "probe_id")
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (new r7): the classic Rapid Automatic Keyword
+# Extraction — candidate phrases are maximal stopword-free token runs;
+# each word scores degree/frequency (degree = summed length of the
+# phrases it appears in, frequency = occurrence count); a phrase scores
+# the sum of its words' scores; report the corpus top-20 phrases.
+#
+# Determinism: word scores are quantized to integer 1e-6 units BEFORE
+# the per-phrase sum (a float sum over phrase words would be
+# association-order-dependent), and the top-20 breaks ties by phrase
+# text. Phrase ids come from the running stopword count (the streak
+# gid technique), identical under the (doc, pos) order both engines
+# share.
+#
+# Scale shape: two explode→aggregate passes (word stats = vocabulary-
+# sized, phrase rollup = phrase-vocabulary-sized) + a broadcast join of
+# the word-score table; top-20 is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "rake_keywords",
+    oracle=f"""
+    WITH {_O_NORM},
+    toks AS (
+        SELECT doc_id, w[i] AS word, i AS pos,
+               w[i] IN ('the','a','of','to','and','is','in') AS is_stop
+        FROM words, UNNEST(range(1, len(w) + 1)) t(i)
+    ), marked AS (
+        SELECT doc_id, word, pos, is_stop,
+               CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS gid
+        FROM toks
+    ), pw AS (
+        SELECT doc_id, gid, word, pos,
+               CAST(COUNT(*) OVER (PARTITION BY doc_id, gid) AS BIGINT) AS plen
+        FROM marked WHERE NOT is_stop
+    ), wstat AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS deg
+        FROM pw GROUP BY word
+    ), wscore AS (
+        SELECT word, CAST(FLOOR(deg * 1.0 / freq * 1000000 + 0.5) AS BIGINT) AS sq
+        FROM wstat
+    ), phrases AS (
+        SELECT p.doc_id, p.gid,
+               string_agg(p.word, ' ' ORDER BY p.pos) AS phrase,
+               CAST(SUM(s.sq) AS BIGINT) AS score_q
+        FROM pw p JOIN wscore s ON s.word = p.word
+        GROUP BY p.doc_id, p.gid
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(score_q) / 1000000.0 AS rake_score
+    FROM phrases GROUP BY phrase
+    ORDER BY rake_score DESC, phrase LIMIT 20
+    """,
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.text import EN_STOPWORDS
+    from ..pipeline.dedup import normalized_text
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = managed_persist(
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(normalized_text("text"), " ")).alias("pos", "word"),
+        ).withColumn("is_stop", F.col("word").isin(*EN_STOPWORDS))
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "gid",
+        F.count_if(F.col("is_stop")).over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wph = Window.partitionBy("doc_id", "gid")
+    pw = managed_persist(
+        marked.filter(~F.col("is_stop")).withColumn(
+            "plen", F.count(F.lit(1)).over(wph)
+        )
+    )
+    wscore = (
+        pw.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+        .select(
+            "word",
+            F.floor(F.col("deg") * 1.0 / F.col("freq") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    phrases = (
+        pw.join(F.broadcast(wscore), "word")
+        .groupBy("doc_id", "gid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).alias("phrase"),
+            F.sum("sq").alias("score_q"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            (F.min("score_q") / 1_000_000.0).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(20)
+    )

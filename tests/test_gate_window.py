@@ -115,6 +115,7 @@ NEVER_DRIVER_VERIFIED = [
     "join_skew_report",
     "bootstrap_sharpe_ci",
     "matryoshka_dim_audit",
+    "rake_keywords",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -155,6 +156,7 @@ QUEUED_NEXT_ROUND = [
     "join_skew_report",
     "bootstrap_sharpe_ci",
     "matryoshka_dim_audit",
+    "rake_keywords",
 ]
 
 

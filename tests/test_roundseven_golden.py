@@ -730,3 +730,45 @@ def test_matryoshka_dim_audit_matches_numpy(spark):
         assert gn == n
         assert gj == _r6(n / (20 - n))
         assert g1f == tf[0] and g1t == tt[0]
+
+
+def test_rake_keywords_matches_python(spark):
+    """Full RAKE recomputation with plain-python dicts: phrase splitting
+    on stopwords, degree/frequency word scores, quantized phrase sums."""
+    from collections import defaultdict
+
+    docs = _pdf(spark, "documents")
+    stop = {"the", "a", "of", "to", "and", "is", "in"}
+    phrases = []  # (phrase_words_tuple)
+    for r in docs.itertuples():
+        t = " ".join(r.text.split()).lower().strip()
+        cur = []
+        for w in t.split(" "):
+            if w in stop:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    freq: dict = defaultdict(int)
+    deg: dict = defaultdict(int)
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    sq = {w: math.floor(deg[w] / freq[w] * 1e6 + 0.5) for w in freq}
+    by_text: dict = defaultdict(list)
+    for ph in phrases:
+        by_text[" ".join(ph)].append(sum(sq[w] for w in ph))
+    rows = [
+        (txt, len(scores), min(scores) / 1e6) for txt, scores in by_text.items()
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    want = rows[:20]
+    got = [
+        (r["phrase"], r["n_occurrences"], r["rake_score"])
+        for r in QUERIES["rake_keywords"](spark, SF).collect()
+    ]
+    assert got == want and len(got) == 20
