@@ -107,7 +107,8 @@ GATE_FIRST: list[str] = [
 #   top_revenue_supplier_quarter, variance_ratio_test, curriculum_phases,
 #   leadlag_cross_correlation, cusum_changepoint, gini_revenue_by_nation,
 #   event_path_trigrams, weighted_median_unit_price, join_skew_report,
-#   bootstrap_sharpe_ci, matryoshka_dim_audit, rake_keywords
+#   bootstrap_sharpe_ci, matryoshka_dim_audit, rake_keywords,
+#   split_leakage_audit
 # Also worth re-gating in round 8 (driver-green in r6 but semantics
 # CHANGED in r7): doc_chunking_overlap + chunk_level_dedup (chunk tail
 # bound), session_window_stats (oracle tie order), dedup_connected_

@@ -5131,3 +5131,82 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit (new r7): near-duplicate pairs that STRADDLE the
+# train/val/test split — the contamination a random document-level
+# split leaks when near-duplicates land on different sides (the reason
+# production pipelines split by dedup CLUSTER, not by doc). Composes
+# the shared verified n-gram pair relation with the deterministic
+# md5-bucket split; reports pair counts and mean Jaccard per canonical
+# split pair, leak flag on cross-split rows.
+#
+# Scale shape: the pair relation is the bucketed dedup output (never
+# n²); the split is a pure hash expression; one pair-cardinality
+# aggregate.
+# ---------------------------------------------------------------------------
+_O_SPLIT_EXPR = (
+    "CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 30, 3)) "
+    "AS BIGINT) % 10 < 8 THEN 'train' "
+    "WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 30, 3)) "
+    "AS BIGINT) % 10 = 8 THEN 'val' ELSE 'test' END"
+)
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT * FROM ({_o_ngram_jaccard()})
+    ), splits AS (
+        SELECT doc_id, {_O_SPLIT_EXPR} AS split FROM documents
+    ), tagged AS (
+        SELECT LEAST(sa.split, sb.split) AS split_lo,
+               GREATEST(sa.split, sb.split) AS split_hi,
+               CAST(FLOOR(p.jaccard * 1000000 + 0.5) AS BIGINT) AS jq
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.a_id
+        JOIN splits sb ON sb.doc_id = p.b_id
+    )
+    SELECT split_lo, split_hi,
+           split_lo <> split_hi AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(CAST(SUM(jq) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 1000000.0
+             AS mean_jaccard
+    FROM tagged GROUP BY split_lo, split_hi
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _ngram_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 30, 3), 16, 10).cast(
+            "int"
+        )
+        % 10
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    sa = splits.select(F.col("doc_id").alias("a_id"), F.col("split").alias("s_a"))
+    sb = splits.select(F.col("doc_id").alias("b_id"), F.col("split").alias("s_b"))
+    tagged = (
+        pairs.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .select(
+            F.least("s_a", "s_b").alias("split_lo"),
+            F.greatest("s_a", "s_b").alias("split_hi"),
+            F.floor(F.col("jaccard") * 1_000_000 + F.lit(0.5)).cast("long").alias("jq"),
+        )
+    )
+    return tagged.groupBy("split_lo", "split_hi").agg(
+        (F.col("split_lo") != F.col("split_hi")).alias("is_leak"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.floor(F.sum("jq") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)) / 1_000_000.0).alias(
+            "mean_jaccard"
+        ),
+    )

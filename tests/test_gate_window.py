@@ -116,6 +116,7 @@ NEVER_DRIVER_VERIFIED = [
     "bootstrap_sharpe_ci",
     "matryoshka_dim_audit",
     "rake_keywords",
+    "split_leakage_audit",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -157,6 +158,7 @@ QUEUED_NEXT_ROUND = [
     "bootstrap_sharpe_ci",
     "matryoshka_dim_audit",
     "rake_keywords",
+    "split_leakage_audit",
 ]
 
 

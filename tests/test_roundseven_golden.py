@@ -772,3 +772,49 @@ def test_rake_keywords_matches_python(spark):
         for r in QUERIES["rake_keywords"](spark, SF).collect()
     ]
     assert got == want and len(got) == 20
+
+
+def test_split_leakage_audit_matches_python(spark):
+    """Recompute with python sets: brute-force exact Jaccard >= 0.8 over
+    3-shingle sets (independent of the engine's prefix-filter pruning)
+    joined to the md5-bucket split."""
+    import hashlib
+    from collections import defaultdict
+
+    docs = _pdf(spark, "documents")
+
+    def shingles(text):
+        w = " ".join(text.split()).lower().strip().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    def split_of(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[29:32], 16) % 10
+        return "train" if b < 8 else ("val" if b == 8 else "test")
+
+    sh = {r.doc_id: shingles(r.text) for r in docs.itertuples()}
+    ids = sorted(sh)
+    agg: dict = defaultdict(lambda: [0, 0])
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh[a], sh[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            denom = len(sa) + len(sb) - inter
+            j = inter / denom if denom else 0.0
+            if _r6(j) >= 0.8:
+                lo, hi = sorted([split_of(a), split_of(b)])
+                cell = agg[(lo, hi)]
+                cell[0] += 1
+                cell[1] += math.floor(_r6(j) * 1e6 + 0.5)
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["is_leak"], r["n_pairs"], r["mean_jaccard"])
+        for r in QUERIES["split_leakage_audit"](spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, jq) in agg.items():
+        leak, gn, gj = got[k]
+        assert leak == (k[0] != k[1])
+        assert gn == n
+        assert gj == math.floor(jq / n + 0.5) / 1e6
+    assert any(lo != hi for lo, hi in got), "no cross-split pair — audit degenerate"
