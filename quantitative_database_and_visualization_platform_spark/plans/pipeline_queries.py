@@ -5210,3 +5210,74 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_jaccard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization fidelity audit (new r7): per label, how much cosine
+# similarity survives symmetric per-vector int8 quantization
+# (q = floor(x/scale*127 + 0.5), scale = max|x|) — the measurement
+# behind shipping an int8 ANN index at 4x less memory. Companion to
+# matryoshka_dim_audit (dimension ablation vs precision ablation).
+# The quantizer uses floor(v + 0.5) explicitly on BOTH engines rather
+# than ROUND, so the rounding convention is ours, not each engine's.
+#
+# Scale shape: pure per-row array expressions + one bounded label
+# rollup — embarrassingly parallel.
+# ---------------------------------------------------------------------------
+@query(
+    "int8_quantization_audit",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id, label, embedding,
+               list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS sc
+        FROM embeddings
+    ), dequant AS (
+        SELECT vec_id, label, embedding,
+               list_transform(embedding,
+                   x -> FLOOR(CAST(x AS DOUBLE) / sc * 127 + 0.5) * sc / 127) AS dq
+        FROM scaled WHERE sc > 0
+    ), per AS (
+        SELECT label,
+               CAST(FLOOR({o_cosine('embedding', 'dq')} * 1000000 + 0.5)
+                    AS BIGINT) AS cq
+        FROM dequant
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           FLOOR(CAST(SUM(cq) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 1000000.0
+             AS mean_cos,
+           MIN(cq) / 1000000.0 AS min_cos
+    FROM per GROUP BY label
+    """,
+)
+def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scaled = emb.withColumn(
+        "sc",
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))),"
+            " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+        ),
+    ).filter(F.col("sc") > 0)
+    dequant = scaled.withColumn(
+        "dq",
+        F.expr(
+            "transform(embedding,"
+            " x -> floor(CAST(x AS DOUBLE) / sc * 127 + 0.5) * sc / 127)"
+        ),
+    )
+    per = dequant.select(
+        "label",
+        F.floor(cosine("embedding", "dq") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cq"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.floor(F.sum("cq") * 1.0 / F.count(F.lit(1)) + F.lit(0.5)) / 1_000_000.0).alias(
+            "mean_cos"
+        ),
+        (F.min("cq") / 1_000_000.0).alias("min_cos"),
+    )

@@ -117,6 +117,7 @@ NEVER_DRIVER_VERIFIED = [
     "matryoshka_dim_audit",
     "rake_keywords",
     "split_leakage_audit",
+    "int8_quantization_audit",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -159,6 +160,7 @@ QUEUED_NEXT_ROUND = [
     "matryoshka_dim_audit",
     "rake_keywords",
     "split_leakage_audit",
+    "int8_quantization_audit",
 ]
 
 

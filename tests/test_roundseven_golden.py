@@ -818,3 +818,29 @@ def test_split_leakage_audit_matches_python(spark):
         assert gn == n
         assert gj == math.floor(jq / n + 0.5) / 1e6
     assert any(lo != hi for lo, hi in got), "no cross-split pair — audit degenerate"
+
+
+def test_int8_quantization_audit_matches_numpy(spark):
+    emb = _pdf(spark, "embeddings")
+    got = {
+        r["label"]: (r["n_vectors"], r["mean_cos"], r["min_cos"])
+        for r in QUERIES["int8_quantization_audit"](spark, SF).collect()
+    }
+    from collections import defaultdict
+
+    agg: dict = defaultdict(list)
+    for r in emb.itertuples():
+        x = np.array(r.embedding, dtype=float)
+        sc = np.abs(x).max()
+        if sc <= 0:
+            continue
+        dq = np.floor(x / sc * 127 + 0.5) * sc / 127
+        cos = (x @ dq) / (np.linalg.norm(x) * np.linalg.norm(dq))
+        agg[r.label].append(math.floor(cos * 1e6 + 0.5))
+    assert set(got) == set(agg)
+    for lab, cqs in agg.items():
+        n, mc, mnc = got[lab]
+        assert n == len(cqs)
+        assert mc == math.floor(sum(cqs) / n + 0.5) / 1e6
+        assert mnc == min(cqs) / 1e6
+        assert 0.99 < mnc <= 1.0  # int8 keeps cosine within ~1% on this corpus
