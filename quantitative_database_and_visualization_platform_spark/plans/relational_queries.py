@@ -1699,3 +1699,104 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1]).unionByName(outs[2])
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier ship-time survival curve (new r7): S(t) for the days
+# from order placement to FIRST shipment, with two real censoring
+# mechanisms — orders with no lineitems at all (right-censored: the
+# event was never observed) and administrative censoring at 365 days
+# (events past the horizon count as "still waiting at 365"). Orders
+# whose first shipment predates the order (synthetic-data noise) are
+# excluded. The estimator is the classic product-limit form
+#   S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+# with d_i = events at day t_i and n_i = at-risk (event or censor time
+# >= t_i).
+#
+# Determinism: d and n are exact integer cumulative sums; the product
+# runs as exp(sum(ln(factor))) on Spark vs native windowed product()
+# in DuckDB (the rolling_product convention) with 6-dp rounding.
+#
+# Scale shape: one per-order aggregate (fact-keyed shuffle), then the
+# curve math runs on <= 366 day-grain rows (horizon-bounded, never
+# fact-sized) — the unpartitioned windows are over that tiny series.
+# ---------------------------------------------------------------------------
+@query(
+    "kaplan_meier_ship_times",
+    oracle="""
+    WITH fs AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS ms
+        FROM lineitem GROUP BY l_orderkey
+    ), obs AS (
+        SELECT o.o_orderkey,
+               CASE WHEN fs.ms IS NULL THEN 365
+                    ELSE LEAST(CAST(datediff('day', o.o_orderdate, fs.ms) AS BIGINT), 365)
+               END AS t_obs,
+               fs.ms IS NOT NULL
+                   AND datediff('day', o.o_orderdate, fs.ms) <= 365 AS ev
+        FROM orders o LEFT JOIN fs ON fs.l_orderkey = o.o_orderkey
+        WHERE fs.ms IS NULL OR fs.ms >= o.o_orderdate
+    ), times AS (
+        SELECT t_obs AS t,
+               CAST(count_if(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leave
+        FROM obs GROUP BY t_obs
+    ), risk AS (
+        SELECT t, d,
+               CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+                 - CAST(COALESCE(SUM(leave) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_risk
+        FROM times
+    ), km AS (
+        SELECT t, d, n_risk,
+               product(1.0 - d * 1.0 / n_risk) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, d AS n_events, n_risk,
+           FLOOR(s * 1000000 + 0.5) / 1000000.0 AS survival
+    FROM km WHERE d > 0
+    """,
+)
+def kaplan_meier_ship_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fs = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ms"))
+    lag = F.datediff(F.col("ms"), F.col("o_orderdate")).cast("long")
+    obs = (
+        o.join(fs, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .filter(F.col("ms").isNull() | (F.col("ms") >= F.col("o_orderdate")))
+        .select(
+            F.when(F.col("ms").isNull(), F.lit(365))
+            .otherwise(F.least(lag, F.lit(365)))
+            .alias("t_obs"),
+            (F.col("ms").isNotNull() & (lag <= 365)).alias("ev"),
+        )
+    )
+    times = obs.groupBy(F.col("t_obs").alias("t")).agg(
+        F.count_if(F.col("ev")).alias("d"),
+        F.count(F.lit(1)).alias("leave"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("__n"))
+    # <=366 day-grain rows: the unpartitioned windows run on the tiny
+    # horizon-bounded series, never on the fact table
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = times.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (F.col("__n") - F.coalesce(F.sum("leave").over(wprev), F.lit(0))).alias(
+            "n_risk"
+        ),
+    )
+    km = risk.withColumn(
+        "s",
+        F.exp(F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(wcum)),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("t_days"),
+        F.col("d").alias("n_events"),
+        "n_risk",
+        (F.floor(F.col("s") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("survival"),
+    )

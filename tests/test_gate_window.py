@@ -118,6 +118,7 @@ NEVER_DRIVER_VERIFIED = [
     "rake_keywords",
     "split_leakage_audit",
     "int8_quantization_audit",
+    "kaplan_meier_ship_times",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -161,6 +162,7 @@ QUEUED_NEXT_ROUND = [
     "rake_keywords",
     "split_leakage_audit",
     "int8_quantization_audit",
+    "kaplan_meier_ship_times",
 ]
 
 

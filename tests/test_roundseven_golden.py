@@ -844,3 +844,50 @@ def test_int8_quantization_audit_matches_numpy(spark):
         assert mc == math.floor(sum(cqs) / n + 0.5) / 1e6
         assert mnc == min(cqs) / 1e6
         assert 0.99 < mnc <= 1.0  # int8 keeps cosine within ~1% on this corpus
+
+
+def test_kaplan_meier_matches_lifelines_style_python(spark):
+    """Recompute the product-limit estimator with a sequential python
+    loop over the risk set (the textbook algorithm, not the windowed
+    prefix form)."""
+    o = _pdf(spark, "orders")
+    li = _pdf(spark, "lineitem")
+    fs = li.groupby("l_orderkey")["l_shipdate"].min()
+    obs = []
+    for r in o.itertuples():
+        ms = fs.get(r.o_orderkey)
+        if ms is None or pd.isna(ms):
+            obs.append((365, False))
+            continue
+        lag = (ms - r.o_orderdate).days
+        if lag < 0:
+            continue  # excluded noise
+        obs.append((min(lag, 365), lag <= 365))
+    n_at_risk = len(obs)
+    from collections import defaultdict
+
+    d: dict = defaultdict(int)
+    leave: dict = defaultdict(int)
+    for t, ev in obs:
+        leave[t] += 1
+        if ev:
+            d[t] += 1
+    got = {
+        r["t_days"]: (r["n_events"], r["n_risk"], r["survival"])
+        for r in QUERIES["kaplan_meier_ship_times"](spark, SF).collect()
+    }
+    s = 1.0
+    want = {}
+    for t in sorted(leave):
+        if d[t]:
+            s *= 1.0 - d[t] / n_at_risk
+            want[t] = (d[t], n_at_risk, s)
+        n_at_risk -= leave[t]
+    assert set(got) == set(want)
+    for t, (dd, nr, sv) in want.items():
+        gd, gn, gs = got[t]
+        assert (gd, gn) == (dd, nr), t
+        assert abs(gs - sv) < 2e-6, (t, gs, sv)
+    # the curve must be monotonically non-increasing and start below 1
+    vals = [got[t][2] for t in sorted(got)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
