@@ -108,7 +108,8 @@ GATE_FIRST: list[str] = [
 #   leadlag_cross_correlation, cusum_changepoint, gini_revenue_by_nation,
 #   event_path_trigrams, weighted_median_unit_price, join_skew_report,
 #   bootstrap_sharpe_ci, matryoshka_dim_audit, rake_keywords,
-#   split_leakage_audit, int8_quantization_audit, kaplan_meier_ship_times
+#   split_leakage_audit, int8_quantization_audit, kaplan_meier_ship_times,
+#   theil_sen_trend
 # Also worth re-gating in round 8 (driver-green in r6 but semantics
 # CHANGED in r7): doc_chunking_overlap + chunk_level_dedup (chunk tail
 # bound), session_window_stats (oracle tie order), dedup_connected_

@@ -3811,3 +3811,86 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") == F.ceil(F.col("nb") * 0.95), F.col("sh"))
         ).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (new r7): per entity, the median of all
+# pairwise price slopes — the robust regression line the OLS-based
+# regr_slope family cannot give (a single 9000x spike day drags OLS;
+# the pairwise median shrugs it off). Pairs come from a within-entity
+# rank self-join (n<=~250 calendar rows per entity, so pairs are
+# calendar²-bounded PER ENTITY and entity-linear overall); slopes are
+# quantized to integer 1e-6 cents/day before the exact lower-median
+# order statistic.
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code,
+               CAST(ROUND(close * 100, 0) AS BIGINT) AS c,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) AS rn
+        FROM bars
+    ), pairs AS (
+        SELECT a.code,
+               CAST(FLOOR((b.c - a.c) * 1000000.0 / (b.rn - a.rn) + 0.5)
+                    AS BIGINT) AS sq
+        FROM t a JOIN t b ON b.code = a.code AND b.rn > a.rn
+    ), ranked AS (
+        SELECT code, sq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY sq) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY code) AS BIGINT) AS np
+        FROM pairs
+    )
+    SELECT code, MIN(np) AS n_pairs,
+           MIN(CASE WHEN rk = (np + 1) // 2 THEN sq END) / 1000000.0 / 100.0
+             AS theil_sen_slope
+    FROM ranked GROUP BY code
+    """,
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    t = bars.select(
+        "code",
+        F.round(F.col("close") * 100, 0).cast("long").alias("c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = t.select("code", F.col("c").alias("ca"), F.col("rn").alias("ra"))
+    b = t.select(
+        F.col("code").alias("code_b"), F.col("c").alias("cb"), F.col("rn").alias("rb")
+    )
+    pairs = (
+        a.join(b, (F.col("code") == F.col("code_b")) & (F.col("rb") > F.col("ra")))
+        .select(
+            "code",
+            F.floor(
+                (F.col("cb") - F.col("ca")) * 1_000_000.0 / (F.col("rb") - F.col("ra"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    rk = Window.partitionBy("code").orderBy("sq")
+    np_ = F.count(F.lit(1)).over(
+        Window.partitionBy("code").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    ranked = pairs.select(
+        "code", "sq", F.row_number().over(rk).alias("rk"), np_.alias("np")
+    )
+    return ranked.groupBy("code").agg(
+        F.min("np").alias("n_pairs"),
+        (
+            F.min(
+                F.when(
+                    F.col("rk") == F.floor((F.col("np") + 1) / 2), F.col("sq")
+                )
+            )
+            / 1_000_000.0
+            / 100.0
+        ).alias("theil_sen_slope"),
+    )

@@ -119,6 +119,7 @@ NEVER_DRIVER_VERIFIED = [
     "split_leakage_audit",
     "int8_quantization_audit",
     "kaplan_meier_ship_times",
+    "theil_sen_trend",
 ]
 
 # round-8 spill: the 8 most expensive never-verified queries (gate cost
@@ -163,6 +164,7 @@ QUEUED_NEXT_ROUND = [
     "split_leakage_audit",
     "int8_quantization_audit",
     "kaplan_meier_ship_times",
+    "theil_sen_trend",
 ]
 
 

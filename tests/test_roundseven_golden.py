@@ -891,3 +891,25 @@ def test_kaplan_meier_matches_lifelines_style_python(spark):
     # the curve must be monotonically non-increasing and start below 1
     vals = [got[t][2] for t in sorted(got)]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_theil_sen_matches_python_pairs(spark):
+    bars = _bars_pdf(spark)
+    got = {
+        r["code"]: (r["n_pairs"], r["theil_sen_slope"])
+        for r in QUERIES["theil_sen_trend"](spark, SF).collect()
+    }
+    for code, g in bars.groupby("code"):
+        c = np.floor(g.sort_values("d")["close"].to_numpy() * 100 + 0.5).astype("int64")
+        n = len(c)
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                slopes.append(math.floor((c[j] - c[i]) * 1e6 / (j - i) + 0.5))
+        slopes.sort()
+        npairs = len(slopes)
+        med = slopes[(npairs + 1) // 2 - 1]
+        gn, gs = got[code]
+        assert gn == npairs
+        assert gs == med / 1e6 / 100.0, (code, gs, med)
+    assert set(got) == set(bars["code"].unique())
