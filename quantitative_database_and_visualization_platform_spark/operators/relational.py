@@ -299,3 +299,109 @@ def window_slice_around(
     if norm_col:
         out = out.withColumn(f"norm_{norm_col}", F.col(norm_col) / F.col("__center_val"))
     return out.drop("__e", "__rn", "__center_rn", "__center_val")
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on long columns (no double rounding)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    order_cols: Sequence[str | Column],
+    *,
+    partition_cols: Sequence[str] = (),
+    num_ranges: int | None = None,
+    out: str = "__ntile",
+) -> DataFrame:
+    """Exact NTILE(n) over a data-cardinality relation WITHOUT a
+    SinglePartition WindowExec.
+
+    `ntile(n).over(Window.orderBy(...))` plans a window with no
+    partitioning, which Spark executes by moving EVERY row to one task
+    (the `WARN WindowExec: No Partition Defined` path) — a one-executor
+    sort of the input. This helper computes the identical bucket
+    assignment fully in parallel via a two-pass exact rank:
+
+      1. `repartitionByRange` on (partition_cols + order_cols): each task
+         holds a contiguous slice of every group's global order, sampled
+         boundaries keep slices balanced (RangePartitioner's reservoir
+         sampling is seeded per input partition — deterministic).
+      2. per-(range, group) row counts -> cumulative offsets + group
+         totals over a (num_ranges x groups)-bounded relation (the only
+         unpartitioned window here runs on THAT, never on the data).
+      3. local `row_number` within each (range, group) + broadcast-joined
+         offset = exact 1-based global rank within the group.
+      4. NTILE bucket arithmetic in exact integer math: with N rows and
+         q = N div n, rem = N mod n, the first rem buckets take q+1 rows:
+         bucket = ceil(rank/(q+1)) while rank <= rem*(q+1), else
+         rem + ceil((rank - rem*(q+1))/q).
+
+    Output is bit-identical to the window-function NTILE for any total
+    order (callers must include a unique tie-break column, exactly as
+    they would under Window.orderBy). `order_cols` may carry `.desc()`
+    sort expressions; `partition_cols` (PARTITION BY of the original
+    window) must be plain column names.
+    """
+    spark = df.sparkSession
+    if num_ranges is None:
+        num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    gkeys = list(partition_cols)
+    ranged = df.repartitionByRange(
+        num_ranges, *[F.col(c) for c in gkeys], *order_exprs
+    )
+    # spark_partition_id is non-deterministic-tagged, so Catalyst cannot
+    # push it past the range exchange: it names the range slice itself
+    withpid = ranged.withColumn("__gnt_pid", F.spark_partition_id())
+    counts = withpid.groupBy("__gnt_pid", *gkeys).agg(
+        F.count(F.lit(1)).alias("__gnt_cnt")
+    )
+    # constant partition key in the global case: same one-group semantics
+    # as an empty spec, but it documents the bound (this window runs over
+    # the num_ranges-row counts relation, never the data) and avoids the
+    # misleading "Moving all data to a single partition" warning. The key
+    # must be non-foldable (pmod of a column, not a literal) or Catalyst
+    # strips it from the spec and the empty-spec warning returns.
+    woff = (
+        Window.partitionBy(*gkeys).orderBy("__gnt_pid")
+        if gkeys
+        else Window.partitionBy(F.pmod(F.col("__gnt_pid"), F.lit(1))).orderBy(
+            "__gnt_pid"
+        )
+    )
+    # (num_ranges x groups)-bounded relation: these windows are the
+    # partition-count-sized exception to the no-global-window red line
+    offs = counts.select(
+        "__gnt_pid",
+        *gkeys,
+        F.coalesce(
+            F.sum("__gnt_cnt").over(
+                woff.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__gnt_off"),
+        F.sum("__gnt_cnt")
+        .over(
+            woff.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__gnt_n"),
+    )
+    wloc = Window.partitionBy("__gnt_pid", *gkeys).orderBy(*order_exprs)
+    ranked = withpid.withColumn("__gnt_rn", F.row_number().over(wloc))
+    joined = ranked.join(F.broadcast(offs), ["__gnt_pid", *gkeys])
+    rank = (F.col("__gnt_off") + F.col("__gnt_rn")).cast("long")
+    big_n = F.col("__gnt_n").cast("long")
+    nlit = F.lit(int(n)).cast("long")
+    q = _idiv(big_n, nlit)
+    rem = F.pmod(big_n, nlit)
+    thr = rem * (q + F.lit(1))
+    qsafe = F.greatest(q, F.lit(1).cast("long"))  # div-by-zero guard (N < n)
+    bucket = F.when(
+        rank <= thr, _idiv(rank + q, q + F.lit(1))
+    ).otherwise(rem + _idiv(rank - thr + qsafe - F.lit(1), qsafe))
+    keep = df.columns
+    return joined.withColumn(out, bucket.cast("int")).select(*keep, out)

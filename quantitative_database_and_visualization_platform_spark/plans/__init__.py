@@ -32,88 +32,74 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-7 window. r6's 50 rows were all green, so every query registered
-# before the round-6 session-3 batch now has a binding driver row. This
-# window holds 50 of the 58 still-never-driver-verified queries (the r6
-# session-3 late batch plus the r6 queue), cheapest-first by measured
-# spark+oracle cost (ORACLE_TIMINGS.json) — total rehearsed gate cost
-# ~60 s. The 8 most expensive spill to the round-8 queue below and stay
-# pytest-enforced in the meantime.
+# Round-8 window. r7's 50 rows were all green — cumulatively 198 of the
+# 237 registered queries now have a binding driver row. This window
+# closes the loop: all 39 never-driver-verified queries (the r7 queue),
+# the 5 whose semantics changed in r7 fixes (chunk tail bound, session
+# tie order, CC row dedup) and therefore need re-gating, and the 5 whose
+# implementation changed THIS round (the four global-ntile queries now
+# routed through operators.relational.global_ntile, plus
+# pairs_spread_zscore's degenerate-panel guard). Cheapest-first by
+# measured spark+oracle cost (ORACLE_TIMINGS.json) — total rehearsed
+# gate cost ~46 s. After this round every registered query has had a
+# binding driver row.
 GATE_FIRST: list[str] = [
-    "k_anonymity_customers",
-    "token_length_by_lang",
-    "length_histogram_by_source",
-    "shard_assignment_balance",
-    "interval_join_click_purchase",
-    "forecast_eval_naive",
-    "event_transition_matrix",
-    "conversion_attribution",
-    "ab_test_lift",
-    "cohort_retention_matrix",
-    "langid_confusion",
-    "merge_upsert_orders",
-    "out_of_orderness_profile",
-    "cube_nation_segment",
+    "doc_chunking_overlap",
+    "histogram_equi_depth",
+    "top_value_parts",
     "length_quality_grid",
-    "order_cadence_stats",
-    "volume_anomaly_days",
-    "mixture_temperature_weights",
-    "vocab_coverage_curve",
-    "order_lineitem_reconciliation",
-    "corpus_overview",
-    "data_profile_orders",
-    "data_quality_checks",
-    "extreme_day_concentration",
-    "order_priority_delay",
-    "token_pmi_pairs",
-    "panel_gap_report",
-    "sector_breadth_daily",
-    "neardup_threshold_sweep",
-    "snapshot_diff_orders",
-    "volume_price_corr",
-    "char_entropy_quality",
-    "supplier_concentration_by_type",
-    "market_concentration_daily",
-    "sql_interface_revenue",
-    "embedding_rank_fusion",
-    "hll_cumulative_users",
-    "nation_trade_balance",
-    "m4_downsample_close",
-    "cross_factor_regression",
-    "robust_volume_outliers",
-    "embedding_drift_by_label",
-    "bm25_topk",
-    "brinson_attribution",
-    "top_correlated_pairs",
-    "hll_distinct_by_source",
-    "ann_recall_audit",
-    "walkforward_splits",
-    "minhash_accuracy_audit",
-    "bloom_decontamination",
+    "hard_negative_mining",
+    "top_revenue_supplier_quarter",
+    "idle_high_balance_customers",
+    "session_window_stats",
+    "int8_quantization_audit",
+    "rfm_customer_scores",
+    "pii_scrub_report",
+    "variance_ratio_test",
+    "seasonal_dow_volume",
+    "small_qty_order_revenue",
+    "gini_revenue_by_nation",
+    "t_closeness_report",
+    "event_path_trigrams",
+    "chunk_level_dedup",
+    "cusum_changepoint",
+    "weighted_median_unit_price",
+    "split_leakage_audit",
+    "kyle_lambda_daily",
+    "theil_sen_trend",
+    "hll_rolling_users_7d",
+    "ohlc_vol_estimators",
+    "join_skew_report",
+    "kaplan_meier_ship_times",
+    "dominant_supplier_parts",
+    "min_unit_cost_supplier",
+    "lm_perplexity_buckets",
+    "sole_problem_supplier",
+    "curriculum_phases",
+    "leadlag_cross_correlation",
+    "pairs_spread_zscore",
+    "embedding_silhouette",
+    "matryoshka_dim_audit",
+    "rake_keywords",
+    "bootstrap_sharpe_ci",
+    "ic_decay_profile",
+    "nation_trade_triangles",
+    "embedding_cluster_profile",
+    "cross_source_dup_matrix",
+    "neardup_cluster_sizes",
+    "pagerank_nation_trade",
+    "neardup_canonical",
+    "trade_reachability_hops",
+    "dedup_connected_components",
+    "semdedup_prune",
+    "minhash_pr_audit",
+    "nation_spend_quartiles",
 ]
 
-# Queued for the ROUND-8 window (registered + oracle-enforced by pytest,
-# no driver row yet — the 8 most expensive r7-queue spills, plus the
-# queries new in round 7):
-#   cross_source_dup_matrix, ic_decay_profile, embedding_cluster_profile,
-#   neardup_cluster_sizes, pagerank_nation_trade, hll_rolling_users_7d,
-#   minhash_pr_audit, chunk_level_dedup,
-#   small_qty_order_revenue, sole_problem_supplier,
-#   idle_high_balance_customers, dominant_supplier_parts,
-#   nation_trade_triangles, t_closeness_report, ohlc_vol_estimators,
-#   kyle_lambda_daily, seasonal_dow_volume, hard_negative_mining,
-#   embedding_silhouette, trade_reachability_hops, pii_scrub_report,
-#   min_unit_cost_supplier, top_value_parts,
-#   top_revenue_supplier_quarter, variance_ratio_test, curriculum_phases,
-#   leadlag_cross_correlation, cusum_changepoint, gini_revenue_by_nation,
-#   event_path_trigrams, weighted_median_unit_price, join_skew_report,
-#   bootstrap_sharpe_ci, matryoshka_dim_audit, rake_keywords,
-#   split_leakage_audit, int8_quantization_audit, kaplan_meier_ship_times,
-#   theil_sen_trend
-# Also worth re-gating in round 8 (driver-green in r6 but semantics
-# CHANGED in r7): doc_chunking_overlap + chunk_level_dedup (chunk tail
-# bound), session_window_stats (oracle tie order), dedup_connected_
-# components / neardup_canonical / semdedup_prune (CC row dedup).
+# Round-9 queue: queries ADDED in round 8 (registered + pytest-oracle-
+# enforced immediately; driver rows next round) are appended here as
+# they land. Everything registered before round 8 has a binding driver
+# row once CORRECTNESS_r08.json is green.
 
 
 def _apply_gate_order() -> None:

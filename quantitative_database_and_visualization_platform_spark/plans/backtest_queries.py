@@ -1006,6 +1006,10 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["code"]
         for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
     ]  # two scalars, the pair definition — not data-sized driver work
+    if len(two) < 2:  # single-code panel: no pair exists — empty, like the oracle
+        return spark.createDataFrame(
+            [], "d date, beta double, spread double, zscore double"
+        )
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast("long")
     rets = (
@@ -3561,6 +3565,8 @@ def leadlag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["code"]
         for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
     ]  # two scalars, the pair definition — not data-sized driver work
+    if len(two) < 2:  # single-code panel: no pair exists — empty, like the oracle
+        return spark.createDataFrame([], "lag int, n bigint, xcorr double")
     w = Window.partitionBy("code").orderBy("d")
     rets = (
         bars.filter(F.col("code").isin(two))

@@ -27,6 +27,7 @@ from ..pipeline.embeddings import (
     srp_bucket,
     topk_cosine,
 )
+from ..operators.relational import global_ntile
 from ..pipeline.multimodal import decode_documents
 from ..pipeline import sketches as sk
 from ..pipeline.text import o_text_features, tfidf_scores, with_text_features
@@ -1788,10 +1789,10 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: token explode (linear) → unigram/bigram counts (one
 # uniform-key shuffle each) → hash joins of corpus bigrams against the
 # count tables (linear; AQE broadcasts if the vocabulary is small) →
-# per-doc aggregate (one shuffle on doc_id) → per-language NTILE window
-# (partition cardinality = languages; rows per partition = docs, the
-# same calendar-bounded-window caveat class as the quant queries — at
-# 100 TB swap the tercile for approx quantile boundaries).
+# per-doc aggregate (one shuffle on doc_id) → per-language terciles via
+# the range-partitioned two-pass exact rank (global_ntile, lang as the
+# PARTITION BY) — no one-task-per-language window, so a language that
+# dominates the corpus still ranks in parallel.
 # ---------------------------------------------------------------------------
 @query(
     "lm_perplexity_buckets",
@@ -1874,19 +1875,21 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").cast("double") / F.count(F.lit(1)).cast("double") / 1e6
         ).alias("avg_nll"),
     )
-    tercile = F.ntile(3).over(
-        Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    # per-language terciles via the range-partitioned two-pass rank
+    # (global_ntile with lang as the PARTITION BY): the plain
+    # lang-partitioned window puts one language on one task, and one
+    # language can be most of a 100 TB corpus (r7 VERDICT finding) —
+    # the helper keeps each language's rank computation spread across
+    # every range slice it occupies
+    base = agg.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_nll",
+        round6(F.exp("avg_nll")).alias("ppl"),
     )
-    return (
-        agg.join(docs.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            "avg_nll",
-            round6(F.exp("avg_nll")).alias("ppl"),
-            tercile.alias("ppl_bucket"),
-        )
+    return global_ntile(
+        base, 3, ["avg_nll", "doc_id"], partition_cols=["lang"], out="ppl_bucket"
     )
 
 
@@ -4507,9 +4510,10 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Length × quality curation grid (new r6): the 2-D histogram a curation
 # pass reads to pick its joint thresholds — token-length quintile
 # against quality-score band, with doc counts and token mass per cell.
-# Quintiles use ntile over the doc-sized length relation with doc_id
-# tie-breaks; quality bands are fixed cutoffs of the shared quality
-# expression.
+# Quintiles come from the range-partitioned two-pass exact rank
+# (global_ntile; doc_id tie-break), identical to NTILE without a
+# single-task window; quality bands are fixed cutoffs of the shared
+# quality expression.
 # ---------------------------------------------------------------------------
 @query(
     "length_quality_grid",
@@ -4537,11 +4541,11 @@ def length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = with_text_features(docs).select(
         "doc_id", F.col("n_tokens").alias("n_tok"), "quality_score"
     )
-    binned = feat.select(
+    # exact length quintiles via the range-partitioned two-pass rank
+    # (global_ntile) — no SinglePartition window over the doc relation
+    binned = global_ntile(feat, 5, ["n_tok", "doc_id"], out="len_q").select(
         "n_tok",
-        # doc-sized relation: the global ntile is the documented exact-
-        # quintile choice (the rfm_customer_scores convention)
-        F.ntile(5).over(Window.orderBy("n_tok", "doc_id")).alias("len_q"),
+        "len_q",
         F.when(F.col("quality_score") < 0.5, "low")
         .when(F.col("quality_score") < 0.8, "mid")
         .otherwise("high")

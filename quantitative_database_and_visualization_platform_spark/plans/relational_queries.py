@@ -11,7 +11,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.crosssection import histogram_bin
-from ..operators.relational import semi_join_pool, star_join, top_k, weighted_euclidean
+from ..operators.relational import (
+    global_ntile,
+    semi_join_pool,
+    star_join,
+    top_k,
+    weighted_euclidean,
+)
 from ..sources.catalog import load_table
 from .registry import avg_fixed, o_avg_fixed, o_sum_fixed, query, sum_fixed
 
@@ -709,11 +715,10 @@ def market_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3-digit RFM segment.
 #
 # Scale shape: one custkey-keyed aggregate over orders, then three
-# global ntile windows — at 100 TB the aggregate output is
-# customer-sized (orders-of-magnitude smaller than the fact table) and
-# the quintile assignment would move to approx-percentile boundaries;
-# the exact global windows are kept here because the oracle demands
-# exact quintiles.
+# exact quintile assignments via the range-partitioned two-pass rank
+# (operators.relational.global_ntile) — exact NTILE semantics with no
+# single-task window, parallel even if the customer relation itself
+# grows fact-sized.
 # ---------------------------------------------------------------------------
 @query(
     "rfm_customer_scores",
@@ -750,20 +755,22 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c"
         ),
     )
-    # global ntile windows over the CUSTOMER-sized aggregate (not the
-    # fact table); deterministic tie-break on the key
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), "custkey"))
-    f = F.ntile(5).over(Window.orderBy("frequency", "custkey"))
-    m = F.ntile(5).over(Window.orderBy("monetary_c", "custkey"))
-    scored = agg.select(
+    # exact quintiles over the customer-sized aggregate via the range-
+    # partitioned two-pass rank (operators.relational.global_ntile) —
+    # identical buckets to the window-function NTILE, but no
+    # SinglePartition WindowExec pulling the whole relation to one task;
+    # deterministic tie-break on the key
+    base = agg.select(
         "custkey",
         F.col("recency_days").cast("long").alias("recency_days"),
         "frequency",
         "monetary_c",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
     )
+    scored = global_ntile(
+        base, 5, [F.desc("recency_days"), F.col("custkey")], out="r_score"
+    )
+    scored = global_ntile(scored, 5, ["frequency", "custkey"], out="f_score")
+    scored = global_ntile(scored, 5, ["monetary_c", "custkey"], out="m_score")
     return scored.select(
         "custkey",
         "recency_days",
@@ -779,16 +786,81 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-nation customer spend quartiles (new r8): lifetime cents-exact
+# spend per customer, quartiled WITHIN each nation — the grouped-quantile
+# segmentation shape (reference's sector-relative screens applied to the
+# TPC-H star). Exercises global_ntile's PARTITION BY path in the driver
+# gate: exact per-group NTILE(4) with no one-task-per-nation window, so
+# a nation holding most of the corpus still ranks in parallel.
+#
+# Scale shape: one custkey-keyed aggregate over orders, broadcast nation
+# dim join, then the range-partitioned two-pass rank on (nation, spend).
+# ---------------------------------------------------------------------------
+@query(
+    "nation_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey AS custkey, n.n_name AS nation,
+               SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS spend_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY c.c_custkey, n.n_name
+    ), q AS (
+        SELECT nation, spend_c,
+               NTILE(4) OVER (PARTITION BY nation
+                              ORDER BY spend_c, custkey) AS quartile
+        FROM spend
+    )
+    SELECT nation, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(spend_c)/100.0 AS lo_spend,
+           MAX(spend_c)/100.0 AS hi_spend,
+           SUM(spend_c)/100.0 AS total_spend
+    FROM q GROUP BY nation, quartile
+    """,
+)
+def nation_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    spend = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "spend_c"
+            )
+        )
+    )
+    q = global_ntile(
+        spend, 4, ["spend_c", "custkey"], partition_cols=["nation"], out="quartile"
+    )
+    return q.groupBy("nation", "quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.min("spend_c") / 100.0).alias("lo_spend"),
+        (F.max("spend_c") / 100.0).alias("hi_spend"),
+        (F.sum("spend_c") / 100.0).alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Equi-depth histogram builder (new r6): the catalog-statistics op — a
 # 10-bucket equi-depth histogram of order totals (bucket boundaries =
 # interpolated decile values over cents-exact integers, per-bucket row
 # counts from exact rank arithmetic). What ANALYZE TABLE computes for
 # the optimizer's selectivity estimates.
 #
-# Scale shape: one global sort-free aggregate pass: bucket membership
-# comes from ntile over the cents integers (deterministic tie-break on
-# the key), so counts and bounds are exact without a global sort node —
-# Spark's window sort is range-partitioned.
+# Scale shape: bucket membership comes from the range-partitioned
+# two-pass exact rank (operators.relational.global_ntile) — NOT from a
+# window-function NTILE, whose unpartitioned window would plan a
+# SinglePartition WindowExec moving the whole ORDERS fact to one task.
+# (Unpartitioned `orderBy()` SORTS are range-partitioned in Spark;
+# unpartitioned WINDOW functions are not — r7 VERDICT finding.) The
+# helper's shape: range exchange on (c, k) → per-slice counts →
+# broadcast cumulative offsets → local row_number + offset → exact
+# integer bucket arithmetic. Fully parallel at any fact size.
 # ---------------------------------------------------------------------------
 @query(
     "histogram_equi_depth",
@@ -814,9 +886,7 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
     )
-    b = v.select(
-        "c", F.ntile(10).over(Window.orderBy("c", "k")).alias("bucket")
-    )
+    b = global_ntile(v, 10, ["c", "k"], out="bucket").select("c", "bucket")
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.min("c") / 100.0).alias("lo"),
@@ -1790,9 +1860,20 @@ def kaplan_meier_ship_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risk"
         ),
     )
+    # Zero-factor guard: when d == n_risk at some event time the survival
+    # factor is exactly 0 and the curve must stay 0 from there on. Spark's
+    # ln(0) returns NULL and F.sum skips NULLs, so the exp-sum form would
+    # silently yield a nonzero survival where DuckDB's native product()
+    # (and the textbook estimator) give exactly 0 — count zero factors in
+    # the cumulative window and force s = 0 whenever one has occurred.
     km = risk.withColumn(
+        "__n_zero",
+        F.sum(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(wcum),
+    ).withColumn(
         "s",
-        F.exp(F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(wcum)),
+        F.when(F.col("__n_zero") > 0, F.lit(0.0)).otherwise(
+            F.exp(F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk"))).over(wcum))
+        ),
     )
     return km.filter(F.col("d") > 0).select(
         F.col("t").alias("t_days"),

@@ -71,13 +71,19 @@ def read_store(spark, store_path: str) -> DataFrame | None:
 
 
 def _only_uncommitted_debris(store_path: str) -> bool:
-    """True if store_path holds nothing but orphan version dirs /
-    checkpoint-style underscore files (no committed data to protect)."""
+    """True if store_path holds nothing but orphan ``_v_*`` version dirs
+    and dot-hidden temp files (no committed data to protect).
+
+    Deliberately narrower than "all underscore/dot entries": a torn
+    PRE-versioned legacy overwrite (crash after the delete phase) leaves
+    exactly ``_temporary``/``_SUCCESS`` and nothing else — that is LOSS
+    of a committed store, not bootstrap, and must keep raising (the
+    pre-r7 sink's stated contract for UNABLE_TO_INFER_SCHEMA)."""
     try:
         names = os.listdir(store_path)
     except OSError:
         return False
-    return all(n.startswith(("_", ".")) for n in names)
+    return all(n.startswith(_VPREFIX) or n.startswith(".") for n in names)
 
 
 def commit_store(df: DataFrame, store_path: str, batch_id: int) -> None:

@@ -23,72 +23,20 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-6
-# (CORRECTNESS_r0{1..6}.json union) — each must sit in the r7 window OR
-# in the explicitly-queued round-8 spill below. The spill exists because
-# 58 never-verified queries compete for 50 slots; the 8 most expensive
-# (by ORACLE_TIMINGS) wait one round, pytest-enforced in the meantime.
+# every query with no driver correctness row in any of rounds 1-7
+# (CORRECTNESS_r0{1..7}.json union) — each must sit in the r8 window OR
+# in the explicitly-queued next-round spill. After the r8 gate runs
+# green this list collapses to the round-8 additions only.
 NEVER_DRIVER_VERIFIED = [
-    # r6 session-3 / queue additions, never in a gate window yet
-    "chunk_level_dedup",
-    "length_histogram_by_source",
-    "minhash_accuracy_audit",
-    "vocab_coverage_curve",
-    "hll_distinct_by_source",
-    "bloom_decontamination",
-    "embedding_rank_fusion",
-    "bm25_topk",
-    "mixture_temperature_weights",
-    "hll_cumulative_users",
-    "interval_join_click_purchase",
-    "snapshot_diff_orders",
-    "event_transition_matrix",
-    "cohort_retention_matrix",
-    "hll_rolling_users_7d",
-    "walkforward_splits",
-    "brinson_attribution",
-    "cross_factor_regression",
-    "data_profile_orders",
-    "data_quality_checks",
-    "embedding_drift_by_label",
-    "volume_anomaly_days",
-    "panel_gap_report",
-    "langid_confusion",
-    "merge_upsert_orders",
-    "k_anonymity_customers",
-    "forecast_eval_naive",
-    "order_lineitem_reconciliation",
-    "m4_downsample_close",
-    "neardup_cluster_sizes",
-    "token_pmi_pairs",
-    "conversion_attribution",
-    "char_entropy_quality",
-    "corpus_overview",
-    "top_correlated_pairs",
-    "ab_test_lift",
-    "robust_volume_outliers",
-    "market_concentration_daily",
-    "ic_decay_profile",
-    "ann_recall_audit",
-    "pagerank_nation_trade",
-    "embedding_cluster_profile",
-    "minhash_pr_audit",
-    "neardup_threshold_sweep",
+    # the r7 queue: 8 cost-spills + everything registered in round 7
     "cross_source_dup_matrix",
-    "shard_assignment_balance",
-    "out_of_orderness_profile",
-    "order_priority_delay",
-    "volume_price_corr",
-    "extreme_day_concentration",
-    "nation_trade_balance",
-    "length_quality_grid",
-    "sector_breadth_daily",
-    "order_cadence_stats",
-    "supplier_concentration_by_type",
-    "token_length_by_lang",
-    "cube_nation_segment",
-    "sql_interface_revenue",
-    # new in round 7 (registered this round, no driver row yet)
+    "ic_decay_profile",
+    "embedding_cluster_profile",
+    "neardup_cluster_sizes",
+    "pagerank_nation_trade",
+    "hll_rolling_users_7d",
+    "minhash_pr_audit",
+    "chunk_level_dedup",
     "small_qty_order_revenue",
     "sole_problem_supplier",
     "idle_high_balance_customers",
@@ -120,52 +68,15 @@ NEVER_DRIVER_VERIFIED = [
     "int8_quantization_audit",
     "kaplan_meier_ship_times",
     "theil_sen_trend",
+    # new in round 8 (registered this round, no driver row yet)
+    "nation_spend_quartiles",
 ]
 
-# round-8 spill: the 8 most expensive never-verified queries (gate cost
-# budget); must stay in sync with the queue comment in plans/__init__.py
-QUEUED_NEXT_ROUND = [
-    "cross_source_dup_matrix",
-    "ic_decay_profile",
-    "embedding_cluster_profile",
-    "neardup_cluster_sizes",
-    "pagerank_nation_trade",
-    "hll_rolling_users_7d",
-    "minhash_pr_audit",
-    "chunk_level_dedup",
-    # new in round 7 — landed after this round's window was pinned
-    "small_qty_order_revenue",
-    "sole_problem_supplier",
-    "idle_high_balance_customers",
-    "dominant_supplier_parts",
-    "nation_trade_triangles",
-    "t_closeness_report",
-    "ohlc_vol_estimators",
-    "kyle_lambda_daily",
-    "seasonal_dow_volume",
-    "hard_negative_mining",
-    "embedding_silhouette",
-    "trade_reachability_hops",
-    "pii_scrub_report",
-    "min_unit_cost_supplier",
-    "top_value_parts",
-    "top_revenue_supplier_quarter",
-    "variance_ratio_test",
-    "curriculum_phases",
-    "leadlag_cross_correlation",
-    "cusum_changepoint",
-    "gini_revenue_by_nation",
-    "event_path_trigrams",
-    "weighted_median_unit_price",
-    "join_skew_report",
-    "bootstrap_sharpe_ci",
-    "matryoshka_dim_audit",
-    "rake_keywords",
-    "split_leakage_audit",
-    "int8_quantization_audit",
-    "kaplan_meier_ship_times",
-    "theil_sen_trend",
-]
+# round-9 spill: empty — all 40 never-verified queries fit in the r8
+# window alongside the 10 re-gates (5 r7 semantics changes + 5 r8
+# implementation changes); must stay in sync with the queue comment in
+# plans/__init__.py
+QUEUED_NEXT_ROUND: list[str] = []
 
 
 def test_window_is_pinned_and_full():

@@ -398,3 +398,65 @@ def test_curriculum_cumsum_window_is_source_partitioned(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
     assert specs, logical[:2000]
     assert all("source" in sp for sp in specs), specs
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide red line (r8, VERDICT r7 item 2): no unpartitioned window
+# function may run over a data-cardinality relation. An empty PARTITION BY
+# spec plans WindowExec with an Exchange SinglePartition child — ALL rows
+# of the input move to one task. Spark's unpartitioned `orderBy()` SORTS
+# are range-partitioned; unpartitioned WINDOW functions are not (the r7
+# histogram_equi_depth finding). Exact global quantiles now go through
+# operators.relational.global_ntile (range-partitioned two-pass rank).
+#
+# The allow-list enumerates every query whose empty-spec window is
+# documented (inline, at the window's construction site) to run over a
+# BOUNDED relation — calendar-/day-grain series, k-bounded top-k lists,
+# digit-/weekday-sized groupings — never over fact- or entity-cardinality
+# data. Adding a name here requires that inline bound comment.
+# ---------------------------------------------------------------------------
+_GLOBAL_WINDOW_BOUNDED_OK = {
+    "panel_gap_report",  # calendar-day grain trading-date spine
+    "embedding_rank_fusion",  # k-bounded fused candidate lists
+    "hll_cumulative_users",  # day-grain register rollup (days x 256)
+    "walkforward_splits",  # split-count-bounded spine (days / step)
+    "prev_day_change",  # trading-calendar date spine
+    "benford_first_digit",  # 9 leading digits
+    "kaplan_meier_ship_times",  # horizon-bounded day grain (<= 366 rows)
+    "rank_ic_daily",  # day-grain IC series
+    "backtest_decile_longshort",  # day-grain long-short return series
+    "market_index_history",  # day-grain index series
+    "backtest_turnover_cost",  # day-grain portfolio series
+    "pairs_spread_zscore",  # day-grain single-pair spread series
+    "seasonal_dow_volume",  # 7 weekdays
+}
+
+
+def _empty_spec_windows(df) -> list[str]:
+    out = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty():
+            out.append(n.toString().splitlines()[0][:160])
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+    return out
+
+
+def test_no_unpartitioned_window_outside_bounded_allowlist(spark):
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        wins = _empty_spec_windows(fn(spark, SF))
+        if wins and name not in _GLOBAL_WINDOW_BOUNDED_OK:
+            offenders[name] = wins
+    assert not offenders, (
+        "unpartitioned window over a (potentially) data-sized relation — "
+        f"use operators.relational.global_ntile or add a documented bound: {offenders}"
+    )
+    # the allow-list must not go stale: every listed name still exists
+    stale = _GLOBAL_WINDOW_BOUNDED_OK - set(QUERIES)
+    assert not stale, f"allow-listed queries no longer registered: {stale}"
