@@ -2103,7 +2103,10 @@ def trade_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = ranked.select("src", "dst")
     # source = src of the heaviest edge: one bounded 1-row driver read
-    source = int(ranked.filter(F.col("rk") == 1).collect()[0]["src"])
+    top = ranked.filter(F.col("rk") == 1).collect()
+    if not top:  # empty trade graph: no source — empty, like the oracle
+        return spark.createDataFrame([], "nationkey bigint, hops int")
+    source = int(top[0]["src"])
     spark_s = li.sparkSession
     visited = spark_s.createDataFrame(
         [(source, 0)], "node bigint, hops int"

@@ -913,9 +913,12 @@ def stratified_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.sampling import two_phase_quota_pick
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    m = int(
+    m_row = (
         docs.groupBy("lang").count().agg(F.min("count").alias("__m")).collect()[0][0]
     )
+    if m_row is None:  # empty corpus: no stratum exists — empty, like the oracle
+        return spark.createDataFrame([], "doc_id long, lang string")
+    m = int(m_row)
     return two_phase_quota_pick(docs, "lang", "doc_id", m).select("doc_id", "lang")
 
 

@@ -168,3 +168,42 @@ def test_global_ntile_plans_range_exchange_not_single_partition(ntile_df):
     got = global_ntile(ntile_df, 5, ["v", "k"], out="b")
     plan = got._jdf.queryExecution().executedPlan().toString().lower()
     assert "rangepartitioning" in plan
+
+
+# ---------------------------------------------------------------------------
+# Same degenerate-input class, found by audit (r8): queries that index a
+# bounded driver read must degrade to the oracle's zero-row result on
+# empty inputs, not TypeError/IndexError on the driver.
+# ---------------------------------------------------------------------------
+def test_stratified_sample_empty_corpus(spark, tmp_path):
+    sf = str(tmp_path / "empty_docs")
+    docs = spark.createDataFrame([], "doc_id long, lang string, text string, source string")
+    _write(docs, os.path.join(sf, "documents.parquet"))
+    out = QUERIES["stratified_sample_balanced"](spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang"]
+
+
+def test_trade_reachability_empty_graph(spark, tmp_path):
+    sf = str(tmp_path / "empty_trade")
+    _write(
+        spark.createDataFrame(
+            [], "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double"
+        ),
+        os.path.join(sf, "lineitem.parquet"),
+    )
+    _write(
+        spark.createDataFrame([], "o_orderkey long, o_custkey long"),
+        os.path.join(sf, "orders.parquet"),
+    )
+    _write(
+        spark.createDataFrame([], "c_custkey long, c_nationkey int"),
+        os.path.join(sf, "customer.parquet"),
+    )
+    _write(
+        spark.createDataFrame([], "s_suppkey long, s_nationkey int"),
+        os.path.join(sf, "supplier.parquet"),
+    )
+    out = QUERIES["trade_reachability_hops"](spark, sf)
+    assert out.count() == 0
+    assert out.columns == ["nationkey", "hops"]
