@@ -393,3 +393,49 @@ def bloom_hit_sql(element_sql: str, words_col: str = "__bw") -> str:
             f" CAST(({pos} % 64) AS INT)) & 1) = 1)"
         )
     return "(" + " AND ".join(tests) + ")"
+
+
+# --- log-binned quantile sketch -------------------------------------------
+# The mergeable approximate-quantile sketch a 100 TB profiler runs instead
+# of an exact percentile sort: every positive integer value maps to the
+# lower bound of its base-2/16-subdivision bucket (top FOUR bits kept:
+# bucket lower bound = v with all bits below the top four cleared), so the
+# whole distribution collapses to <= 8 buckets per octave x 61 octaves
+# (~500 counters for the full int64 range). Counts are plain per-bucket
+# sums — trivially mergeable across partitions/streams; a quantile query
+# walks the ~500-row cumulative series. Relative value error <= 1/16 ≈
+# 6.25% by construction. Everything is INTEGER bit arithmetic (length of
+# the binary string + shifts — verified identical in Spark and DuckDB), so
+# both engines produce bit-identical buckets with no transcendental in
+# the plan (a log()-based binning would differ in the last ulp across
+# libm implementations and flip bucket ids on boundary values).
+# Reference analogue: ClickHouse's quantileTiming-style fixed-resolution
+# sketches used for dashboard percentiles.
+
+
+def logbin_lower_bound(v: Column | str) -> Column:
+    """Exact bucket lower bound for a positive BIGINT column: keep the top
+    4 bits, clear the rest (values < 8 are exact singleton buckets)."""
+    c = F.col(v) if isinstance(v, str) else v
+    return F.when(c < 8, c).otherwise(
+        F.expr(
+            f"({_sql_logbin_v(v)} >> (length(bin({_sql_logbin_v(v)}))-1-3)) "
+            f"<< (length(bin({_sql_logbin_v(v)}))-1-3)"
+        )
+    )
+
+
+def _sql_logbin_v(v: Column | str) -> str:
+    if not isinstance(v, str):
+        raise TypeError("logbin_lower_bound needs a column NAME (the shift "
+                        "amount references it twice in SQL text)")
+    return v
+
+
+def o_logbin_lower_bound(expr: str) -> str:
+    """DuckDB twin — same bit arithmetic, same bin()/shift semantics."""
+    return (
+        f"CASE WHEN {expr} < 8 THEN {expr} "
+        f"ELSE ({expr} >> (length(bin({expr}))-1-3)) "
+        f"<< (length(bin({expr}))-1-3) END"
+    )

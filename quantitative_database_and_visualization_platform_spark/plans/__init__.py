@@ -96,10 +96,12 @@ GATE_FIRST: list[str] = [
     "nation_spend_quartiles",
 ]
 
-# Round-9 queue: queries ADDED in round 8 (registered + pytest-oracle-
-# enforced immediately; driver rows next round) are appended here as
-# they land. Everything registered before round 8 has a binding driver
-# row once CORRECTNESS_r08.json is green.
+# Round-9 queue: queries ADDED in round 8 after the window was pinned
+# (registered + pytest-oracle-enforced immediately; driver rows next
+# round). Everything registered before round 8 has a binding driver row
+# once CORRECTNESS_r08.json is green.
+#   quantile_sketch_order_values, purged_kfold_splits,
+#   distinctive_tokens_by_source, order_priority_runs
 
 
 def _apply_gate_order() -> None:

@@ -1175,6 +1175,138 @@ def walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Purged K-fold CV splits with embargo (new r8): the walkforward sibling
+# for non-sequential model selection — K=5 contiguous test folds over the
+# trading calendar; train excludes (a) the PURGE day(s) whose 1-day
+# forward-return label window overlaps the fold (the day immediately
+# before test start, h=1) and (b) an EMBARGO of 2 days after test end
+# (serial-correlation leakage from overlapping information). The split
+# geometry every leakage-aware backtest harness needs (López de Prado,
+# "Advances in Financial Machine Learning", ch. 7 — public reference).
+#
+# Fold boundaries are exact integer arithmetic (fold of day idx =
+# floor(idx*K/T)), so both engines cut identical folds with no float
+# rounding. Output carries per-role day counts and the fixed-point mean
+# market return inside train/test, so in-sample vs out-of-sample drift is
+# read straight off the result.
+#
+# Scale shape: identical to walkforward_splits — the panel collapses to
+# the day-grain market series once (one date-keyed shuffle); folds are a
+# K-row broadcast; every window/rank runs on the calendar-bounded day
+# series.
+# ---------------------------------------------------------------------------
+@query(
+    "purged_kfold_splits",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ),
+    mkt AS (
+        SELECT d,
+               SUM(CAST(ROUND(ret*{_RS},0) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE)
+                   / {_RS} AS mkt_ret
+        FROM rets GROUP BY d
+    ),
+    days AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY d) - 1 AS idx FROM (
+            SELECT DISTINCT d FROM mkt
+        )
+    ),
+    tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days),
+    folds AS (SELECT UNNEST([0,1,2,3,4]) AS fold_id),
+    bounds AS (
+        SELECT fold_id,
+               CAST((fold_id * t + 4) // 5 AS BIGINT) AS lo,
+               CAST(((fold_id + 1) * t + 4) // 5 AS BIGINT) - 1 AS hi
+        FROM folds, tn
+    ),
+    roles AS (
+        SELECT b.fold_id, dd.d, dd.idx,
+               CASE WHEN dd.idx BETWEEN b.lo AND b.hi THEN 'test'
+                    WHEN dd.idx = b.lo - 1 THEN 'purged'
+                    WHEN dd.idx > b.hi AND dd.idx <= b.hi + 2 THEN 'embargo'
+                    ELSE 'train' END AS role
+        FROM bounds b JOIN days dd ON TRUE
+    )
+    SELECT r.fold_id,
+           MIN(CASE WHEN role = 'test' THEN r.d END) AS test_start,
+           MAX(CASE WHEN role = 'test' THEN r.d END) AS test_end,
+           CAST(count_if(role = 'test') AS BIGINT) AS n_test,
+           CAST(count_if(role = 'train') AS BIGINT) AS n_train,
+           CAST(count_if(role = 'purged') AS BIGINT) AS n_purged,
+           CAST(count_if(role = 'embargo') AS BIGINT) AS n_embargo,
+           FLOOR((SUM(CASE WHEN role = 'train'
+                       THEN CAST(ROUND(m.mkt_ret*{_RS},0) AS BIGINT) END)
+                  * 1.0 / count_if(role = 'train') / {_RS}) * 1000000 + 0.5)
+               /1000000.0 AS train_mkt_ret,
+           FLOOR((SUM(CASE WHEN role = 'test'
+                       THEN CAST(ROUND(m.mkt_ret*{_RS},0) AS BIGINT) END)
+                  * 1.0 / count_if(role = 'test') / {_RS}) * 1000000 + 0.5)
+               /1000000.0 AS test_mkt_ret
+    FROM roles r JOIN mkt m ON r.d = m.d
+    GROUP BY r.fold_id
+    """,
+)
+def purged_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    micro = F.round(F.col("ret") * _RS, 0).cast("long")
+    mkt = rets.groupBy("d").agg(
+        (F.sum(micro) / F.count(F.lit(1)).cast("double") / _RS).alias("mkt_ret")
+    )
+    # calendar-bounded rank: one row per trading day
+    days = mkt.select("d").withColumn(
+        "idx", (F.row_number().over(Window.orderBy("d")) - 1).cast("long")
+    )
+    t = days.count()  # bounded driver scalar (calendar size)
+    k, embargo = 5, 2
+    folds = spark.range(k).select(F.col("id").alias("fold_id"))
+    # exact integer fold boundaries: lo(f) = ceil(f*T/K), hi(f) = lo(f+1)-1
+    bounds = folds.select(
+        "fold_id",
+        F.expr(f"(fold_id * {t} + {k - 1}) div {k}").alias("lo"),
+        F.expr(f"((fold_id + 1) * {t} + {k - 1}) div {k} - 1").alias("hi"),
+    )
+    roles = days.crossJoin(F.broadcast(bounds)).withColumn(
+        "role",
+        F.when(F.col("idx").between(F.col("lo"), F.col("hi")), "test")
+        .when(F.col("idx") == F.col("lo") - 1, "purged")
+        .when(
+            (F.col("idx") > F.col("hi")) & (F.col("idx") <= F.col("hi") + embargo),
+            "embargo",
+        )
+        .otherwise("train"),
+    )
+    mmicro = F.round(F.col("mkt_ret") * _RS, 0).cast("long")
+    is_tr = F.col("role") == "train"
+    is_te = F.col("role") == "test"
+    return (
+        roles.join(mkt, "d")
+        .groupBy("fold_id")
+        .agg(
+            F.min(F.when(is_te, F.col("d"))).alias("test_start"),
+            F.max(F.when(is_te, F.col("d"))).alias("test_end"),
+            F.count_if(is_te).alias("n_test"),
+            F.count_if(is_tr).alias("n_train"),
+            F.count_if(F.col("role") == "purged").alias("n_purged"),
+            F.count_if(F.col("role") == "embargo").alias("n_embargo"),
+            round6(
+                F.sum(F.when(is_tr, mmicro)) * 1.0 / F.count_if(is_tr) / _RS
+            ).alias("train_mkt_ret"),
+            round6(
+                F.sum(F.when(is_te, mmicro)) * 1.0 / F.count_if(is_te) / _RS
+            ).alias("test_mkt_ret"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Brinson-Fachler attribution (new r6): per-date allocation / selection /
 # interaction decomposition of an equal-weight momentum portfolio (top
 # half of names by 5-day momentum) against the equal-weight universe

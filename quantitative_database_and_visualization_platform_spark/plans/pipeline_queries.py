@@ -5288,3 +5288,118 @@ def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.min("cq") / 1_000_000.0).alias("min_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive tokens per source (new r8): the "Fightin' Words" log-odds
+# ratio with an informative Dirichlet prior (Monroe, Colaresi & Quinn
+# 2008 — the standard corpus-comparison statistic): for source i and
+# token w,
+#   delta = ln((y_iw + a_w)/(n_i + MU - y_iw - a_w))
+#         - ln((y_-iw + a_w)/(n_-i + MU - y_-iw - a_w))
+#   var   = 1/(y_iw + a_w) + 1/(y_-iw + a_w),   z = delta / sqrt(var)
+# with prior mass a_w = MU * y_w / n (MU = 100 pseudo-tokens spread by
+# global frequency). The z-score answers "which tokens characterize this
+# source vs the rest of the corpus" with small-count shrinkage — the
+# curation diagnostic a mixture designer reads before reweighting.
+#
+# Determinism: all counts are exact integers; the prior, delta and z are
+# IEEE doubles built from identical integer inputs on both engines, z is
+# rounded to 9dp BEFORE ranking (the repo's rank-on-floats convention)
+# and reported at 6dp.
+#
+# Scale shape: one corpus-linear explode -> (source, token) and token
+# aggregates (two uniform-key shuffles); all joins are vocabulary-keyed
+# (AQE broadcasts the totals); top-5 per source is a source-partitioned
+# row_number over the vocabulary-sized scored relation.
+# ---------------------------------------------------------------------------
+_FW_MU = 100.0
+
+
+@query(
+    "distinctive_tokens_by_source",
+    oracle=f"""
+    WITH {_O_NORM},
+    tok AS (
+        SELECT d.source, UNNEST(w.w) AS tk
+        FROM words w JOIN documents d ON w.doc_id = d.doc_id
+    ),
+    st AS (SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS y
+           FROM tok GROUP BY source, tk),
+    gt AS (SELECT tk, CAST(SUM(y) AS BIGINT) AS yw FROM st GROUP BY tk),
+    ni AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n_i FROM st GROUP BY source),
+    nn AS (SELECT CAST(SUM(yw) AS BIGINT) AS n FROM gt),
+    scored AS (
+        SELECT st.source, st.tk, st.y,
+               ln((st.y + {_FW_MU} * gt.yw / nn.n)
+                  / (ni.n_i + {_FW_MU} - st.y - {_FW_MU} * gt.yw / nn.n))
+             - ln(((gt.yw - st.y) + {_FW_MU} * gt.yw / nn.n)
+                  / ((nn.n - ni.n_i) + {_FW_MU} - (gt.yw - st.y)
+                     - {_FW_MU} * gt.yw / nn.n)) AS delta,
+               1.0 / (st.y + {_FW_MU} * gt.yw / nn.n)
+             + 1.0 / ((gt.yw - st.y) + {_FW_MU} * gt.yw / nn.n) AS v
+        FROM st JOIN gt USING (tk) JOIN ni USING (source) CROSS JOIN nn
+    ),
+    z9 AS (
+        SELECT source, tk, y,
+               FLOOR((delta / sqrt(v)) * 1000000000 + 0.5) / 1000000000.0 AS z
+        FROM scored
+    ),
+    ranked AS (
+        SELECT source, tk, y, z,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, tk) AS rk
+        FROM z9
+    )
+    SELECT source, CAST(rk AS INT) AS rank, tk AS token, y AS n_occurrences,
+           {o_round6('z')} AS log_odds_z
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def distinctive_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(dd.normalized_text("text"), " ")).alias("tk"),
+    )
+    st = tok.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("y"))
+    gt = st.groupBy("tk").agg(F.sum("y").alias("yw"))
+    ni = st.groupBy("source").agg(F.sum("y").alias("n_i"))
+    nn = gt.agg(F.sum("yw").alias("n"))
+    a_w = F.lit(_FW_MU) * F.col("yw") / F.col("n")
+    rest_y = F.col("yw") - F.col("y")
+    rest_n = F.col("n") - F.col("n_i")
+    delta = F.log(
+        (F.col("y") + a_w) / (F.col("n_i") + F.lit(_FW_MU) - F.col("y") - a_w)
+    ) - F.log(
+        (rest_y + a_w) / (rest_n + F.lit(_FW_MU) - rest_y - a_w)
+    )
+    v = 1.0 / (F.col("y") + a_w) + 1.0 / (rest_y + a_w)
+    scored = (
+        st.join(gt, "tk")
+        .join(F.broadcast(ni), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "tk",
+            "y",
+            # 9dp pre-round before ranking (rank-on-floats convention)
+            (
+                F.floor((delta / F.sqrt(v)) * 1_000_000_000 + F.lit(0.5))
+                / 1_000_000_000.0
+            ).alias("z"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("z"), "tk")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rank"),
+            F.col("tk").alias("token"),
+            F.col("y").alias("n_occurrences"),
+            round6(F.col("z")).alias("log_odds_z"),
+        )
+    )

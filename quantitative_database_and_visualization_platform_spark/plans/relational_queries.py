@@ -18,8 +18,17 @@ from ..operators.relational import (
     top_k,
     weighted_euclidean,
 )
+from ..pipeline import sketches as sk
 from ..sources.catalog import load_table
-from .registry import avg_fixed, o_avg_fixed, o_sum_fixed, query, sum_fixed
+from .registry import (
+    avg_fixed,
+    o_avg_fixed,
+    o_round6,
+    o_sum_fixed,
+    query,
+    round6,
+    sum_fixed,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -892,6 +901,85 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("c") / 100.0).alias("lo"),
         (F.max("c") / 100.0).alias("hi"),
         (F.sum("c") / 100.0).alias("bucket_mass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-binned quantile sketch (new r8): the mergeable approximate-quantile
+# profile a 100 TB pipeline runs instead of an exact percentile sort.
+# Every cents value maps to its top-4-bits bucket lower bound (<= ~8
+# buckets/octave, ~500 counters for all of int64; <= 6.25% relative value
+# error by construction); bucket counts are one plain aggregate —
+# mergeable across partitions, files, days, or streams — and each
+# requested quantile is answered by the first bucket whose cumulative
+# count crosses q*N, reported WITH its exactly-achieved rank so the
+# approximation is accounted, not hidden (the ann_recall_audit
+# convention). All binning is integer bit arithmetic (bin-string length +
+# shifts, verified bit-identical in Spark and DuckDB) — no log()/pow() in
+# the plan, so no cross-libm ulp risk on bucket boundaries.
+#
+# Scale shape: one scan + one ~500-key aggregate; the cumulative window
+# runs on the bucket series (bounded by construction, constant partition
+# key so no SinglePartition WindowExec); quantile picks are a broadcast
+# cross against 5 target rows. Exact-percentile alternatives at this
+# scale need a full sort (histogram_equi_depth's two-pass rank) — the
+# sketch answers in one pass and composes incrementally.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_sketch_order_values",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v FROM orders
+    ), b AS (
+        SELECT {sk.o_logbin_lower_bound('v')} AS lb,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1
+    ), cumb AS (
+        SELECT lb, CAST(SUM(c) OVER (ORDER BY lb) AS BIGINT) AS cum FROM b
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v
+    ), t AS (
+        SELECT UNNEST([25, 50, 75, 90, 99]) AS qpct
+    ), pick AS (
+        SELECT qpct, MIN(lb) AS est_lb
+        FROM cumb, n, t
+        WHERE 100 * cum >= CAST(qpct AS BIGINT) * n
+        GROUP BY qpct
+    )
+    SELECT p.qpct / 100.0 AS q,
+           p.est_lb / 100.0 AS est_value,
+           c.cum AS n_le,
+           {o_round6('c.cum * 1.0 / n.n')} AS q_achieved
+    FROM pick p JOIN cumb c ON c.lb = p.est_lb CROSS JOIN n
+    """,
+)
+def quantile_sketch_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"))
+    b = v.groupBy(sk.logbin_lower_bound("v").alias("lb")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # bucket series is <= ~500 rows by construction; constant non-foldable
+    # partition key documents the bound and avoids the empty-spec window
+    wcum = Window.partitionBy(F.pmod(F.col("lb"), F.lit(1))).orderBy("lb")
+    cumb = b.select("lb", F.sum("c").over(wcum).alias("cum"))
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    targets = spark.createDataFrame([(25,), (50,), (75,), (90,), (99,)], "qpct int")
+    cand = (
+        cumb.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.lit(100) * F.col("cum") >= F.col("qpct").cast("long") * F.col("n"))
+    )
+    pick = cand.groupBy("qpct").agg(F.min("lb").alias("est_lb"))
+    return (
+        pick.join(cumb, pick["est_lb"] == cumb["lb"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("qpct") / 100.0).alias("q"),
+            (F.col("est_lb") / 100.0).alias("est_value"),
+            F.col("cum").alias("n_le"),
+            round6(F.col("cum") * 1.0 / F.col("n")).alias("q_achieved"),
+        )
     )
 
 
@@ -1880,4 +1968,62 @@ def kaplan_meier_ship_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_events"),
         "n_risk",
         (F.floor(F.col("s") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands run-length encoding (new r8): collapse each customer's
+# order history into maximal runs of consecutive orders sharing the same
+# priority — the SCD2-style interval build / regime detection idiom every
+# warehouse needs (state change tracking, validity intervals, streak
+# mining). The classic two-rank difference: rn_overall - rn_within_value
+# is constant exactly along a run, so grouping on it reconstructs the
+# islands without any self-join or iteration.
+#
+# Scale shape: two window functions over ONE custkey-keyed sort (same
+# partition spec -> one WindowExec, one exchange), then a (custkey, grp)
+# aggregate that reuses the same clustering. No fact-sized self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "order_priority_runs",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               o_orderdate, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+             - ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderpriority
+                                  ORDER BY o_orderdate, o_orderkey) AS grp
+        FROM orders
+    ), runs AS (
+        SELECT custkey, priority,
+               MIN(o_orderdate) AS run_start, MAX(o_orderdate) AS run_end,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM seq GROUP BY custkey, priority, grp
+    )
+    SELECT custkey, priority, run_start, run_end, n_orders
+    FROM runs WHERE n_orders >= 3
+    """,
+)
+def order_priority_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w_all = Window.partitionBy("custkey").orderBy("o_orderdate", "o_orderkey")
+    w_val = Window.partitionBy("custkey", "priority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    seq = o.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_val)
+    )
+    runs = seq.groupBy("custkey", "priority", "grp").agg(
+        F.min("o_orderdate").alias("run_start"),
+        F.max("o_orderdate").alias("run_end"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return runs.filter(F.col("n_orders") >= 3).select(
+        "custkey", "priority", "run_start", "run_end", "n_orders"
     )

@@ -70,13 +70,22 @@ NEVER_DRIVER_VERIFIED = [
     "theil_sen_trend",
     # new in round 8 (registered this round, no driver row yet)
     "nation_spend_quartiles",
+    "quantile_sketch_order_values",
+    "purged_kfold_splits",
+    "distinctive_tokens_by_source",
+    "order_priority_runs",
 ]
 
-# round-9 spill: empty — all 40 never-verified queries fit in the r8
-# window alongside the 10 re-gates (5 r7 semantics changes + 5 r8
-# implementation changes); must stay in sync with the queue comment in
-# plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = []
+# round-9 spill: the four queries ADDED in round 8 after the 50-slot
+# window was pinned (the 40th never-verified query,
+# nation_spend_quartiles, took the final slot); must stay in sync with
+# the queue comment in plans/__init__.py
+QUEUED_NEXT_ROUND: list[str] = [
+    "quantile_sketch_order_values",
+    "purged_kfold_splits",
+    "distinctive_tokens_by_source",
+    "order_priority_runs",
+]
 
 
 def test_window_is_pinned_and_full():

@@ -420,6 +420,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "embedding_rank_fusion",  # k-bounded fused candidate lists
     "hll_cumulative_users",  # day-grain register rollup (days x 256)
     "walkforward_splits",  # split-count-bounded spine (days / step)
+    "purged_kfold_splits",  # calendar-day grain spine (same shape)
     "prev_day_change",  # trading-calendar date spine
     "benford_first_digit",  # 9 leading digits
     "kaplan_meier_ship_times",  # horizon-bounded day grain (<= 366 rows)

@@ -207,3 +207,139 @@ def test_trade_reachability_empty_graph(spark, tmp_path):
     out = QUERIES["trade_reachability_hops"](spark, sf)
     assert out.count() == 0
     assert out.columns == ["nationkey", "hops"]
+
+
+# ---------------------------------------------------------------------------
+# Independent-reference golden tests for the round-8 operators (the
+# test_roundseven_golden.py philosophy: the DuckDB oracle shares each
+# query's formula by construction, so recompute the semantics with plain
+# python/pandas at sf0.001 and compare).
+# ---------------------------------------------------------------------------
+import math
+
+from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000.0
+
+
+def _lb(v: int) -> int:
+    if v < 8:
+        return v
+    k = v.bit_length() - 1
+    return (v >> (k - 3)) << (k - 3)
+
+
+def test_quantile_sketch_matches_python_binning(spark):
+    o = load_table(spark, SF, "orders").toPandas()
+    vals = [int(round(p * 100)) for p in o["o_totalprice"]]
+    from collections import Counter
+
+    counts = Counter(_lb(v) for v in vals)
+    n = len(vals)
+    cum, cum_by_lb = 0, {}
+    for lb in sorted(counts):
+        cum += counts[lb]
+        cum_by_lb[lb] = cum
+    got = {r["q"]: r for r in QUERIES["quantile_sketch_order_values"](spark, SF).collect()}
+    assert set(got) == {0.25, 0.5, 0.75, 0.9, 0.99}
+    for qpct in (25, 50, 75, 90, 99):
+        est_lb = min(lb for lb, c in cum_by_lb.items() if 100 * c >= qpct * n)
+        r = got[qpct / 100.0]
+        assert r["est_value"] == est_lb / 100.0
+        assert r["n_le"] == cum_by_lb[est_lb]
+        assert r["q_achieved"] == _r6(cum_by_lb[est_lb] / n)
+        # the sketch contract: achieved rank never undershoots the request
+        assert r["q_achieved"] >= qpct / 100.0 - 1e-9
+        # and the value error is bounded by one bucket (6.25% relative)
+        exact = sorted(vals)[max(0, math.ceil(qpct * n / 100) - 1)]
+        assert est_lb <= exact and exact <= est_lb * (1 + 1 / 8) + 7
+
+
+def test_purged_kfold_matches_python_geometry(spark):
+    got = {
+        r["fold_id"]: r for r in QUERIES["purged_kfold_splits"](spark, SF).collect()
+    }
+    # recompute geometry from the day count alone
+    bars = daily_bars(spark, SF).toPandas()
+    days = sorted(bars["d"].unique())[1:]  # first day has no return
+    t, k, e = len(days), 5, 2
+    assert set(got) == set(range(k))
+    for f in range(k):
+        lo = (f * t + k - 1) // k
+        hi = ((f + 1) * t + k - 1) // k - 1
+        r = got[f]
+        assert r["n_test"] == hi - lo + 1
+        assert r["test_start"] == days[lo] and r["test_end"] == days[hi]
+        n_purged = 1 if lo >= 1 else 0
+        n_embargo = min(e, t - 1 - hi)
+        assert r["n_purged"] == n_purged
+        assert r["n_embargo"] == n_embargo
+        assert r["n_train"] == t - r["n_test"] - n_purged - n_embargo
+        # leakage guard: train never touches the purge/embargo halo
+        assert r["n_train"] + r["n_test"] < t or (n_purged + n_embargo) == 0
+
+
+def test_distinctive_tokens_matches_python_logodds(spark):
+    docs = load_table(spark, SF, "documents").toPandas()
+    from collections import Counter, defaultdict
+
+    st: dict = defaultdict(Counter)
+    for r in docs.itertuples():
+        toks = " ".join(str(r.text).split()).lower().split(" ")
+        st[r.source].update(toks)
+    gt: Counter = Counter()
+    for c in st.values():
+        gt.update(c)
+    n = sum(gt.values())
+    mu = 100.0
+    want = {}
+    for src, cnt in st.items():
+        n_i = sum(cnt.values())
+        scored = []
+        for tk, y in cnt.items():
+            a = mu * gt[tk] / n
+            ry, rn = gt[tk] - y, n - n_i
+            delta = math.log((y + a) / (n_i + mu - y - a)) - math.log(
+                (ry + a) / (rn + mu - ry - a)
+            )
+            z = delta / math.sqrt(1.0 / (y + a) + 1.0 / (ry + a))
+            z9 = math.floor(z * 1_000_000_000 + 0.5) / 1_000_000_000.0
+            scored.append((-z9, tk, y))
+        scored.sort()
+        for rank, (negz, tk, y) in enumerate(scored[:5], start=1):
+            want[(src, rank)] = (tk, y, _r6(-negz))
+    got = {
+        (r["source"], r["rank"]): (r["token"], r["n_occurrences"], r["log_odds_z"])
+        for r in QUERIES["distinctive_tokens_by_source"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_order_priority_runs_matches_python_islands(spark):
+    o = load_table(spark, SF, "orders").toPandas()
+    o = o.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    want = set()
+    for ck, grp in o.groupby("o_custkey"):
+        run = []
+        prev = None
+        for r in grp.itertuples():
+            if prev is not None and r.o_orderpriority != prev:
+                if len(run) >= 3:
+                    want.add(
+                        (ck, prev, run[0].date(), run[-1].date(), len(run))
+                    )
+                run = []
+            run.append(r.o_orderdate)
+            prev = r.o_orderpriority
+        if len(run) >= 3:
+            want.add((ck, prev, run[0].date(), run[-1].date(), len(run)))
+    got = {
+        (r["custkey"], r["priority"], r["run_start"], r["run_end"], r["n_orders"])
+        for r in QUERIES["order_priority_runs"](spark, SF).collect()
+    }
+    assert got == want
