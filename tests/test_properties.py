@@ -516,3 +516,47 @@ def test_bloom_probe_paths_agree(spark):
     ev.unpersist()
     assert join_path == expr_path
     assert len(join_path) > 0 and any(join_path.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # order key (dup-heavy)
+            st.integers(min_value=0, max_value=2),  # group
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=7),  # n buckets
+    st.integers(min_value=1, max_value=9),  # num_ranges
+)
+def test_global_ntile_matches_window_ntile_property(spark, rows, n, num_ranges):
+    """global_ntile must be bit-identical to the window-function NTILE for
+    ANY data / bucket count / range-partition count — including heavy
+    ties (unique tie-break via the row id), empty-ish groups, N < n, and
+    more ranges than rows."""
+    from pyspark.sql import Window
+
+    from quantitative_database_and_visualization_platform_spark.operators.relational import global_ntile
+
+    pdf = pd.DataFrame(
+        {
+            "v": [r[0] for r in rows],
+            "g": [str(r[1]) for r in rows],
+            "k": range(len(rows)),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(3)
+    # global
+    exp = df.withColumn("b", F.ntile(n).over(Window.orderBy("v", "k")))
+    got = global_ntile(df, n, ["v", "k"], num_ranges=num_ranges, out="b")
+    assert sorted(map(tuple, exp.collect())) == sorted(map(tuple, got.collect()))
+    # partitioned
+    expg = df.withColumn(
+        "b", F.ntile(n).over(Window.partitionBy("g").orderBy("v", "k"))
+    )
+    gotg = global_ntile(
+        df, n, ["v", "k"], partition_cols=["g"], num_ranges=num_ranges, out="b"
+    )
+    assert sorted(map(tuple, expg.collect())) == sorted(map(tuple, gotg.collect()))
