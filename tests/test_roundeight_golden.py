@@ -339,7 +339,13 @@ def test_order_priority_runs_matches_python_islands(spark):
         if len(run) >= 3:
             want.add((ck, prev, run[0].date(), run[-1].date(), len(run)))
     got = {
-        (r["custkey"], r["priority"], r["run_start"], r["run_end"], r["n_orders"])
+        (
+            r["custkey"],
+            r["priority"],
+            r["run_start"].date(),
+            r["run_end"].date(),
+            r["n_orders"],
+        )
         for r in QUERIES["order_priority_runs"](spark, SF).collect()
     }
     assert got == want
