@@ -39,10 +39,13 @@ GATE_WINDOW = 50
 # tie order, CC row dedup) and therefore need re-gating, and the 5 whose
 # implementation changed THIS round (the four global-ntile queries now
 # routed through operators.relational.global_ntile, plus
-# pairs_spread_zscore's degenerate-panel guard). Cheapest-first by
-# measured spark+oracle cost (ORACLE_TIMINGS.json) — total rehearsed
-# gate cost ~46 s. After this round every registered query has had a
-# binding driver row.
+# pairs_spread_zscore's degenerate-panel guard), and the new
+# nation_spend_quartiles exercising global_ntile's PARTITION BY path in
+# the 50th slot. Cheapest-first by measured spark+oracle cost
+# (ORACLE_TIMINGS.json); the full 50-slot window rehearsed 50/50 green
+# at sf0.01 (~50 s quiet / 148 s under full pytest load). After this
+# round every query registered before round 8 has a binding driver row;
+# the four r8 late additions are queued below.
 GATE_FIRST: list[str] = [
     "doc_chunking_overlap",
     "histogram_equi_depth",
