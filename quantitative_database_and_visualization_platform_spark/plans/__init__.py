@@ -104,7 +104,8 @@ GATE_FIRST: list[str] = [
 # round). Everything registered before round 8 has a binding driver row
 # once CORRECTNESS_r08.json is green.
 #   quantile_sketch_order_values, purged_kfold_splits,
-#   distinctive_tokens_by_source, order_priority_runs
+#   distinctive_tokens_by_source, order_priority_runs,
+#   mutual_nearest_pairs, calendar_ffill_panel
 
 
 def _apply_gate_order() -> None:

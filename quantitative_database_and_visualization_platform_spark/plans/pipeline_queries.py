@@ -5403,3 +5403,95 @@ def distinctive_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.col("z")).alias("log_odds_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual nearest-neighbor pairs (new r8): the cross-source alignment /
+# bitext-mining shape (Artetxe & Schwenk's margin-based mining starts
+# exactly here) — a probe panel from the "query" side (labels 0-4,
+# every 5th vector: the bounded-probe production contract shared with
+# hard_negative_mining) against the full "candidate" side (labels 5-9);
+# a pair survives only if each vector is the other's top-1 cosine
+# neighbor within the panel. Mutuality kills the asymmetric hubness
+# matches a one-direction top-1 would keep.
+#
+# Determinism: cosines 9dp-prerounded before ranking (rank-on-floats
+# convention), vec_id tie-breaks on both directions.
+#
+# Scale shape: the brute-force |A|x|B| cross is the BASELINE candidate
+# generator (probe side bounded by contract); the SRP/IVF bucketed
+# generators swap in for corpus x corpus mining with the same mutual
+# filter downstream. Both direction ranks ride ONE materialized pair
+# relation — the cross is computed once, not twice.
+# ---------------------------------------------------------------------------
+@query(
+    "mutual_nearest_pairs",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS a_id, embedding AS ea
+        FROM embeddings WHERE label < 5 AND vec_id % 5 = 0
+    ), b AS (
+        SELECT vec_id AS b_id, embedding AS eb
+        FROM embeddings WHERE label >= 5
+    ), pairs AS (
+        SELECT a_id, b_id,
+               FLOOR(({o_cosine('ea', 'eb')}) * 1000000000 + 0.5)
+                   / 1000000000.0 AS c9
+        FROM a CROSS JOIN b
+    ), ra AS (
+        SELECT a_id, b_id, c9,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c9 DESC, b_id) AS rk_a
+        FROM pairs
+    ), rb AS (
+        SELECT a_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY c9 DESC, a_id) AS rk_b
+        FROM pairs
+    )
+    SELECT ra.a_id, ra.b_id,
+           FLOOR(ra.c9 * 1000000 + 0.5) / 1000000.0 AS cos
+    FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
+    WHERE ra.rk_a = 1 AND rb.rk_b = 1
+    """,
+)
+def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = emb.filter((F.col("label") < 5) & (F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    # persist: both direction ranks consume the same cross — compute the
+    # 64-dim cosine once per pair, not once per rank direction
+    pairs = managed_persist(
+        a.crossJoin(b).select(
+            "a_id",
+            "b_id",
+            (
+                F.floor(cosine("ea", "eb") * 1_000_000_000 + F.lit(0.5))
+                / 1_000_000_000.0
+            ).alias("c9"),
+        )
+    )
+    rk_a = F.row_number().over(
+        Window.partitionBy("a_id").orderBy(F.desc("c9"), "b_id")
+    )
+    rk_b = F.row_number().over(
+        Window.partitionBy("b_id").orderBy(F.desc("c9"), "a_id")
+    )
+    best_a = pairs.withColumn("rk_a", rk_a).filter(F.col("rk_a") == 1)
+    best_b = (
+        pairs.withColumn("rk_b", rk_b)
+        .filter(F.col("rk_b") == 1)
+        .select(F.col("a_id").alias("ba_id"), F.col("b_id").alias("bb_id"))
+    )
+    return best_a.join(
+        best_b,
+        (F.col("a_id") == F.col("ba_id")) & (F.col("b_id") == F.col("bb_id")),
+    ).select(
+        "a_id",
+        "b_id",
+        (F.floor(F.col("c9") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("cos"),
+    )

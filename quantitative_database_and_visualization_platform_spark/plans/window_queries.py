@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
+from ..factors.panel import O_BARS, daily_bars
 from ..operators import timeseries as ts
 from ..sources.catalog import load_table
 from .registry import query
@@ -438,4 +441,75 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "trigram")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine forward fill (new r8): the reindex().ffill() every
+# pandas analytics layer (the reference included) performs before
+# aligning panels — rebuild the full code x trading-date spine, carry
+# the last observation forward across each entity's missing days, and
+# report the filled gaps with their staleness. Output = only the rows
+# that WERE missing (the fill delta), so the result is gap-sized, not
+# panel-sized.
+#
+# Scale shape: the spine is |codes| x |days| (the panel's own
+# cardinality, built from two bounded distinct sets); the fill is ONE
+# ignorenulls-last window pass over the code-keyed sort — the same
+# mechanism the as-of join uses, surfaced as a standalone operator.
+# ---------------------------------------------------------------------------
+@query(
+    "calendar_ffill_panel",
+    oracle=f"""
+    WITH {O_BARS},
+    dates AS (SELECT DISTINCT d FROM bars),
+    codes AS (SELECT DISTINCT code FROM bars),
+    spine AS (SELECT code, d FROM codes CROSS JOIN dates),
+    joined AS (
+        SELECT s.code, s.d, b.close,
+               CASE WHEN b.close IS NOT NULL THEN s.d END AS obs_d
+        FROM spine s LEFT JOIN bars b ON b.code = s.code AND b.d = s.d
+    ), filled AS (
+        SELECT code, d, close,
+               LAST_VALUE(close IGNORE NULLS) OVER
+                   (PARTITION BY code ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fclose,
+               LAST_VALUE(obs_d IGNORE NULLS) OVER
+                   (PARTITION BY code ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_obs
+        FROM joined
+    )
+    SELECT code, d, fclose AS filled_close,
+           CAST(datediff('day', last_obs, d) AS BIGINT) AS staleness_days
+    FROM filled
+    WHERE close IS NULL AND fclose IS NOT NULL
+    """,
+)
+def calendar_ffill_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir).select("code", "d", "close")
+    dates = bars.select("d").distinct()
+    codes = bars.select("code").distinct()
+    spine = codes.crossJoin(dates)
+    joined = spine.join(bars, ["code", "d"], "left").withColumn(
+        "obs_d", F.when(F.col("close").isNotNull(), F.col("d"))
+    )
+    w = (
+        Window.partitionBy("code")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = joined.select(
+        "code",
+        "d",
+        "close",
+        F.last("close", ignorenulls=True).over(w).alias("fclose"),
+        F.last("obs_d", ignorenulls=True).over(w).alias("last_obs"),
+    )
+    return filled.filter(
+        F.col("close").isNull() & F.col("fclose").isNotNull()
+    ).select(
+        "code",
+        "d",
+        F.col("fclose").alias("filled_close"),
+        F.datediff("d", "last_obs").cast("long").alias("staleness_days"),
     )

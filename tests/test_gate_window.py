@@ -74,6 +74,8 @@ NEVER_DRIVER_VERIFIED = [
     "purged_kfold_splits",
     "distinctive_tokens_by_source",
     "order_priority_runs",
+    "mutual_nearest_pairs",
+    "calendar_ffill_panel",
 ]
 
 # round-9 spill: the four queries ADDED in round 8 after the 50-slot
@@ -85,6 +87,8 @@ QUEUED_NEXT_ROUND: list[str] = [
     "purged_kfold_splits",
     "distinctive_tokens_by_source",
     "order_priority_runs",
+    "mutual_nearest_pairs",
+    "calendar_ffill_panel",
 ]
 
 

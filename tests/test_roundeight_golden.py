@@ -217,6 +217,8 @@ def test_trade_reachability_empty_graph(spark, tmp_path):
 # ---------------------------------------------------------------------------
 import math
 
+import pandas as pd
+
 from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
 from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
 
@@ -349,3 +351,63 @@ def test_order_priority_runs_matches_python_islands(spark):
         for r in QUERIES["order_priority_runs"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_mutual_nearest_pairs_matches_numpy(spark):
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    A = emb[(emb["label"] < 5) & (emb["vec_id"] % 5 == 0)]
+    B = emb[emb["label"] >= 5]
+
+    def c9(x, y):
+        x, y = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+        c = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        return math.floor(c * 1_000_000_000 + 0.5) / 1_000_000_000.0
+
+    best_a = {}
+    for ra in A.itertuples():
+        scored = sorted(
+            ((-c9(ra.embedding, rb.embedding), rb.vec_id) for rb in B.itertuples())
+        )
+        best_a[ra.vec_id] = (scored[0][1], -scored[0][0])
+    best_b = {}
+    for rb in B.itertuples():
+        scored = sorted(
+            ((-c9(ra.embedding, rb.embedding), ra.vec_id) for ra in A.itertuples())
+        )
+        best_b[rb.vec_id] = scored[0][1]
+    want = {
+        (a, b, _r6(c))
+        for a, (b, c) in best_a.items()
+        if best_b[b] == a
+    }
+    got = {
+        (r["a_id"], r["b_id"], r["cos"])
+        for r in QUERIES["mutual_nearest_pairs"](spark, SF).collect()
+    }
+    assert got == want
+    assert got, "no mutual pair at this sf — test degenerate"
+
+
+def test_calendar_ffill_matches_pandas_reindex(spark):
+    bars = daily_bars(spark, SF).toPandas()[["code", "d", "close"]]
+    dates = sorted(bars["d"].unique())
+    want = {}
+    for code, grp in bars.groupby("code"):
+        known = dict(zip(grp["d"], grp["close"]))
+        last_val, last_d = None, None
+        for d in dates:
+            if d in known:
+                last_val, last_d = known[d], d
+            elif last_val is not None:
+                want[(code, d)] = (last_val, (d - last_d).days)
+    got = {
+        (r["code"], r["d"]): (r["filled_close"], r["staleness_days"])
+        for r in QUERIES["calendar_ffill_panel"](spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k, (v, s) in want.items():
+        gv, gs = got[k]
+        assert gs == s, k
+        assert abs(gv - v) < 1e-9, k
