@@ -105,7 +105,8 @@ GATE_FIRST: list[str] = [
 # once CORRECTNESS_r08.json is green.
 #   quantile_sketch_order_values, purged_kfold_splits,
 #   distinctive_tokens_by_source, order_priority_runs,
-#   mutual_nearest_pairs, calendar_ffill_panel
+#   mutual_nearest_pairs, calendar_ffill_panel,
+#   quantile_sketch_doclen_by_source
 
 
 def _apply_gate_order() -> None:

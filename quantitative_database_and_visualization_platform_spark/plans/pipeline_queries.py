@@ -5495,3 +5495,96 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_id",
         (F.floor(F.col("c9") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merged quantile sketches per source (new r8): the mergeability proof
+# for the log-binned sketch — ONE (source, bucket) count relation serves
+# BOTH the per-source p50/p90 document-length quantiles AND the global
+# ones, the global obtained by SUMMING the per-source bucket counts
+# (exactly how a 100 TB deployment combines per-shard/per-day sketches
+# without touching rows again). Per-partition sketch merge is the whole
+# point of a mergeable summary: the second aggregation is bucket-sized,
+# not data-sized.
+#
+# Scale shape: one scan -> (source, ~500-bucket) aggregate; everything
+# downstream (merge, cumulative, quantile picks) runs on bucket-count
+# cardinality. Windows carry a constant non-foldable partition key per
+# scope, so nothing plans an empty-spec WindowExec.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_sketch_doclen_by_source",
+    oracle=f"""
+    WITH v AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+        WHERE n_chars > 0
+    ), b AS (
+        SELECT source, {sk.o_logbin_lower_bound('v')} AS lb,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY source, 2
+    ), merged AS (
+        SELECT 'ALL' AS scope, lb, CAST(SUM(c) AS BIGINT) AS c
+        FROM b GROUP BY lb
+        UNION ALL
+        SELECT source AS scope, lb, c FROM b
+    ), cumb AS (
+        SELECT scope, lb,
+               CAST(SUM(c) OVER (PARTITION BY scope ORDER BY lb) AS BIGINT) AS cum
+        FROM merged
+    ), n AS (
+        SELECT scope, CAST(SUM(c) AS BIGINT) AS n FROM merged GROUP BY scope
+    ), t AS (
+        SELECT UNNEST([50, 90]) AS qpct
+    ), pick AS (
+        SELECT c.scope, t.qpct, MIN(c.lb) AS est_lb
+        FROM cumb c JOIN n ON n.scope = c.scope CROSS JOIN t
+        WHERE 100 * c.cum >= CAST(t.qpct AS BIGINT) * n.n
+        GROUP BY c.scope, t.qpct
+    )
+    SELECT p.scope, p.qpct / 100.0 AS q,
+           CAST(p.est_lb AS BIGINT) AS est_chars,
+           {o_round6('c.cum * 1.0 / n.n')} AS q_achieved
+    FROM pick p
+    JOIN cumb c ON c.scope = p.scope AND c.lb = p.est_lb
+    JOIN n ON n.scope = p.scope
+    """,
+)
+def quantile_sketch_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline import sketches as _sk
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    v = docs.filter(F.col("n_chars") > 0).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    b = v.groupBy("source", _sk.logbin_lower_bound("v").alias("lb")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # sketch MERGE: the global scope is a bucket-count sum of the
+    # per-source sketches — no second pass over the data
+    merged = (
+        b.groupBy("lb")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit("ALL").alias("scope"), "lb", "c")
+        .unionByName(b.select(F.col("source").alias("scope"), "lb", "c"))
+    )
+    wcum = Window.partitionBy("scope").orderBy("lb")
+    cumb = merged.select("scope", "lb", F.sum("c").over(wcum).alias("cum"))
+    n = merged.groupBy("scope").agg(F.sum("c").alias("n"))
+    targets = spark.createDataFrame([(50,), (90,)], "qpct int")
+    cand = (
+        cumb.join(n, "scope")
+        .crossJoin(F.broadcast(targets))
+        .filter(F.lit(100) * F.col("cum") >= F.col("qpct").cast("long") * F.col("n"))
+    )
+    pick = cand.groupBy("scope", "qpct").agg(F.min("lb").alias("est_lb"))
+    return (
+        pick.join(cumb.withColumnRenamed("scope", "cscope"),
+                  (pick["scope"] == F.col("cscope")) & (pick["est_lb"] == cumb["lb"]))
+        .join(n, "scope")
+        .select(
+            "scope",
+            (F.col("qpct") / 100.0).alias("q"),
+            F.col("est_lb").alias("est_chars"),
+            round6(F.col("cum") * 1.0 / F.col("n")).alias("q_achieved"),
+        )
+    )

@@ -76,6 +76,7 @@ NEVER_DRIVER_VERIFIED = [
     "order_priority_runs",
     "mutual_nearest_pairs",
     "calendar_ffill_panel",
+    "quantile_sketch_doclen_by_source",
 ]
 
 # round-9 spill: the four queries ADDED in round 8 after the 50-slot
@@ -89,6 +90,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "order_priority_runs",
     "mutual_nearest_pairs",
     "calendar_ffill_panel",
+    "quantile_sketch_doclen_by_source",
 ]
 
 

@@ -411,3 +411,38 @@ def test_calendar_ffill_matches_pandas_reindex(spark):
         gv, gs = got[k]
         assert gs == s, k
         assert abs(gv - v) < 1e-9, k
+
+
+def test_quantile_sketch_merge_is_exact_bucket_sum(spark):
+    """The merged (ALL) sketch must equal a sketch built directly over
+    the concatenated data — mergeability is exact, not approximate."""
+    docs = load_table(spark, SF, "documents").toPandas()
+    from collections import Counter
+
+    per_source: dict = {}
+    for src, grp in docs[docs["n_chars"] > 0].groupby("source"):
+        per_source[src] = Counter(_lb(int(v)) for v in grp["n_chars"])
+    direct = Counter(_lb(int(v)) for v in docs[docs["n_chars"] > 0]["n_chars"])
+    merged: Counter = Counter()
+    for c in per_source.values():
+        merged.update(c)
+    assert merged == direct  # bucket-count merge == direct build
+
+    got = {
+        (r["scope"], r["q"]): (r["est_chars"], r["q_achieved"])
+        for r in QUERIES["quantile_sketch_doclen_by_source"](spark, SF).collect()
+    }
+    scopes = set(per_source) | {"ALL"}
+    assert {s for s, _ in got} == scopes
+    for scope in scopes:
+        counts = direct if scope == "ALL" else per_source[scope]
+        n = sum(counts.values())
+        cum, cum_by_lb = 0, {}
+        for lb in sorted(counts):
+            cum += counts[lb]
+            cum_by_lb[lb] = cum
+        for qpct in (50, 90):
+            est = min(lb for lb, c in cum_by_lb.items() if 100 * c >= qpct * n)
+            e, qa = got[(scope, qpct / 100.0)]
+            assert e == est, (scope, qpct)
+            assert qa == _r6(cum_by_lb[est] / n), (scope, qpct)
