@@ -398,13 +398,16 @@ def bloom_hit_sql(element_sql: str, words_col: str = "__bw") -> str:
 # --- log-binned quantile sketch -------------------------------------------
 # The mergeable approximate-quantile sketch a 100 TB profiler runs instead
 # of an exact percentile sort: every positive integer value maps to the
-# lower bound of its base-2/16-subdivision bucket (top FOUR bits kept:
-# bucket lower bound = v with all bits below the top four cleared), so the
-# whole distribution collapses to <= 8 buckets per octave x 61 octaves
+# lower bound of its bucket (top FOUR bits kept: bucket lower bound = v
+# with all bits below the top four cleared), i.e. each octave [2^k, 2^k+1)
+# is subdivided into 8 equal buckets of width 2^(k-3), so the whole
+# distribution collapses to <= 8 buckets per octave x 61 octaves
 # (~500 counters for the full int64 range). Counts are plain per-bucket
 # sums — trivially mergeable across partitions/streams; a quantile query
-# walks the ~500-row cumulative series. Relative value error <= 1/16 ≈
-# 6.25% by construction. Everything is INTEGER bit arithmetic (length of
+# walks the ~500-row cumulative series. Relative value error <= 1/8 =
+# 12.5% by construction (one bucket width 2^(k-3) over a value >= 2^k;
+# the golden test asserts this exact bound). Everything is INTEGER bit
+# arithmetic (length of
 # the binary string + shifts — verified identical in Spark and DuckDB), so
 # both engines produce bit-identical buckets with no transcendental in
 # the plan (a log()-based binning would differ in the last ulp across

@@ -32,81 +32,78 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-8 window. r7's 50 rows were all green — cumulatively 198 of the
-# 237 registered queries now have a binding driver row. This window
-# closes the loop: all 39 never-driver-verified queries (the r7 queue),
-# the 5 whose semantics changed in r7 fixes (chunk tail bound, session
-# tie order, CC row dedup) and therefore need re-gating, and the 5 whose
-# implementation changed THIS round (the four global-ntile queries now
-# routed through operators.relational.global_ntile, plus
-# pairs_spread_zscore's degenerate-panel guard), and the new
-# nation_spend_quartiles exercising global_ntile's PARTITION BY path in
-# the 50th slot. Cheapest-first by measured spark+oracle cost
-# (ORACLE_TIMINGS.json); the full 50-slot window rehearsed 50/50 green
-# at sf0.01 (~50 s quiet / 148 s under full pytest load). After this
-# round every query registered before round 8 has a binding driver row;
-# the four r8 late additions are queued below.
+# Round-9 window. r8's 50 rows were all green — every query registered
+# before round 8 now has a binding driver row. This window: (a) the 7
+# round-8 late additions (the r9 queue — after this round EVERY
+# registered query has had a driver row at least once), (b) the two new
+# round-9 production-form queries (mutual_nearest_pairs_ann: SRP-bucketed
+# candidates with the same mutual filter; theil_sen_trend_w20: the
+# trailing-window estimator — both oracle-verified at sf0.001+sf0.01 and
+# golden-tested before pinning), and (c) 41 re-confirmations of the
+# OLDEST driver rows (last gated r4) prioritizing the heaviest
+# (alpha101_a–d, alpha_ic_gate per the r8 verdict), cheapest-first by
+# measured spark+oracle cost (ORACLE_TIMINGS.json). The 8 cheapest
+# r4-era rows are queued below for r10.
 GATE_FIRST: list[str] = [
-    "doc_chunking_overlap",
-    "histogram_equi_depth",
-    "top_value_parts",
-    "length_quality_grid",
-    "hard_negative_mining",
-    "top_revenue_supplier_quarter",
-    "idle_high_balance_customers",
-    "session_window_stats",
-    "int8_quantization_audit",
-    "rfm_customer_scores",
-    "pii_scrub_report",
-    "variance_ratio_test",
-    "seasonal_dow_volume",
-    "small_qty_order_revenue",
-    "gini_revenue_by_nation",
-    "t_closeness_report",
-    "event_path_trigrams",
-    "chunk_level_dedup",
-    "cusum_changepoint",
-    "weighted_median_unit_price",
-    "split_leakage_audit",
-    "kyle_lambda_daily",
-    "theil_sen_trend",
-    "hll_rolling_users_7d",
-    "ohlc_vol_estimators",
-    "join_skew_report",
-    "kaplan_meier_ship_times",
-    "dominant_supplier_parts",
-    "min_unit_cost_supplier",
-    "lm_perplexity_buckets",
-    "sole_problem_supplier",
-    "curriculum_phases",
-    "leadlag_cross_correlation",
-    "pairs_spread_zscore",
-    "embedding_silhouette",
-    "matryoshka_dim_audit",
-    "rake_keywords",
-    "bootstrap_sharpe_ci",
-    "ic_decay_profile",
-    "nation_trade_triangles",
-    "embedding_cluster_profile",
-    "cross_source_dup_matrix",
-    "neardup_cluster_sizes",
-    "pagerank_nation_trade",
-    "neardup_canonical",
-    "trade_reachability_hops",
-    "dedup_connected_components",
-    "semdedup_prune",
-    "minhash_pr_audit",
-    "nation_spend_quartiles",
+    "order_priority_runs",
+    "calendar_ffill_panel",
+    "distinctive_tokens_by_source",
+    "quantile_sketch_order_values",
+    "mutual_nearest_pairs",
+    "quantile_sketch_doclen_by_source",
+    "purged_kfold_splits",
+    "mutual_nearest_pairs_ann",
+    "theil_sen_trend_w20",
+    "histogram_value_bins",
+    "rolling_product",
+    "global_market_stats",
+    "point_lookup",
+    "multi_scalar_subquery",
+    "cumulative_ops",
+    "distinct_segments_nations",
+    "full_outer_user_activity",
+    "rolling_basic_stats",
+    "union_active_delisted",
+    "sessionization",
+    "kline_window_slice",
+    "semi_join_pool_stats",
+    "sentiment_etl",
+    "fallback_priority_rollup",
+    "prev_day_change",
+    "sector_rollup",
+    "rolling_corr_cov",
+    "cross_section_ops",
+    "ts_rank_argmax_decay",
+    "sector_rotation_yearly",
+    "pricing_summary",
+    "screener_factor_mask",
+    "decile_returns",
+    "monthly_bars_rollup",
+    "rank_ic_daily",
+    "screener_wide_join",
+    "top_bottom_exposure",
+    "weekly_bars_rollup",
+    "rank_ic_matrix",
+    "factor_value",
+    "ema_recursive",
+    "kline_similarity_search",
+    "factor_ema_family",
+    "factor_momentum",
+    "factor_technical",
+    "alpha101_b",
+    "alpha_ic_gate",
+    "alpha101_c",
+    "alpha101_d",
+    "alpha101_a",
 ]
 
-# Round-9 queue: queries ADDED in round 8 after the window was pinned
-# (registered + pytest-oracle-enforced immediately; driver rows next
-# round). Everything registered before round 8 has a binding driver row
-# once CORRECTNESS_r08.json is green.
-#   quantile_sketch_order_values, purged_kfold_splits,
-#   distinctive_tokens_by_source, order_priority_runs,
-#   mutual_nearest_pairs, calendar_ffill_panel,
-#   quantile_sketch_doclen_by_source
+# Round-10 re-confirmation queue: the 8 cheapest r4-era rows displaced
+# by this round's heavy re-gates (all still oracle-enforced by
+# tests/test_oracle_parity.py every session):
+#   alpha_ic_scan, alpha101_subset, similarity_topk, scalar_subquery_peer,
+#   like_filter_brand_stats, in_list_priority_stats, materialized_turnover,
+#   regex_extract_props
+# plus any query ADDED in round 9 after this window was pinned.
 
 
 def _apply_gate_order() -> None:

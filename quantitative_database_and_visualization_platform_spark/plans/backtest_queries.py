@@ -4032,3 +4032,87 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("theil_sen_slope"),
     )
+
+
+def _theil_sen_windowed(bars: DataFrame, n: int) -> DataFrame:
+    """Trailing-n-day Theil-Sen slope per (code, day): pairwise slopes
+    enumerated INSIDE a collect_list rows-frame with JVM higher-order
+    functions (transform/flatten/array_sort), so pair work is bounded to
+    n(n-1)/2 per output row — rows-linear overall, vs the full-calendar
+    estimator's days² per entity. Same quantization (integer 1e-6
+    cents/day) and same exact lower-median order statistic, so at a
+    window covering the whole panel the last row reproduces
+    theil_sen_trend bit-for-bit (golden-tested). Emits every row with
+    >= 2 observations; n_pairs tells the caller the achieved depth."""
+    w = Window.partitionBy("code").orderBy("d").rowsBetween(-(n - 1), 0)
+    t = bars.select(
+        "code", "d", F.round(F.col("close") * 100, 0).cast("long").alias("c")
+    )
+    win = t.select("code", "d", F.collect_list("c").over(w).alias("arr"))
+    sz = F.size("arr")
+    slopes = F.expr(
+        "array_sort(flatten(transform(sequence(0, size(arr) - 2),"
+        " i -> transform(sequence(i + 1, size(arr) - 1),"
+        " j -> CAST(FLOOR((element_at(arr, j + 1) - element_at(arr, i + 1))"
+        " * 1000000.0 / (j - i) + 0.5) AS BIGINT)))))"
+    )
+    staged = win.filter(sz >= 2).select(
+        "code",
+        "d",
+        (sz * (sz - 1) / 2).cast("long").alias("n_pairs"),
+        slopes.alias("__sq"),
+    )
+    med = F.element_at(
+        F.col("__sq"), ((F.col("n_pairs") + 1) / 2).cast("int")
+    )
+    return staged.select(
+        "code",
+        "d",
+        "n_pairs",
+        (med / 1_000_000.0 / 100.0).alias("theil_sen_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window Theil-Sen (new r9): the PRODUCTION form of
+# theil_sen_trend — the reference's slope factors are all
+# trailing-window (`database/functions/basic factor_function.md`, e.g.
+# linear_reg_slope_20), and a full-history pairwise estimator is
+# days²-per-entity (6000 trading days → 18M pairs/entity: the scale
+# defect SCALING.md documents). Here every (code, day) gets the robust
+# slope of its trailing 20 closes: 190 slope pairs per row enumerated
+# inside the array — no self-join, no shuffle beyond the one code-axis
+# window exchange — so total work is rows x 190 at ANY panel depth.
+# The full-calendar query stays registered as the bench-scale twin;
+# median preservation (windowed == full when the window covers the
+# panel) is golden-tested.
+# ---------------------------------------------------------------------------
+@query(
+    "theil_sen_trend_w20",
+    oracle=f"""
+    WITH {O_BARS},
+    t AS (
+        SELECT code, d, CAST(ROUND(close * 100, 0) AS BIGINT) AS c FROM bars
+    ), win AS (
+        SELECT code, d,
+               list(c) OVER (PARTITION BY code ORDER BY d
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        FROM t
+    ), slo AS (
+        SELECT code, d,
+               list_sort(flatten(list_transform(range(1, 20),
+                   i -> list_transform(range(i + 1, 21),
+                       j -> CAST(FLOOR((arr[j] - arr[i]) * 1000000.0 / (j - i)
+                                       + 0.5) AS BIGINT))))) AS sq
+        FROM win WHERE len(arr) = 20
+    )
+    SELECT code, d, CAST(190 AS BIGINT) AS n_pairs,
+           sq[95] / 1000000.0 / 100.0 AS theil_sen_slope
+    FROM slo
+    """,
+)
+def theil_sen_trend_w20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    # full 20-row windows only: the factor convention (min_periods = n),
+    # and n_pairs == 190 iff the frame is full
+    return _theil_sen_windowed(bars, 20).filter(F.col("n_pairs") == 190)

@@ -5498,6 +5498,115 @@ def mutual_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mutual nearest-neighbor pairs, SRP-bucketed (new r9): the PRODUCTION
+# form of mutual_nearest_pairs — candidate generation swaps the
+# probe x candidate cross for an SRP primary-bucket equi-join, so pair
+# work is Σ (|A_bucket| x |B_bucket|) ~ |A| * target_bucket instead of
+# |A| x |B| (see embeddings.planes_for_corpus for the log2(n) plane
+# sizing that keeps bucket size constant at any corpus scale). The
+# mutual filter is identical: a pair survives only if each side is the
+# other's top-1 cosine WITHIN the bucket-surviving candidate set —
+# the corpus x corpus bitext-mining shape mutual_nearest_pairs's
+# docstring names as the swap-in (the brute-force query stays
+# registered as the bounded-probe diagnostic baseline).
+#
+# Recall note: primary-bucket-only candidates miss true neighbors that
+# land across a hyperplane; the recall knob is multi-probe
+# (srp_probe_buckets flips the weakest bits — demonstrated and
+# driver-verified in embedding_ann_srp), not wider buckets. Ranks here
+# are DEFINED over the candidate set, so the oracle is exact, not
+# approximate: DuckDB re-derives the identical md5-Rademacher buckets
+# and the identical mutual filter, and the hash comparison is binding.
+#
+# Scale shape: two bucketing scans (one per side, each a projection —
+# no shuffle), one equi-join on the bucket key (AQE handles skewed
+# buckets), both direction ranks over ONE materialized candidate
+# relation keyed by bucket-local ids. At 1e10 x 1e10 vectors with
+# planes_for_corpus sizing this stays linear in the corpus; the
+# brute-force baseline is O(n^2) and exists only as an audit.
+# ---------------------------------------------------------------------------
+@query(
+    "mutual_nearest_pairs_ann",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS a_id, embedding AS ea,
+               {o_srp_bucket('embedding')} AS bucket
+        FROM embeddings WHERE label < 5 AND vec_id % 5 = 0
+    ), b AS (
+        SELECT vec_id AS b_id, embedding AS eb,
+               {o_srp_bucket('embedding')} AS bucket
+        FROM embeddings WHERE label >= 5
+    ), pairs AS (
+        SELECT a_id, b_id,
+               FLOOR(({o_cosine('ea', 'eb')}) * 1000000000 + 0.5)
+                   / 1000000000.0 AS c9
+        FROM a JOIN b USING (bucket)
+    ), ra AS (
+        SELECT a_id, b_id, c9,
+               ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c9 DESC, b_id) AS rk_a
+        FROM pairs
+    ), rb AS (
+        SELECT a_id, b_id,
+               ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY c9 DESC, a_id) AS rk_b
+        FROM pairs
+    )
+    SELECT ra.a_id, ra.b_id,
+           FLOOR(ra.c9 * 1000000 + 0.5) / 1000000.0 AS cos
+    FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
+    WHERE ra.rk_a = 1 AND rb.rk_b = 1
+    """,
+)
+def mutual_nearest_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = emb.filter((F.col("label") < 5) & (F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        srp_bucket("embedding").alias("bucket"),
+    )
+    b = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        srp_bucket("embedding").alias("bucket"),
+    )
+    # persist: both direction ranks consume the same bucket-joined
+    # candidate relation — the 64-dim cosine is computed once per
+    # surviving pair, and pair count is Σ bucket_a x bucket_b, never
+    # |A| x |B|
+    pairs = managed_persist(
+        a.join(b, "bucket").select(
+            "a_id",
+            "b_id",
+            (
+                F.floor(cosine("ea", "eb") * 1_000_000_000 + F.lit(0.5))
+                / 1_000_000_000.0
+            ).alias("c9"),
+        )
+    )
+    rk_a = F.row_number().over(
+        Window.partitionBy("a_id").orderBy(F.desc("c9"), "b_id")
+    )
+    rk_b = F.row_number().over(
+        Window.partitionBy("b_id").orderBy(F.desc("c9"), "a_id")
+    )
+    best_a = pairs.withColumn("rk_a", rk_a).filter(F.col("rk_a") == 1)
+    best_b = (
+        pairs.withColumn("rk_b", rk_b)
+        .filter(F.col("rk_b") == 1)
+        .select(F.col("a_id").alias("ba_id"), F.col("b_id").alias("bb_id"))
+    )
+    return best_a.join(
+        best_b,
+        (F.col("a_id") == F.col("ba_id")) & (F.col("b_id") == F.col("bb_id")),
+    ).select(
+        "a_id",
+        "b_id",
+        (F.floor(F.col("c9") * 1_000_000 + F.lit(0.5)) / 1_000_000.0).alias("cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Merged quantile sketches per source (new r8): the mergeability proof
 # for the log-binned sketch — ONE (source, bucket) count relation serves
 # BOTH the per-source p50/p90 document-length quantiles AND the global
@@ -5577,9 +5686,13 @@ def quantile_sketch_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.lit(100) * F.col("cum") >= F.col("qpct").cast("long") * F.col("n"))
     )
     pick = cand.groupBy("scope", "qpct").agg(F.min("lb").alias("est_lb"))
+    # rename BOTH join keys and bind the renamed frame to a variable —
+    # referencing the pre-rename `cumb` in the condition only resolved by
+    # exprId luck and is one refactor away from AMBIGUOUS_SELF_JOIN
+    c2 = cumb.withColumnRenamed("scope", "cscope").withColumnRenamed("lb", "clb")
     return (
-        pick.join(cumb.withColumnRenamed("scope", "cscope"),
-                  (pick["scope"] == F.col("cscope")) & (pick["est_lb"] == cumb["lb"]))
+        pick.join(c2,
+                  (pick["scope"] == c2["cscope"]) & (pick["est_lb"] == c2["clb"]))
         .join(n, "scope")
         .select(
             "scope",

@@ -907,9 +907,9 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Log-binned quantile sketch (new r8): the mergeable approximate-quantile
 # profile a 100 TB pipeline runs instead of an exact percentile sort.
-# Every cents value maps to its top-4-bits bucket lower bound (<= ~8
-# buckets/octave, ~500 counters for all of int64; <= 6.25% relative value
-# error by construction); bucket counts are one plain aggregate —
+# Every cents value maps to its top-4-bits bucket lower bound (8
+# buckets/octave, ~500 counters for all of int64; <= 1/8 = 12.5% relative
+# value error by construction); bucket counts are one plain aggregate —
 # mergeable across partitions, files, days, or streams — and each
 # requested quantile is answered by the first bucket whose cumulative
 # count crosses q*N, reported WITH its exactly-achieved rank so the

@@ -23,53 +23,13 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-7
-# (CORRECTNESS_r0{1..7}.json union) — each must sit in the r8 window OR
-# in the explicitly-queued next-round spill. After the r8 gate runs
-# green this list collapses to the round-8 additions only.
+# every query with no driver correctness row in any of rounds 1-8
+# (CORRECTNESS_r0{1..8}.json union: r8 closed the loop on everything
+# registered before round 8, so this is now the 7 round-8 late
+# additions plus the queries registered in round 9). Each must sit in
+# the r9 window OR in the explicitly-queued next-round spill.
 NEVER_DRIVER_VERIFIED = [
-    # the r7 queue: 8 cost-spills + everything registered in round 7
-    "cross_source_dup_matrix",
-    "ic_decay_profile",
-    "embedding_cluster_profile",
-    "neardup_cluster_sizes",
-    "pagerank_nation_trade",
-    "hll_rolling_users_7d",
-    "minhash_pr_audit",
-    "chunk_level_dedup",
-    "small_qty_order_revenue",
-    "sole_problem_supplier",
-    "idle_high_balance_customers",
-    "dominant_supplier_parts",
-    "nation_trade_triangles",
-    "t_closeness_report",
-    "ohlc_vol_estimators",
-    "kyle_lambda_daily",
-    "seasonal_dow_volume",
-    "hard_negative_mining",
-    "embedding_silhouette",
-    "trade_reachability_hops",
-    "pii_scrub_report",
-    "min_unit_cost_supplier",
-    "top_value_parts",
-    "top_revenue_supplier_quarter",
-    "variance_ratio_test",
-    "curriculum_phases",
-    "leadlag_cross_correlation",
-    "cusum_changepoint",
-    "gini_revenue_by_nation",
-    "event_path_trigrams",
-    "weighted_median_unit_price",
-    "join_skew_report",
-    "bootstrap_sharpe_ci",
-    "matryoshka_dim_audit",
-    "rake_keywords",
-    "split_leakage_audit",
-    "int8_quantization_audit",
-    "kaplan_meier_ship_times",
-    "theil_sen_trend",
-    # new in round 8 (registered this round, no driver row yet)
-    "nation_spend_quartiles",
+    # round-8 late additions (the r9 queue)
     "quantile_sketch_order_values",
     "purged_kfold_splits",
     "distinctive_tokens_by_source",
@@ -77,21 +37,14 @@ NEVER_DRIVER_VERIFIED = [
     "mutual_nearest_pairs",
     "calendar_ffill_panel",
     "quantile_sketch_doclen_by_source",
+    # new in round 9 (oracle-verified at sf0.001+sf0.01 before pinning)
+    "mutual_nearest_pairs_ann",
+    "theil_sen_trend_w20",
 ]
 
-# round-9 spill: the four queries ADDED in round 8 after the 50-slot
-# window was pinned (the 40th never-verified query,
-# nation_spend_quartiles, took the final slot); must stay in sync with
-# the queue comment in plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = [
-    "quantile_sketch_order_values",
-    "purged_kfold_splits",
-    "distinctive_tokens_by_source",
-    "order_priority_runs",
-    "mutual_nearest_pairs",
-    "calendar_ffill_panel",
-    "quantile_sketch_doclen_by_source",
-]
+# round-10 spill: queries ADDED in round 9 after the 50-slot window was
+# pinned; must stay in sync with the queue comment in plans/__init__.py
+QUEUED_NEXT_ROUND: list[str] = []
 
 
 def test_window_is_pinned_and_full():

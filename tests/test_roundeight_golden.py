@@ -257,7 +257,7 @@ def test_quantile_sketch_matches_python_binning(spark):
         assert r["q_achieved"] == _r6(cum_by_lb[est_lb] / n)
         # the sketch contract: achieved rank never undershoots the request
         assert r["q_achieved"] >= qpct / 100.0 - 1e-9
-        # and the value error is bounded by one bucket (6.25% relative)
+        # and the value error is bounded by one bucket (1/8 = 12.5% relative)
         exact = sorted(vals)[max(0, math.ceil(qpct * n / 100) - 1)]
         assert est_lb <= exact and exact <= est_lb * (1 + 1 / 8) + 7
 

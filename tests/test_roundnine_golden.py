@@ -1,0 +1,150 @@
+"""Round-9 golden tests: the SRP-bucketed mutual-NN production path
+(full numpy recompute including the md5-Rademacher bucket derivation)
+and median-preservation of the trailing-window Theil-Sen (a window
+covering the whole panel must reproduce the full-calendar estimator
+bit-for-bit on each entity's last row)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
+    DIMS,
+    N_PLANES,
+)
+from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+from quantitative_database_and_visualization_platform_spark.plans.backtest_queries import (
+    _theil_sen_windowed,
+)
+from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _r6(x: float) -> float:
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000.0
+
+
+def _plane_weights() -> list[list[float]]:
+    """Python twin of embeddings._plane_sign: +1 iff the first hex digit
+    of md5('p{p}_{j}') has its high bit set."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"p{p}_{j}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for j in range(DIMS)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _bucket(vec, weights) -> str:
+    bits = []
+    for w in weights:
+        dot = sum(float(x) * s for x, s in zip(vec, w))
+        bits.append("1" if dot >= 0 else "0")
+    return "".join(bits)
+
+
+def test_mutual_nearest_pairs_ann_matches_numpy(spark):
+    """Full-python recompute of the bucketed pipeline: SRP buckets from
+    first principles, candidates = same-primary-bucket pairs, mutual
+    top-1 within candidates."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    weights = _plane_weights()
+    A = emb[(emb["label"] < 5) & (emb["vec_id"] % 5 == 0)]
+    B = emb[emb["label"] >= 5]
+
+    def c9(x, y):
+        x, y = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+        c = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        return math.floor(c * 1_000_000_000 + 0.5) / 1_000_000_000.0
+
+    a_rows = [(r.vec_id, r.embedding, _bucket(r.embedding, weights)) for r in A.itertuples()]
+    b_rows = [(r.vec_id, r.embedding, _bucket(r.embedding, weights)) for r in B.itertuples()]
+    cand = [
+        (aid, bid, c9(ea, eb))
+        for aid, ea, ba in a_rows
+        for bid, eb, bb in b_rows
+        if ba == bb
+    ]
+    assert cand, "no same-bucket candidate at this sf — test degenerate"
+    best_a = {}
+    for aid in {a for a, _, _ in cand}:
+        best = sorted(((-c, b) for a, b, c in cand if a == aid))[0]
+        best_a[aid] = (best[1], -best[0])
+    best_b = {}
+    for bid in {b for _, b, _ in cand}:
+        best_b[bid] = sorted(((-c, a) for a, b, c in cand if b == bid))[0][1]
+    want = {
+        (a, b, _r6(c)) for a, (b, c) in best_a.items() if best_b[b] == a
+    }
+    got = {
+        (r["a_id"], r["b_id"], r["cos"])
+        for r in QUERIES["mutual_nearest_pairs_ann"](spark, SF).collect()
+    }
+    assert got == want
+    assert got, "no mutual pair survived the bucket join — test degenerate"
+
+
+def test_mutual_nn_ann_is_subquadratic_candidate_set(spark):
+    """The scale contract: the bucketed candidate relation must be a
+    strict subset of the brute-force cross (the whole point of the
+    production form)."""
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    weights = _plane_weights()
+    A = emb[(emb["label"] < 5) & (emb["vec_id"] % 5 == 0)]
+    B = emb[emb["label"] >= 5]
+    from collections import Counter
+
+    ca = Counter(_bucket(r.embedding, weights) for r in A.itertuples())
+    cb = Counter(_bucket(r.embedding, weights) for r in B.itertuples())
+    bucketed_pairs = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert 0 < bucketed_pairs < len(A) * len(B)
+
+
+def test_theil_sen_windowed_full_panel_reproduces_full_estimator(spark):
+    """Median preservation: with a trailing window at least as deep as
+    the panel, each code's LAST windowed row sees exactly the rows the
+    full-calendar estimator sees — identical quantization and identical
+    lower-median order statistic, so slopes and pair counts must match
+    bit-for-bit."""
+    bars = daily_bars(spark, SF)
+    depth = bars.groupBy().count().collect()[0][0]  # >= any per-code depth
+    win = _theil_sen_windowed(bars, int(depth)).toPandas()
+    last = win.sort_values("d").groupby("code").tail(1)
+    got = {r.code: (r.n_pairs, r.theil_sen_slope) for r in last.itertuples()}
+    want = {
+        r["code"]: (r["n_pairs"], r["theil_sen_slope"])
+        for r in QUERIES["theil_sen_trend"](spark, SF).collect()
+    }
+    assert got == want
+    assert want, "empty panel — test degenerate"
+
+
+def test_theil_sen_w20_matches_python_rolling_median(spark):
+    """Pure-python trailing-20 pairwise-median recompute on the real
+    panel (quantized identically)."""
+    bars = daily_bars(spark, SF).toPandas()[["code", "d", "close"]]
+    want = {}
+    for code, grp in bars.sort_values("d").groupby("code"):
+        cents = [int(round(v * 100)) for v in grp["close"]]
+        days = list(grp["d"])
+        for t in range(19, len(cents)):
+            arr = cents[t - 19 : t + 1]
+            sq = sorted(
+                math.floor((arr[j] - arr[i]) * 1_000_000.0 / (j - i) + 0.5)
+                for i in range(20)
+                for j in range(i + 1, 20)
+            )
+            want[(code, days[t])] = (190, sq[(190 + 1) // 2 - 1] / 1e6 / 100.0)
+    got = {
+        (r["code"], r["d"]): (r["n_pairs"], r["theil_sen_slope"])
+        for r in QUERIES["theil_sen_trend_w20"](spark, SF).collect()
+    }
+    assert got == want
