@@ -37,6 +37,12 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+try:
+    _LOAD_START = round(os.getloadavg()[0], 2)
+except OSError:
+    _LOAD_START = -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("qdvp-bench")
@@ -60,12 +66,24 @@ def main() -> None:
             release_managed()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # quiet-bench protocol (r9): wall times swing +-30% with EXTERNAL
+    # host load (the r8 "+13% suite drift" was the closing bench running
+    # concurrently with a full pytest rehearsal). Record the 1-minute
+    # load average at start and end so every recorded number carries its
+    # own ambient-load context; treat load_1m_end > ~cpus/4 as "loaded"
+    # and re-run before believing any drift.
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_end = -1.0
     record = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
+        "load_1m_start": _LOAD_START,
+        "load_1m_end": load_end,
     }
     # Full per-query detail goes to a repo file; the stdout line must stay
     # UNDER ~2000 bytes because the round driver keeps only the last 2000
@@ -90,6 +108,8 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
+        "load_1m_start": _LOAD_START,
+        "load_1m_end": load_end,
     }
     budget = 1800 - len(json.dumps({**head, "queries": {}},
                                    separators=(",", ":")))
