@@ -103,7 +103,9 @@ GATE_FIRST: list[str] = [
 #   alpha_ic_scan, alpha101_subset, similarity_topk, scalar_subquery_peer,
 #   like_filter_brand_stats, in_list_priority_stats, materialized_turnover,
 #   regex_extract_props
-# plus any query ADDED in round 9 after this window was pinned.
+# plus the queries ADDED in round 9 after this window was pinned
+# (oracle-verified at sf0.001+sf0.01 on registration; pytest-enforced):
+#   window_funnel_steps, margin_scored_pairs, dedup_incremental
 
 
 def _apply_gate_order() -> None:

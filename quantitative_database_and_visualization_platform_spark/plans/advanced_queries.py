@@ -2128,3 +2128,118 @@ def trade_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("node").alias("nationkey"), F.col("hops").cast("int").alias("hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel (new r9): ClickHouse-parity sliding-window event chain —
+# per user, the deepest prefix of the chain signup → click → purchase
+# reachable by events in strict (ts, event_id) order whose TOTAL span
+# (t_k - t_1) fits in a 6-hour window; the reference's ClickHouse backend
+# exposes this as windowFunnel(window)(ts, cond1, cond2, ...). Spark has
+# no built-in, so the engine form is a one-pass DP over each user's
+# time-sorted event array: acc[i] holds the LATEST chain-start timestamp
+# of any valid (i+1)-deep chain seen so far (the greedy choice — a later
+# start always dominates for the remaining window budget), and a level-i
+# event extends acc[i-1] iff its time minus that start fits the window.
+# One groupBy + one JVM `aggregate` lambda per user: no self-joins, no
+# per-level passes, state is 3 BIGINTs per user — the same single-scan
+# shape ClickHouse executes, and it streams (applyInPandasWithState
+# would carry the identical accumulator).
+#
+# The DuckDB oracle is deliberately a DIFFERENT formulation (EXISTS
+# chains via 2- and 3-way self-joins on the same total order + span
+# constraint), so the gate cross-checks two independent constructions
+# of the semantics rather than one transcription.
+#
+# Scale shape: one user-keyed exchange; per-user state is O(chain), the
+# sort is per-user-array (bounded by per-user event count), and the
+# output is a 4-row histogram. The oracle's join form would be the
+# scale-killer (per-user event-count² candidates) — that asymmetry is
+# the point of the DP.
+# ---------------------------------------------------------------------------
+_WF_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours, in microseconds
+
+
+@query(
+    "window_funnel_steps",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 END AS lvl
+      FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    base AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE lvl = 1),
+    l2 AS (
+      SELECT DISTINCT s.user_id FROM e s JOIN e c ON c.user_id = s.user_id
+      WHERE s.lvl = 1 AND c.lvl = 2
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND epoch_us(c.ts) - epoch_us(s.ts) <= {_WF_WINDOW_US}
+    ),
+    l3 AS (
+      SELECT DISTINCT s.user_id FROM e s JOIN e c ON c.user_id = s.user_id
+                                JOIN e p ON p.user_id = s.user_id
+      WHERE s.lvl = 1 AND c.lvl = 2 AND p.lvl = 3
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+        AND epoch_us(p.ts) - epoch_us(s.ts) <= {_WF_WINDOW_US}
+    )
+    SELECT CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                     WHEN l2.user_id IS NOT NULL THEN 2
+                     WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM base LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+              LEFT JOIN l3 USING (user_id)
+    GROUP BY 1
+    """,
+)
+def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lvl = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    steps = ev.select(
+        "user_id",
+        lvl.alias("lvl"),
+        # sub-microsecond parts are zero in this corpus, so the micros
+        # cast is value-preserving vs the oracle's epoch_us on nanos
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        "event_id",
+    ).filter(F.col("lvl").isNotNull())
+    packed = steps.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "event_id", "lvl"))).alias("es")
+    )
+    acc = F.expr(
+        f"""
+        aggregate(es,
+          array(CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+          (acc, e) -> CASE
+            WHEN e.lvl = 1 THEN array(greatest(acc[0], e.t), acc[1], acc[2])
+            WHEN e.lvl = 2 AND acc[0] >= 0 AND e.t - acc[0] <= {_WF_WINDOW_US}
+                 THEN array(acc[0], greatest(acc[1], acc[0]), acc[2])
+            WHEN e.lvl = 3 AND acc[1] >= 0 AND e.t - acc[1] <= {_WF_WINDOW_US}
+                 THEN array(acc[0], acc[1], greatest(acc[2], acc[1]))
+            ELSE acc END)
+        """
+    )
+    per_user = packed.select("user_id", acc.alias("a")).select(
+        "user_id",
+        F.expr(
+            "CASE WHEN a[2] >= 0 THEN 3 WHEN a[1] >= 0 THEN 2"
+            " WHEN a[0] >= 0 THEN 1 ELSE 0 END"
+        ).alias("funnel_level"),
+    )
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(per_user, "user_id", "left")
+        .select(
+            F.coalesce("funnel_level", F.lit(0)).cast("int").alias("funnel_level")
+        )
+        .groupBy("funnel_level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

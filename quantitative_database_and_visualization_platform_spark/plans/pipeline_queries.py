@@ -5701,3 +5701,267 @@ def quantile_sketch_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFr
             round6(F.col("cum") * 1.0 / F.col("n")).alias("q_achieved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-scored pairs (new r9): the scoring half of Artetxe & Schwenk's
+# margin-based bitext mining (the industry-standard LASER mining recipe):
+# raw cosine is hubness-biased — hub vectors score close to everything —
+# so each candidate pair is scored by its cosine RELATIVE to the two
+# sides' neighborhood averages: margin(a,b) = cos(a,b) / ((mean top-k
+# cos(a,·) + mean top-k cos(b,·)) / 2). A pair only scores high if it
+# stands OUT of both neighborhoods, not just near a hub. k = 4; output
+# is each probe's best-margin candidate (the mine-and-threshold unit).
+#
+# Determinism across engines: every cosine is floor-quantized to an
+# INTEGER 1e-9 grid first; top-k selection ranks on that integer;
+# neighborhood means are integer sums divided by counts; the final
+# margin is a division of bit-identical doubles — so the 1e-9 pre-round
+# before the margin rank never straddles an engine-divergent ulp.
+#
+# Scale shape: rides the same bounded-probe-panel contract as
+# mutual_nearest_pairs (the brute-force A x B relation is the scoring
+# DOMAIN, probe side bounded); at corpus x corpus scale the pair
+# relation swaps to the SRP-bucketed generator (mutual_nearest_pairs_ann)
+# and the margin formula is unchanged — neighborhood means then run over
+# bucket-surviving candidates, which is exactly how production miners
+# approximate them (Artetxe & Schwenk use FAISS top-k, not exact).
+# ---------------------------------------------------------------------------
+_MARGIN_K = 4
+
+
+@query(
+    "margin_scored_pairs",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS a_id, embedding AS ea
+        FROM embeddings WHERE label < 5 AND vec_id % 5 = 0
+    ), b AS (
+        SELECT vec_id AS b_id, embedding AS eb
+        FROM embeddings WHERE label >= 5
+    ), pairs AS (
+        SELECT a_id, b_id,
+               CAST(FLOOR(({o_cosine('ea', 'eb')}) * 1000000000 + 0.5)
+                    AS BIGINT) AS cq
+        FROM a CROSS JOIN b
+    ), fwd AS (
+        SELECT a_id, CAST(SUM(cq) AS BIGINT) * 1.0 / COUNT(*) AS fm
+        FROM (SELECT a_id, cq,
+                     ROW_NUMBER() OVER (PARTITION BY a_id
+                                        ORDER BY cq DESC, b_id) AS rk
+              FROM pairs)
+        WHERE rk <= {_MARGIN_K} GROUP BY a_id
+    ), bwd AS (
+        SELECT b_id, CAST(SUM(cq) AS BIGINT) * 1.0 / COUNT(*) AS bm
+        FROM (SELECT b_id, cq,
+                     ROW_NUMBER() OVER (PARTITION BY b_id
+                                        ORDER BY cq DESC, a_id) AS rk
+              FROM pairs)
+        WHERE rk <= {_MARGIN_K} GROUP BY b_id
+    ), scored AS (
+        SELECT p.a_id, p.b_id, p.cq,
+               CAST(FLOOR((p.cq / ((fm + bm) / 2.0)) * 1000000000 + 0.5)
+                    AS BIGINT) AS mq
+        FROM pairs p JOIN fwd USING (a_id) JOIN bwd USING (b_id)
+    ), best AS (
+        SELECT a_id, b_id, cq, mq,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY mq DESC, b_id) AS rk
+        FROM scored
+    )
+    SELECT a_id, b_id,
+           FLOOR(cq / 1000.0 + 0.5) / 1000000.0 AS cos,
+           FLOOR(mq / 1000.0 + 0.5) / 1000000.0 AS margin
+    FROM best WHERE rk = 1
+    """,
+)
+def margin_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = emb.filter((F.col("label") < 5) & (F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    # one materialized pair relation feeds the forward means, backward
+    # means, AND the final margin rank — the cosine is computed once
+    pairs = managed_persist(
+        a.crossJoin(b).select(
+            "a_id",
+            "b_id",
+            F.floor(cosine("ea", "eb") * 1_000_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    rk_f = F.row_number().over(Window.partitionBy("a_id").orderBy(F.desc("cq"), "b_id"))
+    rk_b = F.row_number().over(Window.partitionBy("b_id").orderBy(F.desc("cq"), "a_id"))
+    fwd = (
+        pairs.withColumn("rk", rk_f)
+        .filter(F.col("rk") <= _MARGIN_K)
+        .groupBy("a_id")
+        .agg((F.sum("cq") * 1.0 / F.count(F.lit(1))).alias("fm"))
+    )
+    bwd = (
+        pairs.withColumn("rk", rk_b)
+        .filter(F.col("rk") <= _MARGIN_K)
+        .groupBy("b_id")
+        .agg((F.sum("cq") * 1.0 / F.count(F.lit(1))).alias("bm"))
+    )
+    scored = (
+        pairs.join(fwd, "a_id")
+        .join(bwd, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cq",
+            F.floor(
+                (F.col("cq") / ((F.col("fm") + F.col("bm")) / 2.0))
+                * 1_000_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mq"),
+        )
+    )
+    rk_m = F.row_number().over(Window.partitionBy("a_id").orderBy(F.desc("mq"), "b_id"))
+    return (
+        scored.withColumn("rk", rk_m)
+        .filter(F.col("rk") == 1)
+        .select(
+            "a_id",
+            "b_id",
+            (F.floor(F.col("cq") / 1000.0 + F.lit(0.5)) / 1_000_000.0).alias("cos"),
+            (F.floor(F.col("mq") / 1000.0 + F.lit(0.5)) / 1_000_000.0).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new r9): the shape a production pipeline ACTUALLY
+# runs daily — dedup a new batch (here: doc_id % 7 == 0, "today's crawl
+# increment") against the existing canonical corpus (the rest) WITHOUT
+# recomputing corpus x corpus: candidates come only from batch-band x
+# all-band bucket collisions, so per-increment work is
+# Σ (batch_bucket x corpus_bucket) regardless of how large the
+# accumulated corpus grows. Within-batch duplicates resolve keep-first
+# (lower doc_id is canonical — the same convention as dedup_exact).
+# Verification is exact Jaccard at the MinHash threshold (0.5), reusing
+# the identical signature/band machinery as dedup_minhash_lsh so the
+# incremental result is consistent with a from-scratch run.
+#
+# At 100 TB the corpus side of this join is a MAINTAINED artifact — the
+# signature/band table is persisted (bucketed by band key) when each
+# batch commits, so tomorrow's increment reads the index, never the
+# corpus text. Here both sides derive from one scan (the bench corpus is
+# a single table), but the join topology is the production one: the
+# batch explodes its bands and probes; corpus bands are the build side.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_O_NORM}, {_O_SHINGLES},
+    sigs AS (
+        SELECT doc_id, s,
+               {",".join(
+                   f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min') AS m{i}"
+                   for i in range(dd.N_MINHASH)
+               )}
+        FROM sh
+    ), bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || ".join(f"m{b * (dd.N_MINHASH // dd.N_BANDS) + r}"
+                          for r in range(dd.N_MINHASH // dd.N_BANDS))
+            + " AS key FROM sigs"
+            for b in range(dd.N_BANDS)
+        )}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id != y.doc_id
+        WHERE x.doc_id % 7 = 0
+          AND (y.doc_id % 7 != 0 OR y.doc_id < x.doc_id)
+    ), verified AS (
+        SELECT new_id, old_id,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+               len(sa.s) AS la, len(sb.s) AS lb
+        FROM cand
+        JOIN sh sa ON cand.new_id = sa.doc_id
+        JOIN sh sb ON cand.old_id = sb.doc_id
+    ), dups AS (
+        SELECT new_id,
+               CAST(COUNT(*) FILTER (WHERE old_id % 7 != 0) AS BIGINT)
+                   AS n_corpus_dups,
+               CAST(COUNT(*) FILTER (WHERE old_id % 7 = 0) AS BIGINT)
+                   AS n_batch_dups
+        FROM verified
+        WHERE inter / (la + lb - inter) >= 0.5
+        GROUP BY new_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_corpus_dups, 0) AS n_corpus_dups,
+           COALESCE(n_batch_dups, 0) AS n_batch_dups,
+           CAST(COALESCE(n_corpus_dups, 0) + COALESCE(n_batch_dups, 0) = 0
+                AS INT) AS keep
+    FROM documents d LEFT JOIN dups ON d.doc_id = dups.new_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_batch = F.col("doc_id") % 7 == 0
+    # one scan builds shingles + signatures for ALL docs here; in
+    # production the corpus half of `sigs` is read from the persisted
+    # signature store, not recomputed (see block comment)
+    shingled = managed_persist(
+        dd.with_shingles(
+            docs.repartition(spark.sparkContext.defaultParallelism), distinct=False
+        )
+    )
+    sigs = managed_persist(
+        dd.with_minhash_bands(shingled.select("doc_id", "shingles"))
+    )
+    bands = sigs.select("doc_id", F.posexplode("bands").alias("band", "key"))
+    new_b = bands.filter(is_batch).select(
+        F.col("doc_id").alias("new_id"), "band", "key"
+    )
+    old_b = bands.select(F.col("doc_id").alias("old_id"), "band", "key")
+    cand = (
+        new_b.join(old_b, ["band", "key"])
+        .filter(
+            (F.col("old_id") != F.col("new_id"))
+            & ((F.col("old_id") % 7 != 0) | (F.col("old_id") < F.col("new_id")))
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sb"))
+    inter = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)")
+    union = F.size("sa") + F.size("sb") - inter
+    dups = (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .filter((inter / union) >= 0.5)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.when(F.col("old_id") % 7 != 0, 1)).alias("n_corpus_dups"),
+            F.count(F.when(F.col("old_id") % 7 == 0, 1)).alias("n_batch_dups"),
+        )
+    )
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            F.coalesce("n_batch_dups", F.lit(0)).alias("n_batch_dups"),
+            ((F.coalesce("n_corpus_dups", F.lit(0)) + F.coalesce("n_batch_dups", F.lit(0))) == 0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -44,7 +44,11 @@ NEVER_DRIVER_VERIFIED = [
 
 # round-10 spill: queries ADDED in round 9 after the 50-slot window was
 # pinned; must stay in sync with the queue comment in plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = []
+QUEUED_NEXT_ROUND: list[str] = [
+    "window_funnel_steps",
+    "margin_scored_pairs",
+    "dedup_incremental",
+]
 
 
 def test_window_is_pinned_and_full():

@@ -206,3 +206,139 @@ def test_sink_highwater_none_on_empty_committed_store(spark, tmp_path):
     current = read_store(spark, store)
     last = current.agg(F.max("last_batch_id")).collect()[0][0]
     assert last is None  # the sinks' `last is not None and ...` guard holds
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operator batch goldens: windowFunnel DP vs a brute-force chain
+# search, margin scoring vs numpy, incremental dedup vs the from-scratch
+# pair relation.
+# ---------------------------------------------------------------------------
+def test_window_funnel_matches_python_bruteforce(spark):
+    """The one-pass DP must agree with literal chain enumeration: for
+    each user, level k is reachable iff some (e1 < e2 < ... < ek) of the
+    chain types in (ts, event_id) order spans <= the window."""
+    from quantitative_database_and_visualization_platform_spark.plans.advanced_queries import (
+        _WF_WINDOW_US,
+    )
+
+    ev = load_table(spark, SF, "events").toPandas()
+    lvl_of = {"signup": 1, "click": 2, "purchase": 3}
+    levels = {}
+    for uid, grp in ev.groupby("user_id"):
+        es = sorted(
+            (int(r.ts.value // 1000), r.event_id, lvl_of[r.event_type])
+            for r in grp.itertuples()
+            if r.event_type in lvl_of
+        )
+        best = 0
+        for i, (t1, _, l1) in enumerate(es):
+            if l1 != 1:
+                continue
+            best = max(best, 1)
+            for j in range(i + 1, len(es)):
+                t2, _, l2 = es[j]
+                if l2 != 2 or t2 - t1 > _WF_WINDOW_US:
+                    continue
+                best = max(best, 2)
+                for k in range(j + 1, len(es)):
+                    t3, _, l3 = es[k]
+                    if l3 == 3 and t3 - t1 <= _WF_WINDOW_US:
+                        best = 3
+                        break
+                if best == 3:
+                    break
+            if best == 3:
+                break
+        levels[uid] = best
+    from collections import Counter
+
+    want = Counter(levels.values())
+    got = {
+        r["funnel_level"]: r["n_users"]
+        for r in QUERIES["window_funnel_steps"](spark, SF).collect()
+    }
+    assert got == dict(want)
+    assert len(got) >= 2, "degenerate level distribution at this sf"
+
+
+def test_margin_scored_pairs_matches_numpy(spark):
+    import numpy as np
+
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        _MARGIN_K,
+    )
+
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    A = emb[(emb["label"] < 5) & (emb["vec_id"] % 5 == 0)]
+    B = emb[emb["label"] >= 5]
+
+    def cq(x, y):
+        x, y = np.asarray(x, dtype=float), np.asarray(y, dtype=float)
+        c = float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+        return math.floor(c * 1_000_000_000 + 0.5)
+
+    pairs = {
+        (ra.vec_id, rb.vec_id): cq(ra.embedding, rb.embedding)
+        for ra in A.itertuples()
+        for rb in B.itertuples()
+    }
+    a_ids = sorted({a for a, _ in pairs})
+    b_ids = sorted({b for _, b in pairs})
+    fm = {
+        a: (lambda t: sum(t) / len(t))(
+            [c for c, _ in sorted(((pairs[(a, b)], b) for b in b_ids),
+                                  key=lambda x: (-x[0], x[1]))[:_MARGIN_K]]
+        )
+        for a in a_ids
+    }
+    bm = {
+        b: (lambda t: sum(t) / len(t))(
+            [c for c, _ in sorted(((pairs[(a, b)], a) for a in a_ids),
+                                  key=lambda x: (-x[0], x[1]))[:_MARGIN_K]]
+        )
+        for b in b_ids
+    }
+    want = {}
+    for a in a_ids:
+        scored = sorted(
+            (
+                (-math.floor(pairs[(a, b)] / ((fm[a] + bm[b]) / 2.0) * 1e9 + 0.5), b)
+                for b in b_ids
+            )
+        )
+        mq, b = -scored[0][0], scored[0][1]
+        want[a] = (
+            b,
+            math.floor(pairs[(a, b)] / 1000.0 + 0.5) / 1e6,
+            math.floor(mq / 1000.0 + 0.5) / 1e6,
+        )
+    got = {
+        r["a_id"]: (r["b_id"], r["cos"], r["margin"])
+        for r in QUERIES["margin_scored_pairs"](spark, SF).collect()
+    }
+    assert got == want
+    assert got, "empty probe panel — test degenerate"
+
+
+def test_dedup_incremental_consistent_with_fullscratch(spark):
+    """Incremental dedup must agree with a from-scratch run: a batch doc
+    keeps iff the full dedup_minhash_lsh pair relation has NO verified
+    pair linking it to a corpus doc or an earlier batch doc (same
+    shingles, signatures, bands, and threshold — so exact equality, not
+    approximation)."""
+    full = QUERIES["dedup_minhash_lsh"](spark, SF).collect()
+    links: dict[int, list[int]] = {}
+    for r in full:
+        for d, o in ((r["a_id"], r["b_id"]), (r["b_id"], r["a_id"])):
+            if d % 7 == 0 and (o % 7 != 0 or o < d):
+                links.setdefault(d, []).append(o)
+    got = {
+        r["doc_id"]: (r["n_corpus_dups"], r["n_batch_dups"], r["keep"])
+        for r in QUERIES["dedup_incremental"](spark, SF).collect()
+    }
+    for d, (nc, nb, keep) in got.items():
+        os_ = links.get(d, [])
+        assert nc == sum(1 for o in os_ if o % 7 != 0), d
+        assert nb == sum(1 for o in os_ if o % 7 == 0), d
+        assert keep == (1 if not os_ else 0), d
+    assert set(links) <= set(got)
