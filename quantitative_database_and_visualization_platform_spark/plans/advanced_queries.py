@@ -2243,3 +2243,96 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_level")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (new r9): the sketch OPERATION a 100 TB audience /
+# overlap dashboard runs — estimate the distinct-user overlap between
+# two event cohorts from their KMV sketches alone, no exact distinct on
+# the pair. The union sketch is just the k smallest hashes of the merged
+# minima (KMV's defining mergeability — same one-pass aggregate, one
+# extra scope), and the intersection falls out of inclusion-exclusion:
+# |A∩B| ≈ est(A) + est(B) − est(A∪B). Exact counts ride along as audit
+# columns (the kmv_distinct_sketch / ann_recall_audit convention: the
+# approximation is accounted, not hidden). Everything is deterministic
+# md5 order statistics, so the ESTIMATES are hash-verified, not just
+# bounded.
+#
+# Scale shape: ONE scan of the two cohorts (the union scope duplicates
+# rows before the distinct, not after), one k-minima pass per scope,
+# 3-row sketch state; the exact audit is the only count_distinct and
+# drops out of the production form.
+# ---------------------------------------------------------------------------
+@query(
+    "kmv_set_overlap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), tagged AS (
+      SELECT event_type AS scope, user_id FROM ev
+      UNION ALL SELECT 'union' AS scope, user_id FROM ev
+    ), est AS ({o_kmv_distinct_estimate('tagged', 'scope', 'user_id', k=64)}),
+    ex AS (
+      SELECT scope, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exd
+      FROM tagged GROUP BY scope
+    ), j AS (SELECT * FROM est JOIN ex USING (scope)),
+    piv AS (
+      SELECT MIN(CASE WHEN scope = 'click' THEN kmv_estimate END) AS est_click,
+             MIN(CASE WHEN scope = 'purchase' THEN kmv_estimate END) AS est_purchase,
+             MIN(CASE WHEN scope = 'union' THEN kmv_estimate END) AS est_union,
+             MIN(CASE WHEN scope = 'click' THEN exd END) AS exact_click,
+             MIN(CASE WHEN scope = 'purchase' THEN exd END) AS exact_purchase,
+             MIN(CASE WHEN scope = 'union' THEN exd END) AS exact_union
+      FROM j
+    )
+    SELECT est_click, est_purchase, est_union,
+           GREATEST(CAST(0 AS DOUBLE),
+                    est_click + est_purchase - est_union) AS est_intersection,
+           exact_click, exact_purchase, exact_union,
+           exact_click + exact_purchase - exact_union AS exact_intersection
+    FROM piv
+    """,
+)
+def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+    )
+    tagged = ev.select(F.col("event_type").alias("scope"), "user_id").unionByName(
+        ev.select(F.lit("union").alias("scope"), "user_id")
+    )
+    est = kmv_distinct_estimate(tagged, group="scope", element="user_id", k=64)
+    exact = tagged.groupBy("scope").agg(F.count_distinct("user_id").alias("exd"))
+
+    def pick(col: str, s: str):
+        return F.min(F.when(F.col("scope") == s, F.col(col)))
+
+    piv = (
+        est.join(exact, "scope")
+        .groupBy()
+        .agg(
+            pick("kmv_estimate", "click").alias("est_click"),
+            pick("kmv_estimate", "purchase").alias("est_purchase"),
+            pick("kmv_estimate", "union").alias("est_union"),
+            pick("exd", "click").alias("exact_click"),
+            pick("exd", "purchase").alias("exact_purchase"),
+            pick("exd", "union").alias("exact_union"),
+        )
+    )
+    return piv.select(
+        "est_click",
+        "est_purchase",
+        "est_union",
+        F.greatest(
+            F.lit(0.0),
+            F.col("est_click") + F.col("est_purchase") - F.col("est_union"),
+        ).alias("est_intersection"),
+        "exact_click",
+        "exact_purchase",
+        "exact_union",
+        (F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union")).alias(
+            "exact_intersection"
+        ),
+    )

@@ -4116,3 +4116,87 @@ def theil_sen_trend_w20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full 20-row windows only: the factor convention (min_periods = n),
     # and n_pairs == 190 iff the frame is full
     return _theil_sen_windowed(bars, 20).filter(F.col("n_pairs") == 190)
+
+
+# ---------------------------------------------------------------------------
+# Mean-reversion half-life (new r9): per code, the AR(1)
+# Ornstein-Uhlenbeck half-life pairs traders size positions with — fit
+# Δp_t = a + b·p_{t-1} by OLS and report halflife = −ln 2 / ln(1+b)
+# when the process actually reverts (−1 < b < 0); a non-reverting code
+# reports NULL rather than a fabricated horizon. Complements
+# variance_ratio_test (detects reversion) with the actionable timescale,
+# and pairs_spread_zscore (which assumes a reverting spread) with the
+# estimator that validates the assumption.
+#
+# Determinism: the regression runs on INTEGER cents sums (n·Σxy − Σx·Σy
+# over BIGINTs — order-independent, bit-identical across engines; the
+# magnitudes stay ≤ ~3e14, far under both engines' 2^63), so the slope
+# is one identical IEEE division; ln() is output-only (never ranked),
+# 6dp-rounded on both sides.
+#
+# Scale shape: one code-keyed lag window + one aggregate per code —
+# panel-linear, same shape as kyle_lambda_daily.
+# ---------------------------------------------------------------------------
+@query(
+    "mean_reversion_halflife",
+    oracle=f"""
+    WITH {O_BARS},
+    p AS (
+        SELECT code, d, CAST(ROUND(close * 100, 0) AS BIGINT) AS c FROM bars
+    ), xy AS (
+        SELECT code,
+               LAG(c) OVER (PARTITION BY code ORDER BY d) AS x,
+               c - LAG(c) OVER (PARTITION BY code ORDER BY d) AS y
+        FROM p
+    ), m AS (
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy WHERE x IS NOT NULL GROUP BY code
+    ), fit AS (
+        SELECT code, n,
+               CASE WHEN n >= 10 AND n * sxx > sx * sx
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) END AS b
+        FROM m
+    )
+    SELECT code, n AS n_days, {o_round6('b')} AS ar1_beta,
+           {o_round6("CASE WHEN b > -1 AND b < 0"
+                     " THEN -ln(2) / ln(1 + b) END")} AS halflife_days
+    FROM fit
+    """,
+)
+def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    xy = bars.select(
+        "code",
+        F.lag(c).over(w).alias("x"),
+        (c - F.lag(c).over(w)).alias("y"),
+    ).filter(F.col("x").isNotNull())
+    m = xy.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b = F.when(
+        (F.col("n") >= 10)
+        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx")),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+    )
+    fit = m.select("code", F.col("n").alias("n_days"), b.alias("b"))
+    hl = F.when(
+        (F.col("b") > -1) & (F.col("b") < 0),
+        -F.log(F.lit(2.0)) / F.log(F.lit(1.0) + F.col("b")),
+    )
+    return fit.select(
+        "code",
+        "n_days",
+        round6(F.col("b")).alias("ar1_beta"),
+        round6(hl).alias("halflife_days"),
+    )

@@ -48,6 +48,8 @@ QUEUED_NEXT_ROUND: list[str] = [
     "window_funnel_steps",
     "margin_scored_pairs",
     "dedup_incremental",
+    "kmv_set_overlap",
+    "mean_reversion_halflife",
 ]
 
 

@@ -342,3 +342,73 @@ def test_dedup_incremental_consistent_with_fullscratch(spark):
         assert nb == sum(1 for o in os_ if o % 7 == 0), d
         assert keep == (1 if not os_ else 0), d
     assert set(links) <= set(got)
+
+
+def test_kmv_set_overlap_matches_python(spark):
+    """Full-python recompute: the 52-bit md5 hash order statistics, the
+    three scope estimates, inclusion-exclusion, and the exact audit."""
+    ev = load_table(spark, SF, "events").toPandas()
+    ev = ev[ev["event_type"].isin(["click", "purchase"])]
+
+    def h(u) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16)
+
+    def est(users) -> float:
+        hs = sorted({h(u) for u in users})
+        k = 64
+        if len(hs) < k:
+            return float(len(hs))
+        return float(k - 1) * float(1 << 52) / float(hs[k - 1])
+
+    a = ev[ev["event_type"] == "click"]["user_id"]
+    b = ev[ev["event_type"] == "purchase"]["user_id"]
+    want = {
+        "est_click": est(a),
+        "est_purchase": est(b),
+        "est_union": est(list(a) + list(b)),
+        "exact_click": a.nunique(),
+        "exact_purchase": b.nunique(),
+        "exact_union": len(set(a) | set(b)),
+        "exact_intersection": len(set(a) & set(b)),
+    }
+    want["est_intersection"] = max(
+        0.0, want["est_click"] + want["est_purchase"] - want["est_union"]
+    )
+    rows = QUERIES["kmv_set_overlap"](spark, SF).collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    for k_, v in want.items():
+        if isinstance(v, float):
+            assert abs(got[k_] - v) < 1e-9, (k_, got[k_], v)
+        else:
+            assert got[k_] == v, (k_, got[k_], v)
+
+
+def test_mean_reversion_halflife_matches_python_ols(spark):
+    bars = daily_bars(spark, SF).toPandas()[["code", "d", "close"]]
+    want = {}
+    for code, grp in bars.sort_values("d").groupby("code"):
+        c = [int(round(v * 100)) for v in grp["close"]]
+        xs = c[:-1]
+        ys = [c[i + 1] - c[i] for i in range(len(c) - 1)]
+        n = len(xs)
+        beta = hl = None
+        if n >= 10:
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx = sum(x * x for x in xs)
+            if n * sxx > sx * sx:
+                beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                if -1 < beta < 0:
+                    hl = -math.log(2) / math.log(1 + beta)
+
+        def r6(v):
+            return None if v is None else math.floor(v * 1e6 + 0.5) / 1e6
+
+        want[code] = (n, r6(beta), r6(hl))
+    got = {
+        r["code"]: (r["n_days"], r["ar1_beta"], r["halflife_days"])
+        for r in QUERIES["mean_reversion_halflife"](spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[2] is not None for v in want.values()), "no reverting code"
