@@ -874,3 +874,95 @@ def test_stream_stream_outer_join_matches_batch(spark):
     # ...and no emitted null row may contradict the batch join
     assert got_null <= set(want_null["click_id"])
     assert len(got_null) > 0
+
+
+def test_streaming_funnel_matches_batch_across_microbatches(spark):
+    """The stateful streaming windowFunnel must reproduce the batch
+    query's level histogram when each user's events arrive time-ordered
+    across micro-batches: events are split into three time-range files
+    and streamed one file per trigger, so the DP state genuinely carries
+    across batch boundaries (an availableNow single-file run would
+    trivialize the test)."""
+    import os
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        streaming_funnel_levels,
+    )
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    cuts = ev.selectExpr(
+        "percentile(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE),"
+        " array(0.33, 0.66)) AS c"
+    ).collect()[0]["c"]
+    tmp = tempfile.mkdtemp(prefix="qdvp_funnel_")
+    try:
+        t = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+        for i, (lo, hi) in enumerate(
+            [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], None)]
+        ):
+            part = ev
+            if lo is not None:
+                part = part.filter(t > lo)
+            if hi is not None:
+                part = part.filter(t <= hi)
+            # file-source order follows modification time; name them too
+            part.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+        files_dir = f"{tmp}/stream"
+        os.makedirs(files_dir)
+        import time as _time
+
+        base = _time.time()
+        for i in range(3):
+            src = next(
+                f for f in os.listdir(f"{tmp}/b{i}") if f.endswith(".parquet")
+            )
+            dst = f"{files_dir}/part-{i}.parquet"
+            shutil.copy(f"{tmp}/b{i}/{src}", dst)
+            # FileStreamSource orders micro-batches by MODIFICATION TIME,
+            # not path — near-simultaneous copies get nondeterministic
+            # ordering and feed batches out of time order (violating the
+            # operator's ordering contract). Pin strictly increasing
+            # mtimes so batch i is genuinely the i-th time slice.
+            os.utime(dst, (base + 10 * i, base + 10 * i))
+        schema = spark.read.parquet(files_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(files_dir)
+        )
+        levels = streaming_funnel_levels(stream)
+        assert levels.isStreaming
+        q = (
+            levels.writeStream.format("memory")
+            .queryName("funnel_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got_pd = spark.sql("SELECT * FROM funnel_test").toPandas()
+        # update mode: last row per user is the final level
+        final = got_pd.groupby("user_id").tail(1)
+        from collections import Counter
+
+        got = Counter(final["funnel_level"])
+        want = {
+            r["funnel_level"]: r["n_users"]
+            for r in QUERIES["window_funnel_steps"](spark, SF).collect()
+        }
+        # the batch histogram's level-0 bucket additionally counts users
+        # with NO chain-type events at all (the streaming operator never
+        # sees them); levels 1-3 must match exactly
+        for lv in (1, 2, 3):
+            assert got.get(lv, 0) == want.get(lv, 0), (lv, got, want)
+        assert sum(got[lv] for lv in (1, 2, 3) if lv in got) > 0
+        # and state genuinely crossed batches: at least one user's level
+        # was emitted more than once (multiple micro-batches touched it)
+        assert (got_pd.groupby("user_id").size() > 1).any()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
