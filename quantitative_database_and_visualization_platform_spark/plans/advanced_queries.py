@@ -2204,14 +2204,24 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     steps = ev.select(
         "user_id",
-        lvl.alias("lvl"),
-        # sub-microsecond parts are zero in this corpus, so the micros
-        # cast is value-preserving vs the oracle's epoch_us on nanos
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
-        "event_id",
-    ).filter(F.col("lvl").isNotNull())
+        # conditional struct: collect_list SKIPS nulls, so one aggregate
+        # over ALL events gives every user a row (level-0 users included
+        # with an empty array) while the DP array holds only chain-type
+        # events — one scan, one exchange, no second user-base join
+        F.when(
+            lvl.isNotNull(),
+            F.struct(
+                # sub-microsecond parts are zero in this corpus, so the
+                # micros cast is value-preserving vs the oracle's
+                # epoch_us on nanos
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+                "event_id",
+                lvl.alias("lvl"),
+            ),
+        ).alias("e"),
+    )
     packed = steps.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("t", "event_id", "lvl"))).alias("es")
+        F.array_sort(F.collect_list("e")).alias("es")
     )
     acc = F.expr(
         f"""
@@ -2229,19 +2239,12 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = packed.select("user_id", acc.alias("a")).select(
         "user_id",
         F.expr(
-            "CASE WHEN a[2] >= 0 THEN 3 WHEN a[1] >= 0 THEN 2"
-            " WHEN a[0] >= 0 THEN 1 ELSE 0 END"
+            "CAST(CASE WHEN a[2] >= 0 THEN 3 WHEN a[1] >= 0 THEN 2"
+            " WHEN a[0] >= 0 THEN 1 ELSE 0 END AS INT)"
         ).alias("funnel_level"),
     )
-    return (
-        ev.select("user_id")
-        .distinct()
-        .join(per_user, "user_id", "left")
-        .select(
-            F.coalesce("funnel_level", F.lit(0)).cast("int").alias("funnel_level")
-        )
-        .groupBy("funnel_level")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+    return per_user.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).alias("n_users")
     )
 
 
