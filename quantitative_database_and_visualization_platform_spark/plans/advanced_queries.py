@@ -2339,3 +2339,68 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch (new r9): the other ClickHouse event-chain primitive —
+# pattern matching over each user's time-ordered event sequence, no
+# window bound. Every event type here has a distinct initial (signup,
+# click, purchase, view, error → s/c/p/v/e), so the per-user sequence
+# collapses to a STRING in (ts, event_id) order and patterns become
+# plain regex: '(?1).*(?2).*(?3)'-style ordered subsequence = 's.*e.*p'
+# (a signup, later an error, later a purchase), and full-stream
+# ADJACENCY (stricter than ClickHouse's filtered-stream adjacency,
+# documented) = the literal substring 'se'. One aggregate builds the
+# string; the match is a scalar regex per user — no joins, no windows.
+#
+# Scale shape: one user-keyed exchange; per-user state is the event
+# string (bounded by per-user activity, the same contract as the other
+# per-user arrays); output is one row of counts.
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_match_chain",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (WHERE regexp_matches(seq, 's.*e.*p'))
+                AS BIGINT) AS n_signup_error_purchase,
+           CAST(COUNT(*) FILTER (WHERE seq LIKE '%se%') AS BIGINT)
+               AS n_adjacent_signup_error
+    FROM seqs
+    """,
+)
+def sequence_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+                "event_id",
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["i"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("seq").rlike("s.*e.*p"), 1)).alias(
+            "n_signup_error_purchase"
+        ),
+        F.count(F.when(F.col("seq").contains("se"), 1)).alias(
+            "n_adjacent_signup_error"
+        ),
+    )

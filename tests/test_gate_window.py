@@ -50,6 +50,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "dedup_incremental",
     "kmv_set_overlap",
     "mean_reversion_halflife",
+    "sequence_match_chain",
 ]
 
 

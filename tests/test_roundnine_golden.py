@@ -412,3 +412,26 @@ def test_mean_reversion_halflife_matches_python_ols(spark):
     }
     assert got == want
     assert any(v[2] is not None for v in want.values()), "no reverting code"
+
+
+def test_sequence_match_matches_python(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    import re
+
+    n_users = n_sep = n_adj = 0
+    for _uid, grp in ev.groupby("user_id"):
+        seq = "".join(
+            r.event_type[0]
+            for r in sorted(
+                grp.itertuples(), key=lambda r: (r.ts.value, r.event_id)
+            )
+        )
+        n_users += 1
+        n_sep += bool(re.search("s.*e.*p", seq))
+        n_adj += "se" in seq
+    rows = QUERIES["sequence_match_chain"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_users"], r["n_signup_error_purchase"],
+            r["n_adjacent_signup_error"]) == (n_users, n_sep, n_adj)
+    assert 0 < n_sep <= n_users
