@@ -461,3 +461,50 @@ def test_no_unpartitioned_window_outside_bounded_allowlist(spark):
     # the allow-list must not go stale: every listed name still exists
     stale = _GLOBAL_WINDOW_BOUNDED_OK - set(QUERIES)
     assert not stale, f"allow-listed queries no longer registered: {stale}"
+
+
+def test_window_funnel_is_single_scan(spark):
+    """The r9 rewrite collapsed the level-0 user base into the one
+    conditional-collect aggregate; a second events scan (the old
+    distinct-users + left-join shape) must not creep back."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["window_funnel_steps"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+
+
+def test_mutual_nn_ann_candidates_are_bucket_equijoin(spark):
+    """The production mutual-NN form must generate candidates with an
+    equi-join on the SRP bucket key — a cartesian/broadcast-nested-loop
+    product would mean the bucketing silently stopped keying the join."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    try:
+        plan = _plan(QUERIES["mutual_nearest_pairs_ann"](spark, SF))
+    finally:
+        release_managed()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:3000]
+    )
+    assert "bucket" in plan, plan[:3000]
+
+
+def test_dedup_incremental_probe_side_is_batch_filtered(spark):
+    """The incremental-dedup candidate join must filter the probe side
+    to the batch (doc_id % 7 = 0) BEFORE the band join — the whole point
+    is never joining corpus x corpus."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    try:
+        plan = _plan(QUERIES["dedup_incremental"](spark, SF))
+    finally:
+        release_managed()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:3000]
+    )
+    # the % 7 batch predicate must appear as a filter in the plan (on
+    # the probe side, upstream of the band join)
+    assert "% 7) = 0" in plan, plan[:3000]
