@@ -43,7 +43,12 @@ GATE_WINDOW = 50
 # OLDEST driver rows (last gated r4) prioritizing the heaviest
 # (alpha101_a–d, alpha_ic_gate per the r8 verdict), cheapest-first by
 # measured spark+oracle cost (ORACLE_TIMINGS.json). The 8 cheapest
-# r4-era rows are queued below for r10.
+# r4-era rows are queued below for r10. Cheapest-first also puts the
+# alpha family LAST, which doubles as failure isolation: the one-session
+# 50-query rehearsal showed a memory-starved driver session (1 GB heap)
+# dies at the alpha cache build, so anything ordered after it would be
+# lost — with alphas last (plus the fail-fast heap guard in
+# alpha_queries._alpha_table) the worst case costs only those 5 rows.
 GATE_FIRST: list[str] = [
     "order_priority_runs",
     "calendar_ffill_panel",

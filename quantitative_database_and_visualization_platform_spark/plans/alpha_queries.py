@@ -1266,6 +1266,28 @@ def _alpha_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (context_key(spark), sf_dir)
     df = _ALPHA_CACHE.get(key)
     if df is None:
+        # Fail FAST on a heap that cannot fit the 101-alpha build: a
+        # 1.07 GB local-mode driver demonstrably OOM-KILLS the whole
+        # SparkContext mid-build (r9 rehearsal; verified at both 32 and
+        # 8 shuffle partitions), which would poison every query AFTER
+        # this one in a 50-query gate session ("Connection refused" for
+        # the rest). Raising a python error instead keeps the context
+        # alive, so only the alpha family reports red. The threshold is
+        # conservative — below it the build cannot succeed anyway; the
+        # build is verified green at 8 GB and sessions in between are
+        # allowed to try.
+        try:
+            heap = (
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            )
+        except Exception:  # noqa: BLE001 — connect-mode or JVM gone: just try
+            heap = None
+        if heap is not None and heap < 1_400_000_000:
+            raise RuntimeError(
+                f"driver heap {heap / 1e9:.2f} GB is too small for the "
+                "101-alpha cache build (a ~1 GB heap OOM-kills the "
+                "SparkContext); launch with spark.driver.memory >= 2g"
+            )
         out = with_alphas(daily_bars(spark, sf_dir))
         # floor-based 6dp rounding, not ROUND: alpha values are products
         # of rank rationals whose shortest decimal representation often

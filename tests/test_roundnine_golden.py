@@ -435,3 +435,37 @@ def test_sequence_match_matches_python(spark):
     assert (r["n_users"], r["n_signup_error_purchase"],
             r["n_adjacent_signup_error"]) == (n_users, n_sep, n_adj)
     assert 0 < n_sep <= n_users
+
+
+def test_alpha_build_fails_fast_on_tiny_heap_keeping_session_alive():
+    """r9 rehearsal finding: a default 1 GB local-mode driver OOM-kills
+    the whole SparkContext mid-alpha-build, poisoning every query after
+    it in a gate session. The guard must RAISE a python error instead
+    (context stays alive; only the alpha family reports red). Runs in a
+    subprocess because driver memory is fixed at JVM launch."""
+    import subprocess
+    import sys
+
+    code = (
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[8]')\n"
+        "         .config('spark.ui.enabled', 'false').getOrCreate())\n"
+        "import __spark_entry__ as e\n"
+        "qs = e.queries()\n"
+        "SF = '/root/testdata/sf0.001'\n"
+        "try:\n"
+        "    qs['alpha101_b'](spark, SF).toArrow()\n"
+        "    raise SystemExit('guard did not trip on a 1 GB heap')\n"
+        "except RuntimeError as exc:\n"
+        "    assert 'driver heap' in str(exc), exc\n"
+        "assert qs['sector_rollup'](spark, SF).count() > 0\n"
+        "print('GUARD_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert "GUARD_OK" in r.stdout, (r.stdout[-800:], r.stderr[-800:])
