@@ -49,6 +49,8 @@ GATE_WINDOW = 50
 # dies at the alpha cache build, so anything ordered after it would be
 # lost — with alphas last (plus the fail-fast heap guard in
 # alpha_queries._alpha_table) the worst case costs only those 5 rows.
+# The full window rehearsed 50/50 green in ONE driver-style session
+# (8 GB heap, hostile America/New_York TZ, sf0.01) in 106 s.
 GATE_FIRST: list[str] = [
     "order_priority_runs",
     "calendar_ffill_panel",
