@@ -113,7 +113,8 @@ GATE_FIRST: list[str] = [
 # plus the queries ADDED in round 9 after this window was pinned
 # (oracle-verified at sf0.001+sf0.01 on registration; pytest-enforced):
 #   window_funnel_steps, margin_scored_pairs, dedup_incremental,
-#   kmv_set_overlap, mean_reversion_halflife, sequence_match_chain
+#   kmv_set_overlap, mean_reversion_halflife, sequence_match_chain,
+#   retention_weekly
 
 
 def _apply_gate_order() -> None:

@@ -2404,3 +2404,65 @@ def sequence_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_adjacent_signup_error"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# retention (new r9): the third ClickHouse event-chain primitive —
+# retention(cond1, ..., condN) computes per user the flag vector
+# [c1, c1 AND c2, ..., c1 AND cN] (every later flag is gated on the
+# FIRST condition: "of the users acquired in week 1, how many clicked
+# in week 2 / purchased in week 3") and the dashboard sums the flags.
+# Week boundaries derive from the corpus MIN date (not literals), so
+# the query is stable under testdata regeneration. One scan → one
+# per-user conditional-max aggregate → one 4-column sum: no joins, no
+# windows, linear at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "retention_weekly",
+    oracle="""
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup'
+                       AND CAST(ts AS DATE) < d0 + 7 THEN 1 ELSE 0 END) AS c1,
+             MAX(CASE WHEN event_type = 'click'
+                       AND CAST(ts AS DATE) >= d0 + 7
+                       AND CAST(ts AS DATE) < d0 + 14 THEN 1 ELSE 0 END) AS c2,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) >= d0 + 14
+                       AND CAST(ts AS DATE) < d0 + 21 THEN 1 ELSE 0 END) AS c3
+      FROM events CROSS JOIN d0 GROUP BY user_id
+    )
+    SELECT CAST(SUM(c1) AS BIGINT) AS acquired_w1,
+           CAST(SUM(c1 * c2) AS BIGINT) AS retained_w2,
+           CAST(SUM(c1 * c3) AS BIGINT) AS retained_w3,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM flags
+    """,
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    day = F.to_date("ts")
+
+    def cond(etype: str, lo: int, hi: int):
+        c = (F.col("event_type") == etype) & (day < F.date_add("d0", hi))
+        if lo:
+            c = c & (day >= F.date_add("d0", lo))
+        return F.max(c.cast("int"))
+
+    flags = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            cond("signup", 0, 7).alias("c1"),
+            cond("click", 7, 14).alias("c2"),
+            cond("purchase", 14, 21).alias("c3"),
+        )
+    )
+    return flags.agg(
+        F.sum("c1").alias("acquired_w1"),
+        F.sum(F.col("c1") * F.col("c2")).alias("retained_w2"),
+        F.sum(F.col("c1") * F.col("c3")).alias("retained_w3"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

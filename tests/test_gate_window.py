@@ -51,6 +51,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "kmv_set_overlap",
     "mean_reversion_halflife",
     "sequence_match_chain",
+    "retention_weekly",
 ]
 
 

@@ -469,3 +469,31 @@ def test_alpha_build_fails_fast_on_tiny_heap_keeping_session_alive():
         timeout=300,
     )
     assert "GUARD_OK" in r.stdout, (r.stdout[-800:], r.stderr[-800:])
+
+
+def test_retention_weekly_matches_python(spark):
+    ev = load_table(spark, SF, "events").toPandas()
+    d0 = ev["ts"].dt.date.min()
+    from datetime import timedelta
+
+    flags = {}
+    for uid, grp in ev.groupby("user_id"):
+        c1 = c2 = c3 = 0
+        for r in grp.itertuples():
+            d = r.ts.date()
+            if r.event_type == "signup" and d < d0 + timedelta(days=7):
+                c1 = 1
+            if r.event_type == "click" and d0 + timedelta(days=7) <= d < d0 + timedelta(days=14):
+                c2 = 1
+            if r.event_type == "purchase" and d0 + timedelta(days=14) <= d < d0 + timedelta(days=21):
+                c3 = 1
+        flags[uid] = (c1, c2, c3)
+    want = (
+        sum(f[0] for f in flags.values()),
+        sum(f[0] * f[1] for f in flags.values()),
+        sum(f[0] * f[2] for f in flags.values()),
+        len(flags),
+    )
+    r = QUERIES["retention_weekly"](spark, SF).collect()[0]
+    assert (r["acquired_w1"], r["retained_w2"], r["retained_w3"], r["n_users"]) == want
+    assert want[0] > 0
