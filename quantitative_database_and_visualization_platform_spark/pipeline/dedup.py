@@ -95,12 +95,33 @@ def with_minhash_bands(
     return out.withColumn("bands", F.array(*band_exprs))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+# Corpus-size threshold above which the band/shingle relations must not
+# be broadcast: Catalyst's size estimate for a not-yet-materialized
+# persisted aggregate can be garbage-small, and at 100× bench corpus
+# (500k docs) it picked BroadcastHashJoin for the 8M-row band table and
+# the corpus-sized shingle table and OOM-killed the driver (r9 100×
+# sweep). Below the threshold the planner's broadcast is genuinely the
+# fast plan (sf0.1 bench: forcing shuffle_hash cost 2.4 → 6.9 s), so
+# callers pass the EXACT doc count — one parquet-metadata read, free —
+# and the helpers pin shuffle_hash only when the relation actually
+# scales past broadcastability. This is the size-aware join-strategy
+# choice a production engine makes from table statistics; here the
+# statistic is exact instead of estimated.
+BROADCAST_SAFE_DOCS = 50_000
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_docs: int | None = None
+) -> DataFrame:
     """Band join: explode band keys, self-join on (band index, key) with
     a < b, distinct pairs. THE scale move: candidates come only from
-    colliding buckets, so work is Σ bucket², not n²."""
+    colliding buckets, so work is Σ bucket², not n². See
+    BROADCAST_SAFE_DOCS for the n_docs contract."""
     bands = sigs.select(id_col, F.posexplode("bands").alias("band", "key"))
-    a, b = bands.alias("a"), bands.alias("b")
+    right = bands
+    if n_docs is not None and n_docs > BROADCAST_SAFE_DOCS:
+        right = right.hint("shuffle_hash")
+    a, b = bands.alias("a"), right.alias("b")
     return (
         a.join(
             b,
@@ -114,7 +135,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def jaccard_verified_pairs(
-    candidates: DataFrame, shingled: DataFrame, threshold: float, id_col: str = "doc_id"
+    candidates: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs only. Intersection size via
     array_intersect (hash-based, O(|sa|+|sb|)) — the lambda
@@ -123,6 +148,10 @@ def jaccard_verified_pairs(
     shingle sets so the intersect's dedup semantics change nothing."""
     sa = shingled.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("sa"))
     sb = shingled.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("sb"))
+    if n_docs is not None and n_docs > BROADCAST_SAFE_DOCS:
+        # the shingle relation scales with the corpus — past the
+        # threshold a broadcast OOMs the driver (see BROADCAST_SAFE_DOCS)
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     inter = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)")
     union = F.size("sa") + F.size("sb") - inter
     return (

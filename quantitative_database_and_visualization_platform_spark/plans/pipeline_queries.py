@@ -148,8 +148,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tiny signature table too (the in-memory form of the signature
     # materialization a production run would write out).
     sigs = managed_persist(dd.with_minhash_bands(shingled.select("doc_id", "shingles")))
-    cand = dd.lsh_candidate_pairs(sigs)
-    return dd.jaccard_verified_pairs(cand, sigs.select("doc_id", "shingles"), threshold=0.5)
+    n = _n_docs(spark, sf_dir)
+    cand = dd.lsh_candidate_pairs(sigs, n_docs=n)
+    return dd.jaccard_verified_pairs(
+        cand, sigs.select("doc_id", "shingles"), threshold=0.5, n_docs=n
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +212,13 @@ def _o_ngram_jaccard() -> str:
 _PAIR_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    """Exact document count for the size-aware join-strategy choice in
+    the dedup helpers (dd.BROADCAST_SAFE_DOCS): one parquet-metadata
+    read, no data scan."""
+    return load_table(spark, sf_dir, "documents").count()
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (context_key(spark), sf_dir)
     df = _PAIR_CACHE.get(key)
@@ -224,7 +234,10 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cand = dd.prefix_filter_candidates(pref, _NGRAM_T)
         df = dd.jaccard_verified_pairs(
-            cand, shingled.select("doc_id", "shingles"), threshold=_NGRAM_T
+            cand,
+            shingled.select("doc_id", "shingles"),
+            threshold=_NGRAM_T,
+            n_docs=_n_docs(spark, sf_dir),
         ).localCheckpoint(eager=True)
         _PAIR_CACHE[key] = df
     return df
@@ -2566,7 +2579,8 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = managed_persist(dd.with_shingles(docs))
     sigs = managed_persist(dd.with_minhash_bands(shingled))
-    cand = dd.lsh_candidate_pairs(sigs)
+    n = _n_docs(spark, sf_dir)
+    cand = dd.lsh_candidate_pairs(sigs, n_docs=n)
     sa = sigs.select(
         F.col("doc_id").alias("a_id"),
         F.col("shingles").alias("sa"),
@@ -2581,6 +2595,9 @@ def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"ma_{i}") == F.col(f"mb_{i}")).cast("int")
         for i in range(dd.N_MINHASH)
     )
+    if n > dd.BROADCAST_SAFE_DOCS:
+        # corpus-scaled signature relations — see dd.BROADCAST_SAFE_DOCS
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     inter = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)")
     exact = inter / (F.size("sa") + F.size("sb") - inter)
     est = matches / float(dd.N_MINHASH)
@@ -4326,7 +4343,7 @@ def minhash_pr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = managed_persist(
         dd.with_minhash_bands(shingled.select("doc_id", "shingles"))
     )
-    cand = dd.lsh_candidate_pairs(sigs).select(
+    cand = dd.lsh_candidate_pairs(sigs, n_docs=_n_docs(spark, sf_dir)).select(
         "a_id", "b_id", F.lit(True).alias("is_cand")
     )
     exact = _ngram_pairs(spark, sf_dir).select(
@@ -5929,6 +5946,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("new_id"), "band", "key"
     )
     old_b = bands.select(F.col("doc_id").alias("old_id"), "band", "key")
+    n = _n_docs(spark, sf_dir)
+    if n > dd.BROADCAST_SAFE_DOCS:
+        # the corpus band table scales with the ACCUMULATED corpus —
+        # past the threshold it must never broadcast (dd.BROADCAST_SAFE_DOCS)
+        old_b = old_b.hint("shuffle_hash")
     cand = (
         new_b.join(old_b, ["band", "key"])
         .filter(
@@ -5940,6 +5962,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sigs.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sb"))
+    if n > dd.BROADCAST_SAFE_DOCS:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     inter = F.expr("CAST(size(array_intersect(sa, sb)) AS DOUBLE)")
     union = F.size("sa") + F.size("sb") - inter
     dups = (
