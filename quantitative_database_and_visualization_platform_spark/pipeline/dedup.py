@@ -164,7 +164,7 @@ def jaccard_verified_pairs(
 
 
 def prefix_ordered_shingles(
-    shingled: DataFrame, id_col: str = "doc_id"
+    shingled: DataFrame, id_col: str = "doc_id", n_docs: int | None = None
 ) -> DataFrame:
     """(id, ordered): each doc's DISTINCT shingles sorted by (global
     frequency asc, shingle asc) — the canonical token order for prefix
@@ -175,6 +175,10 @@ def prefix_ordered_shingles(
     (doc) regardless of corpus size."""
     tok = shingled.select(id_col, F.explode("shingles").alias("s"))
     freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    if n_docs is not None and n_docs > BROADCAST_SAFE_DOCS:
+        # unique shingles grow with the corpus — past the threshold the
+        # frequency relation must never broadcast (BROADCAST_SAFE_DOCS)
+        freq = freq.hint("shuffle_hash")
     return (
         tok.join(freq, "s")
         .groupBy(id_col)
@@ -200,7 +204,10 @@ def with_prefix(ordered: DataFrame, threshold: float, id_col: str = "doc_id") ->
 
 
 def prefix_filter_candidates(
-    pref: DataFrame, threshold: float, id_col: str = "doc_id"
+    pref: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from shared-prefix-token buckets — rarest tokens,
     so bucket sizes stay small — never an all-pairs product; exact
@@ -211,7 +218,11 @@ def prefix_filter_candidates(
     exact-similarity twin of the MinHash band join (which trades
     exactness for fewer candidates)."""
     ptok = pref.select(id_col, "n_tok", F.explode("pref").alias("s"))
-    a, b = ptok.alias("a"), ptok.alias("b")
+    right = ptok
+    if n_docs is not None and n_docs > BROADCAST_SAFE_DOCS:
+        # corpus-sized prefix-token relation: see BROADCAST_SAFE_DOCS
+        right = right.hint("shuffle_hash")
+    a, b = ptok.alias("a"), right.alias("b")
     return (
         a.join(
             b,
@@ -225,7 +236,9 @@ def prefix_filter_candidates(
     )
 
 
-def with_simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def with_simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
     """(id, simhash) — 32-bit signature string: bit p is the sign of the
     tf-weighted sum of bit p of each FEATURE's md5 (hex digit p's high
     bit). Features are 3-word shingles, not bare words: with a small
@@ -247,29 +260,54 @@ def with_simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
     )
     tokens = shingled.select(F.col(id_col), F.explode("shingles").alias("word"))
     tokens = tokens.withColumn("h", F.md5("word"))
+    # bits > 32 reuse md5 hex digits with a salt: digit p of md5("1|" + w)
+    # supplies bits 32-63 — same high-bit convention, still one md5-ish
+    # pass per token occurrence
+    def _digit(p: int):
+        salt, pos = divmod(p, 32)
+        col = F.col("h") if salt == 0 else F.md5(F.concat(F.lit(f"{salt}|"), F.col("word")))
+        return F.substring(col, pos + 1, 1)
+
     bit_sums = [
-        F.sum(F.when(F.substring("h", p + 1, 1) >= "8", 1).otherwise(-1)).alias(f"s{p}")
-        for p in range(SIMHASH_BITS)
+        F.sum(F.when(_digit(p) >= "8", 1).otherwise(-1)).alias(f"s{p}")
+        for p in range(bits)
     ]
     sums = tokens.groupBy(id_col).agg(*bit_sums)
     sig = F.concat(
-        *[F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(SIMHASH_BITS)]
+        *[F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(bits)]
     )
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Pigeonhole block join: split the signature into 4 blocks of 8 bits;
-    any pair within Hamming distance 3 shares at least one exact block."""
-    block = SIMHASH_BITS // SIMHASH_BLOCKS
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    blocks_n: int = SIMHASH_BLOCKS,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Pigeonhole block join: split the signature into `blocks_n` equal
+    blocks; any pair within Hamming distance blocks_n - 1 shares at
+    least one exact block. Block-key CARDINALITY is 2^(bits/blocks_n) —
+    a FIXED-width signature is therefore a fixed-cardinality blocking
+    key whose buckets grow linearly with the corpus (the same
+    scale-killer class as fixed SRP planes): at 100× bench corpus the
+    32-bit/8-bit-block form has ~2k-doc buckets and Σ bucket² explodes.
+    Production sizes the signature so 2^(bits/blocks_n) keeps pace with
+    n — the 64-bit/16-bit-block form (dedup_simhash_wide) holds expected
+    buckets at n/65536. See BROADCAST_SAFE_DOCS for the n_docs hint."""
+    block = bits // blocks_n
     blocks = sigs.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.array(*[F.substring("simhash", b * block + 1, block) for b in range(SIMHASH_BLOCKS)])
+            F.array(*[F.substring("simhash", b * block + 1, block) for b in range(blocks_n)])
         ).alias("blk", "key"),
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
+    right = blocks
+    if n_docs is not None and n_docs > BROADCAST_SAFE_DOCS:
+        right = right.hint("shuffle_hash")
+    a, b = blocks.alias("a"), right.alias("b")
     return (
         a.join(
             b,

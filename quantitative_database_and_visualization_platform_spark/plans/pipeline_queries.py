@@ -230,9 +230,14 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd.with_shingles(docs.repartition(spark.sparkContext.defaultParallelism))
         )
         pref = managed_persist(
-            dd.with_prefix(dd.prefix_ordered_shingles(shingled), _NGRAM_T)
+            dd.with_prefix(
+                dd.prefix_ordered_shingles(shingled, n_docs=_n_docs(spark, sf_dir)),
+                _NGRAM_T,
+            )
         )
-        cand = dd.prefix_filter_candidates(pref, _NGRAM_T)
+        cand = dd.prefix_filter_candidates(
+            pref, _NGRAM_T, n_docs=_n_docs(spark, sf_dir)
+        )
         df = dd.jaccard_verified_pairs(
             cand,
             shingled.select("doc_id", "shingles"),
@@ -307,8 +312,95 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: the block self-join consumes the signature table twice
     sigs = managed_persist(dd.with_simhash(docs))
-    cand = dd.simhash_candidate_pairs(sigs)
+    cand = dd.simhash_candidate_pairs(sigs, n_docs=_n_docs(spark, sf_dir))
     ham = dd.hamming("a_sig", "b_sig")
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash, production width (new r9): the 32-bit form above is a
+# FIXED-cardinality blocking key — 4 blocks of 8 bits give only 256
+# distinct keys per position, so buckets grow linearly with the corpus
+# and the block join degrades toward all-pairs (measured: the 100×
+# corpus put ~2k docs in every bucket and the candidate join blew past
+# the bench budget — the same class as fixed SRP planes). The industry
+# form is the 64-bit signature (Google's near-dup detector: 64-bit,
+# Hamming <= 3): 4 blocks of 16 bits = 65,536 keys per position, so
+# expected bucket size is n/65536 and candidate work stays proportional
+# to true similarity mass deep into the billions of docs; beyond that,
+# production raises the signature width again (bits grow with log2(n),
+# exactly the planes_for_corpus rule). Bits 32-63 come from a salted
+# md5 of the same shingle features — both engines derive them
+# identically, so the candidate sets hash-verify.
+# ---------------------------------------------------------------------------
+_WIDE_BITS = 64
+
+
+def _o_simhash_wide() -> str:
+    def digit(p: int) -> str:
+        salt, pos = divmod(p, 32)
+        h = "h0" if salt == 0 else "h1"
+        return f"substring({h}, {pos + 1}, 1)"
+
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN {digit(p)} >= '8' THEN 1 ELSE -1 END) AS s{p}"
+        for p in range(_WIDE_BITS)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN s{p} >= 0 THEN '1' ELSE '0' END)" for p in range(_WIDE_BITS)
+    )
+    block = _WIDE_BITS // dd.SIMHASH_BLOCKS
+    block_selects = "\n        UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS blk, substring(sig, {b * block + 1}, {block}) AS key FROM sigs"
+        for b in range(dd.SIMHASH_BLOCKS)
+    )
+    ham = (
+        f"list_sum(list_transform(range(1, {_WIDE_BITS + 1}), "
+        "p -> CASE WHEN substring(a_sig, p, 1) = substring(b_sig, p, 1) THEN 0 ELSE 1 END))"
+    )
+    return f"""
+    WITH {_O_NORM},
+    shl AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS s
+        FROM words WHERE len(w) >= 3
+    ),
+    tok AS (SELECT doc_id, unnest(s) AS w FROM shl),
+    tok2 AS (SELECT doc_id, md5(w) AS h0, md5('1|' || w) AS h1 FROM tok),
+    sums AS (SELECT doc_id,
+               {bit_sums}
+             FROM tok2 GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sig} AS sig FROM sums),
+    blocks AS (
+        {block_selects}
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+               x.sig AS a_sig, y.sig AS b_sig
+        FROM blocks x JOIN blocks y
+          ON x.blk = y.blk AND x.key = y.key AND x.doc_id < y.doc_id
+    )
+    SELECT a_id, b_id, CAST({ham} AS BIGINT) AS hamming
+    FROM cand WHERE {ham} <= 3
+    """
+
+
+@query("dedup_simhash_wide", oracle=_o_simhash_wide())
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = managed_persist(dd.with_simhash(docs, bits=_WIDE_BITS))
+    cand = dd.simhash_candidate_pairs(
+        sigs, bits=_WIDE_BITS, n_docs=_n_docs(spark, sf_dir)
+    )
+    ham = dd.hamming("a_sig", "b_sig", bits=_WIDE_BITS)
     return (
         cand.withColumn("hamming", ham.cast("long"))
         .filter(F.col("hamming") <= 3)
@@ -1267,8 +1359,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingled = managed_persist(dd.with_shingles(docs))
     pref = managed_persist(
-        dd.with_prefix(dd.prefix_ordered_shingles(shingled), _CONT_T)
+        dd.with_prefix(
+            dd.prefix_ordered_shingles(shingled, n_docs=_n_docs(spark, sf_dir)),
+            _CONT_T,
+        )
     )
+    n = _n_docs(spark, sf_dir)
+    big = n > dd.BROADCAST_SAFE_DOCS
+
+    def _nb(df):  # corpus-scaled side: never broadcast past the threshold
+        return df.hint("shuffle_hash") if big else df
+
     ptok = pref.select(
         F.col("doc_id").alias("a_id"),
         F.col("n_tok").alias("a_n"),
@@ -1277,16 +1378,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = shingled.select(
         F.col("doc_id").alias("b_id"), F.explode("shingles").alias("tk")
     ).join(
-        pref.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("b_n")), "b_id"
+        _nb(pref.select(F.col("doc_id").alias("b_id"), F.col("n_tok").alias("b_n"))),
+        "b_id",
     )
     cand = (
-        ptok.join(tok, "tk")
+        ptok.join(_nb(tok), "tk")
         .filter((F.col("a_id") != F.col("b_id")) & (F.col("b_n") >= _CONT_T * F.col("a_n")))
         .select("a_id", "b_id")
         .distinct()
     )
-    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("s_a"))
-    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("s_b"))
+    sa = _nb(shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("s_a")))
+    sb = _nb(shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("s_b")))
     # hash-based intersect, O(|sa|+|sb|) per pair — the lambda
     # filter/array_contains form is O(|sa|·|sb|) and was the dominant
     # verify-stage cost in jaccard_verified_pairs before the same fix;
@@ -1367,6 +1469,11 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = sh.select("doc_id", F.explode("shingles").alias("g"))
     freq = g.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    if _n_docs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS:
+        # the gram-frequency relation is vocabulary-sized but grows with
+        # the corpus here (unique grams ∝ docs); never broadcast past
+        # the threshold (dd.BROADCAST_SAFE_DOCS)
+        freq = freq.hint("shuffle_hash")
     rep = (F.col("n_docs") > 1).cast("long")
     frac = F.col("n_repeated") / F.col("n_grams").cast("double")
     return (
@@ -2470,6 +2577,10 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = hashes.select(F.col("doc_id").alias("a_id"), "h")
     b = hashes.select(F.col("doc_id").alias("b_id"), "h")
+    if _n_docs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS:
+        # the chunk-hash relation scales with the corpus — past the
+        # threshold it must never broadcast (dd.BROADCAST_SAFE_DOCS)
+        b = b.hint("shuffle_hash")
     return (
         a.join(b, "h")
         .filter(F.col("a_id") < F.col("b_id"))

@@ -52,6 +52,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "mean_reversion_halflife",
     "sequence_match_chain",
     "retention_weekly",
+    "dedup_simhash_wide",
 ]
 
 
