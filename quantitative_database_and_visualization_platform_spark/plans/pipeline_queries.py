@@ -1987,10 +1987,19 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = -F.log(
         (F.col("b_cnt") + F.lit(1.0)) / (F.col("u_cnt") + F.col("vocab"))
     )
+    big = _n_docs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS
+    if big:
+        # the unigram/bigram model tables grow with the corpus's UNIQUE
+        # tokens (per-replica/per-crawl tokens mint new bigrams), so past
+        # the threshold they must not broadcast (dd.BROADCAST_SAFE_DOCS;
+        # the 100× sweep OOM'd the driver here)
+        uni = uni.hint("shuffle_hash")
     lm = bcnt.join(uni, "tk").crossJoin(F.broadcast(tot)).select(
         # 1-row totals: fixed-size by construction, broadcast is safe
         "bg", F.round(nll * 1000000, 0).cast("long").alias("micro")
     )
+    if big:
+        lm = lm.hint("shuffle_hash")
     scored = bf.join(lm, "bg").select("doc_id", "micro")
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
