@@ -497,3 +497,52 @@ def test_retention_weekly_matches_python(spark):
     r = QUERIES["retention_weekly"](spark, SF).collect()[0]
     assert (r["acquired_w1"], r["retained_w2"], r["retained_w3"], r["n_users"]) == want
     assert want[0] > 0
+
+
+def test_simhash_wide_matches_python(spark):
+    """Triangulate the 64-bit SimHash: pure-python recompute of the
+    salted-md5 bit derivation (bits 0-31 from md5(feature), 32-63 from
+    md5('1|' + feature)), the tf-weighted signs, the 16-bit pigeonhole
+    candidates, and the Hamming verify."""
+    import re as _re
+
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        _WIDE_BITS,
+    )
+
+    docs = load_table(spark, SF, "documents").toPandas()
+    sigs = {}
+    for r in docs.itertuples():
+        words = _re.sub(" +", " ", r.text).strip().lower().split(" ")
+        if len(words) < 3:
+            continue
+        feats = [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        sums = [0] * _WIDE_BITS
+        for f_ in feats:
+            h0 = hashlib.md5(f_.encode()).hexdigest()
+            h1 = hashlib.md5(("1|" + f_).encode()).hexdigest()
+            for p in range(_WIDE_BITS):
+                salt, pos = divmod(p, 32)
+                d = (h0 if salt == 0 else h1)[pos]
+                sums[p] += 1 if d >= "8" else -1
+        sigs[r.doc_id] = "".join("1" if s >= 0 else "0" for s in sums)
+    block = _WIDE_BITS // 4
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sigs[a], sigs[b]
+            shares = any(
+                sa[k * block : (k + 1) * block] == sb[k * block : (k + 1) * block]
+                for k in range(4)
+            )
+            if not shares:
+                continue
+            ham = sum(x != y for x, y in zip(sa, sb))
+            if ham <= 3:
+                want[(a, b)] = ham
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in QUERIES["dedup_simhash_wide"](spark, SF).collect()
+    }
+    assert got == want
