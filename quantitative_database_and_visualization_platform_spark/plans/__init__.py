@@ -114,7 +114,7 @@ GATE_FIRST: list[str] = [
 # (oracle-verified at sf0.001+sf0.01 on registration; pytest-enforced):
 #   window_funnel_steps, margin_scored_pairs, dedup_incremental,
 #   kmv_set_overlap, mean_reversion_halflife, sequence_match_chain,
-#   retention_weekly, dedup_simhash_wide
+#   retention_weekly, dedup_simhash_wide, residual_momentum
 
 
 def _apply_gate_order() -> None:

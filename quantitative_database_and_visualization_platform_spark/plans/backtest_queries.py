@@ -4200,3 +4200,91 @@ def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("b")).alias("ar1_beta"),
         round6(hl).alias("halflife_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual momentum (new r9): momentum computed on beta-HEDGED returns
+# (Blitz/Huij/Martens' residual momentum): raw momentum is mostly a
+# market-beta bet, so the factor sums the residuals ret − β·mkt over the
+# trailing window instead. Reuses the rolling_beta_market machinery
+# (fixed-point equal-weight market, 10-day beta); the residual is
+# quantized to integer 1e-6 before the trailing sum, so the window
+# aggregate is exact integer arithmetic — order-independent and
+# bit-identical across engines.
+#
+# Scale shape: one code-axis window chain + one dates-sized broadcast
+# join — identical to rolling_beta_market, panel-linear.
+# ---------------------------------------------------------------------------
+@query(
+    "residual_momentum",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars
+        QUALIFY ret IS NOT NULL
+    ), mkt AS (
+        SELECT d,
+               SUM(CAST(ROUND(ret*{_RS},0) AS BIGINT)) / CAST(COUNT(*) AS DOUBLE) / {_RS}
+                 AS mkt_ret
+        FROM rets GROUP BY d
+    ), j AS (
+        SELECT r.code, r.d, r.ret, m.mkt_ret FROM rets r JOIN mkt m USING (d)
+    ), beta AS (
+        SELECT code, d, ret, mkt_ret,
+               CASE WHEN COUNT(*) OVER w >= 10 AND VAR_SAMP(mkt_ret) OVER w > 0
+                    THEN FLOOR((COVAR_SAMP(ret, mkt_ret) OVER w
+                                / VAR_SAMP(mkt_ret) OVER w)*1000000 + 0.5)/1000000.0
+               END AS beta_10
+        FROM j
+        WINDOW w AS (PARTITION BY code ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ), resid AS (
+        SELECT code, d,
+               CAST(FLOOR((ret - beta_10 * mkt_ret)*{_RS} + 0.5) AS BIGINT) AS rq
+        FROM beta WHERE beta_10 IS NOT NULL
+    )
+    SELECT code, d,
+           CASE WHEN COUNT(*) OVER w2 >= 10
+                THEN FLOOR((CAST(SUM(rq) OVER w2 AS DOUBLE) / {_RS})*1000000 + 0.5)
+                     /1000000.0 END AS resid_mom_10
+    FROM resid
+    WINDOW w2 AS (PARTITION BY code ORDER BY d ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def residual_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    mkt = rets.groupBy("d").agg(
+        (
+            F.sum(F.round(F.col("ret") * _RS, 0).cast("long"))
+            / F.count(F.lit(1)).cast("double")
+            / _RS
+        ).alias("mkt_ret")
+    )
+    j = rets.join(mkt, "d")
+    frame = w.rowsBetween(-9, Window.currentRow)
+    n = F.count(F.lit(1)).over(frame)
+    var_m = F.var_samp("mkt_ret").over(frame)
+    cov = F.covar_samp("ret", "mkt_ret").over(frame)
+    beta = F.when((n >= 10) & (var_m > 0), round6(cov / var_m))
+    resid = (
+        j.withColumn("beta_10", beta)
+        .filter(F.col("beta_10").isNotNull())
+        .select(
+            "code",
+            "d",
+            F.floor((F.col("ret") - F.col("beta_10") * F.col("mkt_ret")) * _RS + F.lit(0.5))
+            .cast("long")
+            .alias("rq"),
+        )
+    )
+    frame2 = Window.partitionBy("code").orderBy("d").rowsBetween(-9, Window.currentRow)
+    n2 = F.count(F.lit(1)).over(frame2)
+    mom = F.when(
+        n2 >= 10, round6(F.sum("rq").over(frame2).cast("double") / _RS)
+    )
+    return resid.select("code", "d", mom.alias("resid_mom_10"))

@@ -53,6 +53,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "sequence_match_chain",
     "retention_weekly",
     "dedup_simhash_wide",
+    "residual_momentum",
 ]
 
 

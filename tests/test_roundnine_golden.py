@@ -546,3 +546,76 @@ def test_simhash_wide_matches_python(spark):
         for r in QUERIES["dedup_simhash_wide"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_residual_momentum_matches_python(spark):
+    """Full-python recompute: fixed-point market mean, 10-day rolling
+    OLS beta, 6dp-floored beta, 1e-6-quantized residuals, trailing-10
+    integer sum."""
+    import statistics
+
+    bars = daily_bars(spark, SF).toPandas()[["code", "d", "close"]]
+    RS = 1_000_000
+    rets = {}
+    for code, grp in bars.sort_values("d").groupby("code"):
+        prev = None
+        for r in grp.itertuples():
+            if prev is not None:
+                rets[(code, r.d)] = r.close / prev - 1
+            prev = r.close
+    by_d = {}
+    for (code, d), v in rets.items():
+        by_d.setdefault(d, []).append(v)
+    mkt = {
+        d: sum(int(round(v * RS)) for v in vs) / len(vs) / RS
+        for d, vs in by_d.items()
+    }
+    want = {}
+    for code in sorted({c for c, _ in rets}):
+        days = sorted(d for c, d in rets if c == code)
+        series = [(d, rets[(code, d)], mkt[d]) for d in days]
+        rq = []
+        for t in range(len(series)):
+            win = series[max(0, t - 9) : t + 1]
+            d, ret, m = series[t]
+            if len(win) >= 10:
+                ms = [x[2] for x in win]
+                vs = [x[1] for x in win]
+                vm = statistics.variance(ms)
+                if vm > 0:
+                    cov = sum(
+                        (a - statistics.mean(vs)) * (b - statistics.mean(ms))
+                        for a, b in zip(vs, ms)
+                    ) / (len(win) - 1)
+                    beta = math.floor(cov / vm * 1e6 + 0.5) / 1e6
+                    rq.append((d, math.floor((ret - beta * m) * RS + 0.5)))
+                    if len(rq) >= 10:
+                        s = sum(q for _, q in rq[-10:])
+                        want[(code, d)] = math.floor(s / RS * 1e6 + 0.5) / 1e6
+                    else:
+                        want[(code, d)] = None
+                    continue
+            # beta undefined: row drops out of the residual series
+        # rows with beta undefined are absent entirely (filter in the query)
+    got = {
+        (r["code"], r["d"]): r["resid_mom_10"]
+        for r in QUERIES["residual_momentum"](spark, SF).collect()
+    }
+    # exact-keys, tolerant-values: the python variance/covariance is a
+    # different summation ORDER than VAR_SAMP/COVAR_SAMP, so the
+    # 6dp-floored beta can differ by one ulp and propagate 1e-6 into the
+    # sum. Cross-ENGINE exactness is enforced by the binding DuckDB
+    # oracle; this golden checks the construction, not the ulp.
+    assert set(got) == set(want)
+    for k, v in want.items():
+        g = got[k]
+        if v is None or g is None:
+            assert g == v, k
+        else:
+            # python statistics.variance is EXACT rational arithmetic
+            # while both engines run float co-moment recurrences, so the
+            # reference beta differs by ~1e-12 relative — which scales
+            # with the residual magnitude (this synthetic panel has
+            # 100x-return spike days). Relative + absolute tolerance.
+            assert abs(g - v) <= 5e-6 + 1e-6 * abs(v), (k, g, v)
+    assert any(v is not None for v in want.values())
