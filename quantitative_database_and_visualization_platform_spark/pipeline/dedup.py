@@ -239,9 +239,14 @@ def prefix_filter_candidates(
 def with_simhash(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(id, simhash) — 32-bit signature string: bit p is the sign of the
-    tf-weighted sum of bit p of each FEATURE's md5 (hex digit p's high
-    bit). Features are 3-word shingles, not bare words: with a small
+    """(id, simhash) — `bits`-wide signature string (default
+    SIMHASH_BITS=32; dedup_simhash_wide passes bits=64): bit p is the
+    sign of the tf-weighted sum of bit p of each FEATURE's hash. For
+    p < 32 that hash bit is md5 hex digit p's high bit; for p >= 32
+    the digits of a SALTED md5 supply the next 32 bits — digit
+    (p mod 32) of md5("{p//32}|" + feature) — same high-bit convention,
+    one extra md5 per token occurrence per extra 32-bit word.
+    Features are 3-word shingles, not bare words: with a small
     vocabulary, word-level bits are frequency-correlated across the whole
     corpus, which concentrates the block join into one giant bucket
     (measured: a 3239-doc bucket at 5k docs → ~7.5M candidate pairs);

@@ -4129,10 +4129,17 @@ def theil_sen_trend_w20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimator that validates the assumption.
 #
 # Determinism: the regression runs on INTEGER cents sums (n·Σxy − Σx·Σy
-# over BIGINTs — order-independent, bit-identical across engines; the
-# magnitudes stay ≤ ~3e14, far under both engines' 2^63), so the slope
-# is one identical IEEE division; ln() is output-only (never ranked),
-# 6dp-rounded on both sides.
+# — order-independent, bit-identical across engines), so the slope is
+# one identical IEEE division; ln() is output-only (never ranked),
+# 6dp-rounded on both sides. Overflow is ENGINEERED OUT, not assumed
+# away: Spark would silently wrap int64 under non-ANSI mode while
+# DuckDB errors, so a deeper/higher-priced panel could diverge with no
+# signal — therefore the Σx², Σxy accumulations and the n·Σ − Σ·Σ
+# products run in decimal(38,0) on the Spark side and HUGEINT (128-bit)
+# on the DuckDB side. Both are exact for any panel up to ~1e38 in the
+# co-moment products (a 1e10-row panel of 1e7-cent prices peaks near
+# 1e31), and an overflow past that NULLs (Spark) / errors (DuckDB)
+# loudly instead of wrapping.
 #
 # Scale shape: one code-keyed lag window + one aggregate per code —
 # panel-linear, same shape as kyle_lambda_daily.
@@ -4149,13 +4156,16 @@ def theil_sen_trend_w20(spark: SparkSession, sf_dir: str) -> DataFrame:
                c - LAG(c) OVER (PARTITION BY code ORDER BY d) AS y
         FROM p
     ), m AS (
-        SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+        -- HUGEINT (128-bit) accumulation: exact where BIGINT could
+        -- overflow on a deep high-priced panel (DuckDB errors rather
+        -- than wraps, but the point is to never get near the edge)
+        SELECT code, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
         FROM xy WHERE x IS NOT NULL GROUP BY code
     ), fit AS (
-        SELECT code, n,
+        SELECT code, CAST(n AS BIGINT) AS n,
                CASE WHEN n >= 10 AND n * sxx > sx * sx
                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
                          / CAST(n * sxx - sx * sx AS DOUBLE) END AS b
@@ -4176,18 +4186,25 @@ def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag(c).over(w).alias("x"),
         (c - F.lag(c).over(w)).alias("y"),
     ).filter(F.col("x").isNotNull())
+    # decimal(38,0) accumulation: exact integer arithmetic with 38-digit
+    # headroom — non-ANSI Spark silently wraps int64 products, so the
+    # co-moments must never run through long multiplication (see block
+    # comment; DuckDB twin uses HUGEINT)
+    xd = F.col("x").cast("decimal(20,0)")
+    yd = F.col("y").cast("decimal(20,0)")
     m = xy.groupBy("code").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
     )
+    nd = F.col("n").cast("decimal(20,0)")
     b = F.when(
         (F.col("n") >= 10)
-        & (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx")),
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        & (nd * F.col("sxx") > F.col("sx") * F.col("sx")),
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
     )
     fit = m.select("code", F.col("n").alias("n_days"), b.alias("b"))
     hl = F.when(
@@ -4211,6 +4228,22 @@ def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantized to integer 1e-6 before the trailing sum, so the window
 # aggregate is exact integer arithmetic — order-independent and
 # bit-identical across engines.
+#
+# ACCEPTED ULP RISK (documented, not hidden): beta_10 is
+# round6(cov/var) over float windowed co-moments. Cross-engine parity
+# therefore relies on Spark and DuckDB producing bit-identical doubles
+# for COVAR_SAMP/VAR_SAMP over the same ordered frame — which they do
+# on this data (hash-verified at sf0.001/sf0.01 every session), but a
+# quotient landing within one ulp of a 1e-6 rounding-grid boundary
+# COULD flip the quantized beta on some other panel and cascade into a
+# hash mismatch. This is the same residual risk class as
+# rolling_beta_market (whose convention this factor deliberately
+# reuses); the exact-integer alternative (pre-rounding cov and var to a
+# fixed-point grid BEFORE the division) changes the estimator's values
+# and was rejected to keep the published beta definition. The golden
+# test pins the risk quantitatively: vs an exact-rational Python
+# reference the quantized betas need a 5e-6 tolerance
+# (tests/test_roundnine_golden.py).
 #
 # Scale shape: one code-axis window chain + one dates-sized broadcast
 # join — identical to rolling_beta_market, panel-linear.

@@ -212,11 +212,24 @@ def _o_ngram_jaccard() -> str:
 _PAIR_CACHE: dict[tuple[tuple[str, int], str], DataFrame] = {}
 
 
+# memoized per (session, sf_dir) like _PAIR_CACHE: several dedup query
+# builds call _n_docs more than once (twice in _ngram_pairs, twice in
+# dedup_containment), and the count is a table property, not per-query
+_NDOCS_CACHE: dict[tuple[tuple[str, int], str], int] = {}
+
+
 def _n_docs(spark: SparkSession, sf_dir: str) -> int:
     """Exact document count for the size-aware join-strategy choice in
     the dedup helpers (dd.BROADCAST_SAFE_DOCS): one parquet-metadata
-    read, no data scan."""
-    return load_table(spark, sf_dir, "documents").count()
+    count job per (session, sf_dir), memoized — no data scan, and no
+    repeat job when multiple dedup queries (or one query's multiple
+    helper stages) ask again in the same session."""
+    key = (context_key(spark), sf_dir)
+    n = _NDOCS_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "documents").count()
+        _NDOCS_CACHE[key] = n
+    return n
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
