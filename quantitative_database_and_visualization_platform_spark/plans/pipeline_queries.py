@@ -5990,6 +5990,153 @@ def margin_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Margin-scored pairs, SRP-bucketed (new r10): the PRODUCTION form of
+# margin_scored_pairs — the same treatment mutual_nearest_pairs got in
+# r9. The scoring DOMAIN swaps from the probe x candidate cross to the
+# SRP primary-bucket equi-join, so pair work is Σ (|A_bucket| x
+# |B_bucket|) ~ |A| * target_bucket instead of |A| x |B| (see
+# embeddings.planes_for_corpus for the log2(n) plane sizing that holds
+# the bucket near a constant size at any corpus scale). The margin
+# FORMULA is unchanged (Artetxe & Schwenk: cos relative to the mean of
+# both sides' top-k neighborhoods, k=4) — the neighborhood means simply
+# run over the bucket-surviving candidates, which is exactly how
+# production miners approximate them (the published recipe uses FAISS
+# top-k, not exact top-k). A probe whose bucket collides with no
+# candidate drops out, same contract as mutual_nearest_pairs_ann.
+#
+# Ranks and means here are DEFINED over the candidate set, so the
+# oracle is exact, not approximate: DuckDB re-derives the identical
+# md5-Rademacher buckets, the identical integer-quantized cosines, the
+# identical candidate-set top-4 means, and the identical margin rank —
+# the hash comparison is binding.
+#
+# Scale shape: two bucketing scans (projections, no shuffle), one
+# equi-join on the bucket key (AQE handles skewed buckets), forward
+# means + backward means + the final margin rank all ride ONE
+# materialized candidate relation. At corpus x corpus bitext-mining
+# scale (the shape the docstring of the brute twin names) this stays
+# linear in the corpus with planes_for_corpus sizing; the brute-force
+# baseline is O(n^2) and stays registered only as the bounded-probe
+# audit.
+# ---------------------------------------------------------------------------
+@query(
+    "margin_scored_pairs_ann",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id AS a_id, embedding AS ea,
+               {o_srp_bucket('embedding')} AS bucket
+        FROM embeddings WHERE label < 5 AND vec_id % 5 = 0
+    ), b AS (
+        SELECT vec_id AS b_id, embedding AS eb,
+               {o_srp_bucket('embedding')} AS bucket
+        FROM embeddings WHERE label >= 5
+    ), pairs AS (
+        SELECT a_id, b_id,
+               CAST(FLOOR(({o_cosine('ea', 'eb')}) * 1000000000 + 0.5)
+                    AS BIGINT) AS cq
+        FROM a JOIN b USING (bucket)
+    ), fwd AS (
+        SELECT a_id, CAST(SUM(cq) AS BIGINT) * 1.0 / COUNT(*) AS fm
+        FROM (SELECT a_id, cq,
+                     ROW_NUMBER() OVER (PARTITION BY a_id
+                                        ORDER BY cq DESC, b_id) AS rk
+              FROM pairs)
+        WHERE rk <= {_MARGIN_K} GROUP BY a_id
+    ), bwd AS (
+        SELECT b_id, CAST(SUM(cq) AS BIGINT) * 1.0 / COUNT(*) AS bm
+        FROM (SELECT b_id, cq,
+                     ROW_NUMBER() OVER (PARTITION BY b_id
+                                        ORDER BY cq DESC, a_id) AS rk
+              FROM pairs)
+        WHERE rk <= {_MARGIN_K} GROUP BY b_id
+    ), scored AS (
+        SELECT p.a_id, p.b_id, p.cq,
+               CAST(FLOOR((p.cq / ((fm + bm) / 2.0)) * 1000000000 + 0.5)
+                    AS BIGINT) AS mq
+        FROM pairs p JOIN fwd USING (a_id) JOIN bwd USING (b_id)
+    ), best AS (
+        SELECT a_id, b_id, cq, mq,
+               ROW_NUMBER() OVER (PARTITION BY a_id
+                                  ORDER BY mq DESC, b_id) AS rk
+        FROM scored
+    )
+    SELECT a_id, b_id,
+           FLOOR(cq / 1000.0 + 0.5) / 1000000.0 AS cos,
+           FLOOR(mq / 1000.0 + 0.5) / 1000000.0 AS margin
+    FROM best WHERE rk = 1
+    """,
+)
+def margin_scored_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = emb.filter((F.col("label") < 5) & (F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        srp_bucket("embedding").alias("bucket"),
+    )
+    b = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        srp_bucket("embedding").alias("bucket"),
+    )
+    # one materialized bucket-joined candidate relation feeds the
+    # forward means, backward means, AND the final margin rank — the
+    # 64-dim cosine is computed once per SURVIVING pair, and pair count
+    # is Σ bucket_a x bucket_b, never |A| x |B|
+    pairs = managed_persist(
+        a.join(b, "bucket").select(
+            "a_id",
+            "b_id",
+            F.floor(cosine("ea", "eb") * 1_000_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    rk_f = F.row_number().over(Window.partitionBy("a_id").orderBy(F.desc("cq"), "b_id"))
+    rk_b = F.row_number().over(Window.partitionBy("b_id").orderBy(F.desc("cq"), "a_id"))
+    fwd = (
+        pairs.withColumn("rk", rk_f)
+        .filter(F.col("rk") <= _MARGIN_K)
+        .groupBy("a_id")
+        .agg((F.sum("cq") * 1.0 / F.count(F.lit(1))).alias("fm"))
+    )
+    bwd = (
+        pairs.withColumn("rk", rk_b)
+        .filter(F.col("rk") <= _MARGIN_K)
+        .groupBy("b_id")
+        .agg((F.sum("cq") * 1.0 / F.count(F.lit(1))).alias("bm"))
+    )
+    scored = (
+        pairs.join(fwd, "a_id")
+        .join(bwd, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "cq",
+            F.floor(
+                (F.col("cq") / ((F.col("fm") + F.col("bm")) / 2.0))
+                * 1_000_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mq"),
+        )
+    )
+    rk_m = F.row_number().over(Window.partitionBy("a_id").orderBy(F.desc("mq"), "b_id"))
+    return (
+        scored.withColumn("rk", rk_m)
+        .filter(F.col("rk") == 1)
+        .select(
+            "a_id",
+            "b_id",
+            (F.floor(F.col("cq") / 1000.0 + F.lit(0.5)) / 1_000_000.0).alias("cos"),
+            (F.floor(F.col("mq") / 1000.0 + F.lit(0.5)) / 1_000_000.0).alias("margin"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup (new r9): the shape a production pipeline ACTUALLY
 # runs daily — dedup a new batch (here: doc_id % 7 == 0, "today's crawl
 # increment") against the existing canonical corpus (the rest) WITHOUT

@@ -508,3 +508,21 @@ def test_dedup_incremental_probe_side_is_batch_filtered(spark):
     # the % 7 batch predicate must appear as a filter in the plan (on
     # the probe side, upstream of the band join)
     assert "% 7) = 0" in plan, plan[:3000]
+
+
+def test_margin_ann_candidates_are_bucket_equijoin(spark):
+    """Round-10: the margin-mining production form must generate its
+    scoring domain with an equi-join on the SRP bucket key, same
+    contract as mutual_nearest_pairs_ann — a cartesian/broadcast-nested-
+    loop product would mean the last brute-force scale-killer is back."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    try:
+        plan = _plan(QUERIES["margin_scored_pairs_ann"](spark, SF))
+    finally:
+        release_managed()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:3000]
+    )
+    assert "bucket" in plan, plan[:3000]
