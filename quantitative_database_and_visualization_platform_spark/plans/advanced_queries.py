@@ -2159,6 +2159,38 @@ def trade_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _WF_WINDOW_US = 6 * 3600 * 1_000_000  # 6 hours, in microseconds
 
+_WF_INIT = "array(CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))"
+
+
+def _wf_fold(arr_sql: str, init_sql: str = _WF_INIT) -> str:
+    """The windowFunnel DP as a JVM `aggregate` fold over a time-sorted
+    event-struct array: acc[i] holds the LATEST chain-start timestamp of
+    any valid (i+1)-deep chain seen so far. Parameterizing the INITIAL
+    accumulator is what makes the fold composable across batch
+    boundaries — streaming_funnel_replay seeds batch 2 with batch 1's
+    folded state, exactly like the applyInPandasWithState twin
+    (streaming/stateful.py) carries its GroupState."""
+    return f"""
+        aggregate({arr_sql},
+          {init_sql},
+          (acc, e) -> CASE
+            WHEN e.lvl = 1 THEN array(greatest(acc[0], e.t), acc[1], acc[2])
+            WHEN e.lvl = 2 AND acc[0] >= 0 AND e.t - acc[0] <= {_WF_WINDOW_US}
+                 THEN array(acc[0], greatest(acc[1], acc[0]), acc[2])
+            WHEN e.lvl = 3 AND acc[1] >= 0 AND e.t - acc[1] <= {_WF_WINDOW_US}
+                 THEN array(acc[0], acc[1], greatest(acc[2], acc[1]))
+            ELSE acc END)
+        """
+
+
+def _wf_level(acc_sql: str) -> str:
+    """Funnel depth from a folded accumulator."""
+    return (
+        f"CAST(CASE WHEN ({acc_sql})[2] >= 0 THEN 3"
+        f" WHEN ({acc_sql})[1] >= 0 THEN 2"
+        f" WHEN ({acc_sql})[0] >= 0 THEN 1 ELSE 0 END AS INT)"
+    )
+
 
 @query(
     "window_funnel_steps",
@@ -2223,28 +2255,172 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = steps.groupBy("user_id").agg(
         F.array_sort(F.collect_list("e")).alias("es")
     )
-    acc = F.expr(
-        f"""
-        aggregate(es,
-          array(CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
-          (acc, e) -> CASE
-            WHEN e.lvl = 1 THEN array(greatest(acc[0], e.t), acc[1], acc[2])
-            WHEN e.lvl = 2 AND acc[0] >= 0 AND e.t - acc[0] <= {_WF_WINDOW_US}
-                 THEN array(acc[0], greatest(acc[1], acc[0]), acc[2])
-            WHEN e.lvl = 3 AND acc[1] >= 0 AND e.t - acc[1] <= {_WF_WINDOW_US}
-                 THEN array(acc[0], acc[1], greatest(acc[2], acc[1]))
-            ELSE acc END)
-        """
-    )
-    per_user = packed.select("user_id", acc.alias("a")).select(
+    per_user = packed.select("user_id", F.expr(_wf_fold("es")).alias("a")).select(
         "user_id",
-        F.expr(
-            "CAST(CASE WHEN a[2] >= 0 THEN 3 WHEN a[1] >= 0 THEN 2"
-            " WHEN a[0] >= 0 THEN 1 ELSE 0 END AS INT)"
-        ).alias("funnel_level"),
+        F.expr(_wf_level("a")).alias("funnel_level"),
     )
     return per_user.groupBy("funnel_level").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel, batch-boundary replay (new r10): the driver-checkable
+# surface for the STATEFUL streaming funnel (streaming/stateful.py
+# streaming_funnel_levels, pytest-parity-tested against the batch DP
+# across microbatch splits). This query replays the stream as TWO
+# batches split at the chain-event time midpoint: batch 1 folds to a
+# per-user (b1, b2, b3) state relation — a real materialized exchange,
+# the batch analogue of the GroupState store — and batch 2's fold is
+# SEEDED with that state. The single-pass DP runs alongside, and the
+# output hash binds the invariant the streaming operator lives on:
+# fold(batch1) ∘ fold(batch2) == fold(whole stream), per level, plus
+# the size of the state-carrying population (users whose chain progress
+# crossed the boundary — the rows a naive stateless restart would
+# lose).
+#
+# The DuckDB oracle is again an independent construction: the
+# boundary-invariance THEOREM says the replayed level equals the
+# whole-stream level, so the oracle computes levels once via the
+# EXISTS-chain join formulation (no fold, no state) and asserts the
+# match column equals the user count — if the Spark replay machinery
+# ever dropped or mis-seeded carried state, n_single_pass_match (and
+# the level histogram itself) would diverge and the hash would flip.
+#
+# Scale shape: one persisted chain-event scan feeding three user-keyed
+# aggregations and one broadcast 1-row boundary; state is 3 BIGINTs per
+# user (identical to the streaming operator); output is a ≤4-row
+# histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "streaming_funnel_replay",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 END AS lvl
+      FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    bnd AS (SELECT (MIN(t) + MAX(t)) // 2 AS boundary FROM e),
+    base AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE lvl = 1),
+    l2 AS (
+      SELECT DISTINCT s.user_id FROM e s JOIN e c ON c.user_id = s.user_id
+      WHERE s.lvl = 1 AND c.lvl = 2
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND c.t - s.t <= {_WF_WINDOW_US}
+    ),
+    l3 AS (
+      SELECT DISTINCT s.user_id FROM e s JOIN e c ON c.user_id = s.user_id
+                                JOIN e p ON p.user_id = s.user_id
+      WHERE s.lvl = 1 AND c.lvl = 2 AND p.lvl = 3
+        AND (c.ts > s.ts OR (c.ts = s.ts AND c.event_id > s.event_id))
+        AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+        AND p.t - s.t <= {_WF_WINDOW_US}
+    ),
+    lev AS (
+      SELECT base.user_id,
+             CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                       WHEN l2.user_id IS NOT NULL THEN 2
+                       WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                 AS funnel_level
+      FROM base LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+                LEFT JOIN l3 USING (user_id)
+    ),
+    carried AS (
+      SELECT DISTINCT e1.user_id FROM e e1, bnd
+      WHERE e1.lvl = 1 AND e1.t <= boundary
+      INTERSECT
+      SELECT DISTINCT e2.user_id FROM e e2, bnd WHERE e2.t > boundary
+    )
+    SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_single_pass_match,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_state_carried
+    FROM lev LEFT JOIN carried c USING (user_id)
+    GROUP BY 1
+    """,
+)
+def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    lvl = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    # one persisted chain-event relation feeds the boundary scalar and
+    # all three folds (sub-microsecond parts are zero in this corpus, so
+    # the micros cast is value-preserving vs the oracle's epoch_us)
+    chain = managed_persist(
+        ev.select(
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+            "event_id",
+            lvl.alias("lvl"),
+        ).filter(F.col("lvl").isNotNull())
+    )
+    bounds = chain.agg(F.min("t").alias("mn"), F.max("t").alias("mx")).select(
+        F.expr("(mn + mx) DIV 2").alias("boundary")
+    )
+    c = chain.crossJoin(F.broadcast(bounds))
+    e_struct = F.struct("t", "event_id", "lvl").alias("e")
+    # phase 1: fold batch-1 events to the per-user state relation — the
+    # batch analogue of the streaming GroupState store at the boundary
+    st1 = (
+        c.filter(F.col("t") <= F.col("boundary"))
+        .select("user_id", e_struct)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es1"))
+        .select("user_id", F.expr(_wf_fold("es1")).alias("st"))
+    )
+    # phase 2: batch-2 arrays, folded FROM the carried state
+    a2 = (
+        c.filter(F.col("t") > F.col("boundary"))
+        .select("user_id", e_struct)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es2"))
+    )
+    users = ev.select("user_id").distinct()
+    replayed = (
+        users.join(st1, "user_id", "left")
+        .join(a2, "user_id", "left")
+        .select(
+            "user_id",
+            F.expr(
+                f"""CASE
+                  WHEN es2 IS NULL AND st IS NULL THEN 0
+                  WHEN es2 IS NULL THEN {_wf_level('st')}
+                  ELSE {_wf_level(_wf_fold('es2', f'coalesce(st, {_WF_INIT})'))}
+                END"""
+            ).cast("int").alias("funnel_level"),
+            (
+                F.col("st").isNotNull()
+                & (F.expr("st[0]") >= 0)
+                & F.col("es2").isNotNull()
+            ).alias("carried"),
+        )
+    )
+    # single-pass twin: the one-shot fold the replay must reproduce
+    single = (
+        chain.select("user_id", e_struct)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select("user_id", F.expr(_wf_level(_wf_fold("es"))).alias("single_level"))
+    )
+    joined = replayed.join(single, "user_id", "left").select(
+        "funnel_level",
+        F.coalesce("single_level", F.lit(0)).alias("single_level"),
+        "carried",
+    )
+    return joined.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("single_level") == F.col("funnel_level"), 1).otherwise(0)
+        ).cast("long").alias("n_single_pass_match"),
+        F.sum(F.when(F.col("carried"), 1).otherwise(0)).cast("long").alias(
+            "n_state_carried"
+        ),
     )
 
 

@@ -135,3 +135,15 @@ def test_simhash_wide_blocks_cut_candidates(spark):
     # 16-bit blocks must cut the candidate set by at least 4x even at
     # this small corpus; the gap widens linearly with corpus size
     assert wide * 4 <= narrow, (wide, narrow)
+
+
+def test_streaming_funnel_replay_carries_state_and_matches_single_pass(spark):
+    """The replay query is only meaningful if (a) some user's chain
+    progress actually crosses the batch boundary (a stateless restart
+    would lose them) and (b) every replayed level equals the one-shot
+    level — the boundary-invariance theorem the streaming operator
+    relies on, here asserted locally on top of the binding oracle."""
+    rows = QUERIES["streaming_funnel_replay"](spark, SF).collect()
+    assert rows
+    assert all(r["n_single_pass_match"] == r["n_users"] for r in rows)
+    assert sum(r["n_state_carried"] for r in rows) > 0
