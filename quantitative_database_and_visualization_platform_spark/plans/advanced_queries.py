@@ -2583,6 +2583,178 @@ def sequence_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sequenceCount (new r10): ClickHouse's counting twin of sequenceMatch —
+# sequenceCount(pattern)(ts, cond...) returns, per user, how many
+# NON-OVERLAPPING occurrences of the chain the event stream contains
+# (ClickHouse scans left to right and restarts the search after the end
+# of each match). On the string-encoded sequence that is exactly the
+# non-overlapping count of the LAZY regex 's.*?e.*?p': leftmost start,
+# earliest possible end, resume after — both Java regex (Spark) and RE2
+# (DuckDB) implement the identical leftmost-lazy scan, so the counts are
+# engine-portable. Same single user-keyed exchange + scalar regex as
+# sequence_match_chain; the only new machinery is regexp_count, i.e.
+# still no joins and no windows.
+#
+# Scale shape: identical to sequence_match_chain — one exchange,
+# per-user state is the event string, output is one row of counts.
+# ---------------------------------------------------------------------------
+@query(
+    "sequence_count_chain",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+      FROM events GROUP BY user_id
+    ), counts AS (
+      SELECT user_id,
+             len(regexp_extract_all(seq, 's.*?e.*?p')) AS n_sep,
+             len(regexp_extract_all(seq, 'se')) AS n_se
+      FROM seqs
+    )
+    SELECT CAST(SUM(n_sep) AS BIGINT) AS total_sep_chains,
+           CAST(COUNT(*) FILTER (WHERE n_sep >= 2) AS BIGINT)
+               AS users_repeat_sep,
+           CAST(MAX(n_sep) AS BIGINT) AS max_sep_per_user,
+           CAST(SUM(n_se) AS BIGINT) AS total_adjacent_se
+    FROM counts
+    """,
+)
+def sequence_count_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+                "event_id",
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("e")), lambda x: x["i"]
+                ),
+            ).alias("seq")
+        )
+    )
+    counts = seqs.select(
+        F.regexp_count(F.col("seq"), F.lit("s.*?e.*?p")).alias("n_sep"),
+        F.regexp_count(F.col("seq"), F.lit("se")).alias("n_se"),
+    )
+    return counts.agg(
+        F.sum("n_sep").cast("long").alias("total_sep_chains"),
+        F.count(F.when(F.col("n_sep") >= 2, 1)).alias("users_repeat_sep"),
+        F.max("n_sep").cast("long").alias("max_sep_per_user"),
+        F.sum("n_se").cast("long").alias("total_adjacent_se"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel strict_order (new r10): ClickHouse's strict-order mode —
+# an intervening chain event BREAKS the chain instead of being skipped
+# (windowFunnel(w, 'strict_order'): "don't allow interventions of other
+# events ... it stops finding A->B->C at the D"). The engine form is
+# the same one-exchange fold as window_funnel_steps but the accumulator
+# is (chain_start_t, current_consecutive_depth, best_depth): a level-1
+# event always restarts the chain, a level that is EXACTLY depth+1
+# within the window extends it, anything else resets depth to 0 — so
+# only strictly consecutive signup->click->purchase runs count. Scoped
+# to chain-type events (the documented delta vs ClickHouse, which
+# breaks on ANY event type; same scoping choice as
+# sequence_match_chain's adjacency column).
+#
+# The DuckDB oracle is an independent construction again: strict
+# consecutive runs are visible to LEAD — a user reaches depth 3 iff
+# some chain event has lvl=1, the NEXT chain event lvl=2, the one after
+# lvl=3, with the span inside the window — so the oracle is a window
+# query with no fold and no state, cross-checking the DP.
+#
+# Scale shape: identical to window_funnel_steps — one user-keyed
+# exchange, 3-value state per user, ≤4-row histogram output.
+# ---------------------------------------------------------------------------
+@query(
+    "window_funnel_strict",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+             CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 END AS lvl
+      FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    seq AS (
+      SELECT user_id, lvl, t,
+             LEAD(lvl, 1) OVER w AS nl1, LEAD(lvl, 2) OVER w AS nl2,
+             LEAD(t, 1) OVER w AS nt1, LEAD(t, 2) OVER w AS nt2
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    depth AS (
+      SELECT user_id,
+             MAX(CASE WHEN lvl = 1 AND nl1 = 2 AND nl2 = 3
+                           AND nt2 - t <= {_WF_WINDOW_US} THEN 3
+                      WHEN lvl = 1 AND nl1 = 2
+                           AND nt1 - t <= {_WF_WINDOW_US} THEN 2
+                      WHEN lvl = 1 THEN 1 ELSE 0 END) AS funnel_level
+      FROM seq GROUP BY user_id
+    ),
+    base AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(COALESCE(d.funnel_level, 0) AS INT) AS funnel_level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM base LEFT JOIN depth d USING (user_id)
+    GROUP BY 1
+    """,
+)
+def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lvl = (
+        F.when(F.col("event_type") == "signup", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+    )
+    steps = ev.select(
+        "user_id",
+        # conditional struct as in window_funnel_steps: one scan, every
+        # user gets a row, the DP array holds only chain-type events
+        F.when(
+            lvl.isNotNull(),
+            F.struct(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+                "event_id",
+                lvl.alias("lvl"),
+            ),
+        ).alias("e"),
+    )
+    packed = steps.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    # acc = (chain_start_t, consecutive_depth, best_depth); level 1
+    # always restarts, depth+1 inside the window extends, anything else
+    # is a strict-order interruption
+    acc = F.expr(
+        f"""
+        aggregate(es,
+          array(CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+          (acc, e) -> CASE
+            WHEN e.lvl = 1
+                 THEN array(e.t, CAST(1 AS BIGINT), greatest(acc[2], CAST(1 AS BIGINT)))
+            WHEN e.lvl = acc[1] + 1 AND acc[1] >= 1
+                 AND e.t - acc[0] <= {_WF_WINDOW_US}
+                 THEN array(acc[0], acc[1] + 1, greatest(acc[2], acc[1] + 1))
+            ELSE array(CAST(-1 AS BIGINT), CAST(0 AS BIGINT), acc[2]) END)
+        """
+    )
+    per_user = packed.select("user_id", acc.alias("a")).select(
+        "user_id", F.expr("CAST(a[2] AS INT)").alias("funnel_level")
+    )
+    return per_user.groupBy("funnel_level").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
 # retention (new r9): the third ClickHouse event-chain primitive —
 # retention(cond1, ..., condN) computes per user the flag vector
 # [c1, c1 AND c2, ..., c1 AND cN] (every later flag is gated on the

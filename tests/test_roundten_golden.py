@@ -147,3 +147,102 @@ def test_streaming_funnel_replay_carries_state_and_matches_single_pass(spark):
     assert rows
     assert all(r["n_single_pass_match"] == r["n_users"] for r in rows)
     assert sum(r["n_state_carried"] for r in rows) > 0
+
+
+def _user_sequences(spark):
+    """(user_id -> [(t_us, event_id, lvl/initial)]) in (ts, event_id)
+    order, from the raw events table."""
+    ev = load_table(spark, SF, "events").toPandas()
+    seqs = {}
+    for r in ev.itertuples():
+        t = int(r.ts.value // 1000)  # pandas Timestamp ns -> us
+        seqs.setdefault(r.user_id, []).append((t, r.event_id, r.event_type))
+    for v in seqs.values():
+        v.sort(key=lambda x: (x[0], x[1]))
+    return seqs
+
+
+def test_sequence_count_chain_matches_python(spark):
+    """From-scratch non-overlapping leftmost-lazy chain count: scan each
+    user's initial-letter string left to right, restart after each
+    completed s..e..p chain — the ClickHouse sequenceCount semantics the
+    lazy regex encodes."""
+    seqs = _user_sequences(spark)
+    total_sep = users_repeat = max_sep = total_se = 0
+    for evs in seqs.values():
+        s = "".join(e[2][0] for e in evs)
+        n_sep = 0
+        i = 0
+        while True:
+            a = s.find("s", i)
+            if a < 0:
+                break
+            b = s.find("e", a + 1)
+            if b < 0:
+                break
+            c = s.find("p", b + 1)
+            if c < 0:
+                break
+            n_sep += 1
+            i = c + 1
+        total_sep += n_sep
+        users_repeat += n_sep >= 2
+        max_sep = max(max_sep, n_sep)
+        total_se += s.count("se")
+    r = QUERIES["sequence_count_chain"](spark, SF).collect()[0]
+    assert (
+        r["total_sep_chains"],
+        r["users_repeat_sep"],
+        r["max_sep_per_user"],
+        r["total_adjacent_se"],
+    ) == (total_sep, users_repeat, max_sep, total_se)
+    assert total_sep > 0, "no chain in corpus — test degenerate"
+
+
+def test_window_funnel_strict_matches_python(spark):
+    """From-scratch strict-order DP: level 1 restarts, exactly depth+1
+    inside the 6h window extends, anything else interrupts."""
+    W = 6 * 3600 * 1_000_000
+    lvl_of = {"signup": 1, "click": 2, "purchase": 3}
+    seqs = _user_sequences(spark)
+    from collections import Counter
+
+    want = Counter()
+    for evs in seqs.values():
+        chain = [(t, eid, lvl_of[ty]) for t, eid, ty in evs if ty in lvl_of]
+        t0, d, best = -1, 0, 0
+        for t, _eid, lv in chain:
+            if lv == 1:
+                t0, d = t, 1
+            elif lv == d + 1 and d >= 1 and t - t0 <= W:
+                d += 1
+            else:
+                t0, d = -1, 0
+            best = max(best, d)
+        want[best] += 1
+    got = Counter(
+        {
+            r["funnel_level"]: r["n_users"]
+            for r in QUERIES["window_funnel_strict"](spark, SF).collect()
+        }
+    )
+    assert got == want
+    assert want.get(3, 0) >= 0 and sum(want.values()) > 0
+
+
+def test_strict_funnel_never_exceeds_relaxed(spark):
+    """Mode ordering: strict_order can only break chains the relaxed
+    funnel accepts, so for every user population the strict cumulative
+    reach at each depth is <= the relaxed reach."""
+    relaxed = {
+        r["funnel_level"]: r["n_users"]
+        for r in QUERIES["window_funnel_steps"](spark, SF).collect()
+    }
+    strict = {
+        r["funnel_level"]: r["n_users"]
+        for r in QUERIES["window_funnel_strict"](spark, SF).collect()
+    }
+    for depth in (1, 2, 3):
+        reach_r = sum(n for l, n in relaxed.items() if l >= depth)
+        reach_s = sum(n for l, n in strict.items() if l >= depth)
+        assert reach_s <= reach_r, (depth, reach_s, reach_r)
