@@ -32,89 +32,99 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-9 window. r8's 50 rows were all green — every query registered
-# before round 8 now has a binding driver row. This window: (a) the 7
-# round-8 late additions (the r9 queue — after this round EVERY
-# registered query has had a driver row at least once), (b) the two new
-# round-9 production-form queries (mutual_nearest_pairs_ann: SRP-bucketed
-# candidates with the same mutual filter; theil_sen_trend_w20: the
-# trailing-window estimator — both oracle-verified at sf0.001+sf0.01 and
-# golden-tested before pinning), and (c) 41 re-confirmations of the
-# OLDEST driver rows (last gated r4) prioritizing the heaviest
-# (alpha101_a–d, alpha_ic_gate per the r8 verdict), cheapest-first by
-# measured spark+oracle cost (ORACLE_TIMINGS.json). The 8 cheapest
-# r4-era rows are queued below for r10. Cheapest-first also puts the
-# alpha family LAST, which doubles as failure isolation: the one-session
-# 50-query rehearsal showed a memory-starved driver session (1 GB heap)
-# dies at the alpha cache build, so anything ordered after it would be
-# lost — with alphas last (plus the fail-fast heap guard in
-# alpha_queries._alpha_table) the worst case costs only those 5 rows.
+# Round-10 window. r9's 50 rows were all green. This window closes the
+# loop the r9 verdict pinned: (a) the 9 round-9 late additions (the r10
+# queue — every query registered before round 10 then has a driver row),
+# (b) the 4 new round-10 queries (margin_scored_pairs_ann: the
+# SRP-bucketed production form of margin mining — the last brute-force
+# scale-killer from the r9 audit; streaming_funnel_replay: the
+# batch-boundary replay surface for the stateful streaming funnel;
+# sequence_count_chain + window_funnel_strict: ClickHouse sequenceCount
+# and strict_order parity — all oracle-verified at sf0.001+sf0.01 and
+# golden-tested before pinning), (c) the 6 ORACLE-BACKED r4-era
+# re-confirmations queued last round (materialized_turnover,
+# similarity_topk, like_filter_brand_stats, scalar_subquery_peer,
+# in_list_priority_stats, regex_extract_props — the queue also named
+# alpha_ic_scan/alpha101_subset, but those are rows-only by design and
+# may not burn hash-verifiable slots per test_gate_window; their
+# computations are hash-covered by the alpha101_a-d and alpha_ic_b/c/d
+# rows), and (d) 31 re-confirmations of the OLDEST remaining driver
+# rows (last gated r5), cheapest-first by measured spark+oracle cost
+# (ORACLE_TIMINGS.json), with the heaviest (alpha_ic_b/c/d, ~6 s each)
+# LAST for failure isolation — same rationale as r9: if a
+# memory-starved driver session dies at a heavy row, everything ordered
+# after it is lost, so the expendable re-confirmations sit at the tail.
 # The full window rehearsed 50/50 green in ONE driver-style session
-# (8 GB heap, hostile America/New_York TZ, sf0.01) in 106 s.
+# (8 GB heap, hostile America/New_York TZ, sf0.01) in 104 s.
 GATE_FIRST: list[str] = [
-    "order_priority_runs",
-    "calendar_ffill_panel",
-    "distinctive_tokens_by_source",
-    "quantile_sketch_order_values",
-    "mutual_nearest_pairs",
-    "quantile_sketch_doclen_by_source",
-    "purged_kfold_splits",
-    "mutual_nearest_pairs_ann",
-    "theil_sen_trend_w20",
-    "histogram_value_bins",
-    "rolling_product",
-    "global_market_stats",
-    "point_lookup",
-    "multi_scalar_subquery",
-    "cumulative_ops",
-    "distinct_segments_nations",
-    "full_outer_user_activity",
-    "rolling_basic_stats",
-    "union_active_delisted",
-    "sessionization",
-    "kline_window_slice",
-    "semi_join_pool_stats",
-    "sentiment_etl",
-    "fallback_priority_rollup",
-    "prev_day_change",
-    "sector_rollup",
-    "rolling_corr_cov",
-    "cross_section_ops",
-    "ts_rank_argmax_decay",
-    "sector_rotation_yearly",
-    "pricing_summary",
-    "screener_factor_mask",
-    "decile_returns",
-    "monthly_bars_rollup",
-    "rank_ic_daily",
-    "screener_wide_join",
-    "top_bottom_exposure",
-    "weekly_bars_rollup",
-    "rank_ic_matrix",
-    "factor_value",
-    "ema_recursive",
-    "kline_similarity_search",
-    "factor_ema_family",
-    "factor_momentum",
-    "factor_technical",
-    "alpha101_b",
-    "alpha_ic_gate",
-    "alpha101_c",
-    "alpha101_d",
-    "alpha101_a",
+    # (a)+(b): never driver-verified — the round's point, bound first
+    "retention_weekly",
+    "sequence_match_chain",
+    "sequence_count_chain",
+    "window_funnel_strict",
+    "window_funnel_steps",
+    "streaming_funnel_replay",
+    "mean_reversion_halflife",
+    "kmv_set_overlap",
+    "dedup_simhash_wide",
+    "dedup_incremental",
+    "margin_scored_pairs",
+    "margin_scored_pairs_ann",
+    "residual_momentum",
+    # (c): r4-era oracle-backed re-confirmations
+    "materialized_turnover",
+    "similarity_topk",
+    "like_filter_brand_stats",
+    "scalar_subquery_peer",
+    "in_list_priority_stats",
+    "regex_extract_props",
+    # (d): oldest (r5-era) re-confirmations, cheapest-first
+    "multimodal_meta",
+    "scalar_function_surface",
+    "dataset_split_train_val",
+    "latest_event_per_user",
+    "embedding_topk",
+    "dedup_exact",
+    "grouping_sets_priority_status",
+    "text_analysis",
+    "multimodal_decode",
+    "rollup_priority_status",
+    "window_function_surface",
+    "range_join_price_band",
+    "pivot_event_matrix",
+    "stock_available_range",
+    "tick_bars_minute",
+    "kpl_ladder",
+    "incremental_rollup_maintenance",
+    "multimodal_frame_sample",
+    "prev_trading_date",
+    "dedup_ngram_jaccard",
+    "kmv_distinct_sketch",
+    "json_props_stats",
+    "catalog_introspection",
+    "embedding_ann_srp",
+    "backtest_drawdown",
+    "set_ops_customer_pools",
+    "fuzzy_join_part_names",
+    "range_window_dollar_volume",
+    # heaviest last (failure isolation)
+    "alpha_ic_c",
+    "alpha_ic_d",
+    "alpha_ic_b",
 ]
 
-# Round-10 re-confirmation queue: the 8 cheapest r4-era rows displaced
-# by this round's heavy re-gates (all still oracle-enforced by
-# tests/test_oracle_parity.py every session):
-#   alpha_ic_scan, alpha101_subset, similarity_topk, scalar_subquery_peer,
-#   like_filter_brand_stats, in_list_priority_stats, materialized_turnover,
-#   regex_extract_props
-# plus the queries ADDED in round 9 after this window was pinned
-# (oracle-verified at sf0.001+sf0.01 on registration; pytest-enforced):
-#   window_funnel_steps, margin_scored_pairs, dedup_incremental,
-#   kmv_set_overlap, mean_reversion_halflife, sequence_match_chain,
-#   retention_weekly, dedup_simhash_wide, residual_momentum
+# Round-11 re-confirmation queue: everything registered through round 10
+# has a driver row once this window gates green; the natural r11 window
+# is the next-oldest re-confirmations (the remaining r5-era rows:
+# funnel_conversion, embedding_neardup, yesterday_winners_performance,
+# winsorize_returns, cms_heavy_hitters, corpus_curation,
+# decontamination_ngram, asof_join_latest_order, market_index_history,
+# backtest_decile_longshort, stratified_sample_balanced, text_tfidf_topk,
+# repetition_quality, rolling_beta_market, dedup_minhash_lsh,
+# embedding_ann_ivf, dedup_simhash, ...) plus any queries ADDED in
+# round 10 after this window was pinned. tests/test_gate_window.py's
+# NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND lists make the queue
+# executable, not prose.
 
 
 def _apply_gate_order() -> None:

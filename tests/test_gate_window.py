@@ -23,28 +23,13 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-8
-# (CORRECTNESS_r0{1..8}.json union: r8 closed the loop on everything
-# registered before round 8, so this is now the 7 round-8 late
-# additions plus the queries registered in round 9). Each must sit in
-# the r9 window OR in the explicitly-queued next-round spill.
+# every query with no driver correctness row in any of rounds 1-9
+# (CORRECTNESS_r0{1..9}.json union: r9 closed the loop on everything
+# registered before round 9, so this is the 9 round-9 late additions
+# plus the queries registered in round 10). Each must sit in the r10
+# window OR in the explicitly-queued next-round spill.
 NEVER_DRIVER_VERIFIED = [
-    # round-8 late additions (the r9 queue)
-    "quantile_sketch_order_values",
-    "purged_kfold_splits",
-    "distinctive_tokens_by_source",
-    "order_priority_runs",
-    "mutual_nearest_pairs",
-    "calendar_ffill_panel",
-    "quantile_sketch_doclen_by_source",
-    # new in round 9 (oracle-verified at sf0.001+sf0.01 before pinning)
-    "mutual_nearest_pairs_ann",
-    "theil_sen_trend_w20",
-]
-
-# round-10 spill: queries ADDED in round 9 after the 50-slot window was
-# pinned; must stay in sync with the queue comment in plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = [
+    # round-9 late additions (the r10 queue)
     "window_funnel_steps",
     "margin_scored_pairs",
     "dedup_incremental",
@@ -54,7 +39,17 @@ QUEUED_NEXT_ROUND: list[str] = [
     "retention_weekly",
     "dedup_simhash_wide",
     "residual_momentum",
+    # new in round 10 (oracle-verified at sf0.001+sf0.01 before pinning)
+    "margin_scored_pairs_ann",
+    "streaming_funnel_replay",
+    "sequence_count_chain",
+    "window_funnel_strict",
 ]
+
+# round-11 spill: queries ADDED in round 10 after the 50-slot window
+# was pinned; must stay in sync with the queue comment in
+# plans/__init__.py (currently empty — all round-10 additions fit)
+QUEUED_NEXT_ROUND: list[str] = []
 
 
 def test_window_is_pinned_and_full():
