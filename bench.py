@@ -76,6 +76,14 @@ def main() -> None:
         load_end = round(os.getloadavg()[0], 2)
     except OSError:
         load_end = -1.0
+    # mechanical quiet verdict (r10): a run counts as quiet iff the
+    # 1-minute load is under cpus/4 at BOTH ends, so round-over-round
+    # comparisons can filter on a field instead of re-reading SCALING
+    # prose. cpus = the bench session's own core budget.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    quiet = bool(
+        0 <= _LOAD_START < cpus / 4 and 0 <= load_end < cpus / 4
+    )
     record = {
         "metric": "suite_seconds",
         "value": total,
@@ -84,6 +92,7 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "load_1m_start": _LOAD_START,
         "load_1m_end": load_end,
+        "quiet": quiet,
     }
     # Full per-query detail goes to a repo file; the stdout line must stay
     # UNDER ~2000 bytes because the round driver keeps only the last 2000
@@ -110,6 +119,7 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "load_1m_start": _LOAD_START,
         "load_1m_end": load_end,
+        "quiet": quiet,
     }
     budget = 1800 - len(json.dumps({**head, "queries": {}},
                                    separators=(",", ":")))
