@@ -35,27 +35,29 @@ GATE_WINDOW = 50
 # Round-10 window. r9's 50 rows were all green. This window closes the
 # loop the r9 verdict pinned: (a) the 9 round-9 late additions (the r10
 # queue — every query registered before round 10 then has a driver row),
-# (b) the 4 new round-10 queries (margin_scored_pairs_ann: the
+# (b) the 5 new round-10 queries (margin_scored_pairs_ann: the
 # SRP-bucketed production form of margin mining — the last brute-force
 # scale-killer from the r9 audit; streaming_funnel_replay: the
 # batch-boundary replay surface for the stateful streaming funnel;
 # sequence_count_chain + window_funnel_strict: ClickHouse sequenceCount
-# and strict_order parity — all oracle-verified at sf0.001+sf0.01 and
-# golden-tested before pinning), (c) the 6 ORACLE-BACKED r4-era
+# and strict_order parity; hurst_rs_exponent: R/S long-memory regime
+# classifier completing the mean-reversion family — all oracle-verified
+# at sf0.001+sf0.01 and golden-tested before pinning), (c) the 6
+# ORACLE-BACKED r4-era
 # re-confirmations queued last round (materialized_turnover,
 # similarity_topk, like_filter_brand_stats, scalar_subquery_peer,
 # in_list_priority_stats, regex_extract_props — the queue also named
 # alpha_ic_scan/alpha101_subset, but those are rows-only by design and
 # may not burn hash-verifiable slots per test_gate_window; their
 # computations are hash-covered by the alpha101_a-d and alpha_ic_b/c/d
-# rows), and (d) 31 re-confirmations of the OLDEST remaining driver
+# rows), and (d) 30 re-confirmations of the OLDEST remaining driver
 # rows (last gated r5), cheapest-first by measured spark+oracle cost
 # (ORACLE_TIMINGS.json), with the heaviest (alpha_ic_b/c/d, ~6 s each)
 # LAST for failure isolation — same rationale as r9: if a
 # memory-starved driver session dies at a heavy row, everything ordered
 # after it is lost, so the expendable re-confirmations sit at the tail.
 # The full window rehearsed 50/50 green in ONE driver-style session
-# (8 GB heap, hostile America/New_York TZ, sf0.01) in 104 s.
+# (8 GB heap, hostile America/New_York TZ, sf0.01) in 110 s.
 GATE_FIRST: list[str] = [
     # (a)+(b): never driver-verified — the round's point, bound first
     "retention_weekly",
@@ -71,6 +73,7 @@ GATE_FIRST: list[str] = [
     "margin_scored_pairs",
     "margin_scored_pairs_ann",
     "residual_momentum",
+    "hurst_rs_exponent",
     # (c): r4-era oracle-backed re-confirmations
     "materialized_turnover",
     "similarity_topk",
@@ -106,7 +109,6 @@ GATE_FIRST: list[str] = [
     "backtest_drawdown",
     "set_ops_customer_pools",
     "fuzzy_join_part_names",
-    "range_window_dollar_volume",
     # heaviest last (failure isolation)
     "alpha_ic_c",
     "alpha_ic_d",
@@ -116,6 +118,7 @@ GATE_FIRST: list[str] = [
 # Round-11 re-confirmation queue: everything registered through round 10
 # has a driver row once this window gates green; the natural r11 window
 # is the next-oldest re-confirmations (the remaining r5-era rows:
+# range_window_dollar_volume (displaced by hurst_rs_exponent),
 # funnel_conversion, embedding_neardup, yesterday_winners_performance,
 # winsorize_returns, cms_heavy_hitters, corpus_curation,
 # decontamination_ngram, asof_join_latest_order, market_index_history,

@@ -4220,6 +4220,191 @@ def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hurst exponent via rescaled range (new r10): the classic long-memory
+# diagnostic that completes the mean-reversion family — variance_ratio_test
+# DETECTS departure from a random walk, mean_reversion_halflife gives
+# the AR(1) TIMESCALE, and R/S Hurst classifies the regime from range
+# statistics (H < 0.5 mean-reverting, ≈ 0.5 random walk, > 0.5
+# trending; Hurst 1951 / Mandelbrot's R/S analysis). Per code: returns
+# are split into non-overlapping windows of n ∈ {5, 10, 20} days; each
+# window's rescaled range R/S = (max cumdev − min cumdev) / population
+# std; H is the log-log slope of mean R/S against n — with the three n
+# doubling, the slope collapses to (ln RS20 − ln RS5) / (2 ln 2).
+#
+# Determinism: returns quantized to the integer {_RS} grid; the window
+# R/S is exact-integer up to ONE sqrt and one division — cumdevs are
+# scaled integers (D_k = n·cum_k − k·S1), the variance radicand is
+# n·Σr² − S1² in decimal(38,0) (Spark) / HUGEINT (DuckDB) (same
+# overflow-proofing as mean_reversion_halflife; value values can make
+# single-day ratios large), the DuckDB radicand→double cast goes
+# through the 2^32 hi/lo split (the _o_hugeint_to_double convention —
+# the native cast is off by 1 ulp past 2^53), and each window's R/S is
+# floor-quantized to integer 1e-9 BEFORE the per-(code, n) mean, so the
+# mean is an exact integer sum divided by a count. ln() is output-only
+# (never ranked, never joined), 6dp-rounded on both sides, with 1/(2
+# ln 2) supplied as the same double literal to both engines — the same
+# accepted ulp class as mean_reversion_halflife's ln.
+#
+# Scale shape: three code-keyed window passes (one per n, all on the
+# (code, n, wid) partitioning — never unpartitioned) + one aggregate
+# per (code, n, window) — panel-linear with a 3× constant.
+# ---------------------------------------------------------------------------
+_HURST_INV_2LN2 = "0.7213475204444817"  # 1 / (2 ln 2), same literal both engines
+
+
+def _o_huge_to_double(x: str) -> str:
+    """2^32 hi/lo split HUGEINT→DOUBLE (correctly rounded past 2^53);
+    local twin of alpha_queries._o_hugeint_to_double."""
+    hi = f"CAST((({x}) - (({x}) % 4294967296)) // 4294967296 AS DOUBLE)"
+    lo = f"CAST(({x}) % 4294967296 AS DOUBLE)"
+    return f"({hi} * 4294967296.0 + {lo})"
+
+
+@query(
+    "hurst_rs_exponent",
+    oracle=f"""
+    WITH {O_BARS},
+    r AS (
+        SELECT code, d,
+               CAST(FLOOR((close / LAG(close) OVER (PARTITION BY code ORDER BY d)
+                           - 1) * {_RS} + 0.5) AS BIGINT) AS rq
+        FROM bars
+        QUALIFY LAG(close) OVER (PARTITION BY code ORDER BY d) IS NOT NULL
+    ), r2 AS (
+        SELECT code, d, rq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) - 1 AS i
+        FROM r
+    ), t AS (SELECT UNNEST([5, 10, 20]) AS n),
+    ex AS (
+        SELECT code, n, d, rq, i // n AS wid, i % n + 1 AS k
+        FROM r2 CROSS JOIN t
+    ), win AS (
+        SELECT code, n, wid, rq, k,
+               SUM(rq) OVER (PARTITION BY code, n, wid ORDER BY d) AS cum,
+               SUM(rq) OVER (PARTITION BY code, n, wid) AS s1w
+        FROM ex
+    ), agg AS (
+        SELECT code, n, wid, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(CAST(rq AS HUGEINT)) AS s1,
+               SUM(CAST(rq AS HUGEINT) * rq) AS s2,
+               CAST(MAX(n * cum - k * s1w) - MIN(n * cum - k * s1w)
+                    AS BIGINT) AS rr
+        FROM win GROUP BY code, n, wid
+    ), rs AS (
+        SELECT code, n,
+               CAST(FLOOR(CAST(rr AS DOUBLE)
+                          / sqrt({_o_huge_to_double('n * s2 - s1 * s1')})
+                          * 1000000000 + 0.5) AS BIGINT) AS rsq
+        FROM agg WHERE c = n AND n * s2 - s1 * s1 > 0
+    ), m AS (
+        SELECT code, n, CAST(COUNT(*) AS BIGINT) AS nw,
+               CAST(SUM(rsq) AS BIGINT) * 1.0 / COUNT(*) / 1000000000.0 AS rs_mean
+        FROM rs GROUP BY code, n
+    ), piv AS (
+        SELECT code,
+               MIN(CASE WHEN n = 5 THEN nw END) AS nw5,
+               MIN(CASE WHEN n = 10 THEN nw END) AS nw10,
+               MIN(CASE WHEN n = 20 THEN nw END) AS nw20,
+               MIN(CASE WHEN n = 5 THEN rs_mean END) AS m5,
+               MIN(CASE WHEN n = 10 THEN rs_mean END) AS m10,
+               MIN(CASE WHEN n = 20 THEN rs_mean END) AS m20
+        FROM m GROUP BY code
+    )
+    SELECT code, nw5, nw10, nw20,
+           {o_round6('m5')} AS rs5, {o_round6('m10')} AS rs10,
+           {o_round6('m20')} AS rs20,
+           {o_round6(f"CASE WHEN m20 > 0 AND m5 > 0 THEN"
+                     f" (ln(m20) - ln(m5)) * CAST({_HURST_INV_2LN2} AS DOUBLE)"
+                     f" END")} AS hurst_rs
+    FROM piv
+    """,
+)
+def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.floor(
+        (F.col("close") / F.lag("close").over(w) - 1) * _RS + F.lit(0.5)
+    ).cast("long")
+    r = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    r2 = r.select(
+        "code", "d", "rq", (F.row_number().over(w) - 1).alias("i")
+    )
+    sizes = spark.createDataFrame([(5,), (10,), (20,)], "n int")
+    ex = r2.crossJoin(F.broadcast(sizes)).select(
+        "code",
+        "n",
+        "d",
+        "rq",
+        (F.col("i") / F.col("n")).cast("int").alias("wid"),
+        (F.col("i") % F.col("n") + 1).alias("k"),
+    )
+    pw = Window.partitionBy("code", "n", "wid")
+    win = ex.select(
+        "code",
+        "n",
+        "wid",
+        "rq",
+        "k",
+        F.sum("rq").over(pw.orderBy("d")).alias("cum"),
+        F.sum("rq").over(pw).alias("s1w"),
+    )
+    dk = F.col("n") * F.col("cum") - F.col("k") * F.col("s1w")
+    rqd = F.col("rq").cast("decimal(20,0)")
+    agg = win.groupBy("code", "n", "wid").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(rqd).alias("s1"),
+        F.sum(rqd * rqd).alias("s2"),
+        (F.max(dk) - F.min(dk)).cast("long").alias("rr"),
+    )
+    radicand = (
+        F.col("n").cast("decimal(20,0)") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    rs = (
+        agg.filter((F.col("c") == F.col("n")) & (radicand > 0))
+        .select(
+            "code",
+            "n",
+            F.floor(
+                F.col("rr").cast("double")
+                / F.sqrt(radicand.cast("double"))
+                * 1_000_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("rsq"),
+        )
+    )
+    m = rs.groupBy("code", "n").agg(
+        F.count(F.lit(1)).alias("nw"),
+        (F.sum("rsq") * 1.0 / F.count(F.lit(1)) / 1_000_000_000.0).alias("rs_mean"),
+    )
+    pick = lambda n, c: F.min(F.when(F.col("n") == n, F.col(c)))  # noqa: E731
+    piv = m.groupBy("code").agg(
+        pick(5, "nw").alias("nw5"),
+        pick(10, "nw").alias("nw10"),
+        pick(20, "nw").alias("nw20"),
+        pick(5, "rs_mean").alias("m5"),
+        pick(10, "rs_mean").alias("m10"),
+        pick(20, "rs_mean").alias("m20"),
+    )
+    hurst = F.when(
+        (F.col("m20") > 0) & (F.col("m5") > 0),
+        (F.log(F.col("m20")) - F.log(F.col("m5")))
+        * F.lit(float(_HURST_INV_2LN2)),
+    )
+    return piv.select(
+        "code",
+        "nw5",
+        "nw10",
+        "nw20",
+        round6(F.col("m5")).alias("rs5"),
+        round6(F.col("m10")).alias("rs10"),
+        round6(F.col("m20")).alias("rs20"),
+        round6(hurst).alias("hurst_rs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Residual momentum (new r9): momentum computed on beta-HEDGED returns
 # (Blitz/Huij/Martens' residual momentum): raw momentum is mostly a
 # market-beta bet, so the factor sums the residuals ret − β·mkt over the

@@ -44,6 +44,7 @@ NEVER_DRIVER_VERIFIED = [
     "streaming_funnel_replay",
     "sequence_count_chain",
     "window_funnel_strict",
+    "hurst_rs_exponent",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window

@@ -246,3 +246,64 @@ def test_strict_funnel_never_exceeds_relaxed(spark):
         reach_r = sum(n for l, n in relaxed.items() if l >= depth)
         reach_s = sum(n for l, n in strict.items() if l >= depth)
         assert reach_s <= reach_r, (depth, reach_s, reach_r)
+
+
+def test_hurst_rs_matches_python(spark):
+    """Full-python R/S recompute: integer-grid returns, non-overlapping
+    windows of 5/10/20, exact-integer cumdev range and variance
+    radicand, 1e-9-quantized window R/S, exact-mean per (code, n),
+    H = (ln m20 - ln m5) / (2 ln 2)."""
+    from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+    from quantitative_database_and_visualization_platform_spark.plans.backtest_queries import _RS
+
+    bars = daily_bars(spark, SF).toPandas()[["code", "d", "close"]]
+    INV = 0.7213475204444817
+    want = {}
+    for code, grp in bars.sort_values("d").groupby("code"):
+        closes = list(grp["close"])
+        rqs = [
+            math.floor((b / a - 1) * _RS + 0.5)
+            for a, b in zip(closes, closes[1:])
+        ]
+        res = {}
+        for n in (5, 10, 20):
+            rsqs = []
+            for w0 in range(0, len(rqs) - n + 1, n):
+                wrq = rqs[w0 : w0 + n]
+                s1, s2 = sum(wrq), sum(v * v for v in wrq)
+                if n * s2 - s1 * s1 <= 0:
+                    continue
+                cum, dks = 0, []
+                for k, v in enumerate(wrq, start=1):
+                    cum += v
+                    dks.append(n * cum - k * s1)
+                rr = max(dks) - min(dks)
+                rsqs.append(
+                    math.floor(rr / math.sqrt(n * s2 - s1 * s1) * 1e9 + 0.5)
+                )
+            if rsqs:
+                res[n] = (len(rsqs), sum(rsqs) / len(rsqs) / 1e9)
+        def r6(x):
+            return None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+        m5 = res.get(5, (None, None))[1]
+        m10 = res.get(10, (None, None))[1]
+        m20 = res.get(20, (None, None))[1]
+        h = (
+            (math.log(m20) - math.log(m5)) * INV
+            if m5 and m20 and m5 > 0 and m20 > 0
+            else None
+        )
+        want[code] = (
+            res.get(5, (None,))[0], res.get(10, (None,))[0],
+            res.get(20, (None,))[0],
+            r6(m5), r6(m10), r6(m20), r6(h),
+        )
+    got = {
+        r["code"]: (
+            r["nw5"], r["nw10"], r["nw20"],
+            r["rs5"], r["rs10"], r["rs20"], r["hurst_rs"],
+        )
+        for r in QUERIES["hurst_rs_exponent"](spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[6] is not None for v in want.values()), "no H computed — degenerate"
