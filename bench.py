@@ -79,10 +79,22 @@ def main() -> None:
     # mechanical quiet verdict (r10): a run counts as quiet iff the
     # 1-minute load is under cpus/4 at BOTH ends, so round-over-round
     # comparisons can filter on a field instead of re-reading SCALING
-    # prose. cpus = the bench session's own core budget.
+    # prose. The end sample must measure AMBIENT load, not the bench's
+    # own just-finished 32-thread tail (measured: a bench started at
+    # load 0.07 ends at 9.2 purely from self-load, which would mislabel
+    # every legitimate run) — so stop the session first and let the
+    # 1-minute average decay for 45 s before sampling. An external
+    # workload keeps the average high through the wait; the bench's own
+    # contribution decays to ~half and stops accruing.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    spark.stop()
+    time.sleep(45)
+    try:
+        load_ambient = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_ambient = -1.0
     quiet = bool(
-        0 <= _LOAD_START < cpus / 4 and 0 <= load_end < cpus / 4
+        0 <= _LOAD_START < cpus / 4 and 0 <= load_ambient < cpus / 4
     )
     record = {
         "metric": "suite_seconds",
@@ -92,6 +104,7 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "load_1m_start": _LOAD_START,
         "load_1m_end": load_end,
+        "load_1m_ambient": load_ambient,
         "quiet": quiet,
     }
     # Full per-query detail goes to a repo file; the stdout line must stay
@@ -119,6 +132,7 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
         "load_1m_start": _LOAD_START,
         "load_1m_end": load_end,
+        "load_1m_ambient": load_ambient,
         "quiet": quiet,
     }
     budget = 1800 - len(json.dumps({**head, "queries": {}},
