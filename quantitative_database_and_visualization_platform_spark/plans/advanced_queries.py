@@ -2408,7 +2408,14 @@ def streaming_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("e")).alias("es"))
         .select("user_id", F.expr(_wf_level(_wf_fold("es"))).alias("single_level"))
     )
-    joined = replayed.join(single, "user_id", "left").select(
+    # merge hint: Catalyst cannot size the post-persist collect_list
+    # aggregate behind `single` (user-cardinality — the estimate-blind
+    # broadcast class the r9 100x audit fixed in the dedup family) and
+    # plans a broadcast that is pure waste here anyway: both sides are
+    # already hash-partitioned by user_id from their own aggregations,
+    # so the sort-merge join reuses the existing exchanges and the plan
+    # carries no user-cardinality broadcast at ANY corpus size
+    joined = replayed.join(single.hint("merge"), "user_id", "left").select(
         "funnel_level",
         F.coalesce("single_level", F.lit(0)).alias("single_level"),
         "carried",
