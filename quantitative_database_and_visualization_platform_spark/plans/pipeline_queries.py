@@ -6269,3 +6269,136 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (new r10): the CCNet-style
+# duplicate-paragraph pass every web-crawl curation pipeline runs before
+# near-dup — hash each paragraph, count its document frequency across the
+# corpus, and flag paragraphs shared by >= BP_DF distinct documents as
+# boilerplate (nav bars, cookie banners, license footers). The synthetic
+# corpus has no newlines, so the "paragraph" unit is a non-overlapping
+# BP_SEG-token segment of the normalized text — the same semantics with a
+# tokenizer-defined boundary. Reference context: the reference curates
+# text corpora for its sentiment ETL (`app/Quantlib/main.py:27-76`) but
+# has no cross-document pass; this is a first-class pipeline addition.
+#
+# Per source: documents carrying any boilerplate, the mean boilerplate
+# ratio (per-doc boilerplate segments / segments, fixed-point so the
+# cross-doc sum is order-independent), and the distinct boilerplate
+# segments seen. Docs shorter than one segment carry no evidence and are
+# excluded from every count on both engines.
+#
+# Scale shape: one explode to ~tokens/BP_SEG segment rows, one
+# segment-keyed groupBy for document frequency, one segment-keyed
+# shuffle join back (df is corpus-sized — NEVER broadcast; and df via a
+# window collect_set would hold a doc-id set per row on skewed mega-df
+# boilerplate segments, so the groupBy+join form is the scale-safe one),
+# then two source-keyed aggregates over doc-cardinality rows. At 100 TB
+# each step is a hash shuffle on a high-cardinality key; the known skew
+# risk (one segment in every doc) sits in the join, where AQE skew-split
+# applies — not in window state.
+# ---------------------------------------------------------------------------
+BP_SEG = 8  # tokens per segment ("paragraph" analog for newline-free text)
+BP_DF = 3  # boilerplate threshold: segment appears in >= 3 distinct docs
+
+
+@query(
+    "boilerplate_segment_ratio",
+    oracle=f"""
+    WITH docs_n AS (
+        SELECT doc_id, source,
+               lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, source, string_split(t, ' ') AS w FROM docs_n
+    ), segs AS (
+        SELECT doc_id, source,
+               UNNEST(list_transform(
+                   range(0, CAST(FLOOR(len(w)/{BP_SEG}) AS INT)),
+                   g -> array_to_string(w[g*{BP_SEG}+1 : g*{BP_SEG}+{BP_SEG}], ' ')
+               )) AS seg
+        FROM words WHERE len(w) >= {BP_SEG}
+    ), dfs AS (
+        SELECT seg, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM segs GROUP BY seg
+    ), sd AS (
+        SELECT s.doc_id, s.source, s.seg, d.df
+        FROM segs s JOIN dfs d USING (seg)
+    ), per_doc AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_seg,
+               CAST(count_if(df >= {BP_DF}) AS BIGINT) AS n_bp
+        FROM sd GROUP BY doc_id, source
+    ), by_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(count_if(n_bp > 0) AS BIGINT) AS docs_with_bp,
+               SUM(CAST(FLOOR(n_bp*1000000.0/n_seg + 0.5) AS BIGINT)) AS rq_sum
+        FROM per_doc GROUP BY source
+    ), bseg AS (
+        SELECT source, CAST(COUNT(DISTINCT seg) AS BIGINT) AS distinct_bp_segs
+        FROM sd WHERE df >= {BP_DF} GROUP BY source
+    )
+    SELECT b.source, b.n_docs, b.docs_with_bp,
+           FLOOR((CAST(b.docs_with_bp AS DOUBLE)/b.n_docs)*1000000 + 0.5)/1000000.0
+               AS bp_doc_share,
+           FLOOR((b.rq_sum/1000000.0/b.n_docs)*1000000 + 0.5)/1000000.0
+               AS mean_bp_ratio,
+           COALESCE(s.distinct_bp_segs, 0) AS distinct_bp_segs
+    FROM by_src b LEFT JOIN bseg s USING (source)
+    """,
+)
+def boilerplate_segment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", dd.normalized_text("text").alias("t")
+    )
+    w = F.split("t", " ")
+    nseg = F.floor(F.size(w) / BP_SEG).cast("int")
+    segs = (
+        docs.filter(F.size(w) >= BP_SEG)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda g: F.array_join(
+                        F.slice(w, g * BP_SEG + 1, BP_SEG), " "
+                    ),
+                )
+            ).alias("seg"),
+        )
+    )
+    segs = managed_persist(segs)
+    # df is corpus-sized: groupBy + shuffle join, never broadcast, never a
+    # per-row window set (see block comment)
+    dfs = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    sd = segs.join(dfs, "seg")
+    per_doc = sd.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.count_if(F.col("df") >= BP_DF).alias("n_bp"),
+    )
+    rq = F.floor(F.col("n_bp") * 1_000_000.0 / F.col("n_seg") + 0.5).cast("long")
+    by_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("n_bp") > 0).alias("docs_with_bp"),
+        F.sum(rq).alias("rq_sum"),
+    )
+    bseg = (
+        sd.filter(F.col("df") >= BP_DF)
+        .groupBy("source")
+        .agg(F.countDistinct("seg").alias("distinct_bp_segs"))
+    )
+    return by_src.join(bseg, "source", "left").select(
+        "source",
+        "n_docs",
+        "docs_with_bp",
+        round6(F.col("docs_with_bp").cast("double") / F.col("n_docs")).alias(
+            "bp_doc_share"
+        ),
+        round6(F.col("rq_sum") / 1_000_000.0 / F.col("n_docs")).alias(
+            "mean_bp_ratio"
+        ),
+        F.coalesce("distinct_bp_segs", F.lit(0)).alias("distinct_bp_segs"),
+    )
