@@ -4506,3 +4506,110 @@ def residual_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         n2 >= 10, round6(F.sum("rq").over(frame2).cast("double") / _RS)
     )
     return resid.select("code", "d", mom.alias("resid_mom_10"))
+
+
+# ---------------------------------------------------------------------------
+# RiskMetrics EWMA volatility (new r10): the industry-default
+# exponentially-weighted vol estimate (J.P. Morgan RiskMetrics 1996,
+# lambda = 0.94 daily) that completes the vol family — ohlc_vol_estimators
+# gives range-based estimates, vol_term_structure the horizon curve, and
+# this the recency-weighted filter every risk engine actually runs.
+# sigma^2_t = (1 - lambda) * sum_k lambda^k r^2_{t-k}, truncated at 60
+# lags (lambda^60 ~ 0.024: the dropped tail is < 2.5% of the weight and
+# is part of the operator definition, not an approximation both engines
+# could disagree on).
+#
+# Determinism: log returns quantized to the integer 1e4 grid and
+# winsorized to |ln ret| <= 20 (an e^20 daily move is data corruption,
+# and the clamp makes the term product r^2 * w <= 4e18 fit int64 BY
+# CONSTRUCTION — no silent-wrap risk of the kind the r9 advice flagged);
+# the lag weights are Python-computed integers round(0.94^k * 1e8)
+# EMBEDDED IN BOTH ENGINES' plans, so no cross-libm pow() is ever
+# evaluated at query time. Terms are exact int64; the 60-term sum
+# accumulates in decimal(38,0) (Spark) / HUGEINT (DuckDB); one sqrt on
+# identical doubles finishes.
+#
+# Scale shape (Spark): one partitionBy(code) ordered pass; the trailing
+# 60-return window rides a collect_list whose JVM zip_with/aggregate
+# does rows x 60 work with no Python and no self-join — the same
+# bounded-array idiom as ts_rank_argmax_decay/theil_sen_trend_w20. The
+# oracle uses the rows x 60 lag self-join instead (deliberately
+# independent construction).
+# ---------------------------------------------------------------------------
+_EWMA_LAM = 0.94
+_EWMA_K = 60
+_EWMA_WS = 100_000_000  # weight grid: wq_k = round(lambda^k * 1e8)
+_EWMA_WQ = [round(_EWMA_LAM**k * _EWMA_WS) for k in range(_EWMA_K)]
+_EWMA_CAP = 200_000  # |ln ret| <= 20 on the 1e4 grid
+
+
+@query(
+    "ewma_vol_riskmetrics",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               GREATEST(-{_EWMA_CAP}, LEAST({_EWMA_CAP},
+                   CASE WHEN close > 0
+                         AND LAG(close) OVER (PARTITION BY code ORDER BY d) > 0
+                        THEN CAST(ROUND(ln(close / LAG(close) OVER
+                             (PARTITION BY code ORDER BY d))*{_FM_S},0) AS BIGINT)
+                   END)) AS rq
+        FROM bars QUALIFY rq IS NOT NULL
+    ), rets2 AS (
+        SELECT code, d, rq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) AS i
+        FROM rets
+    ), wq(k, w) AS (
+        VALUES {", ".join(f"({k}, {w})" for k, w in enumerate(_EWMA_WQ))}
+    ), terms AS (
+        SELECT a.code, a.d, a.i, b.rq AS rqj, w.w
+        FROM rets2 a
+        JOIN rets2 b ON a.code = b.code AND b.i BETWEEN a.i - {_EWMA_K - 1} AND a.i
+        JOIN wq w ON w.k = a.i - b.i
+    ), agg AS (
+        SELECT code, d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(rqj*rqj*w) AS s
+        FROM terms GROUP BY code, d, i
+    )
+    SELECT code, d, n_obs,
+           FLOOR(sqrt((0.06 * (CAST(s AS DOUBLE)/1e16)) * 252)*1000000 + 0.5)
+               /1000000.0 AS ewma_vol
+    FROM agg WHERE n_obs >= 20
+    """,
+)
+def ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    prev = F.lag("close").over(w)
+    rq_raw = F.when(
+        (F.col("close") > 0) & (prev > 0),
+        F.round(F.log(F.col("close") / prev) * _FM_S, 0).cast("long"),
+    )
+    rq = F.greatest(F.lit(-_EWMA_CAP), F.least(F.lit(_EWMA_CAP), rq_raw))
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    roll = Window.partitionBy("code").orderBy("d").rowsBetween(1 - _EWMA_K, 0)
+    # arr[0] = current return, arr[k] = k-lagged (window order is ascending)
+    arr = F.reverse(F.collect_list("rq").over(roll))
+    wq_lit = F.array(*[F.lit(x).cast("long") for x in _EWMA_WQ])
+    with_arr = rets.select(
+        "code", "d", arr.alias("arr"), F.size(arr).alias("n_obs")
+    ).filter(F.col("n_obs") >= 20)
+    terms = F.zip_with(
+        F.col("arr"),
+        F.slice(wq_lit, 1, F.col("n_obs")),
+        lambda r, wgt: r * r * wgt,  # <= 4e18 by the winsor cap: fits int64
+    )
+    s = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x.cast("decimal(20,0)"),
+    )
+    return with_arr.select(
+        "code",
+        "d",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        round6(
+            F.sqrt((F.lit(0.06) * (s.cast("double") / F.lit(1e16))) * F.lit(252))
+        ).alias("ewma_vol"),
+    )
