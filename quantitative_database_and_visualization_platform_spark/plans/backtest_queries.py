@@ -4613,3 +4613,114 @@ def ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt((F.lit(0.06) * (s.cast("double") / F.lit(1e16))) * F.lit(252))
         ).alias("ewma_vol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corwin-Schultz high-low spread estimator (new r10): the bid-ask spread
+# proxy that needs only daily highs and lows (Corwin & Schultz 2012, "A
+# Simple Way to Estimate Bid-Ask Spreads from Daily High and Low
+# Prices") — completing the microstructure family next to
+# roll_spread_estimator (covariance proxy), kyle_lambda_daily (price
+# impact), and amihud_illiquidity (dollar-volume impact). Over each
+# consecutive-day pair: beta = ln(H_t/L_t)^2 + ln(H_t+1/L_t+1)^2, gamma
+# = ln(H2/L2)^2 over the two-day range, alpha = (sqrt(2*beta) -
+# sqrt(beta))/(3 - 2*sqrt(2)) - sqrt(gamma/(3 - 2*sqrt(2))), spread
+# S = 2(e^alpha - 1)/(1 + e^alpha), floored at 0 per the paper's
+# negative-estimate convention. Per code: pair count, positive-estimate
+# count, mean and max spread.
+#
+# Determinism: ln(H/L) is quantized to the integer 1e6 grid per day
+# (the parkinson/garman-klass convention), so beta/gamma are identical
+# doubles on both engines and every sqrt is IEEE-exact on identical
+# inputs. The one non-exact libm call is exp(alpha): Java Math.exp and
+# DuckDB's C libm may differ in the last ulp (~1e-16 relative), and the
+# per-pair spread is then quantized to a 1e-8 grid — a flip needs the
+# true value within ~1e-16 of a grid boundary, ~1e-8 probability per
+# row; accepted and documented here (same class as residual_momentum's
+# round6 quotient note).
+#
+# Scale shape: one partitionBy(code) ordered pass for the
+# consecutive-day lead, one code-keyed aggregate. No joins, no Python.
+# ---------------------------------------------------------------------------
+@query(
+    "corwin_schultz_spread",
+    oracle=f"""
+    WITH {O_BARS},
+    v AS (
+        SELECT code, d, high, low,
+               CASE WHEN low > 0
+                    THEN CAST(ROUND(ln(high/low)*1000000,0) AS BIGINT) END AS x
+        FROM bars
+    ), p AS (
+        SELECT code, d, x,
+               LEAD(x) OVER w AS xn,
+               GREATEST(high, LEAD(high) OVER w) AS h2,
+               LEAST(low, LEAD(low) OVER w) AS l2
+        FROM v WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), q AS (
+        SELECT code, x, xn,
+               CASE WHEN l2 > 0
+                    THEN CAST(ROUND(ln(h2/l2)*1000000,0) AS BIGINT) END AS g
+        FROM p WHERE x IS NOT NULL AND xn IS NOT NULL
+    ), e AS (
+        SELECT code,
+               CAST(x*x + xn*xn AS DOUBLE)/1e12 AS beta,
+               CAST(g*g AS DOUBLE)/1e12 AS gamma
+        FROM q WHERE g IS NOT NULL
+    ), a AS (
+        SELECT code,
+               (sqrt(2*beta) - sqrt(beta))/(3 - 2*sqrt(2))
+                   - sqrt(gamma/(3 - 2*sqrt(2))) AS alpha
+        FROM e
+    ), s AS (
+        SELECT code,
+               CAST(ROUND(GREATEST(2*(exp(alpha)-1)/(1+exp(alpha)), 0.0)
+                          *100000000,0) AS BIGINT) AS sq
+        FROM a
+    )
+    SELECT code, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(count_if(sq > 0) AS BIGINT) AS n_pos,
+           FLOOR((SUM(sq)/100000000.0/COUNT(*))*1000000 + 0.5)/1000000.0
+               AS mean_cs_spread,
+           FLOOR((MAX(sq)/100000000.0)*1000000 + 0.5)/1000000.0
+               AS max_cs_spread
+    FROM s GROUP BY code
+    """,
+)
+def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    x = F.when(
+        F.col("low") > 0,
+        F.round(F.log(F.col("high") / F.col("low")) * 1_000_000, 0).cast("long"),
+    )
+    v = bars.select("code", "d", "high", "low", x.alias("x"))
+    p = v.select(
+        "code",
+        F.col("x"),
+        F.lead("x").over(w).alias("xn"),
+        F.greatest("high", F.lead("high").over(w)).alias("h2"),
+        F.least("low", F.lead("low").over(w)).alias("l2"),
+    ).filter(F.col("x").isNotNull() & F.col("xn").isNotNull())
+    g = F.when(
+        F.col("l2") > 0,
+        F.round(F.log(F.col("h2") / F.col("l2")) * 1_000_000, 0).cast("long"),
+    )
+    q = p.select("code", "x", "xn", g.alias("g")).filter(F.col("g").isNotNull())
+    beta = (F.col("x") * F.col("x") + F.col("xn") * F.col("xn")).cast("double") / F.lit(
+        1e12
+    )
+    gamma = (F.col("g") * F.col("g")).cast("double") / F.lit(1e12)
+    k = F.lit(3.0) - F.lit(2.0) * F.sqrt(F.lit(2.0))
+    alpha = (F.sqrt(F.lit(2.0) * beta) - F.sqrt(beta)) / k - F.sqrt(gamma / k)
+    spread = F.lit(2.0) * (F.exp(alpha) - 1) / (F.lit(1.0) + F.exp(alpha))
+    sq = F.round(F.greatest(spread, F.lit(0.0)) * 100_000_000, 0).cast("long")
+    s = q.select("code", sq.alias("sq"))
+    return s.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(F.col("sq") > 0).alias("n_pos"),
+        round6(F.sum("sq") / 100_000_000.0 / F.count(F.lit(1))).alias(
+            "mean_cs_spread"
+        ),
+        round6(F.max("sq") / 100_000_000.0).alias("max_cs_spread"),
+    )
