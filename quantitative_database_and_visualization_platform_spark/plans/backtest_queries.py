@@ -4724,3 +4724,244 @@ def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round6(F.max("sq") / 100_000_000.0).alias("max_cs_spread"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger cointegration screen (new r10): the statistical-arbitrage
+# pair test proper — top_correlated_pairs finds candidates by return
+# correlation, pairs_spread_zscore trades ONE chosen pair; this closes
+# the loop with the test that justifies the choice (Engle & Granger
+# 1987). For the top 20 return-correlated pairs: step 1 regresses
+# ln-price of b on ln-price of a (hedge beta + intercept) over the
+# overlapping days; step 2 runs the no-constant ADF regression
+# delta_e_t = rho * e_{t-1} on the step-1 residual and reports the
+# t-statistic (more negative = stronger mean reversion = cointegrated)
+# plus the implied half-life -ln(2)/ln(1+rho).
+#
+# Determinism: ln-levels quantized to the integer 1e6 grid; both OLS
+# passes accumulate co-moments in decimal(20/38,0) (Spark) / HUGEINT
+# (DuckDB) — ln(close) of any positive double is within +-745, so the
+# squared-level products would fit int64 only with ~2x margin at 30
+# days; decimal removes the silent-wrap risk entirely (the
+# mean_reversion_halflife convention). beta/alpha/residual arithmetic
+# runs on identical doubles; residuals re-quantize to a 1e8 grid before
+# pass 2, so pass 2 is again exact-integer. The ln(1+rho) half-life is
+# the one accepted cross-libm ulp risk (round6 grid, same class as
+# residual_momentum's documented quotient note).
+#
+# Scale shape: the candidate scan is the universe^2-bounded date-keyed
+# self-join documented at top_correlated_pairs (blocked by sector or a
+# factor model at 100 TB); everything after is keyed by the 20-row pair
+# list — broadcast onto the levels panel, two partitionBy(pair) passes.
+# ---------------------------------------------------------------------------
+@query(
+    "cointegration_screen",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ),
+    cand AS (
+        SELECT a.code AS ca, b.code AS cb,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               FLOOR(corr(a.ret, b.ret) * 1000000 + 0.5)/1000000.0 AS c
+        FROM rets a JOIN rets b ON a.d = b.d AND a.code < b.code
+        GROUP BY a.code, b.code
+        HAVING COUNT(*) >= 20 AND corr(a.ret, b.ret) IS NOT NULL
+        ORDER BY c DESC, ca, cb LIMIT 20
+    ),
+    lev AS (
+        SELECT code, d, CAST(ROUND(ln(close)*1000000,0) AS BIGINT) AS lq
+        FROM bars WHERE close > 0
+    ),
+    pp AS (
+        SELECT c.ca, c.cb, c.n_days, c.c, x.d,
+               x.lq AS xq, y.lq AS yq
+        FROM cand c
+        JOIN lev x ON x.code = c.ca
+        JOIN lev y ON y.code = c.cb AND y.d = x.d
+    ),
+    mom_a AS (
+        SELECT ca, cb, MAX(n_days) AS n_days, MAX(c) AS c,
+               COUNT(*) AS n,
+               SUM(CAST(xq AS HUGEINT)) AS sx,
+               SUM(CAST(yq AS HUGEINT)) AS sy,
+               SUM(CAST(xq AS HUGEINT)*yq) AS sxy,
+               SUM(CAST(xq AS HUGEINT)*xq) AS sxx
+        FROM pp GROUP BY ca, cb
+    ),
+    fit AS (
+        SELECT ca, cb, n_days, c,
+               CAST(n*sxy - sx*sy AS DOUBLE)
+                   / CAST(n*sxx - sx*sx AS DOUBLE) AS b,
+               n, sx, sy
+        FROM mom_a WHERE n >= 20 AND n*sxx - sx*sx <> 0
+    ),
+    fit2 AS (
+        SELECT ca, cb, n_days, c, b,
+               (CAST(sy AS DOUBLE) - b*CAST(sx AS DOUBLE))/n AS a0
+        FROM fit
+    ),
+    resid AS (
+        SELECT p.ca, p.cb, p.d,
+               CAST(ROUND((p.yq - f.b*p.xq - f.a0)*100, 0) AS BIGINT) AS eq
+        FROM pp p JOIN fit2 f ON p.ca = f.ca AND p.cb = f.cb
+    ),
+    difs AS (
+        SELECT ca, cb, eq,
+               LAG(eq) OVER (PARTITION BY ca, cb ORDER BY d) AS el
+        FROM resid
+    ),
+    mom_b AS (
+        SELECT ca, cb,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               SUM(CAST(el AS HUGEINT)*(eq-el)) AS sed,
+               SUM(CAST(el AS HUGEINT)*el) AS see,
+               SUM(CAST(eq-el AS HUGEINT)*(eq-el)) AS sdd
+        FROM difs WHERE el IS NOT NULL GROUP BY ca, cb
+    ),
+    adf AS (
+        SELECT ca, cb, nd,
+               CAST(sed AS DOUBLE)/CAST(see AS DOUBLE) AS rho,
+               CAST(sdd AS DOUBLE) AS sddd, CAST(sed AS DOUBLE) AS sedd,
+               CAST(see AS DOUBLE) AS seed
+        FROM mom_b WHERE nd >= 3 AND see > 0
+    )
+    SELECT f.ca AS code_a, f.cb AS code_b, f.n_days, f.c AS correlation,
+           FLOOR(f.b*1000000 + 0.5)/1000000.0 AS hedge_beta,
+           CASE WHEN a.rho IS NOT NULL
+                 AND (a.sddd - a.rho*a.sedd) > 0
+                THEN FLOOR((a.rho / sqrt((a.sddd - a.rho*a.sedd)
+                                         /(a.nd - 1)/a.seed))*1000000 + 0.5)
+                     /1000000.0
+           END AS adf_t,
+           CASE WHEN a.rho > -1 AND a.rho < 0
+                THEN FLOOR((-ln(2)/ln(1+a.rho))*1000000 + 0.5)/1000000.0
+           END AS halflife_days
+    FROM fit2 f LEFT JOIN adf a ON f.ca = a.ca AND f.cb = a.cb
+    """,
+)
+def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
+    bars = managed_persist(daily_bars(spark, sf_dir))
+    w = Window.partitionBy("code").orderBy("d")
+    rets = bars.select(
+        "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    a = rets.select(F.col("code").alias("ca"), "d", F.col("ret").alias("ret_a"))
+    b = rets.select(
+        F.col("code").alias("cb"), F.col("d").alias("d_b"), F.col("ret").alias("ret_b")
+    )
+    cand = (
+        a.join(b, (F.col("d") == F.col("d_b")) & (F.col("ca") < F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.corr("ret_a", "ret_b").alias("__c"))
+        .filter((F.col("n_days") >= 20) & F.col("__c").isNotNull())
+        .select("ca", "cb", "n_days", round6(F.col("__c")).alias("c"))
+        .orderBy(F.col("c").desc(), "ca", "cb")
+        .limit(20)
+    )
+    lev = bars.filter(F.col("close") > 0).select(
+        "code", "d", F.round(F.log("close") * 1_000_000, 0).cast("long").alias("lq")
+    )
+    x = lev.select(F.col("code").alias("ca"), "d", F.col("lq").alias("xq"))
+    y = lev.select(
+        F.col("code").alias("cb_y"), F.col("d").alias("d_y"), F.col("lq").alias("yq")
+    )
+    pp = managed_persist(
+        x.join(F.broadcast(cand), "ca")
+        .join(y, (F.col("cb") == F.col("cb_y")) & (F.col("d") == F.col("d_y")))
+        .select("ca", "cb", "d", "n_days", "c", "xq", "yq")
+    )
+    xd = F.col("xq").cast("decimal(20,0)")
+    yd = F.col("yq").cast("decimal(20,0)")
+    mom_a = pp.groupBy("ca", "cb").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("c").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(20,0)")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = (
+        mom_a.filter((F.col("n") >= 20) & (den != 0))
+        .select(
+            "ca",
+            "cb",
+            "n_days",
+            "c",
+            ((nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+             / den.cast("double")).alias("b"),
+            "n",
+            "sx",
+            "sy",
+        )
+    )
+    fit2 = F.broadcast(
+        fit.select(
+            "ca",
+            "cb",
+            "n_days",
+            "c",
+            "b",
+            ((F.col("sy").cast("double") - F.col("b") * F.col("sx").cast("double"))
+             / F.col("n")).alias("a0"),
+        )
+    )
+    resid = pp.join(fit2.select("ca", "cb", "b", "a0"), ["ca", "cb"]).select(
+        "ca",
+        "cb",
+        "d",
+        F.round((F.col("yq") - F.col("b") * F.col("xq") - F.col("a0")) * 100, 0)
+        .cast("long")
+        .alias("eq"),
+    )
+    wp = Window.partitionBy("ca", "cb").orderBy("d")
+    difs = resid.select(
+        "ca", "cb", "eq", F.lag("eq").over(wp).alias("el")
+    ).filter(F.col("el").isNotNull())
+    eld = F.col("el").cast("decimal(20,0)")
+    ded = (F.col("eq") - F.col("el")).cast("decimal(20,0)")
+    mom_b = difs.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(eld * ded).alias("sed"),
+        F.sum(eld * eld).alias("see"),
+        F.sum(ded * ded).alias("sdd"),
+    )
+    adf = mom_b.filter((F.col("nd") >= 3) & (F.col("see") > 0)).select(
+        "ca",
+        "cb",
+        "nd",
+        (F.col("sed").cast("double") / F.col("see").cast("double")).alias("rho"),
+        F.col("sdd").cast("double").alias("sddd"),
+        F.col("sed").cast("double").alias("sedd"),
+        F.col("see").cast("double").alias("seed"),
+    )
+    out = fit2.join(adf, ["ca", "cb"], "left")
+    var_num = F.col("sddd") - F.col("rho") * F.col("sedd")
+    adf_t = F.when(
+        F.col("rho").isNotNull() & (var_num > 0),
+        round6(
+            F.col("rho")
+            / F.sqrt(var_num / (F.col("nd") - 1) / F.col("seed"))
+        ),
+    )
+    hl = F.when(
+        (F.col("rho") > -1) & (F.col("rho") < 0),
+        round6(-F.log(F.lit(2.0)) / F.log(F.lit(1.0) + F.col("rho"))),
+    )
+    return out.select(
+        F.col("ca").alias("code_a"),
+        F.col("cb").alias("code_b"),
+        "n_days",
+        F.col("c").alias("correlation"),
+        round6(F.col("b")).alias("hedge_beta"),
+        adf_t.alias("adf_t"),
+        hl.alias("halflife_days"),
+    )
