@@ -4965,3 +4965,117 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         adf_t.alias("adf_t"),
         hl.alias("halflife_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ulcer index + Martin ratio (new r10): the drawdown-PAIN complement to
+# backtest_drawdown (depth) and underwater_duration (time) — Peter
+# Martin's ulcer index is the RMS of the running percentage drawdown,
+# and the Martin ratio (a.k.a. ulcer performance index) divides total
+# return by it, penalizing strategies that grind underwater even when
+# max drawdown looks shallow.
+#
+# Determinism: closes on the integer cents grid; the running max is an
+# integer window max; the per-day drawdown ratio cents/runmax is one
+# IEEE division on identical integers, quantized to a 1e8 grid before
+# squaring; the squared-drawdown sum accumulates in decimal(38,0) /
+# HUGEINT. Rows before the first positive close carry no drawdown
+# definition and are excluded on both engines.
+#
+# Scale shape: one partitionBy(code) ordered pass (running max + the
+# first/last row_number picks), one code-keyed aggregate. No joins.
+# ---------------------------------------------------------------------------
+@query(
+    "ulcer_index_martin",
+    oracle=f"""
+    WITH {O_BARS},
+    c AS (
+        SELECT code, d, CAST(ROUND(close*100,0) AS BIGINT) AS cents
+        FROM bars
+    ), r AS (
+        SELECT code, d, cents,
+               MAX(cents) OVER (PARTITION BY code ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS mx
+        FROM c
+    ), p AS (
+        SELECT code, d, cents, mx,
+               CAST(ROUND((CAST(cents AS DOUBLE)/mx - 1)*100000000,0) AS BIGINT)
+                   AS dq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d DESC) AS rl
+        FROM r WHERE mx > 0
+    ), agg AS (
+        SELECT code,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(CAST(dq AS HUGEINT)*dq) AS s2,
+               MIN(dq) AS mindq,
+               MAX(CASE WHEN rf = 1 THEN cents END) AS cf,
+               MAX(CASE WHEN rl = 1 THEN cents END) AS cl
+        FROM p GROUP BY code
+    ), m AS (
+        SELECT code, n_days,
+               sqrt(CAST(s2 AS DOUBLE)/n_days)/1000000.0 AS ui,
+               mindq/1000000.0 AS maxdd,
+               CASE WHEN cf > 0
+                    THEN (CAST(cl AS DOUBLE)/cf - 1)*100 END AS tr_pct
+        FROM agg
+    )
+    SELECT code, n_days,
+           FLOOR(ui*1000000 + 0.5)/1000000.0 AS ulcer_index,
+           FLOOR(maxdd*1000000 + 0.5)/1000000.0 AS max_drawdown_pct,
+           CASE WHEN ui > 0 AND tr_pct IS NOT NULL
+                THEN FLOOR((tr_pct/ui)*1000000 + 0.5)/1000000.0
+           END AS martin_ratio
+    FROM m
+    """,
+)
+def ulcer_index_martin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    cents = F.round(F.col("close") * 100, 0).cast("long")
+    r = bars.select(
+        "code",
+        "d",
+        cents.alias("cents"),
+        F.max(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("mx"),
+    )
+    p = r.filter(F.col("mx") > 0).select(
+        "code",
+        "cents",
+        F.round((F.col("cents").cast("double") / F.col("mx") - 1) * 100_000_000, 0)
+        .cast("long")
+        .alias("dq"),
+        F.row_number().over(w).alias("rf"),
+        F.row_number()
+        .over(Window.partitionBy("code").orderBy(F.col("d").desc()))
+        .alias("rl"),
+    )
+    dqd = F.col("dq").cast("decimal(20,0)")
+    agg = p.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dqd * dqd).alias("s2"),
+        F.min("dq").alias("mindq"),
+        F.max(F.when(F.col("rf") == 1, F.col("cents"))).alias("cf"),
+        F.max(F.when(F.col("rl") == 1, F.col("cents"))).alias("cl"),
+    )
+    ui = F.sqrt(F.col("s2").cast("double") / F.col("n_days")) / 1_000_000.0
+    tr_pct = F.when(
+        F.col("cf") > 0, (F.col("cl").cast("double") / F.col("cf") - 1) * 100
+    )
+    m = agg.select(
+        "code",
+        "n_days",
+        ui.alias("ui"),
+        (F.col("mindq") / 1_000_000.0).alias("maxdd"),
+        tr_pct.alias("tr_pct"),
+    )
+    return m.select(
+        "code",
+        "n_days",
+        round6(F.col("ui")).alias("ulcer_index"),
+        round6(F.col("maxdd")).alias("max_drawdown_pct"),
+        F.when(
+            (F.col("ui") > 0) & F.col("tr_pct").isNotNull(),
+            round6(F.col("tr_pct") / F.col("ui")),
+        ).alias("martin_ratio"),
+    )
