@@ -5079,3 +5079,119 @@ def ulcer_index_martin(spark: SparkSession, sf_dir: str) -> DataFrame:
             round6(F.col("tr_pct") / F.col("ui")),
         ).alias("martin_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VPIN — volume-synchronized probability of informed trading (new r10):
+# Easley, Lopez de Prado & O'Hara (2012)'s flow-toxicity measure, the
+# microstructure family's order-flow member next to kyle_lambda_daily
+# (price impact) and the spread estimators. Per code: trades are signed
+# by the TICK RULE (sign of the price change, carrying the last nonzero
+# sign through ties — a stateful classification expressed as
+# last_value(ignore nulls) on both engines, no recursion), volume is
+# partitioned into ~20 equal-volume buckets, and VPIN is the
+# volume-weighted mean absolute order-flow imbalance sum|buy−sell| /
+# sum(vol). Whole trades are assigned to the bucket of their cumulative
+# volume (the event-level no-split simplification; production VPIN
+# splits straddling trades — at this event granularity the difference
+# is one trade per bucket boundary, and the simplification is part of
+# the operator definition both engines share).
+#
+# Determinism: everything is integer (signs in {-1,1}, integer volumes,
+# integer cumulative sums, integer bucket ids) until ONE final division
+# quantized by round6 — no float accumulation anywhere.
+#
+# Scale shape: one partitionBy(code) ordered pass (sign carry +
+# cumulative volume), one (code, bucket) aggregate, one code aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "vpin_flow_toxicity",
+    oracle="""
+    WITH t AS (
+        SELECT user_id AS code, ts, event_id, value AS p,
+               CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
+        FROM events
+    ), sgn0 AS (
+        SELECT code, ts, event_id, k,
+               CASE WHEN p > LAG(p) OVER w THEN 1
+                    WHEN p < LAG(p) OVER w THEN -1 END AS s0
+        FROM t WINDOW w AS (PARTITION BY code ORDER BY ts, event_id)
+    ), sgn AS (
+        SELECT code, ts, event_id, k,
+               LAST_VALUE(s0 IGNORE NULLS) OVER
+                   (PARTITION BY code ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS s
+        FROM sgn0
+    ), signed AS (
+        SELECT code, ts, event_id, k, s,
+               SUM(CAST(k AS BIGINT)) OVER
+                   (PARTITION BY code ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(CAST(k AS BIGINT)) OVER (PARTITION BY code) AS total
+        FROM sgn WHERE s IS NOT NULL
+    ), bucketed AS (
+        SELECT code, total, (cum - 1) // ((total + 19) // 20) AS bucket,
+               s * CAST(k AS BIGINT) AS sv, CAST(k AS BIGINT) AS v
+        FROM signed WHERE total > 0
+    ), per_bucket AS (
+        SELECT code, bucket,
+               ABS(SUM(sv)) AS imb, SUM(v) AS vol
+        FROM bucketed GROUP BY code, bucket
+    )
+    SELECT code,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(vol) AS BIGINT) AS total_vol,
+           FLOOR((CAST(SUM(imb) AS DOUBLE)/CAST(SUM(vol) AS DOUBLE))
+                 *1000000 + 0.5)/1000000.0 AS vpin
+    FROM per_bucket GROUP BY code
+    """,
+)
+def vpin_flow_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("code"),
+        "ts",
+        "event_id",
+        F.col("value").alias("p"),
+        F.regexp_extract("props", r"(\d+)", 1).cast("int").alias("k"),
+    )
+    w = Window.partitionBy("code").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    s0 = (
+        F.when(F.col("p") > F.lag("p").over(w), 1)
+        .when(F.col("p") < F.lag("p").over(w), -1)
+    )
+    sgn = ev.select(
+        "code", "ts", "event_id", "k", s0.alias("s0")
+    ).select(
+        "code",
+        "ts",
+        "event_id",
+        "k",
+        F.last("s0", ignorenulls=True).over(wc).alias("s"),
+    )
+    signed = sgn.filter(F.col("s").isNotNull()).select(
+        "code",
+        "k",
+        "s",
+        F.sum(F.col("k").cast("long")).over(wc).alias("cum"),
+        F.sum(F.col("k").cast("long")).over(Window.partitionBy("code")).alias("total"),
+    )
+    # integer floor-div: Spark has no // operator — use SQL DIV via expr
+    bucketed = signed.filter(F.col("total") > 0).select(
+        "code",
+        F.expr("(cum - 1) DIV ((total + 19) DIV 20)").alias("bucket"),
+        (F.col("s") * F.col("k").cast("long")).alias("sv"),
+        F.col("k").cast("long").alias("v"),
+    )
+    per_bucket = bucketed.groupBy("code", "bucket").agg(
+        F.abs(F.sum("sv")).alias("imb"), F.sum("v").alias("vol")
+    )
+    return per_bucket.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("vol").alias("total_vol"),
+        round6(
+            F.sum("imb").cast("double") / F.sum("vol").cast("double")
+        ).alias("vpin"),
+    )
