@@ -4549,12 +4549,12 @@ _EWMA_CAP = 200_000  # |ln ret| <= 20 on the 1e4 grid
     WITH {O_BARS},
     rets AS (
         SELECT code, d,
-               GREATEST(-{_EWMA_CAP}, LEAST({_EWMA_CAP},
-                   CASE WHEN close > 0
-                         AND LAG(close) OVER (PARTITION BY code ORDER BY d) > 0
-                        THEN CAST(ROUND(ln(close / LAG(close) OVER
-                             (PARTITION BY code ORDER BY d))*{_FM_S},0) AS BIGINT)
-                   END)) AS rq
+               CASE WHEN close > 0
+                     AND LAG(close) OVER (PARTITION BY code ORDER BY d) > 0
+                    THEN GREATEST(-{_EWMA_CAP}, LEAST({_EWMA_CAP},
+                         CAST(ROUND(ln(close / LAG(close) OVER
+                             (PARTITION BY code ORDER BY d))*{_FM_S},0) AS BIGINT)))
+               END AS rq
         FROM bars QUALIFY rq IS NOT NULL
     ), rets2 AS (
         SELECT code, d, rq,
@@ -4586,7 +4586,13 @@ def ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("close") > 0) & (prev > 0),
         F.round(F.log(F.col("close") / prev) * _FM_S, 0).cast("long"),
     )
-    rq = F.greatest(F.lit(-_EWMA_CAP), F.least(F.lit(_EWMA_CAP), rq_raw))
+    # the clamp must live INSIDE the validity gate: greatest/least on
+    # BOTH engines ignore NULL arguments, so clamping a NULL return
+    # would resurrect it as +/-CAP (caught by the python golden)
+    rq = F.when(
+        rq_raw.isNotNull(),
+        F.greatest(F.lit(-_EWMA_CAP), F.least(F.lit(_EWMA_CAP), rq_raw)),
+    )
     rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
     roll = Window.partitionBy("code").orderBy("d").rowsBetween(1 - _EWMA_K, 0)
     # arr[0] = current return, arr[k] = k-lagged (window order is ascending)

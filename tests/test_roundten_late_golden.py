@@ -1,0 +1,310 @@
+"""Round-10 late-addition goldens: pure-python recomputes (a third
+independent implementation next to the Spark plan and the DuckDB
+oracle) for the six operators added after the round-10 gate window was
+pinned — boilerplate_segment_ratio, ewma_vol_riskmetrics,
+corwin_schultz_spread, cointegration_screen, ulcer_index_martin, and
+vpin_flow_toxicity."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+
+from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+from quantitative_database_and_visualization_platform_spark.plans.backtest_queries import (
+    _EWMA_CAP,
+    _EWMA_WQ,
+)
+from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _round6(x: float) -> float:
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000.0
+
+
+def _bars_by_code(spark):
+    bars = daily_bars(spark, SF).toPandas()
+    out = {}
+    for code, grp in bars.sort_values("d").groupby("code"):
+        out[code] = grp
+    return out
+
+
+def test_ewma_vol_matches_python(spark):
+    got = {
+        (r["code"], r["d"]): (r["n_obs"], r["ewma_vol"])
+        for r in QUERIES["ewma_vol_riskmetrics"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        closes, days = list(grp["close"]), list(grp["d"])
+        rets = []
+        for t in range(1, len(closes)):
+            if closes[t] > 0 and closes[t - 1] > 0:
+                rq = int(
+                    math.floor(
+                        abs(math.log(closes[t] / closes[t - 1])) * 10_000 + 0.5
+                    )
+                ) * (1 if closes[t] >= closes[t - 1] else -1)
+                # ROUND half-away-from-zero on both engines for negatives
+                rq = max(-_EWMA_CAP, min(_EWMA_CAP, rq))
+                rets.append((days[t], rq))
+        for t in range(len(rets)):
+            window = rets[max(0, t - 59) : t + 1]
+            n = len(window)
+            if n < 20:
+                continue
+            s = sum(
+                rq * rq * _EWMA_WQ[k]
+                for k, (_, rq) in enumerate(reversed(window))
+            )
+            vol = _round6(math.sqrt((0.06 * (s / 1e16)) * 252))
+            want[(code, rets[t][0])] = (n, vol)
+    assert want and got == want
+
+
+def test_corwin_schultz_matches_python(spark):
+    got = {
+        r["code"]: (r["n_pairs"], r["n_pos"], r["mean_cs_spread"], r["max_cs_spread"])
+        for r in QUERIES["corwin_schultz_spread"](spark, SF).collect()
+    }
+    k = 3 - 2 * math.sqrt(2)
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        hi, lo = list(grp["high"]), list(grp["low"])
+        xs = [
+            int(round(math.log(h / l) * 1_000_000)) if l > 0 else None
+            for h, l in zip(hi, lo)
+        ]
+        sqs = []
+        for t in range(len(xs) - 1):
+            if xs[t] is None or xs[t + 1] is None:
+                continue
+            h2, l2 = max(hi[t], hi[t + 1]), min(lo[t], lo[t + 1])
+            if l2 <= 0:
+                continue
+            g = int(round(math.log(h2 / l2) * 1_000_000))
+            beta = (xs[t] * xs[t] + xs[t + 1] * xs[t + 1]) / 1e12
+            gamma = g * g / 1e12
+            alpha = (math.sqrt(2 * beta) - math.sqrt(beta)) / k - math.sqrt(
+                gamma / k
+            )
+            s = 2 * (math.exp(alpha) - 1) / (1 + math.exp(alpha))
+            sqs.append(int(round(max(s, 0.0) * 100_000_000)))
+        if sqs:
+            want[code] = (
+                len(sqs),
+                sum(1 for s in sqs if s > 0),
+                _round6(sum(sqs) / 100_000_000.0 / len(sqs)),
+                _round6(max(sqs) / 100_000_000.0),
+            )
+    assert want and got == want
+
+
+def test_ulcer_index_matches_python(spark):
+    got = {
+        r["code"]: (
+            r["n_days"],
+            r["ulcer_index"],
+            r["max_drawdown_pct"],
+            r["martin_ratio"],
+        )
+        for r in QUERIES["ulcer_index_martin"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        cents = [int(round(c * 100)) for c in grp["close"]]
+        mx, dqs, kept = 0, [], []
+        for c in cents:
+            mx = max(mx, c)
+            if mx > 0:
+                dqs.append(int(round((c / mx - 1) * 100_000_000)))
+                kept.append(c)
+        if not dqs:
+            continue
+        n = len(dqs)
+        ui = math.sqrt(sum(d * d for d in dqs) / n) / 1_000_000.0
+        tr = (kept[-1] / kept[0] - 1) * 100 if kept[0] > 0 else None
+        want[code] = (
+            n,
+            _round6(ui),
+            _round6(min(dqs) / 1_000_000.0),
+            _round6(tr / ui) if (ui > 0 and tr is not None) else None,
+        )
+    assert want and got == want
+
+
+def test_vpin_matches_python(spark):
+    got = {
+        r["code"]: (r["n_buckets"], r["total_vol"], r["vpin"])
+        for r in QUERIES["vpin_flow_toxicity"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").toPandas()
+    ev["k"] = [
+        int(m.group(1)) if (m := re.search(r"(\d+)", p)) else None
+        for p in ev["props"]
+    ]
+    want = {}
+    for code, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        s, signed = None, []
+        prev_p = None
+        for r in grp.itertuples():
+            if prev_p is not None:
+                if r.value > prev_p:
+                    s = 1
+                elif r.value < prev_p:
+                    s = -1
+            prev_p = r.value
+            if s is not None:
+                signed.append((s, r.k))
+        total = sum(k for _, k in signed)
+        if total <= 0:
+            continue
+        bsz = (total + 19) // 20
+        buckets = defaultdict(lambda: [0, 0])
+        cum = 0
+        for s, k in signed:
+            cum += k
+            b = (cum - 1) // bsz
+            buckets[b][0] += s * k
+            buckets[b][1] += k
+        imb = sum(abs(sv) for sv, _ in buckets.values())
+        want[code] = (len(buckets), total, _round6(imb / total))
+    assert want and got == want
+
+
+def test_boilerplate_matches_python(spark):
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["docs_with_bp"],
+            r["bp_doc_share"],
+            r["mean_bp_ratio"],
+            r["distinct_bp_segs"],
+        )
+        for r in QUERIES["boilerplate_segment_ratio"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").toPandas()
+    seg_docs = defaultdict(set)
+    doc_segs = {}
+    for r in docs.itertuples():
+        t = re.sub(" +", " ", r.text).strip().lower()
+        w = t.split(" ")
+        segs = [
+            " ".join(w[g * 8 : g * 8 + 8]) for g in range(len(w) // 8)
+        ]
+        if not segs:
+            continue
+        doc_segs[r.doc_id] = (r.source, segs)
+        for s in segs:
+            seg_docs[s].add(r.doc_id)
+    bp = {s for s, ids in seg_docs.items() if len(ids) >= 3}
+    per_src = defaultdict(lambda: [0, 0, 0, set()])
+    for doc_id, (source, segs) in doc_segs.items():
+        n_bp = sum(1 for s in segs if s in bp)
+        acc = per_src[source]
+        acc[0] += 1
+        acc[1] += 1 if n_bp else 0
+        acc[2] += math.floor(n_bp * 1_000_000.0 / len(segs) + 0.5)
+        acc[3] |= {s for s in segs if s in bp}
+    want = {
+        src: (
+            n,
+            with_bp,
+            _round6(with_bp / n),
+            _round6(rq / 1_000_000.0 / n),
+            len(bps),
+        )
+        for src, (n, with_bp, rq, bps) in per_src.items()
+    }
+    assert want and got == want
+
+
+def _eg_python(spark):
+    """Full Engle-Granger mirror in exact python ints/floats."""
+    bars = daily_bars(spark, SF).toPandas()
+    rets, levs = defaultdict(dict), defaultdict(dict)
+    for code, grp in bars.sort_values("d").groupby("code"):
+        closes, days = list(grp["close"]), list(grp["d"])
+        for t in range(len(closes)):
+            if closes[t] > 0:
+                levs[code][days[t]] = int(
+                    round(math.log(closes[t]) * 1_000_000)
+                )
+            if t and closes[t - 1] != 0:
+                rets[code][days[t]] = closes[t] / closes[t - 1] - 1
+    codes = sorted(rets)
+    cands = []
+    for i, ca in enumerate(codes):
+        for cb in codes[i + 1 :]:
+            common = sorted(set(rets[ca]) & set(rets[cb]))
+            if len(common) < 20:
+                continue
+            xs = [rets[ca][d] for d in common]
+            ys = [rets[cb][d] for d in common]
+            n = len(common)
+            mx, my = sum(xs) / n, sum(ys) / n
+            cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+            vx = sum((a - mx) ** 2 for a in xs)
+            vy = sum((b - my) ** 2 for b in ys)
+            if vx <= 0 or vy <= 0:
+                continue
+            c = _round6(cov / math.sqrt(vx * vy))
+            cands.append((c, ca, cb, n))
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+    out = {}
+    for c, ca, cb, n_days in cands[:20]:
+        common = sorted(set(levs[ca]) & set(levs[cb]))
+        xq = [levs[ca][d] for d in common]
+        yq = [levs[cb][d] for d in common]
+        n = len(common)
+        if n < 20:
+            continue
+        sx, sy = sum(xq), sum(yq)
+        sxy = sum(a * b for a, b in zip(xq, yq))
+        sxx = sum(a * a for a in xq)
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        b = (n * sxy - sx * sy) / den
+        a0 = (sy - b * sx) / n
+        eq = [int(round((y - b * x - a0) * 100)) for x, y in zip(xq, yq)]
+        adf_t = hl = None
+        if len(eq) >= 4:
+            els = eq[:-1]
+            des = [eq[t + 1] - eq[t] for t in range(len(eq) - 1)]
+            nd = len(els)
+            if nd >= 3:
+                sed = sum(e * d for e, d in zip(els, des))
+                see = sum(e * e for e in els)
+                sdd = sum(d * d for d in des)
+                if see > 0:
+                    rho = sed / see
+                    var_num = sdd - rho * sed
+                    if var_num > 0:
+                        adf_t = _round6(
+                            rho / math.sqrt(var_num / (nd - 1) / see)
+                        )
+                    if -1 < rho < 0:
+                        hl = _round6(-math.log(2) / math.log(1 + rho))
+        out[(ca, cb)] = (n_days, c, _round6(b), adf_t, hl)
+    return out
+
+
+def test_cointegration_matches_python(spark):
+    got = {
+        (r["code_a"], r["code_b"]): (
+            r["n_days"],
+            r["correlation"],
+            r["hedge_beta"],
+            r["adf_t"],
+            r["halflife_days"],
+        )
+        for r in QUERIES["cointegration_screen"](spark, SF).collect()
+    }
+    want = _eg_python(spark)
+    assert want and got == want
