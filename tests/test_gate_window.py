@@ -45,12 +45,27 @@ NEVER_DRIVER_VERIFIED = [
     "sequence_count_chain",
     "window_funnel_strict",
     "hurst_rs_exponent",
+    # round-10 late additions (added AFTER the 50-slot window was
+    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
+    "boilerplate_segment_ratio",
+    "ewma_vol_riskmetrics",
+    "corwin_schultz_spread",
+    "cointegration_screen",
+    "ulcer_index_martin",
+    "vpin_flow_toxicity",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
 # was pinned; must stay in sync with the queue comment in
-# plans/__init__.py (currently empty — all round-10 additions fit)
-QUEUED_NEXT_ROUND: list[str] = []
+# plans/__init__.py
+QUEUED_NEXT_ROUND: list[str] = [
+    "boilerplate_segment_ratio",
+    "ewma_vol_riskmetrics",
+    "corwin_schultz_spread",
+    "cointegration_screen",
+    "ulcer_index_martin",
+    "vpin_flow_toxicity",
+]
 
 
 def test_window_is_pinned_and_full():
