@@ -6372,9 +6372,16 @@ def boilerplate_segment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = managed_persist(segs)
     # df is corpus-sized: groupBy + shuffle join, never broadcast, never a
-    # per-row window set (see block comment)
+    # per-row window set (see block comment). Catalyst cannot size the
+    # post-persist aggregate (the estimate-blind class the r9 100x audit
+    # fixed in the dedup family) and would broadcast it — apply the same
+    # exact-statistics strategy choice
     dfs = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
-    sd = segs.join(dfs, "seg")
+    if _n_docs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS:
+        dfs = dfs.hint("shuffle_hash")
+    # persisted: BOTH downstream aggregates (per-doc ratios and
+    # per-source distinct boilerplate segments) read this join
+    sd = managed_persist(segs.join(dfs, "seg"))
     per_doc = sd.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_seg"),
         F.count_if(F.col("df") >= BP_DF).alias("n_bp"),

@@ -526,3 +526,59 @@ def test_margin_ann_candidates_are_bucket_equijoin(spark):
         plan[:3000]
     )
     assert "bucket" in plan, plan[:3000]
+
+
+def test_boilerplate_df_join_debroadcasts_past_threshold(spark, monkeypatch):
+    """The segment-df relation is corpus-sized (the estimate-blind
+    aggregate class from the r9 100x audit): past BROADCAST_SAFE_DOCS
+    the join must be a shuffle join, never a broadcast of the df side.
+    The threshold is monkeypatched to 0 so the contract is assertable at
+    test scale."""
+    from quantitative_database_and_visualization_platform_spark.pipeline import dedup as dd
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    monkeypatch.setattr(dd, "BROADCAST_SAFE_DOCS", 0)
+    try:
+        plan = _plan(QUERIES["boilerplate_segment_ratio"](spark, SF))
+    finally:
+        release_managed()
+    assert "ShuffledHashJoin [seg" in plan, plan[:3000]
+    assert "BroadcastHashJoin [seg" not in plan, plan[:3000]
+
+
+def test_cointegration_screen_broadcasts_only_bounded_pair_list(spark):
+    """Everything after the candidate scan is keyed by the 20-row pair
+    list: those joins must broadcast (pair list and fit coefficients),
+    and no cartesian/nested-loop product may appear anywhere."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    try:
+        plan = _plan(QUERIES["cointegration_screen"](spark, SF))
+    finally:
+        release_managed()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        plan[:3000]
+    )
+    assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_new_window_family_has_no_joins_or_python(spark):
+    """ewma/corwin-schultz/ulcer/vpin are single-relation window+agg
+    passes: any Join or Python eval node in the plan means the shape
+    regressed."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    for name in (
+        "ewma_vol_riskmetrics",
+        "corwin_schultz_spread",
+        "ulcer_index_martin",
+        "vpin_flow_toxicity",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Join" not in plan, (name, plan[:3000])
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, (
+            name,
+            plan[:2000],
+        )
