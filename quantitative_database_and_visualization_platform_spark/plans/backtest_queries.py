@@ -4909,7 +4909,7 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sy",
         )
     )
-    fit2 = F.broadcast(
+    fit2 = (
         fit.select(
             "ca",
             "cb",
@@ -4920,7 +4920,9 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("n")).alias("a0"),
         )
     )
-    resid = pp.join(fit2.select("ca", "cb", "b", "a0"), ["ca", "cb"]).select(
+    resid = pp.join(
+        F.broadcast(fit2.select("ca", "cb", "b", "a0")), ["ca", "cb"]
+    ).select(
         "ca",
         "cb",
         "d",
@@ -4949,7 +4951,9 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sed").cast("double").alias("sedd"),
         F.col("see").cast("double").alias("seed"),
     )
-    out = fit2.join(adf, ["ca", "cb"], "left")
+    # broadcast the RIGHT side of the left join (broadcasting the left
+    # side of a left-outer is unsupported and was a no-op warning)
+    out = fit2.join(F.broadcast(adf), ["ca", "cb"], "left")
     var_num = F.col("sddd") - F.col("rho") * F.col("sedd")
     adf_t = F.when(
         F.col("rho").isNotNull() & (var_num > 0),
