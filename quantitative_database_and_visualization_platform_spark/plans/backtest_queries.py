@@ -5205,3 +5205,146 @@ def vpin_flow_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("imb").cast("double") / F.sum("vol").cast("double")
         ).alias("vpin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (new r10): the formal "is there ANY serial
+# correlation in the first 10 lags" test that completes the time-series
+# diagnostics family — acf_lag_profile reports the individual lag
+# correlations, variance_ratio_test targets the random-walk null at two
+# horizons, and Ljung-Box (1978) aggregates: Q = n(n+2) * sum_k
+# rho_k^2/(n-k), compared against the chi-square(10) 95% critical value
+# 18.307.
+#
+# Determinism: sample autocorrelations (full-sample mean and
+# denominator, the textbook rho_k — NOT a Pearson corr of lagged
+# pairs) are computed on SCALED-CENTERED integers m_t = n*rq_t − S
+# (rq on the 1e4 grid, S = sum rq): (r_t − rbar)(r_{t−k} − rbar) =
+# m_t*m_{t−k}/n², and the n² cancels in rho_k, so every rho is a ratio
+# of exact integers (products in decimal(38,0)/HUGEINT — |m| can reach
+# ~6e9 on this corpus, so int64 products would wrap). Q's arithmetic
+# then runs on identical doubles; the reject flag compares them to an
+# identical constant.
+#
+# Scale shape: one code-keyed ordered pass (10 lags in one window
+# chain), one code-keyed 12-sum aggregate. No joins.
+# ---------------------------------------------------------------------------
+_LB_LAGS = 10
+_LB_CRIT = 18.307  # chi-square(10), 95%
+
+
+def _lb_q_sql() -> str:
+    terms = " + ".join(
+        f"p{k}*p{k}/(n-{k})" for k in range(1, _LB_LAGS + 1)
+    )
+    lags = ",\n               ".join(
+        f"LAG(m,{k}) OVER w AS m{k}" for k in range(1, _LB_LAGS + 1)
+    )
+    sums = ",\n               ".join(
+        f"SUM(m*m{k}) AS c{k}" for k in range(1, _LB_LAGS + 1)
+    )
+    rhos = ",\n               ".join(
+        f"CAST(c{k} AS DOUBLE)/CAST(s0 AS DOUBLE) AS p{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    ), stats AS (
+        SELECT code, d, rq,
+               COUNT(*) OVER (PARTITION BY code) AS n,
+               SUM(rq) OVER (PARTITION BY code) AS s
+        FROM rets
+    ), cm AS (
+        SELECT code, d, n, CAST(n*rq - s AS HUGEINT) AS m
+        FROM stats
+    ), lagd AS (
+        SELECT code, n, m,
+               {lags}
+        FROM cm WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), agg AS (
+        SELECT code, MAX(n) AS n, SUM(m*m) AS s0,
+               {sums}
+        FROM lagd GROUP BY code
+        HAVING MAX(n) >= 20
+    ), rho AS (
+        SELECT code, n,
+               {rhos}
+        FROM agg WHERE s0 > 0
+    ), q AS (
+        SELECT code, n,
+               CAST(n*(n+2) AS DOUBLE) * ({terms}) AS q10
+        FROM rho
+    )
+    SELECT code, CAST(n AS BIGINT) AS n_obs,
+           FLOOR(q10*1000000 + 0.5)/1000000.0 AS lb_q10,
+           CAST(q10 > {_LB_CRIT} AS INT) AS reject_5pct
+    FROM q
+    """
+
+
+@query("ljung_box_q", oracle=_lb_q_sql())
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    pc = Window.partitionBy("code")
+    cm = rets.select(
+        "code",
+        "d",
+        F.count(F.lit(1)).over(pc).alias("n"),
+        ((F.count(F.lit(1)).over(pc) * F.col("rq")) - F.sum("rq").over(pc))
+        .cast("decimal(20,0)")
+        .alias("m"),
+    )
+    lagd = cm.select(
+        "code",
+        "n",
+        "m",
+        *[F.lag("m", k).over(w).alias(f"m{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    agg = (
+        lagd.groupBy("code")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("m") * F.col("m")).alias("s0"),
+            *[
+                F.sum(F.col("m") * F.col(f"m{k}")).alias(f"c{k}")
+                for k in range(1, _LB_LAGS + 1)
+            ],
+        )
+        .filter((F.col("n") >= 20) & (F.col("s0") > 0))
+    )
+    rho = agg.select(
+        "code",
+        "n",
+        *[
+            (F.col(f"c{k}").cast("double") / F.col("s0").cast("double")).alias(
+                f"p{k}"
+            )
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    terms = [
+        F.col(f"p{k}") * F.col(f"p{k}") / (F.col("n") - k)
+        for k in range(1, _LB_LAGS + 1)
+    ]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    q10 = (F.col("n") * (F.col("n") + 2)).cast("double") * acc
+    q = rho.select("code", "n", q10.alias("q10"))
+    return q.select(
+        "code",
+        F.col("n").cast("long").alias("n_obs"),
+        round6(F.col("q10")).alias("lb_q10"),
+        (F.col("q10") > _LB_CRIT).cast("int").alias("reject_5pct"),
+    )

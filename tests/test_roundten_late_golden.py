@@ -308,3 +308,35 @@ def test_cointegration_matches_python(spark):
     }
     want = _eg_python(spark)
     assert want and got == want
+
+
+def test_ljung_box_matches_python(spark):
+    got = {
+        r["code"]: (r["n_obs"], r["lb_q10"], r["reject_5pct"])
+        for r in QUERIES["ljung_box_q"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        closes = list(grp["close"])
+        rq = [
+            int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+            for v in (
+                (closes[t] / closes[t - 1] - 1) * 10_000
+                for t in range(1, len(closes))
+            )
+        ]
+        n, s = len(rq), sum(rq)
+        if n < 20:
+            continue
+        m = [n * r - s for r in rq]
+        s0 = sum(x * x for x in m)
+        if s0 <= 0:
+            continue
+        acc = 0.0
+        for k in range(1, 11):
+            ck = sum(m[t] * m[t - k] for t in range(k, n))
+            p = ck / s0
+            acc += p * p / (n - k)
+        q10 = n * (n + 2) * acc
+        want[code] = (n, _round6(q10), int(q10 > 18.307))
+    assert want and got == want
