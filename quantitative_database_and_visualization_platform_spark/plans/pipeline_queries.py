@@ -6409,3 +6409,154 @@ def boilerplate_segment_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce("distinct_bp_segs", F.lit(0)).alias("distinct_bp_segs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization fidelity audit (new r10): PQ (Jegou, Douze &
+# Schmid 2011) is THE memory-compression path for billion-vector ANN —
+# the embedding is split into M=4 contiguous 16-dim subspaces, each
+# quantized to its own K=8-codeword codebook, so a 64-float vector
+# becomes 4 bytes (32x compression at these parameters). This audit
+# trains the codebooks with the SAME deterministic k-means recipe as
+# embedding_ann_ivf (smallest-vec_id seeds, one engine-exact Lloyd
+# refinement, floor-quantized integer distance keys with centroid-id
+# tie-breaks — per subspace), reconstructs every vector from its 4
+# codewords, and reports the per-label relative reconstruction error
+# sum_m ||sub_m - cent_m||^2 / ||v||^2 — the measurement layer next to
+# int8_quantization_audit (scalar quantization) and matryoshka_dim_audit
+# (dimension truncation): three compression axes, one fidelity contract.
+#
+# Scale shape: codebook training is 4 subspace chains, each ONE corpus
+# scan against a broadcast 8-row codebook (assign), one posexplode
+# aggregate (refine), one more broadcast assign — all corpus-linear;
+# the per-vector error join is 4 equi-joins on vec_id over
+# already-partitioned relations. Nothing grows with corpus^2.
+# ---------------------------------------------------------------------------
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (DIMS = 64)
+_PQ_K = 8  # codewords per subspace
+
+
+def _o_pq() -> str:
+    d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
+    chains = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUB + 1, (m + 1) * _PQ_SUB
+        dist_seed = o_l2_dist2("x.e", "s.s", _PQ_SUB)
+        dist_cent = o_l2_dist2("x.e", "c.cent", _PQ_SUB)
+        chains.append(f"""sub{m} AS (
+        SELECT vec_id, label, embedding[{lo}:{hi}] AS e FROM embeddings
+    ), seeds{m} AS (
+        SELECT vec_id AS scid, e AS s FROM sub{m} ORDER BY vec_id LIMIT {_PQ_K}
+    ), a1_{m} AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT x.vec_id, x.e, s.scid AS cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {d6(dist_seed)}, s.scid) AS rn
+            FROM sub{m} x, seeds{m} s
+        ) WHERE rn = 1
+    ), cents{m} AS (
+        SELECT cid, list(c ORDER BY dim) AS cent FROM (
+            SELECT cid, i - 1 AS dim,
+                   (CAST(SUM(CAST(FLOOR(CAST(e[i] AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT)) AS DOUBLE) / COUNT(*)) / 1000000.0 AS c
+            FROM a1_{m}, range(1, {_PQ_SUB + 1}) t(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    ), err{m} AS (
+        SELECT vec_id, dq FROM (
+            SELECT x.vec_id, {d6(dist_cent)} AS dq,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                       ORDER BY {d6(dist_cent)}, c.cid) AS rn
+            FROM sub{m} x, cents{m} c
+        ) WHERE rn = 1
+    )""")
+    joined = " JOIN ".join([f"err{m} e{m} USING (vec_id)" for m in range(_PQ_M)])
+    errsum = " + ".join(f"e{m}.dq" for m in range(_PQ_M))
+    return f"""
+    WITH {", ".join(chains)},
+    norm AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(range(1, {DIMS + 1}),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * CAST(embedding[i] AS DOUBLE))) AS n2
+        FROM embeddings
+    ),
+    tot AS (
+        SELECT n.vec_id, n.label, ({errsum})/1000000.0 AS err2, n.n2
+        FROM norm n JOIN {joined}
+    ),
+    rel AS (
+        SELECT label, CAST(FLOOR(err2/n2*1000000 + 0.5) AS BIGINT) AS relq
+        FROM tot WHERE n2 > 0
+    )
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           FLOOR((SUM(relq)/1000000.0/COUNT(*))*1000000 + 0.5)/1000000.0
+               AS mean_rel_err,
+           FLOOR((MAX(relq)/1000000.0)*1000000 + 0.5)/1000000.0 AS max_rel_err
+    FROM rel GROUP BY label
+    """
+
+
+@query("pq_quantization_audit", oracle=_o_pq())
+def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipeline.embeddings import ivf_centroids, l2_dist2, nearest_centroid
+
+    emb = managed_persist(
+        load_table(spark, sf_dir, "embeddings").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    parts = []
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("e")
+        )
+        seeds = (
+            sub.orderBy("vec_id")
+            .limit(_PQ_K)
+            .select(F.col("vec_id").alias("__cid"), F.col("e").alias("__cent"))
+        )
+        a1 = nearest_centroid(sub, seeds, "e", "vec_id")
+        cents = ivf_centroids(a1, "e").select(
+            F.col("cid").alias("__cid"), "__cent"
+        )
+        pairs = sub.crossJoin(F.broadcast(cents)).withColumn(
+            "__dq",
+            F.floor(l2_dist2("e", "__cent") * 1_000_000 + F.lit(0.5)).cast("long"),
+        )
+        pick = Window.partitionBy("vec_id").orderBy("__dq", "__cid")
+        parts.append(
+            pairs.withColumn("__rn", F.row_number().over(pick))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", F.col("__dq").alias(f"dq{m}"))
+        )
+    norm = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("n2"),
+    )
+    tot = norm
+    for p in parts:
+        tot = tot.join(p, "vec_id")
+    err2 = (
+        sum(F.col(f"dq{m}") for m in range(1, _PQ_M)) + F.col("dq0")
+    ) / 1_000_000.0
+    rel = tot.filter(F.col("n2") > 0).select(
+        "label",
+        F.floor(err2 / F.col("n2") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("relq"),
+    )
+    return rel.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        round6(F.sum("relq") / 1_000_000.0 / F.count(F.lit(1))).alias(
+            "mean_rel_err"
+        ),
+        round6(F.max("relq") / 1_000_000.0).alias("max_rel_err"),
+    )
