@@ -53,6 +53,8 @@ NEVER_DRIVER_VERIFIED = [
     "cointegration_screen",
     "ulcer_index_martin",
     "vpin_flow_toxicity",
+    "ljung_box_q",
+    "pq_quantization_audit",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -65,6 +67,8 @@ QUEUED_NEXT_ROUND: list[str] = [
     "cointegration_screen",
     "ulcer_index_martin",
     "vpin_flow_toxicity",
+    "ljung_box_q",
+    "pq_quantization_audit",
 ]
 
 

@@ -340,3 +340,62 @@ def test_ljung_box_matches_python(spark):
         q10 = n * (n + 2) * acc
         want[code] = (n, _round6(q10), int(q10 > 18.307))
     assert want and got == want
+
+
+def test_pq_audit_matches_python(spark):
+    """Fourth implementation of the PQ chain: numpy-free python mirror
+    of seeds -> assign -> engine-exact Lloyd mean -> assign -> error."""
+    got = {
+        r["label"]: (r["n_vecs"], r["mean_rel_err"], r["max_rel_err"])
+        for r in QUERIES["pq_quantization_audit"](spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    rows = sorted(
+        (int(r.vec_id), int(r.label), [float(x) for x in r.embedding])
+        for r in emb.itertuples()
+    )
+
+    def d6(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return math.floor(s * 1_000_000 + 0.5)
+
+    dq_total = defaultdict(int)
+    for m in range(4):
+        subs = [(vid, v[m * 16 : m * 16 + 16]) for vid, _, v in rows]
+        seeds = subs[:8]  # rows sorted by vec_id
+        assign = {}
+        for vid, e in subs:
+            assign[vid] = min(
+                (d6(e, s), scid) for (scid, s) in [(sv, se) for sv, se in seeds]
+            )[1]
+        cents = {}
+        for cid in {c for c in assign.values()}:
+            members = [e for vid, e in subs if assign[vid] == cid]
+            n = len(members)
+            cents[cid] = [
+                (sum(math.floor(e[i] * 1_000_000 + 0.5) for e in members) / n)
+                / 1_000_000.0
+                for i in range(16)
+            ]
+        for vid, e in subs:
+            dq, _ = min((d6(e, c), cid) for cid, c in cents.items())
+            dq_total[vid] += dq
+    per_label = defaultdict(list)
+    for vid, label, v in rows:
+        n2 = 0.0
+        for x in v:
+            n2 += x * x
+        if n2 > 0:
+            relq = math.floor(dq_total[vid] / 1_000_000.0 / n2 * 1_000_000 + 0.5)
+            per_label[label].append(relq)
+    want = {
+        lab: (
+            len(rq),
+            _round6(sum(rq) / 1_000_000.0 / len(rq)),
+            _round6(max(rq) / 1_000_000.0),
+        )
+        for lab, rq in per_label.items()
+    }
+    assert want and got == want
