@@ -5233,7 +5233,31 @@ _LB_LAGS = 10
 _LB_CRIT = 18.307  # chi-square(10), 95%
 
 
-def _lb_q_sql() -> str:
+_LB_RETS_CTE = f"""rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    )"""
+
+# ARCH series: SQUARED returns on the coarser 1e2 grid — squares of the
+# 1e4 grid would push the scaled-centered products past the 128-bit
+# accumulators on this corpus's outlier returns; 1%-resolution returns
+# keep m*m <= ~1e27 with two decades of headroom, and the grid is part
+# of the operator definition shared by both engines.
+_ARCH_S = 100
+_LB_ARCH_CTE = f"""rets AS (
+        SELECT code, d, r*r AS rq FROM (
+            SELECT code, d,
+                   CAST(ROUND((close / LAG(close) OVER w - 1)*{_ARCH_S},0)
+                        AS BIGINT) AS r
+            FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        ) WHERE r IS NOT NULL
+    )"""
+
+
+def _lb_q_sql(rets_cte: str = _LB_RETS_CTE) -> str:
     terms = " + ".join(
         f"p{k}*p{k}/(n-{k})" for k in range(1, _LB_LAGS + 1)
     )
@@ -5249,13 +5273,7 @@ def _lb_q_sql() -> str:
     )
     return f"""
     WITH {O_BARS},
-    rets AS (
-        SELECT code, d,
-               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
-                   AS rq
-        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
-        QUALIFY rq IS NOT NULL
-    ), stats AS (
+    {rets_cte}, stats AS (
         SELECT code, d, rq,
                COUNT(*) OVER (PARTITION BY code) AS n,
                SUM(rq) OVER (PARTITION BY code) AS s
@@ -5288,14 +5306,10 @@ def _lb_q_sql() -> str:
     """
 
 
-@query("ljung_box_q", oracle=_lb_q_sql())
-def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+def _lb_q_frame(rets: DataFrame) -> DataFrame:
+    """Shared Ljung-Box tail: from a (code, d, rq) series to the
+    (code, n_obs, lb_q10, reject_5pct) statistic."""
     w = Window.partitionBy("code").orderBy("d")
-    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
-        "long"
-    )
-    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
     pc = Window.partitionBy("code")
     cm = rets.select(
         "code",
@@ -5347,4 +5361,274 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_obs"),
         round6(F.col("q10")).alias("lb_q10"),
         (F.col("q10") > _LB_CRIT).cast("int").alias("reject_5pct"),
+    )
+
+
+@query("ljung_box_q", oracle=_lb_q_sql())
+def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    return _lb_q_frame(rets)
+
+
+# ---------------------------------------------------------------------------
+# ARCH effect (volatility clustering) test (new r10): Ljung-Box Q on the
+# SQUARED return series — the practical stand-in for Engle's ARCH LM
+# test (the two are asymptotically equivalent diagnostics for
+# conditional heteroskedasticity). Squared returns cluster when
+# volatility does, so a significant Q on r² with an insignificant Q on
+# r is the classic "no return predictability, strong vol
+# predictability" signature that motivates the EWMA/GARCH vol family
+# (ewma_vol_riskmetrics above). Same exact-integer construction as
+# ljung_box_q; see _LB_ARCH_CTE for the grid note.
+# ---------------------------------------------------------------------------
+@query("arch_effect_q", oracle=_lb_q_sql(_LB_ARCH_CTE))
+def arch_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    r = F.round((F.col("close") / F.lag("close").over(w) - 1) * _ARCH_S, 0).cast(
+        "long"
+    )
+    rets = (
+        bars.select("code", "d", r.alias("r"))
+        .filter(F.col("r").isNotNull())
+        .select("code", "d", (F.col("r") * F.col("r")).alias("rq"))
+    )
+    return _lb_q_frame(rets)
+
+
+# ---------------------------------------------------------------------------
+# Tracking error + information ratio vs the equal-weight index (new
+# r10): the active-management twins — market_index_history builds the
+# benchmark, rolling_beta_market measures co-movement; this measures
+# DEVIATION: TE = sample std of the per-day excess return vs the
+# equal-weight market, IR = mean excess / TE, annualized sqrt(252).
+#
+# Determinism: returns on the 1e4 grid; the per-day market mean is
+# floor-quantized to a 1e8 grid (sum*1e4 is an exact double well below
+# 2^53, one IEEE division by the day's name count), so the excess
+# series is integer on the 1e8 grid; its first two moments accumulate
+# in decimal/HUGEINT and one sqrt + one division finish.
+#
+# Scale shape: one code-keyed lag pass, one day-keyed aggregate, one
+# day-keyed join back (day-cardinality build side — calendar-bounded),
+# one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "tracking_error_ir",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    ), mkt AS (
+        SELECT d, CAST(FLOOR(SUM(rq)*10000.0/COUNT(*) + 0.5) AS BIGINT) AS mq
+        FROM rets GROUP BY d
+    ), ex AS (
+        SELECT r.code, r.rq*10000 - m.mq AS eq
+        FROM rets r JOIN mkt m USING (d)
+    ), agg AS (
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(eq AS HUGEINT)) AS se,
+               SUM(CAST(eq AS HUGEINT)*eq) AS se2
+        FROM ex GROUP BY code HAVING COUNT(*) >= 10
+    ), m2 AS (
+        SELECT code, n,
+               (CAST(n AS DOUBLE)*CAST(se2 AS DOUBLE)
+                - CAST(se AS DOUBLE)*CAST(se AS DOUBLE))
+                   /n/(n-1) AS var_e,
+               CAST(se AS DOUBLE)/n AS mean_e
+        FROM agg
+    )
+    SELECT code, n AS n_days,
+           FLOOR((sqrt(var_e)/100000000.0)*1000000 + 0.5)/1000000.0
+               AS tracking_error,
+           CASE WHEN var_e > 0
+                THEN FLOOR((mean_e/sqrt(var_e)*sqrt(252))*1000000 + 0.5)
+                     /1000000.0
+           END AS info_ratio_ann
+    FROM m2 WHERE var_e >= 0
+    """,
+)
+def tracking_error_ir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    mkt = rets.groupBy("d").agg(
+        F.floor(F.sum("rq") * 10000.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mq")
+    )
+    ex = rets.join(mkt, "d").select(
+        "code", (F.col("rq") * 10000 - F.col("mq")).alias("eq")
+    )
+    eqd = F.col("eq").cast("decimal(20,0)")
+    agg = (
+        ex.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(eqd).alias("se"),
+            F.sum(eqd * eqd).alias("se2"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    var_e = (
+        (F.col("n").cast("double") * F.col("se2").cast("double")
+         - F.col("se").cast("double") * F.col("se").cast("double"))
+        / F.col("n")
+        / (F.col("n") - 1)
+    )
+    mean_e = F.col("se").cast("double") / F.col("n")
+    m2 = agg.select(
+        "code", "n", var_e.alias("var_e"), mean_e.alias("mean_e")
+    ).filter(F.col("var_e") >= 0)
+    return m2.select(
+        "code",
+        F.col("n").alias("n_days"),
+        round6(F.sqrt("var_e") / 100_000_000.0).alias("tracking_error"),
+        F.when(
+            F.col("var_e") > 0,
+            round6(
+                F.col("mean_e") / F.sqrt("var_e") * F.sqrt(F.lit(252.0))
+            ),
+        ).alias("info_ratio_ann"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-volatility portfolio backtest (new r10): the simplest risk-
+# parity construction — weight each name by the reciprocal of its
+# trailing-20-day volatility (min 10 obs), rebalance daily, earn the
+# NEXT day's return (weights from day d close, return d+1: no
+# look-ahead). Emits the daily portfolio return and the cumulative log
+# return — the strategy-composition layer over the vol estimators.
+#
+# Determinism: trailing vol from decimal/HUGEINT integer moments of
+# 1e4-grid returns; the raw weight is floor-quantized to an integer
+# (1e6/vol), so the day's weight normalization and the weighted return
+# are ratios of exact integer sums (products in decimal — tiny-vol
+# names make wq large); ln(1+r) on identical doubles is the one
+# accepted cross-libm ulp risk (round6/1e8 grids). Days where the
+# portfolio return is <= -100% contribute NULL to the log path (both
+# engines skip NULLs in the cumulative sum).
+#
+# Scale shape: one code-keyed ordered pass (trailing moments + lead),
+# one day-keyed aggregate, one day-grain cumulative window (calendar-
+# bounded — allow-listed).
+# ---------------------------------------------------------------------------
+@query(
+    "inverse_vol_portfolio",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    ), mom AS (
+        SELECT code, d, rq,
+               LEAD(rq) OVER (PARTITION BY code ORDER BY d) AS rq_next,
+               COUNT(*) OVER tw AS n_w,
+               SUM(CAST(rq AS HUGEINT)) OVER tw AS s1,
+               SUM(CAST(rq AS HUGEINT)*rq) OVER tw AS s2
+        FROM rets
+        WINDOW w AS (PARTITION BY code ORDER BY d),
+               tw AS (PARTITION BY code ORDER BY d
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), vol AS (
+        SELECT code, d, rq_next, n_w,
+               sqrt((CAST(n_w AS DOUBLE)*CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE))
+                    /n_w/(n_w-1))/{_FM_S} AS v
+        FROM mom WHERE n_w >= 10
+    ), wts AS (
+        SELECT code, d, rq_next,
+               CAST(FLOOR(1000000.0/v + 0.5) AS BIGINT) AS wq
+        FROM vol WHERE v > 0 AND rq_next IS NOT NULL
+    ), port AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_names,
+               CAST(SUM(CAST(wq AS HUGEINT)*rq_next) AS DOUBLE)
+                   / CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / {_FM_S} AS pr
+        FROM wts GROUP BY d
+    ), logd AS (
+        SELECT d, n_names, pr,
+               CASE WHEN pr > -1
+                    THEN CAST(FLOOR(ln(1+pr)*100000000 + 0.5) AS BIGINT)
+               END AS lq
+        FROM port
+    )
+    SELECT d, n_names,
+           FLOOR(pr*1000000 + 0.5)/1000000.0 AS port_ret,
+           FLOOR((SUM(lq) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  /100000000.0)*1000000 + 0.5)/1000000.0 AS cum_log_ret
+    FROM logd
+    """,
+)
+def inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    tw = w.rowsBetween(-19, 0)
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    rqd = F.col("rq").cast("decimal(20,0)")
+    mom = rets.select(
+        "code",
+        "d",
+        F.lead("rq").over(w).alias("rq_next"),
+        F.count(F.lit(1)).over(tw).alias("n_w"),
+        F.sum(rqd).over(tw).alias("s1"),
+        F.sum(rqd * rqd).over(tw).alias("s2"),
+    ).filter(F.col("n_w") >= 10)
+    v = (
+        F.sqrt(
+            (F.col("n_w").cast("double") * F.col("s2").cast("double")
+             - F.col("s1").cast("double") * F.col("s1").cast("double"))
+            / F.col("n_w")
+            / (F.col("n_w") - 1)
+        )
+        / _FM_S
+    )
+    vol = mom.select("code", "d", "rq_next", v.alias("v"))
+    wts = vol.filter((F.col("v") > 0) & F.col("rq_next").isNotNull()).select(
+        "d",
+        "rq_next",
+        F.floor(1_000_000.0 / F.col("v") + F.lit(0.5)).cast("long").alias("wq"),
+    )
+    wqd = F.col("wq").cast("decimal(20,0)")
+    port = wts.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_names"),
+        (
+            F.sum(wqd * F.col("rq_next")).cast("double")
+            / F.sum(wqd).cast("double")
+            / _FM_S
+        ).alias("pr"),
+    )
+    lq = F.when(
+        F.col("pr") > -1,
+        F.floor(F.log(F.lit(1.0) + F.col("pr")) * 100_000_000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    logd = port.select("d", "n_names", "pr", lq.alias("lq"))
+    # day-grain cumulative window: the relation is CALENDAR-bounded (one
+    # row per trading day) — allow-listed in test_plan_shape
+    cum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return logd.select(
+        "d",
+        "n_names",
+        round6(F.col("pr")).alias("port_ret"),
+        round6(F.sum("lq").over(cum) / 100_000_000.0).alias("cum_log_ret"),
     )

@@ -430,6 +430,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "backtest_turnover_cost",  # day-grain portfolio series
     "pairs_spread_zscore",  # day-grain single-pair spread series
     "seasonal_dow_volume",  # 7 weekdays
+    "inverse_vol_portfolio",  # day-grain portfolio log-return series
 }
 
 
