@@ -55,6 +55,9 @@ NEVER_DRIVER_VERIFIED = [
     "vpin_flow_toxicity",
     "ljung_box_q",
     "pq_quantization_audit",
+    "arch_effect_q",
+    "tracking_error_ir",
+    "inverse_vol_portfolio",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -69,6 +72,9 @@ QUEUED_NEXT_ROUND: list[str] = [
     "vpin_flow_toxicity",
     "ljung_box_q",
     "pq_quantization_audit",
+    "arch_effect_q",
+    "tracking_error_ir",
+    "inverse_vol_portfolio",
 ]
 
 

@@ -399,3 +399,117 @@ def test_pq_audit_matches_python(spark):
         for lab, rq in per_label.items()
     }
     assert want and got == want
+
+
+def _lb_python(series_by_code):
+    """Shared Ljung-Box python mirror over {(code): [rq,...]} series."""
+    want = {}
+    for code, rq in series_by_code.items():
+        n, s = len(rq), sum(rq)
+        if n < 20:
+            continue
+        m = [n * r - s for r in rq]
+        s0 = sum(x * x for x in m)
+        if s0 <= 0:
+            continue
+        acc = 0.0
+        for k in range(1, 11):
+            ck = sum(m[t] * m[t - k] for t in range(k, n))
+            p = ck / s0
+            acc += p * p / (n - k)
+        q10 = n * (n + 2) * acc
+        want[code] = (n, _round6(q10), int(q10 > 18.307))
+    return want
+
+
+def _rq_series(spark, scale):
+    out = {}
+    for code, grp in _bars_by_code(spark).items():
+        closes = list(grp["close"])
+        out[code] = [
+            int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+            for v in (
+                (closes[t] / closes[t - 1] - 1) * scale
+                for t in range(1, len(closes))
+            )
+        ]
+    return out
+
+
+def test_arch_effect_matches_python(spark):
+    got = {
+        r["code"]: (r["n_obs"], r["lb_q10"], r["reject_5pct"])
+        for r in QUERIES["arch_effect_q"](spark, SF).collect()
+    }
+    sq = {c: [r * r for r in s] for c, s in _rq_series(spark, 100).items()}
+    want = _lb_python(sq)
+    assert want and got == want
+
+
+def test_tracking_error_matches_python(spark):
+    got = {
+        r["code"]: (r["n_days"], r["tracking_error"], r["info_ratio_ann"])
+        for r in QUERIES["tracking_error_ir"](spark, SF).collect()
+    }
+    bars = daily_bars(spark, SF).toPandas()
+    rets = defaultdict(dict)
+    for code, grp in bars.sort_values("d").groupby("code"):
+        closes, days = list(grp["close"]), list(grp["d"])
+        for t in range(1, len(closes)):
+            v = (closes[t] / closes[t - 1] - 1) * 10_000
+            rets[days[t]][code] = int(math.floor(abs(v) + 0.5)) * (
+                1 if v >= 0 else -1
+            )
+    ex = defaultdict(list)
+    for d, by_code in rets.items():
+        mq = math.floor(sum(by_code.values()) * 10_000.0 / len(by_code) + 0.5)
+        for code, rq in by_code.items():
+            ex[code].append(rq * 10_000 - mq)
+    want = {}
+    for code, eq in ex.items():
+        n = len(eq)
+        if n < 10:
+            continue
+        se, se2 = sum(eq), sum(e * e for e in eq)
+        var_e = (n * se2 - se * se) / n / (n - 1)
+        if var_e < 0:
+            continue
+        ir = (
+            _round6(se / n / math.sqrt(var_e) * math.sqrt(252))
+            if var_e > 0
+            else None
+        )
+        want[code] = (n, _round6(math.sqrt(var_e) / 1e8), ir)
+    assert want and got == want
+
+
+def test_inverse_vol_portfolio_matches_python(spark):
+    got = {
+        r["d"]: (r["n_names"], r["port_ret"], r["cum_log_ret"])
+        for r in QUERIES["inverse_vol_portfolio"](spark, SF).collect()
+    }
+    by_day = defaultdict(list)
+    for code, rq in _rq_series(spark, 10_000).items():
+        days = sorted(_bars_by_code(spark)[code]["d"])[1:]  # return days
+        for t in range(len(rq)):
+            lo = max(0, t - 19)
+            window = rq[lo : t + 1]
+            n_w = len(window)
+            if n_w < 10 or t + 1 >= len(rq):
+                continue
+            s1, s2 = sum(window), sum(x * x for x in window)
+            var = (n_w * s2 - s1 * s1) / n_w / (n_w - 1)
+            v = math.sqrt(var) / 10_000
+            if v > 0:
+                wq = math.floor(1_000_000.0 / v + 0.5)
+                by_day[days[t]].append((wq, rq[t + 1]))
+    want, cum = {}, 0
+    for d in sorted(by_day):
+        rows = by_day[d]
+        num = sum(w * r for w, r in rows)
+        den = sum(w for w, _ in rows)
+        pr = num / den / 10_000
+        if pr > -1:
+            cum += math.floor(math.log(1 + pr) * 1e8 + 0.5)
+        want[d] = (len(rows), _round6(pr), _round6(cum / 1e8))
+    assert want and got == want
