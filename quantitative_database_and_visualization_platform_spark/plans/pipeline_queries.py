@@ -6560,3 +6560,125 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round6(F.max("relq") / 1_000_000.0).alias("max_rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint overlap (new r10): the MOSS algorithm
+# (Schleimer, Wilkerson & Aiken, SIGMOD 2003) — the THIRD candidate-
+# generation scheme next to MinHash-LSH (Jaccard) and SimHash (cosine):
+# hash every K=4-token k-gram, slide a W=5 window over the hash
+# sequence and keep each window's MINIMUM as a fingerprint. The
+# guarantee is positional: any shared run of >= W+K-1 tokens shares at
+# least one fingerprint, so overlap counts detect CONTAINED/plagiarized
+# passages that whole-document signatures dilute. Output: document
+# pairs sharing >= 3 distinct fingerprints with the containment score
+# shared/min(|fp_a|,|fp_b|).
+#
+# Determinism: the 52-bit md5 hash and the window MIN are integers;
+# containment is one exact integer division, round6'd.
+#
+# Scale shape: one k-gram explode (~tokens rows), one doc-keyed window
+# pass (the winnow), one distinct, then the fingerprint equi-join —
+# sum-of-bucket^2 candidate topology, the same class as the LSH band
+# join, and the same estimate-blind-broadcast guard applies (the
+# fingerprint relation is corpus-sized and post-aggregate, so Catalyst
+# cannot size it: shuffle-hash pinned past BROADCAST_SAFE_DOCS).
+# ---------------------------------------------------------------------------
+_WIN_K = 4  # tokens per k-gram
+_WIN_W = 5  # winnowing window (in k-gram positions)
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH docs_n AS (
+        SELECT doc_id, lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, string_split(t, ' ') AS w FROM docs_n
+        WHERE len(string_split(t, ' ')) >= {_WIN_K + _WIN_W - 1}
+    ), kg AS (
+        SELECT doc_id, p,
+               CAST('0x' || substr(md5(
+                   array_to_string(w[p+1 : p+{_WIN_K}], ' ')
+               ), 1, 13) AS BIGINT) AS h
+        FROM (SELECT doc_id, w, UNNEST(range(0, len(w) - {_WIN_K - 1})) AS p
+              FROM words)
+    ), winnowed AS (
+        SELECT doc_id, p,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW)
+                   AS fp
+        FROM kg QUALIFY p >= {_WIN_W - 1}
+    ), fps AS (
+        SELECT DISTINCT doc_id, fp FROM winnowed
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp FROM fps GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fp
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_fp,
+           FLOOR((CAST(p.shared_fp AS DOUBLE)/LEAST(sa.nfp, sb.nfp))
+                 *1000000 + 0.5)/1000000.0 AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", dd.normalized_text("text").alias("t")
+    )
+    w = F.split("t", " ")
+    nk = F.size(w) - (_WIN_K - 1)
+    kg = (
+        docs.filter(F.size(w) >= _WIN_K + _WIN_W - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), (nk - 1).cast("int")),
+                    lambda p: F.array_join(F.slice(w, p + 1, _WIN_K), " "),
+                )
+            ).alias("p", "kgram"),
+        )
+        .select("doc_id", "p", sk.kmv_hash(F.col("kgram")).alias("h"))
+    )
+    winnow = Window.partitionBy("doc_id").orderBy("p").rowsBetween(1 - _WIN_W, 0)
+    fps = managed_persist(
+        kg.select("doc_id", "p", F.min("h").over(winnow).alias("fp"))
+        .filter(F.col("p") >= _WIN_W - 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    if _n_docs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS:
+        # corpus-sized post-aggregate relations: never broadcast
+        b = b.hint("shuffle_hash")
+        sizes = sizes.hint("shuffle_hash")
+    pairs = (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            round6(
+                F.col("shared_fp").cast("double") / F.least("na", "nb")
+            ).alias("containment"),
+        )
+    )
