@@ -58,6 +58,7 @@ NEVER_DRIVER_VERIFIED = [
     "arch_effect_q",
     "tracking_error_ir",
     "inverse_vol_portfolio",
+    "winnowing_fingerprints",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -75,6 +76,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "arch_effect_q",
     "tracking_error_ir",
     "inverse_vol_portfolio",
+    "winnowing_fingerprints",
 ]
 
 

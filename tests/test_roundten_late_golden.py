@@ -513,3 +513,77 @@ def test_inverse_vol_portfolio_matches_python(spark):
             cum += math.floor(math.log(1 + pr) * 1e8 + 0.5)
         want[d] = (len(rows), _round6(pr), _round6(cum / 1e8))
     assert want and got == want
+
+
+def _winnow_python(spark):
+    import hashlib
+
+    docs = load_table(spark, SF, "documents").toPandas()
+    fps = {}
+    for r in docs.itertuples():
+        t = re.sub(" +", " ", r.text).strip().lower()
+        w = t.split(" ")
+        if len(w) < 8:
+            continue
+        hs = [
+            int(
+                hashlib.md5(" ".join(w[p : p + 4]).encode()).hexdigest()[:13],
+                16,
+            )
+            for p in range(len(w) - 3)
+        ]
+        sel = {min(hs[q : q + 5]) for q in range(len(hs) - 4)}
+        fps[r.doc_id] = sel
+    return fps
+
+
+def test_winnowing_matches_python(spark):
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["shared_fp"], r["containment"])
+        for r in QUERIES["winnowing_fingerprints"](spark, SF).collect()
+    }
+    fps = _winnow_python(spark)
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(fps[a] & fps[b])
+            if shared >= 3:
+                want[(a, b)] = (
+                    shared,
+                    _round6(shared / min(len(fps[a]), len(fps[b]))),
+                )
+    assert got == want
+    assert want, "no overlapping pair at this sf — test degenerate"
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The MOSS contract: two documents sharing any run of >= W+K-1 = 8
+    tokens must share at least one fingerprint — verified on every
+    near-dup pair the exact-substring ground truth knows about."""
+    import hashlib
+
+    docs = load_table(spark, SF, "documents").toPandas()
+    toks = {}
+    for r in docs.itertuples():
+        t = re.sub(" +", " ", r.text).strip().lower()
+        toks[r.doc_id] = t.split(" ")
+    fps = _winnow_python(spark)
+    ids = sorted(toks)
+    checked = 0
+    for i, a in enumerate(ids):
+        if a not in fps:
+            continue
+        runs_a = {
+            " ".join(toks[a][p : p + 8]) for p in range(len(toks[a]) - 7)
+        }
+        for b in ids[i + 1 :]:
+            if b not in fps:
+                continue
+            runs_b = {
+                " ".join(toks[b][p : p + 8]) for p in range(len(toks[b]) - 7)
+            }
+            if runs_a & runs_b:
+                assert fps[a] & fps[b], (a, b)
+                checked += 1
+    assert checked, "no 8-token shared run at this sf — test degenerate"
