@@ -6682,3 +6682,126 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density classification over SRP buckets (new r10): the density
+# clustering layer the embedding family lacked — k-means (IVF) assigns
+# EVERY point to a cluster; DBSCAN (Ester et al. 1996) distinguishes
+# CORE points (>= MINPTS neighbors at cosine >= tau), BORDER points
+# (non-core with a core neighbor), and NOISE — the right frame for
+# curation decisions like "keep dense semantic regions, flag isolated
+# outliers". The epsilon-neighborhood graph is generated with the SRP
+# primary-bucket equi-join (the mutual_nearest_pairs_ann candidate
+# topology — sub-quadratic, production-shaped), so "neighbor" formally
+# means same-bucket AND cosine >= tau: the bucket restriction is part
+# of the operator definition both engines share, exactly how a
+# production DBSCAN at 1e9 vectors restricts the pair domain. Cluster
+# EXTRACTION over core-core edges is the union-find layer already
+# gated at dedup_connected_components; this query owns the
+# classification. Output: per label, core/border/noise counts and the
+# mean neighbor count.
+#
+# Determinism: cosines quantized to integers at 1e9 before the
+# threshold compare and all counts are integers; the mean is one
+# fixed-point division.
+# ---------------------------------------------------------------------------
+_DB_TAU_Q = 200_000_000  # tau = 0.2 on the 1e9 grid
+_DB_MINPTS = 3
+
+
+@query(
+    "embedding_dbscan_core",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, label, embedding,
+               {o_srp_bucket('embedding', N_PLANES, DIMS)} AS bucket
+        FROM embeddings
+    ), nbr AS (
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        WHERE CAST(FLOOR({o_cosine('a.embedding', 'b.embedding')}*1000000000
+                         + 0.5) AS BIGINT) >= {_DB_TAU_Q}
+    ), ncnt AS (
+        SELECT x AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs FROM nbr GROUP BY x
+    ), flags AS (
+        SELECT e.vec_id, e.label,
+               COALESCE(c.n_nbrs, 0) AS n_nbrs,
+               CAST(COALESCE(c.n_nbrs, 0) >= {_DB_MINPTS} AS INT) AS is_core
+        FROM embeddings e LEFT JOIN ncnt c USING (vec_id)
+    ), border AS (
+        SELECT DISTINCT n.x AS vec_id
+        FROM nbr n JOIN flags fy ON n.y = fy.vec_id AND fy.is_core = 1
+    )
+    SELECT f.label,
+           CAST(count_if(f.is_core = 1) AS BIGINT) AS n_core,
+           CAST(count_if(f.is_core = 0 AND b.vec_id IS NOT NULL) AS BIGINT)
+               AS n_border,
+           CAST(count_if(f.is_core = 0 AND b.vec_id IS NULL) AS BIGINT)
+               AS n_noise,
+           FLOOR((SUM(f.n_nbrs)*1.0/COUNT(*))*1000000 + 0.5)/1000000.0
+               AS mean_neighbors
+    FROM flags f LEFT JOIN border b USING (vec_id)
+    GROUP BY f.label
+    """,
+)
+def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    bucketed = managed_persist(
+        emb.select(
+            "vec_id", "label", "embedding", srp_bucket("embedding").alias("bucket")
+        )
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("x"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("y"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cq = F.floor(cosine("ea", "eb") * 1_000_000_000 + F.lit(0.5)).cast("long")
+    nbr = managed_persist(
+        a.join(b, "bucket")
+        .filter(F.col("x") != F.col("y"))
+        .filter(cq >= _DB_TAU_Q)
+        .select("x", "y")
+    )
+    ncnt = nbr.groupBy(F.col("x").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_nbrs")
+    )
+    flags = managed_persist(
+        emb.select("vec_id", "label")
+        .join(ncnt, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
+            (F.coalesce("n_nbrs", F.lit(0)) >= _DB_MINPTS).cast("int").alias(
+                "is_core"
+            ),
+        )
+    )
+    core_ids = flags.filter(F.col("is_core") == 1).select(
+        F.col("vec_id").alias("y")
+    )
+    border = (
+        nbr.join(core_ids, "y")
+        .select(F.col("x").alias("vec_id"))
+        .distinct()
+        .withColumn("is_border_side", F.lit(1))
+    )
+    j = flags.join(border, "vec_id", "left")
+    return j.groupBy("label").agg(
+        F.count_if(F.col("is_core") == 1).alias("n_core"),
+        F.count_if(
+            (F.col("is_core") == 0) & F.col("is_border_side").isNotNull()
+        ).alias("n_border"),
+        F.count_if(
+            (F.col("is_core") == 0) & F.col("is_border_side").isNull()
+        ).alias("n_noise"),
+        round6(F.sum("n_nbrs") * 1.0 / F.count(F.lit(1))).alias(
+            "mean_neighbors"
+        ),
+    )
