@@ -6750,10 +6750,25 @@ def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return _dbscan_classify(emb)
+
+
+def _dbscan_classify(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+    """Core/border/noise classification. The GATED query uses the fixed
+    N_PLANES bucket key so the static oracle can re-derive it; production
+    (and the SCALING sweep) passes planes_for_corpus(n) so the expected
+    bucket stays ~256 vectors and pair mass stays corpus-linear — the
+    identical fixed-vs-log-scaled blocking-key story as
+    mutual_nearest_pairs_ann and the 64-bit SimHash."""
+    from ..pipeline.embeddings import N_PLANES
+
+    bucket = (
+        srp_bucket("embedding")
+        if n_planes is None
+        else srp_bucket("embedding", n_planes=n_planes)
+    )
     bucketed = managed_persist(
-        emb.select(
-            "vec_id", "label", "embedding", srp_bucket("embedding").alias("bucket")
-        )
+        emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
     )
     a = bucketed.select(
         F.col("vec_id").alias("x"), F.col("embedding").alias("ea"), "bucket"

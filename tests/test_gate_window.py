@@ -59,6 +59,7 @@ NEVER_DRIVER_VERIFIED = [
     "tracking_error_ir",
     "inverse_vol_portfolio",
     "winnowing_fingerprints",
+    "embedding_dbscan_core",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -77,6 +78,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "tracking_error_ir",
     "inverse_vol_portfolio",
     "winnowing_fingerprints",
+    "embedding_dbscan_core",
 ]
 
 

@@ -587,3 +587,53 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
                 assert fps[a] & fps[b], (a, b)
                 checked += 1
     assert checked, "no 8-token shared run at this sf — test degenerate"
+
+
+def test_dbscan_core_matches_python(spark):
+    from test_roundnine_golden import _bucket, _plane_weights
+
+    got = {
+        r["label"]: (r["n_core"], r["n_border"], r["n_noise"], r["mean_neighbors"])
+        for r in QUERIES["embedding_dbscan_core"](spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    weights = _plane_weights()
+    rows = [
+        (int(r.vec_id), int(r.label), [float(x) for x in r.embedding])
+        for r in emb.itertuples()
+    ]
+    buckets = defaultdict(list)
+    for vid, lab, v in rows:
+        buckets[_bucket(v, weights)].append((vid, v))
+
+    def cosq(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e9 + 0.5)
+
+    nbrs = defaultdict(set)
+    for members in buckets.values():
+        for i, (x, ex) in enumerate(members):
+            for y, ey in members:
+                if x != y and cosq(ex, ey) >= 200_000_000:
+                    nbrs[x].add(y)
+    core = {v for v, ns in nbrs.items() if len(ns) >= 3}
+    per_label = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for vid, lab, _ in rows:
+        acc = per_label[lab]
+        acc[4] += 1
+        acc[3] += len(nbrs.get(vid, ()))
+        if vid in core:
+            acc[0] += 1
+        elif nbrs.get(vid) and nbrs[vid] & core:
+            acc[1] += 1
+        else:
+            acc[2] += 1
+    want = {
+        lab: (c, b, n, _round6(s / t))
+        for lab, (c, b, n, s, t) in per_label.items()
+    }
+    assert want and got == want
