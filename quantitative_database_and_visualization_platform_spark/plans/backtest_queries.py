@@ -5632,3 +5632,235 @@ def inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         round6(F.col("pr")).alias("port_ret"),
         round6(F.sum("lq").over(cum) / 100_000_000.0).alias("cum_log_ret"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger causality screen (new r10): does one name's return LEAD the
+# other's? (Granger 1969, lag-1 bivariate form.) For the same top-20
+# return-correlated pairs as cointegration_screen, BOTH directions: the
+# F-statistic comparing the unrestricted y_t = c + phi*y_{t-1} +
+# beta*x_{t-1} against the restricted y_t = c + phi*y_{t-1}:
+# F = (RSS_r - RSS_u) / (RSS_u/(n-3)). Completes the pair family —
+# leadlag_cross_correlation finds the lag structure, cointegration the
+# level equilibrium, this the directional predictability with a formal
+# statistic. The two directions run as ONE plan: the pair panel is
+# unioned with swapped (y, x) roles under a `dir` tag, so a single
+# moment aggregate and a single F expression serve both.
+#
+# Determinism: returns on the 1e4 grid; all moments are integer sums in
+# decimal/HUGEINT; central moments m = n*S_ab - S_a*S_b and the
+# OLS/RSS/F chain run on identical doubles (exact-integer-valued
+# inputs, identical IEEE rounding). Degenerate pairs (singular normal
+# equations, zero residual variance) emit NULL for that direction.
+#
+# Scale shape: the candidate scan is the documented universe^2-bounded
+# self-join (blocked at 100 TB); everything after is keyed by the
+# broadcast 20-row pair list — one ordered pass per (pair, dir), one
+# aggregate, one 2-row pivot per pair.
+# ---------------------------------------------------------------------------
+@query(
+    "granger_causality_screen",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ),
+    cand AS (
+        SELECT a.code AS ca, b.code AS cb,
+               FLOOR(corr(a.ret, b.ret) * 1000000 + 0.5)/1000000.0 AS c
+        FROM rets a JOIN rets b ON a.d = b.d AND a.code < b.code
+        GROUP BY a.code, b.code
+        HAVING COUNT(*) >= 20 AND corr(a.ret, b.ret) IS NOT NULL
+        ORDER BY c DESC, ca, cb LIMIT 20
+    ),
+    rq AS (
+        SELECT code, d, CAST(ROUND(ret*{_FM_S},0) AS BIGINT) AS q FROM rets
+    ),
+    pp AS (
+        SELECT cd.ca, cd.cb, cd.c, x.d, x.q AS xq, y.q AS yq
+        FROM cand cd
+        JOIN rq x ON x.code = cd.ca
+        JOIN rq y ON y.code = cd.cb AND y.d = x.d
+    ),
+    dirs AS (
+        SELECT ca, cb, c, d, 'ab' AS dir, yq AS y, xq AS x FROM pp
+        UNION ALL
+        SELECT ca, cb, c, d, 'ba' AS dir, xq AS y, yq AS x FROM pp
+    ),
+    lagd AS (
+        SELECT ca, cb, c, dir, y, x,
+               LAG(y) OVER w AS yl, LAG(x) OVER w AS xl
+        FROM dirs WINDOW w AS (PARTITION BY ca, cb, dir ORDER BY d)
+    ),
+    mom AS (
+        SELECT ca, cb, dir, MAX(c) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(yl AS HUGEINT)) AS sy1,
+               SUM(CAST(xl AS HUGEINT)) AS sx1,
+               SUM(CAST(y AS HUGEINT)*y) AS syy,
+               SUM(CAST(y AS HUGEINT)*yl) AS syy1,
+               SUM(CAST(y AS HUGEINT)*xl) AS syx1,
+               SUM(CAST(yl AS HUGEINT)*yl) AS sy1y1,
+               SUM(CAST(xl AS HUGEINT)*xl) AS sx1x1,
+               SUM(CAST(yl AS HUGEINT)*xl) AS sy1x1
+        FROM lagd WHERE yl IS NOT NULL AND xl IS NOT NULL
+        GROUP BY ca, cb, dir
+    ),
+    cm AS (
+        SELECT ca, cb, dir, c, n,
+               CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS m_yy,
+               CAST(n AS DOUBLE)*CAST(syy1 AS DOUBLE)
+                   - CAST(sy AS DOUBLE)*CAST(sy1 AS DOUBLE) AS m_yy1,
+               CAST(n AS DOUBLE)*CAST(syx1 AS DOUBLE)
+                   - CAST(sy AS DOUBLE)*CAST(sx1 AS DOUBLE) AS m_yx1,
+               CAST(n AS DOUBLE)*CAST(sy1y1 AS DOUBLE)
+                   - CAST(sy1 AS DOUBLE)*CAST(sy1 AS DOUBLE) AS m_y1y1,
+               CAST(n AS DOUBLE)*CAST(sx1x1 AS DOUBLE)
+                   - CAST(sx1 AS DOUBLE)*CAST(sx1 AS DOUBLE) AS m_x1x1,
+               CAST(n AS DOUBLE)*CAST(sy1x1 AS DOUBLE)
+                   - CAST(sy1 AS DOUBLE)*CAST(sx1 AS DOUBLE) AS m_y1x1
+        FROM mom WHERE n >= 10
+    ),
+    fstat AS (
+        SELECT ca, cb, dir, c, n,
+               CASE WHEN m_y1y1 > 0
+                     AND m_y1y1*m_x1x1 - m_y1x1*m_y1x1 > 0
+                     AND (m_yy - ((m_yy1*m_x1x1 - m_yx1*m_y1x1)
+                                  /(m_y1y1*m_x1x1 - m_y1x1*m_y1x1))*m_yy1
+                               - ((m_yx1*m_y1y1 - m_yy1*m_y1x1)
+                                  /(m_y1y1*m_x1x1 - m_y1x1*m_y1x1))*m_yx1)
+                         /n > 0
+                    THEN ((m_yy - m_yy1*m_yy1/m_y1y1)/n
+                          - (m_yy - ((m_yy1*m_x1x1 - m_yx1*m_y1x1)
+                                     /(m_y1y1*m_x1x1 - m_y1x1*m_y1x1))*m_yy1
+                                  - ((m_yx1*m_y1y1 - m_yy1*m_y1x1)
+                                     /(m_y1y1*m_x1x1 - m_y1x1*m_y1x1))*m_yx1)
+                            /n)
+                         / ((m_yy - ((m_yy1*m_x1x1 - m_yx1*m_y1x1)
+                                     /(m_y1y1*m_x1x1 - m_y1x1*m_y1x1))*m_yy1
+                                  - ((m_yx1*m_y1y1 - m_yy1*m_y1x1)
+                                     /(m_y1y1*m_x1x1 - m_y1x1*m_y1x1))*m_yx1)
+                            /n/(n - 3))
+               END AS f
+        FROM cm
+    )
+    SELECT ca AS code_a, cb AS code_b,
+           MAX(n) AS n_obs, MAX(c) AS correlation,
+           FLOOR(MAX(CASE WHEN dir = 'ab' THEN f END)*1000000 + 0.5)/1000000.0
+               AS f_a_causes_b,
+           FLOOR(MAX(CASE WHEN dir = 'ba' THEN f END)*1000000 + 0.5)/1000000.0
+               AS f_b_causes_a
+    FROM fstat GROUP BY ca, cb
+    """,
+)
+def granger_causality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
+    bars = managed_persist(daily_bars(spark, sf_dir))
+    w = Window.partitionBy("code").orderBy("d")
+    rets = managed_persist(
+        bars.select(
+            "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+        ).filter(F.col("ret").isNotNull())
+    )
+    a = rets.select(F.col("code").alias("ca"), "d", F.col("ret").alias("ret_a"))
+    b = rets.select(
+        F.col("code").alias("cb"), F.col("d").alias("d_b"), F.col("ret").alias("ret_b")
+    )
+    cand = (
+        a.join(b, (F.col("d") == F.col("d_b")) & (F.col("ca") < F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.corr("ret_a", "ret_b").alias("__c"))
+        .filter((F.col("n_days") >= 20) & F.col("__c").isNotNull())
+        .select("ca", "cb", round6(F.col("__c")).alias("c"))
+        .orderBy(F.col("c").desc(), "ca", "cb")
+        .limit(20)
+    )
+    rqc = F.round(F.col("ret") * _FM_S, 0).cast("long")
+    rq = rets.select("code", "d", rqc.alias("q"))
+    x = rq.select(F.col("code").alias("ca"), "d", F.col("q").alias("xq"))
+    y = rq.select(
+        F.col("code").alias("cb_y"), F.col("d").alias("d_y"), F.col("q").alias("yq")
+    )
+    pp = (
+        x.join(F.broadcast(cand), "ca")
+        .join(y, (F.col("cb") == F.col("cb_y")) & (F.col("d") == F.col("d_y")))
+        .select("ca", "cb", "c", "d", "xq", "yq")
+    )
+    dirs = pp.select(
+        "ca", "cb", "c", "d", F.lit("ab").alias("dir"),
+        F.col("yq").alias("y"), F.col("xq").alias("x"),
+    ).unionByName(
+        pp.select(
+            "ca", "cb", "c", "d", F.lit("ba").alias("dir"),
+            F.col("xq").alias("y"), F.col("yq").alias("x"),
+        )
+    )
+    wp = Window.partitionBy("ca", "cb", "dir").orderBy("d")
+    lagd = dirs.select(
+        "ca", "cb", "c", "dir", "y", "x",
+        F.lag("y").over(wp).alias("yl"),
+        F.lag("x").over(wp).alias("xl"),
+    ).filter(F.col("yl").isNotNull() & F.col("xl").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    mom = (
+        lagd.groupBy("ca", "cb", "dir")
+        .agg(
+            F.max("c").alias("c"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("y")).alias("sy"),
+            F.sum(dec("yl")).alias("sy1"),
+            F.sum(dec("xl")).alias("sx1"),
+            F.sum(dec("y") * dec("y")).alias("syy"),
+            F.sum(dec("y") * dec("yl")).alias("syy1"),
+            F.sum(dec("y") * dec("xl")).alias("syx1"),
+            F.sum(dec("yl") * dec("yl")).alias("sy1y1"),
+            F.sum(dec("xl") * dec("xl")).alias("sx1x1"),
+            F.sum(dec("yl") * dec("xl")).alias("sy1x1"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    nd = F.col("n").cast("double")
+    dbl = lambda c: F.col(c).cast("double")
+    cm = mom.select(
+        "ca", "cb", "dir", "c", "n",
+        (nd * dbl("syy") - dbl("sy") * dbl("sy")).alias("m_yy"),
+        (nd * dbl("syy1") - dbl("sy") * dbl("sy1")).alias("m_yy1"),
+        (nd * dbl("syx1") - dbl("sy") * dbl("sx1")).alias("m_yx1"),
+        (nd * dbl("sy1y1") - dbl("sy1") * dbl("sy1")).alias("m_y1y1"),
+        (nd * dbl("sx1x1") - dbl("sx1") * dbl("sx1")).alias("m_x1x1"),
+        (nd * dbl("sy1x1") - dbl("sy1") * dbl("sx1")).alias("m_y1x1"),
+    )
+    det = F.col("m_y1y1") * F.col("m_x1x1") - F.col("m_y1x1") * F.col("m_y1x1")
+    b1 = (F.col("m_yy1") * F.col("m_x1x1") - F.col("m_yx1") * F.col("m_y1x1")) / det
+    b2 = (F.col("m_yx1") * F.col("m_y1y1") - F.col("m_yy1") * F.col("m_y1x1")) / det
+    rss_u = (F.col("m_yy") - b1 * F.col("m_yy1") - b2 * F.col("m_yx1")) / F.col("n")
+    rss_r = (F.col("m_yy") - F.col("m_yy1") * F.col("m_yy1") / F.col("m_y1y1")) / F.col(
+        "n"
+    )
+    fexpr = F.when(
+        (F.col("m_y1y1") > 0) & (det > 0) & (rss_u > 0),
+        (rss_r - rss_u) / (rss_u / (F.col("n") - 3)),
+    )
+    fstat = cm.select("ca", "cb", "dir", "c", "n", fexpr.alias("f"))
+    return fstat.groupBy("ca", "cb").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.max("c").alias("correlation"),
+        round6(F.max(F.when(F.col("dir") == "ab", F.col("f")))).alias(
+            "f_a_causes_b"
+        ),
+        round6(F.max(F.when(F.col("dir") == "ba", F.col("f")))).alias(
+            "f_b_causes_a"
+        ),
+    ).select(
+        F.col("ca").alias("code_a"),
+        F.col("cb").alias("code_b"),
+        "n_obs",
+        "correlation",
+        "f_a_causes_b",
+        "f_b_causes_a",
+    )
