@@ -60,6 +60,7 @@ NEVER_DRIVER_VERIFIED = [
     "inverse_vol_portfolio",
     "winnowing_fingerprints",
     "embedding_dbscan_core",
+    "granger_causality_screen",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -79,6 +80,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "inverse_vol_portfolio",
     "winnowing_fingerprints",
     "embedding_dbscan_core",
+    "granger_causality_screen",
 ]
 
 

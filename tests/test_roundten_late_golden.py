@@ -637,3 +637,81 @@ def test_dbscan_core_matches_python(spark):
         for lab, (c, b, n, s, t) in per_label.items()
     }
     assert want and got == want
+
+
+def test_granger_matches_python(spark):
+    got = {
+        (r["code_a"], r["code_b"]): (
+            r["n_obs"],
+            r["correlation"],
+            r["f_a_causes_b"],
+            r["f_b_causes_a"],
+        )
+        for r in QUERIES["granger_causality_screen"](spark, SF).collect()
+    }
+    bars = daily_bars(spark, SF).toPandas()
+    rets = defaultdict(dict)
+    for code, grp in bars.sort_values("d").groupby("code"):
+        closes, days = list(grp["close"]), list(grp["d"])
+        for t in range(1, len(closes)):
+            rets[code][days[t]] = closes[t] / closes[t - 1] - 1
+    codes = sorted(rets)
+    cands = []
+    for i, ca in enumerate(codes):
+        for cb in codes[i + 1 :]:
+            common = sorted(set(rets[ca]) & set(rets[cb]))
+            if len(common) < 20:
+                continue
+            xs = [rets[ca][d] for d in common]
+            ys = [rets[cb][d] for d in common]
+            n = len(common)
+            mx, my = sum(xs) / n, sum(ys) / n
+            cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+            vx = sum((a - mx) ** 2 for a in xs)
+            vy = sum((b - my) ** 2 for b in ys)
+            if vx <= 0 or vy <= 0:
+                continue
+            cands.append((_round6(cov / math.sqrt(vx * vy)), ca, cb))
+    cands.sort(key=lambda t: (-t[0], t[1], t[2]))
+
+    def f_dir(yv, xv):
+        yl, xl, yc = yv[:-1], xv[:-1], yv[1:]
+        n = len(yc)
+        if n < 10:
+            return None, n
+        sy, sy1, sx1 = sum(yc), sum(yl), sum(xl)
+        syy = sum(v * v for v in yc)
+        syy1 = sum(a * b for a, b in zip(yc, yl))
+        syx1 = sum(a * b for a, b in zip(yc, xl))
+        sy1y1 = sum(v * v for v in yl)
+        sx1x1 = sum(v * v for v in xl)
+        sy1x1 = sum(a * b for a, b in zip(yl, xl))
+        m_yy = float(n * syy - sy * sy)
+        m_yy1 = float(n * syy1 - sy * sy1)
+        m_yx1 = float(n * syx1 - sy * sx1)
+        m_y1y1 = float(n * sy1y1 - sy1 * sy1)
+        m_x1x1 = float(n * sx1x1 - sx1 * sx1)
+        m_y1x1 = float(n * sy1x1 - sy1 * sx1)
+        det = m_y1y1 * m_x1x1 - m_y1x1 * m_y1x1
+        if m_y1y1 <= 0 or det <= 0:
+            return None, n
+        b1 = (m_yy1 * m_x1x1 - m_yx1 * m_y1x1) / det
+        b2 = (m_yx1 * m_y1y1 - m_yy1 * m_y1x1) / det
+        rss_u = (m_yy - b1 * m_yy1 - b2 * m_yx1) / n
+        rss_r = (m_yy - m_yy1 * m_yy1 / m_y1y1) / n
+        if rss_u <= 0:
+            return None, n
+        return _round6((rss_r - rss_u) / (rss_u / (n - 3))), n
+
+    want = {}
+    for c, ca, cb in cands[:20]:
+        common = sorted(set(rets[ca]) & set(rets[cb]))
+        q = lambda v: int(math.floor(abs(v * 10_000) + 0.5)) * (
+            1 if v >= 0 else -1
+        )
+        xs = [q(rets[ca][d]) for d in common]
+        ys = [q(rets[cb][d]) for d in common]
+        fab, n = f_dir(ys, xs)
+        fba, _ = f_dir(xs, ys)
+        want[(ca, cb)] = (n, c, fab, fba)
+    assert want and got == want
