@@ -5864,3 +5864,253 @@ def granger_causality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_a_causes_b",
         "f_b_causes_a",
     )
+
+
+# ---------------------------------------------------------------------------
+# Downside risk panel: Omega ratio + downside deviation (new r10): the
+# gain/loss-asymmetry metrics risk_adjusted_ratios (Sharpe/Sortino/
+# Calmar) and ulcer_index_martin don't carry — Omega(0) = sum(gains) /
+# sum(losses) (Keating & Shadwick 2002: the ratio of the upper to lower
+# partial moment at the threshold, here 0), the downside deviation
+# sqrt(mean(min(r,0)^2)) annualized, and the gain/loss day counts.
+#
+# Determinism: pure integer partial sums of 1e4-grid returns up to two
+# final divisions and one sqrt — no float accumulation.
+#
+# Scale shape: one code-keyed lag pass + one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "omega_downside_panel",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    ), agg AS (
+        SELECT code,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(count_if(rq > 0) AS BIGINT) AS n_up,
+               CAST(count_if(rq < 0) AS BIGINT) AS n_down,
+               SUM(CASE WHEN rq > 0 THEN CAST(rq AS HUGEINT) ELSE 0 END) AS gains,
+               SUM(CASE WHEN rq < 0 THEN CAST(-rq AS HUGEINT) ELSE 0 END) AS losses,
+               SUM(CASE WHEN rq < 0 THEN CAST(rq AS HUGEINT)*rq ELSE 0 END) AS d2
+        FROM rets GROUP BY code HAVING COUNT(*) >= 10
+    )
+    SELECT code, n_days, n_up, n_down,
+           CASE WHEN losses > 0
+                THEN FLOOR((CAST(gains AS DOUBLE)/CAST(losses AS DOUBLE))
+                           *1000000 + 0.5)/1000000.0
+           END AS omega,
+           FLOOR((sqrt(CAST(d2 AS DOUBLE)/n_days)/{_FM_S}*sqrt(252))
+                 *1000000 + 0.5)/1000000.0 AS downside_dev_ann
+    FROM agg
+    """,
+)
+def omega_downside_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    rqd = F.col("rq").cast("decimal(20,0)")
+    zero = F.lit(0).cast("decimal(20,0)")
+    agg = (
+        rets.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count_if(F.col("rq") > 0).alias("n_up"),
+            F.count_if(F.col("rq") < 0).alias("n_down"),
+            F.sum(F.when(F.col("rq") > 0, rqd).otherwise(zero)).alias("gains"),
+            F.sum(F.when(F.col("rq") < 0, -rqd).otherwise(zero)).alias("losses"),
+            F.sum(F.when(F.col("rq") < 0, rqd * rqd).otherwise(zero)).alias("d2"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
+    return agg.select(
+        "code",
+        "n_days",
+        "n_up",
+        "n_down",
+        F.when(
+            F.col("losses") > 0,
+            round6(F.col("gains").cast("double") / F.col("losses").cast("double")),
+        ).alias("omega"),
+        round6(
+            F.sqrt(F.col("d2").cast("double") / F.col("n_days"))
+            / _FM_S
+            * F.sqrt(F.lit(252.0))
+        ).alias("downside_dev_ann"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fama-MacBeth with Newey-West standard errors (new r10): the textbook
+# FM inference correction — the per-day momentum slope series from
+# fama_macbeth_mom is serially correlated (overlapping 5-day momentum
+# windows guarantee it), so the iid t-stat overstates significance;
+# Newey-West (1987) with L=3 Bartlett weights (1 - l/4: exactly
+# representable doubles) is the standard fix. One row: the mean daily
+# premium, the iid t, the NW t, and the lag-1 autocorrelation of the
+# slope series that motivates the correction.
+#
+# Determinism: day slopes are exact-integer OLS ratios quantized to a
+# 1e8 grid; the slope series' autocovariances run on scaled-centered
+# integers (m_t = T*gq_t - S) in decimal/HUGEINT; the variance /
+# t-stat arithmetic runs on identical doubles.
+#
+# Scale shape: the panel work is the same day-keyed shuffle as
+# fama_macbeth_mom; the series layer is day-grain (calendar-bounded —
+# the unpartitioned lag window is allow-listed like rank_ic_daily).
+# ---------------------------------------------------------------------------
+@query(
+    "fama_macbeth_nw",
+    oracle=f"""
+    WITH {O_BARS},
+    panel AS (
+        SELECT code, d,
+               close / LAG(close, 5) OVER w - 1 AS x,
+               LEAD(close) OVER w / close - 1 AS y
+        FROM bars
+        WINDOW w AS (PARTITION BY code ORDER BY d)
+    ), q AS (
+        SELECT d,
+               CAST(ROUND(x*{_FM_S},0) AS BIGINT) AS xq,
+               CAST(ROUND(y*{_FM_S},0) AS BIGINT) AS yq
+        FROM panel WHERE x IS NOT NULL AND y IS NOT NULL
+    ), m AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+               CAST(SUM(xq*yq) AS BIGINT) AS sxy, CAST(SUM(xq*xq) AS BIGINT) AS sxx
+        FROM q GROUP BY d
+    ), g AS (
+        SELECT d,
+               CAST(FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)
+                           /CAST(n*sxx - sx*sx AS DOUBLE))*100000000 + 0.5)
+                    AS BIGINT) AS gq
+        FROM m WHERE n*sxx - sx*sx <> 0
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t, SUM(gq) AS s FROM g
+    ), cm AS (
+        SELECT d, t, s, CAST(t*gq - s AS HUGEINT) AS mm FROM g, stats
+    ), lagd AS (
+        SELECT t, s, mm,
+               LAG(mm, 1) OVER wd AS m1,
+               LAG(mm, 2) OVER wd AS m2,
+               LAG(mm, 3) OVER wd AS m3
+        FROM cm WINDOW wd AS (ORDER BY d)
+    ), acov AS (
+        SELECT MAX(t) AS t, MAX(s) AS s,
+               SUM(mm*mm) AS c0, SUM(mm*m1) AS c1,
+               SUM(mm*m2) AS c2, SUM(mm*m3) AS c3
+        FROM lagd
+    )
+    SELECT t AS n_days,
+           FLOOR((CAST(s AS DOUBLE)/t/100000000.0)*1000000 + 0.5)/1000000.0
+               AS mean_premium,
+           CASE WHEN t > 3 AND CAST(c0 AS DOUBLE) > 0 THEN
+             FLOOR(((CAST(s AS DOUBLE)/t/100000000.0)
+                    / sqrt(CAST(c0 AS DOUBLE)
+                           /CAST(t AS DOUBLE)/CAST(t AS DOUBLE)/(t-1)/t/1e16))
+                   *1000000 + 0.5)/1000000.0
+           END AS t_iid,
+           CASE WHEN t > 3
+                 AND (CAST(c0 AS DOUBLE)
+                      + 2*(0.75*CAST(c1 AS DOUBLE) + 0.5*CAST(c2 AS DOUBLE)
+                           + 0.25*CAST(c3 AS DOUBLE))) > 0 THEN
+             FLOOR(((CAST(s AS DOUBLE)/t/100000000.0)
+                    / sqrt((CAST(c0 AS DOUBLE)
+                            + 2*(0.75*CAST(c1 AS DOUBLE)
+                                 + 0.5*CAST(c2 AS DOUBLE)
+                                 + 0.25*CAST(c3 AS DOUBLE)))
+                           /CAST(t AS DOUBLE)/CAST(t AS DOUBLE)
+                           /CAST(t AS DOUBLE)/CAST(t AS DOUBLE)/1e16))
+                   *1000000 + 0.5)/1000000.0
+           END AS t_nw3,
+           CASE WHEN CAST(c0 AS DOUBLE) > 0 THEN
+             FLOOR((CAST(c1 AS DOUBLE)/CAST(c0 AS DOUBLE))*1000000 + 0.5)
+               /1000000.0
+           END AS slope_acf1
+    FROM acov
+    """,
+)
+def fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    panel = bars.select(
+        "code",
+        "d",
+        (F.col("close") / F.lag("close", 5).over(w) - 1).alias("x"),
+        (F.lead("close").over(w) / F.col("close") - 1).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    xq = F.round(F.col("x") * _FM_S, 0).cast("long")
+    yq = F.round(F.col("y") * _FM_S, 0).cast("long")
+    m = (
+        panel.select("d", xq.alias("xq"), yq.alias("yq"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xq").alias("sx"),
+            F.sum("yq").alias("sy"),
+            F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+            F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        )
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    g = m.filter(den != 0).select(
+        "d",
+        F.floor(num.cast("double") / den.cast("double") * 100_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("gq"),
+    )
+    glob = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # day-grain series: the unpartitioned windows below are calendar-
+    # bounded (one row per trading day) — allow-listed in test_plan_shape
+    wd = Window.orderBy("d")
+    cm = g.select(
+        "d",
+        F.count(F.lit(1)).over(glob).alias("t"),
+        F.sum("gq").over(glob).alias("s"),
+        (F.count(F.lit(1)).over(glob) * F.col("gq") - F.sum("gq").over(glob))
+        .cast("decimal(20,0)")
+        .alias("mm"),
+    )
+    lagd = cm.select(
+        "t",
+        "s",
+        "mm",
+        F.lag("mm", 1).over(wd).alias("m1"),
+        F.lag("mm", 2).over(wd).alias("m2"),
+        F.lag("mm", 3).over(wd).alias("m3"),
+    )
+    acov = lagd.groupBy().agg(
+        F.max("t").alias("t"),
+        F.max("s").alias("s"),
+        F.sum(F.col("mm") * F.col("mm")).alias("c0"),
+        F.sum(F.col("mm") * F.col("m1")).alias("c1"),
+        F.sum(F.col("mm") * F.col("m2")).alias("c2"),
+        F.sum(F.col("mm") * F.col("m3")).alias("c3"),
+    )
+    td = F.col("t").cast("double")
+    mean = F.col("s").cast("double") / F.col("t") / 100_000_000.0
+    c = lambda k: F.col(f"c{k}").cast("double")
+    nw_num = c(0) + 2 * (
+        F.lit(0.75) * c(1) + F.lit(0.5) * c(2) + F.lit(0.25) * c(3)
+    )
+    se_iid = F.sqrt(c(0) / td / td / (F.col("t") - 1) / F.col("t") / F.lit(1e16))
+    se_nw = F.sqrt(nw_num / td / td / td / td / F.lit(1e16))
+    return acov.select(
+        F.col("t").alias("n_days"),
+        round6(mean).alias("mean_premium"),
+        F.when((F.col("t") > 3) & (c(0) > 0), round6(mean / se_iid)).alias(
+            "t_iid"
+        ),
+        F.when((F.col("t") > 3) & (nw_num > 0), round6(mean / se_nw)).alias(
+            "t_nw3"
+        ),
+        F.when(c(0) > 0, round6(c(1) / c(0))).alias("slope_acf1"),
+    )

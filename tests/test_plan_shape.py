@@ -431,6 +431,7 @@ _GLOBAL_WINDOW_BOUNDED_OK = {
     "pairs_spread_zscore",  # day-grain single-pair spread series
     "seasonal_dow_volume",  # 7 weekdays
     "inverse_vol_portfolio",  # day-grain portfolio log-return series
+    "fama_macbeth_nw",  # day-grain slope series (FM second stage)
 }
 
 
