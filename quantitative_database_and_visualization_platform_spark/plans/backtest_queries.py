@@ -611,8 +611,9 @@ _FM_S = 10_000
         FROM panel WHERE x IS NOT NULL AND y IS NOT NULL
     ), m AS (
         SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
-               CAST(SUM(xq*yq) AS BIGINT) AS sxy, CAST(SUM(xq*xq) AS BIGINT) AS sxx
+               SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+               SUM(CAST(xq AS HUGEINT)*yq) AS sxy,
+               SUM(CAST(xq AS HUGEINT)*xq) AS sxx
         FROM q GROUP BY d
     )
     SELECT d, n,
@@ -637,15 +638,20 @@ def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     xq = F.round(F.col("x") * _FM_S, 0).cast("long")
     yq = F.round(F.col("y") * _FM_S, 0).cast("long")
+    xd, yd = F.col("xq").cast("decimal(20,0)"), F.col("yq").cast("decimal(20,0)")
+    # decimal co-moments: a 1300-name day with 1e16-scale product sums
+    # overflows n*sxy in int64 (DuckDB errors, Spark silently wraps —
+    # caught by exercising the oracle at sf0.1 in round 10)
     m = panel.select("d", xq.alias("xq"), yq.alias("yq")).groupBy("d").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("yq").alias("sy"),
-        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ndec = F.col("n").cast("decimal(20,0)")
+    den = ndec * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = ndec * F.col("sxy") - F.col("sx") * F.col("sy")
     beta = num.cast("double") / den.cast("double")
     alpha = (
         (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
@@ -688,8 +694,9 @@ def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM panel WHERE x IS NOT NULL AND y IS NOT NULL
     ), m AS (
         SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
-               CAST(SUM(xq*yq) AS BIGINT) AS sxy, CAST(SUM(xq*xq) AS BIGINT) AS sxx
+               SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+               SUM(CAST(xq AS HUGEINT)*yq) AS sxy,
+               SUM(CAST(xq AS HUGEINT)*xq) AS sxx
         FROM q GROUP BY d
     ), betas AS (
         SELECT d,
@@ -697,8 +704,8 @@ def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m WHERE n*sxx - sx*sx <> 0
     ), agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS t_days,
-               CAST(SUM(bq) AS BIGINT) AS sb,
-               CAST(SUM(bq*bq) AS BIGINT) AS sbb
+               SUM(CAST(bq AS HUGEINT)) AS sb,
+               SUM(CAST(bq AS HUGEINT)*bq) AS sbb
         FROM betas
     )
     SELECT t_days,
@@ -722,28 +729,34 @@ def fama_macbeth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     xq = F.round(F.col("x") * _FM_S, 0).cast("long")
     yq = F.round(F.col("y") * _FM_S, 0).cast("long")
+    xd, yd = F.col("xq").cast("decimal(20,0)"), F.col("yq").cast("decimal(20,0)")
+    # decimal co-moments: a 1300-name day with 1e16-scale product sums
+    # overflows n*sxy in int64 (DuckDB errors, Spark silently wraps —
+    # caught by exercising the oracle at sf0.1 in round 10)
     m = panel.select("d", xq.alias("xq"), yq.alias("yq")).groupBy("d").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xq").alias("sx"),
-        F.sum("yq").alias("sy"),
-        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
-        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ndec = F.col("n").cast("decimal(20,0)")
+    den = ndec * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = ndec * F.col("sxy") - F.col("sx") * F.col("sy")
     betas = m.filter(den != 0).select(
         F.round(num.cast("double") / den.cast("double") * 1_000_000, 0)
         .cast("long")
         .alias("bq")
     )
+    bqd = F.col("bq").cast("decimal(20,0)")
     agg = betas.agg(
         F.count(F.lit(1)).alias("t_days"),
-        F.sum("bq").alias("sb"),
-        F.sum(F.col("bq") * F.col("bq")).alias("sbb"),
+        F.sum(bqd).alias("sb"),
+        F.sum(bqd * bqd).alias("sbb"),
     )
     t_days = F.col("t_days")
     mean_b = F.col("sb").cast("double") / t_days / 1_000_000
-    var_num = t_days * F.col("sbb") - F.col("sb") * F.col("sb")
+    var_num = t_days.cast("decimal(20,0)") * F.col("sbb") - F.col("sb") * F.col("sb")
     se = F.sqrt(var_num.cast("double") / t_days / (t_days - 1) / t_days)
     return agg.select(
         "t_days",
@@ -897,7 +910,8 @@ _VS = 10_000
         FROM bars WHERE volume > 0 AND amount > 0
     ), m AS (
         SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(sq) AS BIGINT) AS ss, CAST(SUM(sq*sq) AS BIGINT) AS sss
+               SUM(CAST(sq AS HUGEINT)) AS ss,
+               SUM(CAST(sq AS HUGEINT)*sq) AS sss
         FROM s GROUP BY d
     )
     SELECT d, n,
@@ -919,12 +933,16 @@ def vwap_slippage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("sq").alias("ss"),
-            F.sum(F.col("sq") * F.col("sq")).alias("sss"),
+            F.sum(F.col("sq").cast("decimal(20,0)")).alias("ss"),
+            F.sum(
+                F.col("sq").cast("decimal(20,0)") * F.col("sq").cast("decimal(20,0)")
+            ).alias("sss"),
         )
     )
     n = F.col("n")
-    var_num = n * F.col("sss") - F.col("ss") * F.col("ss")
+    # decimal accumulation: universe-sized day counts push n*sss past
+    # int64 (same class as the fama_macbeth fix this round)
+    var_num = n.cast("decimal(20,0)") * F.col("sss") - F.col("ss") * F.col("ss")
     return m.select(
         "d",
         "n",
@@ -5982,20 +6000,22 @@ def omega_downside_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(y*{_FM_S},0) AS BIGINT) AS yq
         FROM panel WHERE x IS NOT NULL AND y IS NOT NULL
     ), m AS (
-        SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
-               CAST(SUM(xq*yq) AS BIGINT) AS sxy, CAST(SUM(xq*xq) AS BIGINT) AS sxx
+        SELECT d, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(xq AS HUGEINT)) AS sx, SUM(CAST(yq AS HUGEINT)) AS sy,
+               SUM(CAST(xq AS HUGEINT)*yq) AS sxy,
+               SUM(CAST(xq AS HUGEINT)*xq) AS sxx
         FROM q GROUP BY d
     ), g AS (
         SELECT d,
-               CAST(FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)
-                           /CAST(n*sxx - sx*sx AS DOUBLE))*100000000 + 0.5)
-                    AS BIGINT) AS gq
+               GREATEST(-1000000000000, LEAST(1000000000000,
+                 CAST(FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)
+                             /CAST(n*sxx - sx*sx AS DOUBLE))*100000000 + 0.5)
+                      AS BIGINT))) AS gq
         FROM m WHERE n*sxx - sx*sx <> 0
     ), stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS t, SUM(gq) AS s FROM g
     ), cm AS (
-        SELECT d, t, s, CAST(t*gq - s AS HUGEINT) AS mm FROM g, stats
+        SELECT d, t, s, CAST(t AS HUGEINT)*gq - s AS mm FROM g, stats
     ), lagd AS (
         SELECT t, s, mm,
                LAG(mm, 1) OVER wd AS m1,
@@ -6048,24 +6068,37 @@ def fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     xq = F.round(F.col("x") * _FM_S, 0).cast("long")
     yq = F.round(F.col("y") * _FM_S, 0).cast("long")
+    xd, yd = F.col("xq").cast("decimal(20,0)"), F.col("yq").cast("decimal(20,0)")
     m = (
         panel.select("d", xq.alias("xq"), yq.alias("yq"))
         .groupBy("d")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("xq").alias("sx"),
-            F.sum("yq").alias("sy"),
-            F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
-            F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
         )
     )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    # decimal co-moments: a 1300-name day with 1e16-scale product sums
+    # overflows n*sxy in int64 (DuckDB errors, Spark wraps — caught at
+    # sf0.1; the same fix is applied to fama_macbeth_mom/_summary)
+    ndec = F.col("n").cast("decimal(20,0)")
+    den = ndec * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = ndec * F.col("sxy") - F.col("sx") * F.col("sy")
+    # slope winsor at |beta| <= 1e4 (1e12 on the grid): a degenerate
+    # near-singular day can emit an astronomical slope whose centered
+    # autocovariance product would overflow even 128-bit accumulators
+    # (DuckDB errors, Spark wraps silently — caught at sf0.1); the clamp
+    # sits INSIDE the validity filter (greatest/least ignore NULLs)
+    gq_raw = F.floor(
+        num.cast("double") / den.cast("double") * 100_000_000 + F.lit(0.5)
+    ).cast("long")
     g = m.filter(den != 0).select(
         "d",
-        F.floor(num.cast("double") / den.cast("double") * 100_000_000 + F.lit(0.5))
-        .cast("long")
-        .alias("gq"),
+        F.greatest(
+            F.lit(-1_000_000_000_000), F.least(F.lit(1_000_000_000_000), gq_raw)
+        ).alias("gq"),
     )
     glob = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     # day-grain series: the unpartitioned windows below are calendar-
@@ -6075,9 +6108,11 @@ def fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.count(F.lit(1)).over(glob).alias("t"),
         F.sum("gq").over(glob).alias("s"),
-        (F.count(F.lit(1)).over(glob) * F.col("gq") - F.sum("gq").over(glob))
-        .cast("decimal(20,0)")
-        .alias("mm"),
+        (
+            F.count(F.lit(1)).over(glob).cast("decimal(20,0)")
+            * F.col("gq").cast("decimal(20,0)")
+            - F.sum("gq").over(glob).cast("decimal(20,0)")
+        ).alias("mm"),
     )
     lagd = cm.select(
         "t",
