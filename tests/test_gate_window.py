@@ -61,6 +61,8 @@ NEVER_DRIVER_VERIFIED = [
     "winnowing_fingerprints",
     "embedding_dbscan_core",
     "granger_causality_screen",
+    "omega_downside_panel",
+    "fama_macbeth_nw",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -81,6 +83,8 @@ QUEUED_NEXT_ROUND: list[str] = [
     "winnowing_fingerprints",
     "embedding_dbscan_core",
     "granger_causality_screen",
+    "omega_downside_panel",
+    "fama_macbeth_nw",
 ]
 
 

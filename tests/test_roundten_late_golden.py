@@ -715,3 +715,82 @@ def test_granger_matches_python(spark):
         fba, _ = f_dir(xs, ys)
         want[(ca, cb)] = (n, c, fab, fba)
     assert want and got == want
+
+
+def test_omega_downside_matches_python(spark):
+    got = {
+        r["code"]: (
+            r["n_days"],
+            r["n_up"],
+            r["n_down"],
+            r["omega"],
+            r["downside_dev_ann"],
+        )
+        for r in QUERIES["omega_downside_panel"](spark, SF).collect()
+    }
+    want = {}
+    for code, rq in _rq_series(spark, 10_000).items():
+        n = len(rq)
+        if n < 10:
+            continue
+        gains = sum(r for r in rq if r > 0)
+        losses = sum(-r for r in rq if r < 0)
+        d2 = sum(r * r for r in rq if r < 0)
+        want[code] = (
+            n,
+            sum(1 for r in rq if r > 0),
+            sum(1 for r in rq if r < 0),
+            _round6(gains / losses) if losses > 0 else None,
+            _round6(math.sqrt(d2 / n) / 10_000 * math.sqrt(252)),
+        )
+    assert want and got == want
+
+
+def test_fama_macbeth_nw_matches_python(spark):
+    rows = QUERIES["fama_macbeth_nw"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    got = (r["n_days"], r["mean_premium"], r["t_iid"], r["t_nw3"], r["slope_acf1"])
+    bars = daily_bars(spark, SF).toPandas()
+    panel = defaultdict(list)
+    for code, grp in bars.sort_values("d").groupby("code"):
+        closes, days = list(grp["close"]), list(grp["d"])
+        for t in range(len(closes)):
+            if t >= 5 and t + 1 < len(closes):
+                x = closes[t] / closes[t - 5] - 1
+                y = closes[t + 1] / closes[t] - 1
+                q = lambda v: int(math.floor(abs(v * 10_000) + 0.5)) * (
+                    1 if v >= 0 else -1
+                )
+                panel[days[t]].append((q(x), q(y)))
+    gq = {}
+    for d, xy in panel.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        raw = math.floor((n * sxy - sx * sy) / den * 1e8 + 0.5)
+        gq[d] = max(-10**12, min(10**12, raw))
+    days = sorted(gq)
+    g = [gq[d] for d in days]
+    t = len(g)
+    s = sum(g)
+    mm = [t * v - s for v in g]
+    c0 = sum(v * v for v in mm)
+    c = [sum(mm[i] * mm[i - l] for i in range(l, t)) for l in (1, 2, 3)]
+    mean = s / t / 1e8
+    se_iid = math.sqrt(c0 / t / t / (t - 1) / t / 1e16)
+    nw = c0 + 2 * (0.75 * c[0] + 0.5 * c[1] + 0.25 * c[2])
+    se_nw = math.sqrt(nw / t / t / t / t / 1e16)
+    want = (
+        t,
+        _round6(mean),
+        _round6(mean / se_iid) if (t > 3 and c0 > 0) else None,
+        _round6(mean / se_nw) if (t > 3 and nw > 0) else None,
+        _round6(c[0] / c0) if c0 > 0 else None,
+    )
+    assert got == want
