@@ -6820,3 +6820,83 @@ def _dbscan_classify(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
             "mean_neighbors"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter-cascade attrition report (new r10): the curation-funnel view
+# every large-scale corpus build ships (C4's rule list, FineWeb's
+# per-filter attrition tables) — documents flow through an ORDERED rule
+# cascade and each is attributed to its FIRST failing rule, so the
+# report answers "which rule costs how much of which source" instead of
+# corpus_curation's single keep/drop verdict. Rules (in order):
+# too_short (n_tokens < 20), non_english (stopword_ratio < 0.02),
+# low_quality (quality_score < 0.35), else pass.
+#
+# Determinism: n_tokens is integer; stopword_ratio and quality_score
+# are the shared with_text_features expressions (exact ratios of
+# integers — identical doubles), thresholds are exact binary/decimal
+# literals compared identically; shares are integer-count ratios and
+# the mean quality is a fixed-point sum.
+#
+# Scale shape: one scan computing features (no shuffle), one
+# (source, rule) aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_cascade_report",
+    oracle=f"""
+    WITH docs_n AS (
+        SELECT doc_id, source,
+               lower(trim(regexp_replace(text, ' +', ' '))) AS t
+        FROM documents
+    ), words AS (
+        SELECT doc_id, source, t, string_split(t, ' ') AS w FROM docs_n
+    ), f AS (
+        SELECT doc_id, source,
+               {o_text_features()['n_tokens']} AS n_tokens,
+               {o_text_features()['stopword_ratio']} AS stopword_ratio,
+               {o_text_features()['quality_score']} AS quality_score
+        FROM words
+    ), ruled AS (
+        SELECT source, quality_score,
+               CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN stopword_ratio < 0.02 THEN 'non_english'
+                    WHEN quality_score < 0.35 THEN 'low_quality'
+                    ELSE 'pass' END AS rule
+        FROM f
+    ), totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS total FROM ruled GROUP BY source
+    )
+    SELECT r.source, r.rule,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR((CAST(COUNT(*) AS DOUBLE)/MAX(t.total))*1000000 + 0.5)/1000000.0
+               AS share,
+           FLOOR((SUM(CAST(ROUND(r.quality_score*1000000,0) AS BIGINT))
+                  /1000000.0/COUNT(*))*1000000 + 0.5)/1000000.0 AS mean_quality
+    FROM ruled r JOIN totals t USING (source)
+    GROUP BY r.source, r.rule
+    """,
+)
+def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_text_features(load_table(spark, sf_dir, "documents"))
+    rule = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("stopword_ratio") < 0.02, "non_english")
+        .when(F.col("quality_score") < 0.35, "low_quality")
+        .otherwise("pass")
+    )
+    ruled = docs.select("source", "quality_score", rule.alias("rule"))
+    totals = ruled.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    qq = F.round(F.col("quality_score") * 1_000_000, 0).cast("long")
+    return (
+        ruled.join(totals, "source")
+        .groupBy("source", "rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round6(F.count(F.lit(1)).cast("double") / F.max("total")).alias(
+                "share"
+            ),
+            round6(F.sum(qq) / 1_000_000.0 / F.count(F.lit(1))).alias(
+                "mean_quality"
+            ),
+        )
+    )
