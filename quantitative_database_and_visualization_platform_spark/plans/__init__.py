@@ -124,15 +124,16 @@ GATE_FIRST: list[str] = [
 # decontamination_ngram, asof_join_latest_order, market_index_history,
 # backtest_decile_longshort, stratified_sample_balanced, text_tfidf_topk,
 # repetition_quality, rolling_beta_market, dedup_minhash_lsh,
-# embedding_ann_ivf, dedup_simhash, ...) plus the SIXTEEN queries ADDED
+# embedding_ann_ivf, dedup_simhash, ...) plus the SEVENTEEN queries ADDED
 # in round 10 after this window was pinned — these must take the first
 # slots: boilerplate_segment_ratio, ewma_vol_riskmetrics,
 # corwin_schultz_spread, cointegration_screen, ulcer_index_martin,
 # vpin_flow_toxicity, ljung_box_q, pq_quantization_audit,
 # arch_effect_q, tracking_error_ir, inverse_vol_portfolio,
 # winnowing_fingerprints, embedding_dbscan_core,
-# granger_causality_screen, omega_downside_panel, fama_macbeth_nw (each
-# python-golden + oracle-verified at sf0.001/0.01/0.1 in-round). tests/test_gate_window.py's
+# granger_causality_screen, omega_downside_panel, fama_macbeth_nw,
+# filter_cascade_report (each python-golden + oracle-verified at
+# sf0.001/0.01/0.1 in-round). tests/test_gate_window.py's
 # NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND lists make the queue
 # executable, not prose.
 

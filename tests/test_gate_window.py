@@ -63,6 +63,7 @@ NEVER_DRIVER_VERIFIED = [
     "granger_causality_screen",
     "omega_downside_panel",
     "fama_macbeth_nw",
+    "filter_cascade_report",
 ]
 
 # round-11 spill: queries ADDED in round 10 after the 50-slot window
@@ -85,6 +86,7 @@ QUEUED_NEXT_ROUND: list[str] = [
     "granger_causality_screen",
     "omega_downside_panel",
     "fama_macbeth_nw",
+    "filter_cascade_report",
 ]
 
 

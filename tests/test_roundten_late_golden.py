@@ -794,3 +794,41 @@ def test_fama_macbeth_nw_matches_python(spark):
         _round6(c[0] / c0) if c0 > 0 else None,
     )
     assert got == want
+
+
+def test_filter_cascade_matches_python(spark):
+    got = {
+        (r["source"], r["rule"]): (r["n_docs"], r["share"], r["mean_quality"])
+        for r in QUERIES["filter_cascade_report"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents").toPandas()
+    stop = {"the", "a", "of", "to", "and", "is", "in"}
+    rows = []
+    for r in docs.itertuples():
+        t = re.sub(" +", " ", r.text).strip().lower()
+        w = t.split(" ")
+        n = len(w)
+        sr = sum(1 for x in w if x in stop) / n
+        q = 0.6 * min(n / 100.0, 1.0) + 0.4 * min(sr * 10, 1.0)
+        rule = (
+            "too_short"
+            if n < 20
+            else "non_english"
+            if sr < 0.02
+            else "low_quality"
+            if q < 0.35
+            else "pass"
+        )
+        rows.append((r.source, rule, q))
+    totals = defaultdict(int)
+    for src, _, _ in rows:
+        totals[src] += 1
+    acc = defaultdict(lambda: [0, 0])
+    for src, rule, q in rows:
+        acc[(src, rule)][0] += 1
+        acc[(src, rule)][1] += int(round(q * 1_000_000))
+    want = {
+        k: (n, _round6(n / totals[k[0]]), _round6(s / 1_000_000.0 / n))
+        for k, (n, s) in acc.items()
+    }
+    assert want and got == want
