@@ -353,8 +353,21 @@ def global_ntile(
         num_ranges, *[F.col(c) for c in gkeys], *order_exprs
     )
     # spark_partition_id is non-deterministic-tagged, so Catalyst cannot
-    # push it past the range exchange: it names the range slice itself
-    withpid = ranged.withColumn("__gnt_pid", F.spark_partition_id())
+    # push it past the range exchange: it names the range slice itself.
+    # PERSISTED: the per-slice counts and the per-slice row_numbers are
+    # two consumers of this relation, and the range boundaries come from
+    # runtime SAMPLING — if the exchange is not reused between the two
+    # subtrees (observed at sf0.1 under a chained/complex input where
+    # AQE planned them separately), each branch samples its own
+    # boundaries and the offsets no longer align with the local ranks,
+    # silently skewing every bucket (caught by the r10 full-suite sf0.1
+    # oracle sweep: rfm_customer_scores buckets off by one for ~900
+    # rows). Persisting pins ONE materialized partitioning for both.
+    from ..session import managed_persist
+
+    withpid = managed_persist(
+        ranged.withColumn("__gnt_pid", F.spark_partition_id())
+    )
     counts = withpid.groupBy("__gnt_pid", *gkeys).agg(
         F.count(F.lit(1)).alias("__gnt_cnt")
     )
