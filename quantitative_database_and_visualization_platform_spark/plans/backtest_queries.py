@@ -4287,7 +4287,12 @@ def _o_huge_to_double(x: str) -> str:
                CAST(FLOOR((close / LAG(close) OVER (PARTITION BY code ORDER BY d)
                            - 1) * {_RS} + 0.5) AS BIGINT) AS rq
         FROM bars
-        QUALIFY LAG(close) OVER (PARTITION BY code ORDER BY d) IS NOT NULL
+        -- qualify on rq, not on LAG(close): a mid-series ZERO close makes
+        -- the next return undefined (NULL rq) while its lag is non-null —
+        -- keeping that row shifts every later window's membership vs the
+        -- Spark side's rq-filtered index (caught by the r10 sf0.1 sweep:
+        -- one code with close = 0 diverged on all R/S columns)
+        QUALIFY rq IS NOT NULL
     ), r2 AS (
         SELECT code, d, rq,
                ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) - 1 AS i
