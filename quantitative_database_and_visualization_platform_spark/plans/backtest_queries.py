@@ -3359,11 +3359,23 @@ def sector_breadth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {O_BARS},
     t AS (
+        -- positivity guards on every ln argument: a zero low/open/close
+        -- makes Spark's log silently NULL while DuckDB raises "cannot
+        -- take logarithm of zero" (caught by the r10 sf0.1 sweep) —
+        -- the guard makes the NULL explicit and identical on both sides
         SELECT code,
-               CAST(ROUND(ln(high / low) * 10000, 0) AS BIGINT) AS x,
-               CAST(ROUND(ln(close / open) * 10000, 0) AS BIGINT) AS y,
-               CAST(ROUND(ln(close / LAG(close) OVER (PARTITION BY code ORDER BY d))
-                          * 10000, 0) AS BIGINT) AS z
+               CASE WHEN low > 0 AND high > 0
+                    THEN CAST(ROUND(ln(high / low) * 10000, 0) AS BIGINT)
+               END AS x,
+               CASE WHEN open > 0 AND close > 0
+                    THEN CAST(ROUND(ln(close / open) * 10000, 0) AS BIGINT)
+               END AS y,
+               CASE WHEN close > 0
+                     AND LAG(close) OVER (PARTITION BY code ORDER BY d) > 0
+                    THEN CAST(ROUND(ln(close / LAG(close) OVER
+                              (PARTITION BY code ORDER BY d)) * 10000, 0)
+                         AS BIGINT)
+               END AS z
         FROM bars
     ), m AS (
         SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
@@ -3387,17 +3399,22 @@ def sector_breadth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = daily_bars(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
+    prev = F.lag("close").over(w)
+    # positivity guards mirror the oracle (see its t CTE comment)
     t = bars.select(
         "code",
-        F.round(F.log(F.col("high") / F.col("low")) * 10_000, 0)
-        .cast("long")
-        .alias("x"),
-        F.round(F.log(F.col("close") / F.col("open")) * 10_000, 0)
-        .cast("long")
-        .alias("y"),
-        F.round(F.log(F.col("close") / F.lag("close").over(w)) * 10_000, 0)
-        .cast("long")
-        .alias("z"),
+        F.when(
+            (F.col("low") > 0) & (F.col("high") > 0),
+            F.round(F.log(F.col("high") / F.col("low")) * 10_000, 0).cast("long"),
+        ).alias("x"),
+        F.when(
+            (F.col("open") > 0) & (F.col("close") > 0),
+            F.round(F.log(F.col("close") / F.col("open")) * 10_000, 0).cast("long"),
+        ).alias("y"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.round(F.log(F.col("close") / prev) * 10_000, 0).cast("long"),
+        ).alias("z"),
     )
     m = t.groupBy("code").agg(
         F.count(F.lit(1)).alias("n"),
@@ -3585,9 +3602,15 @@ def seasonal_dow_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {O_BARS},
     t AS (
+        -- positivity guard: Spark's log NULLs on a zero close, DuckDB
+        -- raises (r10 sf0.1 sweep find — same class as ohlc_vol)
         SELECT code, d,
-               CAST(ROUND(ln(close / LAG(close) OVER (PARTITION BY code ORDER BY d))
-                          * 10000, 0) AS BIGINT) AS z
+               CASE WHEN close > 0
+                     AND LAG(close) OVER (PARTITION BY code ORDER BY d) > 0
+                    THEN CAST(ROUND(ln(close / LAG(close) OVER
+                              (PARTITION BY code ORDER BY d)) * 10000, 0)
+                         AS BIGINT)
+               END AS z
         FROM bars
     ), z5 AS (
         SELECT code, d, z,
@@ -3619,12 +3642,14 @@ def seasonal_dow_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = daily_bars(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
+    prev = F.lag("close").over(w)
     t = bars.select(
         "code",
         "d",
-        F.round(F.log(F.col("close") / F.lag("close").over(w)) * 10_000, 0)
-        .cast("long")
-        .alias("z"),
+        F.when(
+            (F.col("close") > 0) & (prev > 0),
+            F.round(F.log(F.col("close") / prev) * 10_000, 0).cast("long"),
+        ).alias("z"),
     ).filter(F.col("z").isNotNull())
     w5 = w.rowsBetween(-4, 0)
     z5 = t.select(
