@@ -5188,7 +5188,7 @@ def ulcer_index_martin(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(k AS BIGINT)) OVER (PARTITION BY code) AS total
         FROM sgn WHERE s IS NOT NULL
     ), bucketed AS (
-        SELECT code, total, (cum - 1) // ((total + 19) // 20) AS bucket,
+        SELECT code, total, GREATEST(cum - 1, 0) // ((total + 19) // 20) AS bucket,
                s * CAST(k AS BIGINT) AS sv, CAST(k AS BIGINT) AS v
         FROM signed WHERE total > 0
     ), per_bucket AS (
@@ -5236,10 +5236,13 @@ def vpin_flow_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k").cast("long")).over(wc).alias("cum"),
         F.sum(F.col("k").cast("long")).over(Window.partitionBy("code")).alias("total"),
     )
-    # integer floor-div: Spark has no // operator — use SQL DIV via expr
+    # integer floor-div: Spark has no // operator — use SQL DIV via expr.
+    # GREATEST(cum-1, 0): a leading k=0 row gives cum=0, where truncating
+    # (Spark DIV / DuckDB //) and flooring (Python //) division disagree
+    # on the negative operand — clamping to 0 makes all three agree
     bucketed = signed.filter(F.col("total") > 0).select(
         "code",
-        F.expr("(cum - 1) DIV ((total + 19) DIV 20)").alias("bucket"),
+        F.expr("GREATEST(cum - 1, 0) DIV ((total + 19) DIV 20)").alias("bucket"),
         (F.col("s") * F.col("k").cast("long")).alias("sv"),
         F.col("k").cast("long").alias("v"),
     )
@@ -6037,10 +6040,10 @@ def omega_downside_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q GROUP BY d
     ), g AS (
         SELECT d,
-               GREATEST(-1000000000000, LEAST(1000000000000,
-                 CAST(FLOOR((CAST(n*sxy - sx*sy AS DOUBLE)
-                             /CAST(n*sxx - sx*sx AS DOUBLE))*100000000 + 0.5)
-                      AS BIGINT))) AS gq
+               CAST(FLOOR(GREATEST(-1000000000000.0, LEAST(1000000000000.0,
+                 (CAST(n*sxy - sx*sy AS DOUBLE)
+                  /CAST(n*sxx - sx*sx AS DOUBLE))*100000000)) + 0.5)
+                    AS BIGINT) AS gq
         FROM m WHERE n*sxx - sx*sx <> 0
     ), stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS t, SUM(gq) AS s FROM g

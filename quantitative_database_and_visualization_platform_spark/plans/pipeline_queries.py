@@ -232,6 +232,20 @@ def _n_docs(spark: SparkSession, sf_dir: str) -> int:
     return n
 
 
+def _n_vecs(spark: SparkSession, sf_dir: str) -> int:
+    """Exact embeddings count, memoized like :func:`_n_docs` — one
+    parquet-metadata count job per (session, sf_dir). Used for the
+    size-aware join-strategy choice in the embedding family and for
+    `planes_for_corpus` index sizing (an index-build parameter: at
+    100 TB this is one metadata read, not a scan)."""
+    key = (context_key(spark), sf_dir, "embeddings")
+    n = _NDOCS_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _NDOCS_CACHE[key] = n
+    return n
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (context_key(spark), sf_dir)
     df = _PAIR_CACHE.get(key)
@@ -6750,10 +6764,12 @@ def embedding_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return _dbscan_classify(emb)
+    return _dbscan_classify(emb, big=_n_vecs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS)
 
 
-def _dbscan_classify(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
+def _dbscan_classify(
+    emb: DataFrame, n_planes: int | None = None, big: bool = False
+) -> DataFrame:
     """Core/border/noise classification. The GATED query uses the fixed
     N_PLANES bucket key so the static oracle can re-derive it; production
     (and the SCALING sweep) passes planes_for_corpus(n) so the expected
@@ -6786,6 +6802,13 @@ def _dbscan_classify(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     ncnt = nbr.groupBy(F.col("x").alias("vec_id")).agg(
         F.count(F.lit(1)).alias("n_nbrs")
     )
+    if big:
+        # corpus-sized post-aggregate relations (ncnt, the distinct
+        # border set, the core-id filter): Catalyst cannot size them
+        # (estimate-blind past the aggregate) and must never broadcast
+        # them — the same BROADCAST_SAFE_DOCS-gated shuffle_hash pin the
+        # rest of the dedup/embedding family applies
+        ncnt = ncnt.hint("shuffle_hash")
     flags = managed_persist(
         emb.select("vec_id", "label")
         .join(ncnt, "vec_id", "left")
@@ -6801,12 +6824,16 @@ def _dbscan_classify(emb: DataFrame, n_planes: int | None = None) -> DataFrame:
     core_ids = flags.filter(F.col("is_core") == 1).select(
         F.col("vec_id").alias("y")
     )
+    if big:
+        core_ids = core_ids.hint("shuffle_hash")
     border = (
         nbr.join(core_ids, "y")
         .select(F.col("x").alias("vec_id"))
         .distinct()
         .withColumn("is_border_side", F.lit(1))
     )
+    if big:
+        border = border.hint("shuffle_hash")
     j = flags.join(border, "vec_id", "left")
     return j.groupBy("label").agg(
         F.count_if(F.col("is_core") == 1).alias("n_core"),

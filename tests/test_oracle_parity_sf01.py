@@ -24,7 +24,7 @@ import os
 
 import pytest
 
-from quantitative_database_and_visualization_platform_spark.plans import ORACLES, QUERIES
+from quantitative_database_and_visualization_platform_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.1"
 
@@ -58,4 +58,4 @@ def test_sf01_parity(spark, name):
 
     problems = check_query(spark, SF, name)
     assert not problems, problems
-    assert name in ORACLES or True  # rows-only queries already checked
+    assert name in QUERIES

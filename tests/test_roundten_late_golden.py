@@ -169,7 +169,7 @@ def test_vpin_matches_python(spark):
         cum = 0
         for s, k in signed:
             cum += k
-            b = (cum - 1) // bsz
+            b = max(cum - 1, 0) // bsz
             buckets[b][0] += s * k
             buckets[b][1] += k
         imb = sum(abs(sv) for sv, _ in buckets.values())
