@@ -45,12 +45,46 @@ def planes_for_corpus(n_vectors: int, target_bucket: int = 256) -> int:
     n/2^planes grows linearly with the corpus and bucketed self-joins
     degrade toward all-pairs; log-scaled planes keep Σ bucket² ≈
     n·target — linear. At 100 TB (~1e10 vectors, target 256) this is 26
-    planes — still a cheap 26-bit key."""
-    import math
+    planes — still a cheap 26-bit key.
 
+    Computed float-free as bit_length((n-1) // target) — identical to
+    ceil(log2(n/target)) clamped at >= 1 for every n (2^(p-1)·t < n <=
+    2^p·t ⟺ (n-1)//t ∈ [2^(p-1), 2^p−1] ⟺ bit_length p), so the DuckDB
+    oracle twin (`o_planes_cte`: length(bin(...)) over the same integer)
+    re-derives the same count with no libm-boundary risk."""
     if n_vectors <= 0 or target_bucket <= 0:
         raise ValueError("n_vectors and target_bucket must be positive")
-    return max(1, math.ceil(math.log2(max(2.0, n_vectors / target_bucket))))
+    return max(1, ((n_vectors - 1) // target_bucket).bit_length())
+
+
+def o_planes_cte(src: str = "embeddings", target_bucket: int = 256) -> str:
+    """DuckDB CTE re-deriving planes_for_corpus(COUNT(*)) from the data
+    itself: `np(p)` — bin() is the exact-integer bit_length twin."""
+    return (
+        f"np AS (SELECT GREATEST(1, length(bin((COUNT(*) - 1) // {target_bucket})))"
+        f" AS p FROM {src})"
+    )
+
+
+def o_srp_bucket_dyn(vec: str, np_ref: str = "(SELECT p FROM np)", dims: int = DIMS) -> str:
+    """DuckDB SRP bucket with a RUNTIME plane count (`np_ref`, e.g. the
+    o_planes_cte scalar): the same md5-Rademacher planes as
+    o_srp_bucket, built with a nested list_transform lambda instead of
+    Python-side unrolling — the oracle twin for corpus-sized plane
+    counts the static generator cannot know at registration time."""
+    sign = (
+        f"CASE WHEN substring(md5('p' || CAST(q AS VARCHAR) || '_' ||"
+        f" CAST(i - 1 AS VARCHAR)), 1, 1) >= '8'"
+        f" THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {dims + 1}),"
+        f" i -> CAST({vec}[i] AS DOUBLE) * ({sign})))"
+    )
+    return (
+        f"array_to_string(list_transform(range(0, {np_ref}),"
+        f" q -> CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END), '')"
+    )
 
 
 def cosine(a: str, b: str) -> Column:

@@ -1939,6 +1939,152 @@ def top_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pair-domain blocking (new r11): the registered production form of the
+# universe²-bounded candidate scan that top_correlated_pairs /
+# cointegration_screen / granger_causality_screen document as "blocked
+# by sector at 100 TB". The block key is code % n_blocks with the block
+# COUNT sized from the universe (`_pair_blocks`: ~_PAIR_BLOCK_TARGET
+# names per block), so per-block pair mass is constant and the candidate
+# scan is universe-LINEAR — the measured 10× replica numbers: pair
+# domain 112M → 3.25M, candidate wall ~90 s → 7.9 s (SCALING.md). A
+# fixed block COUNT would be the fixed-cardinality blocking-key defect
+# (per-block population ∝ universe ⇒ quadratic pair mass — the
+# dedup_simhash_wide / planes_for_corpus story); sizing the count from
+# the universe is what makes it the production path. "Candidate pair"
+# formally means same-block AND a.code < b.code — the block restriction
+# is part of the operator definition both engines share, exactly like
+# the SRP-bucket neighborhoods in embedding_dbscan_core.
+#
+# The universe count is one driver-side metadata-cheap aggregate per
+# (session, sf_dir), memoized — an index-build parameter, same class as
+# the dedup family's _n_docs.
+# ---------------------------------------------------------------------------
+_PAIR_BLOCK_TARGET = 32  # names per block; block count = ceil(universe/32)
+
+_NCODES_CACHE: dict[tuple, int] = {}
+
+
+def _n_codes(spark: SparkSession, sf_dir: str) -> int:
+    from ..session import context_key
+    from ..sources.catalog import load_table
+
+    key = (context_key(spark), sf_dir)
+    n = _NCODES_CACHE.get(key)
+    if n is None:
+        n = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+        _NCODES_CACHE[key] = n
+    return n
+
+
+def _pair_blocks(spark: SparkSession, sf_dir: str) -> int:
+    """Block count for the pair-domain candidate scan: exact-integer
+    ceil(universe / _PAIR_BLOCK_TARGET), min 1 — the oracle's nblk CTE
+    re-derives the identical integer."""
+    n = _n_codes(spark, sf_dir)
+    return max(1, (n + _PAIR_BLOCK_TARGET - 1) // _PAIR_BLOCK_TARGET)
+
+
+_O_NBLK = f"""nblk AS (
+        SELECT GREATEST(1, (COUNT(DISTINCT user_id) + {_PAIR_BLOCK_TARGET - 1})
+                           // {_PAIR_BLOCK_TARGET}) AS nb
+        FROM events
+    )"""
+
+
+def _o_cand(blocked: bool, limit: int, with_days: bool = True) -> str:
+    """The candidate CTE shared by the pair-screen family. `blocked`
+    adds the block-key equi-predicate (requires _O_NBLK in scope)."""
+    blk = (
+        " AND a.code % (SELECT nb FROM nblk) = b.code % (SELECT nb FROM nblk)"
+        if blocked
+        else ""
+    )
+    days = "CAST(COUNT(*) AS BIGINT) AS n_days,\n               " if with_days else ""
+    return f"""cand AS (
+        SELECT a.code AS ca, b.code AS cb,
+               {days}FLOOR(corr(a.ret, b.ret) * 1000000 + 0.5)/1000000.0 AS c
+        FROM rets a JOIN rets b ON a.d = b.d AND a.code < b.code{blk}
+        GROUP BY a.code, b.code
+        HAVING COUNT(*) >= 20 AND corr(a.ret, b.ret) IS NOT NULL
+        ORDER BY c DESC, ca, cb LIMIT {limit}
+    )"""
+
+
+def _cand_pairs(
+    rets: DataFrame, n_blocks: int | None, limit: int, with_days: bool = True
+) -> DataFrame:
+    """Spark twin of _o_cand: top-`limit` return-correlated pairs, with
+    the candidate domain restricted to code-hash blocks when `n_blocks`
+    is given (the block key joins as an extra hash-join key, so the
+    shuffle co-locates (d, blk) and the fan-out is Σ block² per day, not
+    universe²)."""
+    a_cols = [F.col("code").alias("ca"), F.col("d").alias("d"), F.col("ret").alias("ret_a")]
+    b_cols = [
+        F.col("code").alias("cb"),
+        F.col("d").alias("d_b"),
+        F.col("ret").alias("ret_b"),
+    ]
+    if n_blocks is not None:
+        a_cols.append((F.col("code") % n_blocks).alias("blk"))
+        b_cols.append((F.col("code") % n_blocks).alias("blk_b"))
+    a = rets.select(*a_cols)
+    b = rets.select(*b_cols)
+    cond = (F.col("d") == F.col("d_b")) & (F.col("ca") < F.col("cb"))
+    if n_blocks is not None:
+        cond = cond & (F.col("blk") == F.col("blk_b"))
+    cand = (
+        a.join(b, cond)
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_days"), F.corr("ret_a", "ret_b").alias("__c"))
+        .filter((F.col("n_days") >= 20) & F.col("__c").isNotNull())
+    )
+    sel = ["ca", "cb"]
+    if with_days:
+        sel.append("n_days")
+    return (
+        cand.select(*sel, round6(F.col("__c")).alias("c"))
+        .orderBy(F.col("c").desc(), "ca", "cb")
+        .limit(limit)
+    )
+
+
+@query(
+    "top_correlated_pairs_blocked",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
+        FROM bars QUALIFY ret IS NOT NULL
+    ),
+    {_O_NBLK},
+    {_o_cand(blocked=True, limit=15)}
+    SELECT ca AS code_a, cb AS code_b, n_days, c AS correlation
+    FROM cand
+    """,
+)
+def top_correlated_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked production twin of top_correlated_pairs — see the
+    pair-domain blocking block comment above."""
+    from ..session import managed_persist
+
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rets = managed_persist(
+        bars.select(
+            "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+        ).filter(F.col("ret").isNotNull())
+    )
+    cand = _cand_pairs(rets, _pair_blocks(spark, sf_dir), limit=15)
+    return cand.select(
+        F.col("ca").alias("code_a"),
+        F.col("cb").alias("code_b"),
+        "n_days",
+        F.col("c").alias("correlation"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Robust (median/MAD) volume outliers (new r6): the heavy-tail-safe
 # complement to volume_anomaly_days — per code, the volume median, the
 # median absolute deviation, and the count of days whose robust z-score
@@ -4808,24 +4954,16 @@ def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
 # factor model at 100 TB); everything after is keyed by the 20-row pair
 # list — broadcast onto the levels panel, two partitionBy(pair) passes.
 # ---------------------------------------------------------------------------
-@query(
-    "cointegration_screen",
-    oracle=f"""
+def _o_coint(blocked: bool) -> str:
+    nblk = f"{_O_NBLK},\n    " if blocked else ""
+    return f"""
     WITH {O_BARS},
     rets AS (
         SELECT code, d,
                close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
         FROM bars QUALIFY ret IS NOT NULL
     ),
-    cand AS (
-        SELECT a.code AS ca, b.code AS cb,
-               CAST(COUNT(*) AS BIGINT) AS n_days,
-               FLOOR(corr(a.ret, b.ret) * 1000000 + 0.5)/1000000.0 AS c
-        FROM rets a JOIN rets b ON a.d = b.d AND a.code < b.code
-        GROUP BY a.code, b.code
-        HAVING COUNT(*) >= 20 AND corr(a.ret, b.ret) IS NOT NULL
-        ORDER BY c DESC, ca, cb LIMIT 20
-    ),
+    {nblk}{_o_cand(blocked, limit=20)},
     lev AS (
         SELECT code, d, CAST(ROUND(ln(close)*1000000,0) AS BIGINT) AS lq
         FROM bars WHERE close > 0
@@ -4895,9 +5033,28 @@ def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN FLOOR((-ln(2)/ln(1+a.rho))*1000000 + 0.5)/1000000.0
            END AS halflife_days
     FROM fit2 f LEFT JOIN adf a ON f.ca = a.ca AND f.cb = a.cb
-    """,
-)
+    """
+
+
+@query("cointegration_screen", oracle=_o_coint(blocked=False))
 def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _coint_impl(spark, sf_dir, n_blocks=None)
+
+
+@query("cointegration_screen_blocked", oracle=_o_coint(blocked=True))
+def cointegration_screen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked production twin (new r11): identical Engle-Granger
+    formula, candidate domain restricted to universe-sized code blocks —
+    see the pair-domain blocking block comment at
+    top_correlated_pairs_blocked (10× replica: pair domain 112M → 3.25M,
+    candidate wall ~90 s → 7.9 s; universe-linear with block count ∝
+    universe)."""
+    return _coint_impl(spark, sf_dir, n_blocks=_pair_blocks(spark, sf_dir))
+
+
+def _coint_impl(
+    spark: SparkSession, sf_dir: str, n_blocks: int | None
+) -> DataFrame:
     from ..session import managed_persist
 
     bars = managed_persist(daily_bars(spark, sf_dir))
@@ -4905,19 +5062,7 @@ def cointegration_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = bars.select(
         "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
     ).filter(F.col("ret").isNotNull())
-    a = rets.select(F.col("code").alias("ca"), "d", F.col("ret").alias("ret_a"))
-    b = rets.select(
-        F.col("code").alias("cb"), F.col("d").alias("d_b"), F.col("ret").alias("ret_b")
-    )
-    cand = (
-        a.join(b, (F.col("d") == F.col("d_b")) & (F.col("ca") < F.col("cb")))
-        .groupBy("ca", "cb")
-        .agg(F.count(F.lit(1)).alias("n_days"), F.corr("ret_a", "ret_b").alias("__c"))
-        .filter((F.col("n_days") >= 20) & F.col("__c").isNotNull())
-        .select("ca", "cb", "n_days", round6(F.col("__c")).alias("c"))
-        .orderBy(F.col("c").desc(), "ca", "cb")
-        .limit(20)
-    )
+    cand = _cand_pairs(rets, n_blocks, limit=20)
     lev = bars.filter(F.col("close") > 0).select(
         "code", "d", F.round(F.log("close") * 1_000_000, 0).cast("long").alias("lq")
     )
@@ -5709,23 +5854,16 @@ def inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast 20-row pair list — one ordered pass per (pair, dir), one
 # aggregate, one 2-row pivot per pair.
 # ---------------------------------------------------------------------------
-@query(
-    "granger_causality_screen",
-    oracle=f"""
+def _o_granger(blocked: bool) -> str:
+    nblk = f"{_O_NBLK},\n    " if blocked else ""
+    return f"""
     WITH {O_BARS},
     rets AS (
         SELECT code, d,
                close / LAG(close) OVER (PARTITION BY code ORDER BY d) - 1 AS ret
         FROM bars QUALIFY ret IS NOT NULL
     ),
-    cand AS (
-        SELECT a.code AS ca, b.code AS cb,
-               FLOOR(corr(a.ret, b.ret) * 1000000 + 0.5)/1000000.0 AS c
-        FROM rets a JOIN rets b ON a.d = b.d AND a.code < b.code
-        GROUP BY a.code, b.code
-        HAVING COUNT(*) >= 20 AND corr(a.ret, b.ret) IS NOT NULL
-        ORDER BY c DESC, ca, cb LIMIT 20
-    ),
+    {nblk}{_o_cand(blocked, limit=20, with_days=False)},
     rq AS (
         SELECT code, d, CAST(ROUND(ret*{_FM_S},0) AS BIGINT) AS q FROM rets
     ),
@@ -5806,9 +5944,26 @@ def inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
            FLOOR(MAX(CASE WHEN dir = 'ba' THEN f END)*1000000 + 0.5)/1000000.0
                AS f_b_causes_a
     FROM fstat GROUP BY ca, cb
-    """,
-)
+    """
+
+
+@query("granger_causality_screen", oracle=_o_granger(blocked=False))
 def granger_causality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _granger_impl(spark, sf_dir, n_blocks=None)
+
+
+@query("granger_causality_screen_blocked", oracle=_o_granger(blocked=True))
+def granger_causality_screen_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked production twin (new r11): identical lag-1 bivariate
+    Granger F formula, candidate domain restricted to universe-sized
+    code blocks — see the pair-domain blocking block comment at
+    top_correlated_pairs_blocked."""
+    return _granger_impl(spark, sf_dir, n_blocks=_pair_blocks(spark, sf_dir))
+
+
+def _granger_impl(
+    spark: SparkSession, sf_dir: str, n_blocks: int | None
+) -> DataFrame:
     from ..session import managed_persist
 
     bars = managed_persist(daily_bars(spark, sf_dir))
@@ -5818,19 +5973,7 @@ def granger_causality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
         ).filter(F.col("ret").isNotNull())
     )
-    a = rets.select(F.col("code").alias("ca"), "d", F.col("ret").alias("ret_a"))
-    b = rets.select(
-        F.col("code").alias("cb"), F.col("d").alias("d_b"), F.col("ret").alias("ret_b")
-    )
-    cand = (
-        a.join(b, (F.col("d") == F.col("d_b")) & (F.col("ca") < F.col("cb")))
-        .groupBy("ca", "cb")
-        .agg(F.count(F.lit(1)).alias("n_days"), F.corr("ret_a", "ret_b").alias("__c"))
-        .filter((F.col("n_days") >= 20) & F.col("__c").isNotNull())
-        .select("ca", "cb", round6(F.col("__c")).alias("c"))
-        .orderBy(F.col("c").desc(), "ca", "cb")
-        .limit(20)
-    )
+    cand = _cand_pairs(rets, n_blocks, limit=20, with_days=False)
     rqc = F.round(F.col("ret") * _FM_S, 0).cast("long")
     rq = rets.select("code", "d", rqc.alias("q"))
     x = rq.select(F.col("code").alias("ca"), "d", F.col("q").alias("xq"))

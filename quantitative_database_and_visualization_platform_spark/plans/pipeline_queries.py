@@ -23,7 +23,10 @@ from ..pipeline.embeddings import (
     o_cosine,
     o_ivf_cents,
     o_l2_dist2,
+    o_planes_cte,
     o_srp_bucket,
+    o_srp_bucket_dyn,
+    planes_for_corpus,
     srp_bucket,
     topk_cosine,
 )
@@ -6846,6 +6849,71 @@ def _dbscan_classify(
         round6(F.sum("n_nbrs") * 1.0 / F.count(F.lit(1))).alias(
             "mean_neighbors"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN with corpus-sized plane count (new r11): the PRODUCTION form of
+# embedding_dbscan_core — same core/border/noise semantics, but the SRP
+# bucket key is sized with planes_for_corpus(n) (expected bucket ~256
+# vectors at ANY corpus size) instead of the fixed N_PLANES=4 the r10
+# gated form pins. Fixed planes ⇒ per-bucket population grows linearly
+# with the corpus and the neighbor self-join's pair mass quadratically
+# (measured: 23.4 s fixed vs 10.2 s sized at 10×, SCALING.md); log2(n)
+# planes keep Σ bucket² ≈ n·target — corpus-linear. The oracle
+# re-derives the SAME plane count from COUNT(*) via the exact-integer
+# bin()/bit_length twin (o_planes_cte) and builds the bucket with a
+# runtime-count lambda (o_srp_bucket_dyn), so the hash is binding at
+# every scale factor without a registration-time constant. This is the
+# dedup_simhash_wide precedent: the production sizing becomes its own
+# gated query; the fixed-plane form stays as the documented diagnostic.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_dbscan_sized",
+    oracle=f"""
+    WITH {o_planes_cte()},
+    bucketed AS (
+        SELECT vec_id, label, embedding,
+               {o_srp_bucket_dyn('embedding')} AS bucket
+        FROM embeddings
+    ), nbr AS (
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        WHERE CAST(FLOOR({o_cosine('a.embedding', 'b.embedding')}*1000000000
+                         + 0.5) AS BIGINT) >= {_DB_TAU_Q}
+    ), ncnt AS (
+        SELECT x AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs FROM nbr GROUP BY x
+    ), flags AS (
+        SELECT e.vec_id, e.label,
+               COALESCE(c.n_nbrs, 0) AS n_nbrs,
+               CAST(COALESCE(c.n_nbrs, 0) >= {_DB_MINPTS} AS INT) AS is_core
+        FROM embeddings e LEFT JOIN ncnt c USING (vec_id)
+    ), border AS (
+        SELECT DISTINCT n.x AS vec_id
+        FROM nbr n JOIN flags fy ON n.y = fy.vec_id AND fy.is_core = 1
+    )
+    SELECT f.label,
+           CAST(count_if(f.is_core = 1) AS BIGINT) AS n_core,
+           CAST(count_if(f.is_core = 0 AND b.vec_id IS NOT NULL) AS BIGINT)
+               AS n_border,
+           CAST(count_if(f.is_core = 0 AND b.vec_id IS NULL) AS BIGINT)
+               AS n_noise,
+           FLOOR((SUM(f.n_nbrs)*1.0/COUNT(*))*1000000 + 0.5)/1000000.0
+               AS mean_neighbors
+    FROM flags f LEFT JOIN border b USING (vec_id)
+    GROUP BY f.label
+    """,
+)
+def embedding_dbscan_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n_vecs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _dbscan_classify(
+        emb,
+        n_planes=planes_for_corpus(n),
+        big=n > dd.BROADCAST_SAFE_DOCS,
     )
 
 
