@@ -6325,3 +6325,620 @@ def fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(c(0) > 0, round6(c(1) / c(0))).alias("slope_acf1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared CTE for the market-relative panels (new r11): per-code daily
+# returns on the 1e4 grid plus the equal-weight market return on the
+# SAME grid (mq = round-half-up of the integer-sum mean — one double
+# division on identical integers, then an identical FLOOR, so both
+# engines hold the same BIGINT).
+# ---------------------------------------------------------------------------
+_O_RETS_MKT = f"""rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    ),
+    mkt AS (
+        SELECT d,
+               CAST(FLOOR(CAST(SUM(rq) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT)
+                   AS mq
+        FROM rets GROUP BY d
+    ),
+    joined AS (
+        SELECT r.code, r.d, r.rq, m.mq FROM rets r JOIN mkt m USING (d)
+    )"""
+
+
+def _rets_mkt_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _O_RETS_MKT: (code, d, rq, mq) — the market leg is
+    a day-keyed aggregate broadcast back onto the panel (bounded by the
+    calendar, so the broadcast is safe at any universe size)."""
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    mkt = rets.groupBy("d").agg(
+        F.floor(
+            F.sum("rq").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mq")
+    )
+    return rets.join(F.broadcast(mkt), "d").select("code", "d", "rq", "mq")
+
+
+# ---------------------------------------------------------------------------
+# Up/down capture ratios (new r11): the consultant-standard asymmetry
+# panel — how much of the market's up-day move a name captures vs how
+# much of the down-day pain it takes. capture = Σ(code ret | mkt
+# up/down) / Σ(mkt ret | same days), computed over the days the code
+# actually traded, so both sums range over the identical day set.
+#
+# Determinism: both numerator and denominator are exact integer sums on
+# the shared 1e4 grid; one final IEEE division each, round6'd.
+#
+# Scale shape: one code-keyed lag pass, one day-keyed aggregate
+# (calendar-bounded, broadcast back), one code-keyed aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "updown_capture",
+    oracle=f"""
+    WITH {O_BARS},
+    {_O_RETS_MKT}
+    SELECT code,
+           CAST(count_if(mq > 0) AS BIGINT) AS n_up,
+           CAST(count_if(mq < 0) AS BIGINT) AS n_down,
+           CASE WHEN count_if(mq > 0) > 0 THEN
+             FLOOR((CAST(SUM(CASE WHEN mq > 0 THEN rq END) AS DOUBLE)
+                    / CAST(SUM(CASE WHEN mq > 0 THEN mq END) AS DOUBLE))
+                   *1000000 + 0.5)/1000000.0
+           END AS up_capture,
+           CASE WHEN count_if(mq < 0) > 0 THEN
+             FLOOR((CAST(SUM(CASE WHEN mq < 0 THEN rq END) AS DOUBLE)
+                    / CAST(SUM(CASE WHEN mq < 0 THEN mq END) AS DOUBLE))
+                   *1000000 + 0.5)/1000000.0
+           END AS down_capture
+    FROM joined GROUP BY code
+    """,
+)
+def updown_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _rets_mkt_joined(spark, sf_dir)
+    up, down = F.col("mq") > 0, F.col("mq") < 0
+    n_up = F.count_if(up)
+    n_down = F.count_if(down)
+    return j.groupBy("code").agg(
+        n_up.alias("n_up"),
+        n_down.alias("n_down"),
+        F.when(
+            n_up > 0,
+            round6(
+                F.sum(F.when(up, F.col("rq"))).cast("double")
+                / F.sum(F.when(up, F.col("mq"))).cast("double")
+            ),
+        ).alias("up_capture"),
+        F.when(
+            n_down > 0,
+            round6(
+                F.sum(F.when(down, F.col("rq"))).cast("double")
+                / F.sum(F.when(down, F.col("mq"))).cast("double")
+            ),
+        ).alias("down_capture"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Downside/upside semi-beta (new r11, Ang-Chen-Xing 2006): the CAPM beta
+# estimated separately on down-market and up-market days — the downside
+# beta prices crash risk that the symmetric beta (rolling_beta_market)
+# averages away; the spread beta_down − beta_up is the asymmetry factor.
+#
+# Determinism: per-side OLS moments are integer sums of 1e4-grid
+# returns in decimal(20,0)/HUGEINT (the cointegration convention); the
+# beta ratio runs on identical doubles. Sides with < 5 days or a
+# degenerate market variance emit NULL.
+#
+# Scale shape: same three passes as updown_capture; the per-side
+# moments come out of ONE code-keyed aggregate (conditional sums), not
+# two scans.
+# ---------------------------------------------------------------------------
+@query(
+    "semibeta_downside",
+    oracle=f"""
+    WITH {O_BARS},
+    {_O_RETS_MKT},
+    m AS (
+        SELECT code,
+               CAST(count_if(mq < 0) AS BIGINT) AS nd,
+               SUM(CASE WHEN mq < 0 THEN CAST(rq AS HUGEINT) END) AS sxd,
+               SUM(CASE WHEN mq < 0 THEN CAST(mq AS HUGEINT) END) AS smd,
+               SUM(CASE WHEN mq < 0 THEN CAST(rq AS HUGEINT)*mq END) AS sxmd,
+               SUM(CASE WHEN mq < 0 THEN CAST(mq AS HUGEINT)*mq END) AS smmd,
+               CAST(count_if(mq > 0) AS BIGINT) AS nu,
+               SUM(CASE WHEN mq > 0 THEN CAST(rq AS HUGEINT) END) AS sxu,
+               SUM(CASE WHEN mq > 0 THEN CAST(mq AS HUGEINT) END) AS smu,
+               SUM(CASE WHEN mq > 0 THEN CAST(rq AS HUGEINT)*mq END) AS sxmu,
+               SUM(CASE WHEN mq > 0 THEN CAST(mq AS HUGEINT)*mq END) AS smmu
+        FROM joined GROUP BY code
+    )
+    SELECT code, nd AS n_down, nu AS n_up,
+           CASE WHEN nd >= 5 AND nd*smmd - smd*smd > 0 THEN
+             FLOOR((CAST(nd*sxmd - sxd*smd AS DOUBLE)
+                    / CAST(nd*smmd - smd*smd AS DOUBLE))*1000000 + 0.5)/1000000.0
+           END AS beta_down,
+           CASE WHEN nu >= 5 AND nu*smmu - smu*smu > 0 THEN
+             FLOOR((CAST(nu*sxmu - sxu*smu AS DOUBLE)
+                    / CAST(nu*smmu - smu*smu AS DOUBLE))*1000000 + 0.5)/1000000.0
+           END AS beta_up,
+           CASE WHEN nd >= 5 AND nd*smmd - smd*smd > 0
+                 AND nu >= 5 AND nu*smmu - smu*smu > 0 THEN
+             FLOOR((CAST(nd*sxmd - sxd*smd AS DOUBLE)
+                      / CAST(nd*smmd - smd*smd AS DOUBLE)
+                    - CAST(nu*sxmu - sxu*smu AS DOUBLE)
+                      / CAST(nu*smmu - smu*smu AS DOUBLE))*1000000 + 0.5)/1000000.0
+           END AS beta_spread
+    FROM m
+    """,
+)
+def semibeta_downside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _rets_mkt_joined(spark, sf_dir)
+    dn, up = F.col("mq") < 0, F.col("mq") > 0
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    m = j.groupBy("code").agg(
+        F.count_if(dn).alias("nd"),
+        F.sum(F.when(dn, dec("rq"))).alias("sxd"),
+        F.sum(F.when(dn, dec("mq"))).alias("smd"),
+        F.sum(F.when(dn, dec("rq") * dec("mq"))).alias("sxmd"),
+        F.sum(F.when(dn, dec("mq") * dec("mq"))).alias("smmd"),
+        F.count_if(up).alias("nu"),
+        F.sum(F.when(up, dec("rq"))).alias("sxu"),
+        F.sum(F.when(up, dec("mq"))).alias("smu"),
+        F.sum(F.when(up, dec("rq") * dec("mq"))).alias("sxmu"),
+        F.sum(F.when(up, dec("mq") * dec("mq"))).alias("smmu"),
+    )
+
+    def beta(n, sx, sm, sxm, smm):
+        nn = F.col(n).cast("decimal(20,0)")
+        den = nn * F.col(smm) - F.col(sm) * F.col(sm)
+        num = nn * F.col(sxm) - F.col(sx) * F.col(sm)
+        ok = (F.col(n) >= 5) & (den > 0)
+        return ok, num.cast("double") / den.cast("double")
+
+    okd, bd = beta("nd", "sxd", "smd", "sxmd", "smmd")
+    oku, bu = beta("nu", "sxu", "smu", "sxmu", "smmu")
+    return m.select(
+        "code",
+        F.col("nd").alias("n_down"),
+        F.col("nu").alias("n_up"),
+        F.when(okd, round6(bd)).alias("beta_down"),
+        F.when(oku, round6(bu)).alias("beta_up"),
+        F.when(okd & oku, round6(bd - bu)).alias("beta_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coskewness / cokurtosis with the market (new r11, Harvey-Siddique 2000
+# / Kraus-Litzenberger): the higher-moment systematic-risk panel —
+# standardized coskew E[(r−μr)(m−μm)²]/(σr·σm²) prices exposure to
+# market VARIANCE shocks, cokurt E[(r−μr)(m−μm)³]/(σr·σm³) to market
+# skew shocks; both are what the covariance-only beta family
+# (rolling_beta_market, semibeta_downside) cannot see.
+#
+# Determinism: scaled-centered integers (the Ljung-Box convention):
+# mx_t = n·rq_t − Σrq and mm_t = n·mq_t − Σmq are EXACT integers on the
+# shared 1e4 grid, so (r−μ)(m−μ)^k ∝ mx·mm^k is an exact-integer
+# product accumulated in decimal(38,0)/HUGEINT; the standardized ratios
+# then run on identical doubles (the n powers cancel:
+# coskew = Σmx·mm²·√n / (√Σmx² · Σmm²), cokurt = Σmx·mm³·n /
+# (√Σmx² · Σmm²^1.5)). Bound: |mm| ≤ n·5e3, so Σ|mx·mm³| ≤ n²·(5e3·n)⁴
+# /… — at a 36,500-day panel the cokurt sum peaks ~4e37, inside the
+# 128-bit accumulators with ~4× margin; a panel 10× deeper than THAT
+# needs a coarser grid (documented, same class as _ARCH_S).
+#
+# Scale shape: the same three passes as updown_capture plus one
+# code-keyed window to attach (n, Σrq, Σmq) — no extra shuffle (the
+# window rides the groupBy(code) clustering).
+# ---------------------------------------------------------------------------
+@query(
+    "comoment_coskew",
+    oracle=f"""
+    WITH {O_BARS},
+    {_O_RETS_MKT},
+    tot AS (
+        SELECT code, d, rq, mq,
+               CAST(COUNT(*) OVER pc AS BIGINT) AS n,
+               SUM(rq) OVER pc AS sr, SUM(mq) OVER pc AS sm
+        FROM joined WINDOW pc AS (PARTITION BY code)
+    ), cm AS (
+        SELECT code, n,
+               CAST(n AS HUGEINT)*rq - sr AS mx,
+               CAST(n AS HUGEINT)*mq - sm AS mm
+        FROM tot
+    ), agg AS (
+        SELECT code, MAX(n) AS n,
+               SUM(mx*mx) AS sxx, SUM(mm*mm) AS smm,
+               SUM(mx*mm*mm) AS sxmm, SUM(mx*mm*mm*mm) AS sxmmm
+        FROM cm GROUP BY code HAVING MAX(n) >= 10
+    )
+    SELECT code, n AS n_days,
+           CASE WHEN sxx > 0 AND smm > 0 THEN
+             FLOOR((CAST(sxmm AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                    / sqrt(CAST(sxx AS DOUBLE)) / CAST(smm AS DOUBLE))
+                   *1000000 + 0.5)/1000000.0
+           END AS coskew,
+           CASE WHEN sxx > 0 AND smm > 0 THEN
+             FLOOR((CAST(sxmmm AS DOUBLE) * CAST(n AS DOUBLE)
+                    / sqrt(CAST(sxx AS DOUBLE))
+                    / pow(CAST(smm AS DOUBLE), 1.5))
+                   *1000000 + 0.5)/1000000.0
+           END AS cokurt
+    FROM agg
+    """,
+)
+def comoment_coskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _rets_mkt_joined(spark, sf_dir)
+    pc = Window.partitionBy("code")
+    tot = j.select(
+        "code",
+        "rq",
+        "mq",
+        F.count(F.lit(1)).over(pc).alias("n"),
+        F.sum("rq").over(pc).alias("sr"),
+        F.sum("mq").over(pc).alias("sm"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    cm = tot.select(
+        "code",
+        "n",
+        (nd * F.col("rq") - F.col("sr")).cast("decimal(38,0)").alias("mx"),
+        (nd * F.col("mq") - F.col("sm")).cast("decimal(38,0)").alias("mm"),
+    )
+    agg = (
+        cm.groupBy("code")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("mx") * F.col("mx")).alias("sxx"),
+            F.sum(F.col("mm") * F.col("mm")).alias("smm"),
+            F.sum(F.col("mx") * F.col("mm") * F.col("mm")).alias("sxmm"),
+            F.sum(
+                F.col("mx") * F.col("mm") * F.col("mm") * F.col("mm")
+            ).alias("sxmmm"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    ok = (F.col("sxx") > 0) & (F.col("smm") > 0)
+    dn = F.col("n").cast("double")
+    coskew = (
+        F.col("sxmm").cast("double")
+        * F.sqrt(dn)
+        / F.sqrt(F.col("sxx").cast("double"))
+        / F.col("smm").cast("double")
+    )
+    cokurt = (
+        F.col("sxmmm").cast("double")
+        * dn
+        / F.sqrt(F.col("sxx").cast("double"))
+        / F.pow(F.col("smm").cast("double"), F.lit(1.5))
+    )
+    return agg.select(
+        "code",
+        F.col("n").alias("n_days"),
+        F.when(ok, round6(coskew)).alias("coskew"),
+        F.when(ok, round6(cokurt)).alias("cokurt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trade-duration clustering (new r11, Engle-Russell 1998 ACD
+# motivation): inter-event arrival durations per code — the mean gap,
+# the coefficient of variation (cv > 1 = overdispersed vs Poisson =
+# durations CLUSTER, the microstructure activity-burst signature), and
+# the lag-1 duration autocorrelation (the persistence an ACD model
+# would fit).
+#
+# Determinism: durations are exact integer SECONDS (epoch-micros
+# difference floor-divided by 1e6 — identical integer division on both
+# engines); cv and acf1 use the scaled-centered-integer convention in
+# decimal/HUGEINT (|m| ≤ n·span_s ~ 1.2e11 at a 4k-event code — far
+# inside 128-bit even cubed... squared; acf1 is a ratio of exact
+# integers).
+#
+# Scale shape: one code-keyed ordered pass (lag), one code-keyed
+# aggregate. No joins, no calendar assumptions.
+# ---------------------------------------------------------------------------
+@query(
+    "duration_clustering",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id AS code, epoch_us(ts) AS t, event_id
+        FROM events
+    ), durs AS (
+        SELECT code, t, event_id,
+               (t - LAG(t) OVER (PARTITION BY code ORDER BY t, event_id))
+                   // 1000000 AS dur
+        FROM ev QUALIFY dur IS NOT NULL
+    ), tot AS (
+        SELECT code, t, event_id, dur,
+               CAST(COUNT(*) OVER pc AS BIGINT) AS n,
+               SUM(dur) OVER pc AS s
+        FROM durs WINDOW pc AS (PARTITION BY code)
+    ), cm AS (
+        SELECT code, n, s,
+               CAST(n AS HUGEINT)*dur - s AS m,
+               LAG(CAST(n AS HUGEINT)*dur - s)
+                   OVER (PARTITION BY code ORDER BY t, event_id) AS ml
+        FROM tot
+    ), agg AS (
+        SELECT code, MAX(n) AS n, MAX(s) AS s,
+               SUM(m*m) AS smm,
+               SUM(CASE WHEN ml IS NOT NULL THEN m*ml END) AS sml
+        FROM cm GROUP BY code HAVING MAX(n) >= 10
+    )
+    SELECT code, n AS n_gaps,
+           FLOOR((CAST(s AS DOUBLE)/n)*1000000 + 0.5)/1000000.0
+               AS mean_gap_s,
+           CASE WHEN s > 0 THEN
+             FLOOR((sqrt(CAST(smm AS DOUBLE)/n)/CAST(s AS DOUBLE))
+                   *1000000 + 0.5)/1000000.0
+           END AS cv,
+           CASE WHEN smm > 0 THEN
+             FLOOR((CAST(sml AS DOUBLE)/CAST(smm AS DOUBLE))*1000000 + 0.5)
+               /1000000.0
+           END AS acf1
+    FROM agg
+    """,
+)
+def duration_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("code"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("t"),
+        "event_id",
+    )
+    w = Window.partitionBy("code").orderBy("t", "event_id")
+    durs = ev.select(
+        "code",
+        "t",
+        "event_id",
+        F.expr("(t - LAG(t) OVER (PARTITION BY code ORDER BY t, event_id))"
+               " DIV 1000000").alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    pc = Window.partitionBy("code")
+    tot = durs.select(
+        "code",
+        "t",
+        "event_id",
+        "dur",
+        F.count(F.lit(1)).over(pc).alias("n"),
+        F.sum("dur").over(pc).alias("s"),
+    )
+    m = (F.col("n").cast("decimal(38,0)") * F.col("dur") - F.col("s")).cast(
+        "decimal(38,0)"
+    )
+    cm = tot.select(
+        "code", "n", "s", m.alias("m"), F.lag(m).over(w).alias("ml")
+    )
+    agg = (
+        cm.groupBy("code")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.sum(F.col("m") * F.col("m")).alias("smm"),
+            F.sum(
+                F.when(F.col("ml").isNotNull(), F.col("m") * F.col("ml"))
+            ).alias("sml"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+    return agg.select(
+        "code",
+        F.col("n").alias("n_gaps"),
+        round6(F.col("s").cast("double") / F.col("n")).alias("mean_gap_s"),
+        F.when(
+            F.col("s") > 0,
+            round6(
+                F.sqrt(F.col("smm").cast("double") / F.col("n"))
+                / F.col("s").cast("double")
+            ),
+        ).alias("cv"),
+        F.when(
+            F.col("smm") > 0,
+            round6(F.col("sml").cast("double") / F.col("smm").cast("double")),
+        ).alias("acf1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lottery-demand MAX factor (new r11, Bali-Cakici-Whitelaw 2011): the
+# mean of each name's 5 LARGEST daily returns over the panel (plus the
+# single max) — the "lottery" characteristic that predicts LOW
+# subsequent returns (investors overpay for jackpot skew). Completes
+# the distribution-tail family: var_cvar_daily owns the LEFT tail, this
+# owns the right.
+#
+# Determinism: top-5 selection is a row_number over (rq DESC, d) on
+# integer returns with a full date tie-break — identical row sets on
+# both engines; the mean is an exact integer sum / 5.
+#
+# Scale shape: one code-keyed lag pass + one code-keyed ordered
+# window (rides the same partitioning) + one aggregate. No joins.
+# ---------------------------------------------------------------------------
+@query(
+    "lottery_max_factor",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_FM_S},0) AS BIGINT)
+                   AS rq
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY rq IS NOT NULL
+    ), ranked AS (
+        SELECT code, rq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY rq DESC, d)
+                   AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY code) AS BIGINT) AS n
+        FROM rets
+    )
+    SELECT code, MAX(n) AS n_days,
+           FLOOR((MAX(CASE WHEN rn = 1 THEN rq END)/{_FM_S}.0)
+                 *1000000 + 0.5)/1000000.0 AS max1,
+           FLOOR((CAST(SUM(CASE WHEN rn <= 5 THEN rq END) AS DOUBLE)
+                  /5.0/{_FM_S})*1000000 + 0.5)/1000000.0 AS max5_mean
+    FROM ranked WHERE n >= 20 GROUP BY code
+    """,
+)
+def lottery_max_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
+        "long"
+    )
+    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    pc = Window.partitionBy("code")
+    ranked = rets.select(
+        "code",
+        "rq",
+        F.row_number()
+        .over(pc.orderBy(F.col("rq").desc(), "d"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(pc).alias("n"),
+    ).filter(F.col("n") >= 20)
+    return ranked.groupBy("code").agg(
+        F.max("n").alias("n_days"),
+        round6(
+            F.max(F.when(F.col("rn") == 1, F.col("rq"))) / float(_FM_S)
+        ).alias("max1"),
+        round6(
+            F.sum(F.when(F.col("rn") <= 5, F.col("rq"))).cast("double")
+            / 5.0
+            / _FM_S
+        ).alias("max5_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volume profile / point of control (new r11): the market-profile view —
+# bucket each name's price range into 20 equal-width bins, accumulate
+# volume per bin, and report the POC (the modal bin: where the most
+# volume traded), its price bounds, and its volume share. The
+# volume-weighted complement to histogram_value_bins (row counts) and
+# m4_downsample_close (time buckets).
+#
+# Determinism: integer cents, integer bucket width
+# GREATEST((range+19)//20, 1), truncating integer division on
+# non-negative offsets (Spark DIV ≡ DuckDB // there), integer volume
+# sums; POC tie-break = lowest bucket. The share is one IEEE division.
+#
+# Scale shape: one code-keyed min/max aggregate broadcast back (window
+# over code, same partitioning), one (code, bucket) aggregate, one
+# code-keyed argmax. No joins beyond the window reuse.
+# ---------------------------------------------------------------------------
+@query(
+    "volume_profile_poc",
+    oracle=f"""
+    WITH {O_BARS},
+    c AS (
+        SELECT code, CAST(ROUND(close*100,0) AS BIGINT) AS cents,
+               CAST(volume AS BIGINT) AS v
+        FROM bars
+    ), rng AS (
+        SELECT code, cents, v,
+               MIN(cents) OVER pc AS mn,
+               GREATEST((MAX(cents) OVER pc - MIN(cents) OVER pc + 19) // 20, 1)
+                   AS width
+        FROM c WINDOW pc AS (PARTITION BY code)
+    ), bucketed AS (
+        SELECT code, mn, width, (cents - mn) // width AS bucket, v
+        FROM rng
+    ), per_bucket AS (
+        SELECT code, MAX(mn) AS mn, MAX(width) AS width, bucket,
+               CAST(SUM(v) AS BIGINT) AS vol
+        FROM bucketed GROUP BY code, bucket
+    ), tot AS (
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(vol) AS BIGINT) AS total_vol
+        FROM per_bucket GROUP BY code
+    ), poc AS (
+        SELECT code, mn, width, bucket, vol,
+               ROW_NUMBER() OVER (PARTITION BY code
+                                  ORDER BY vol DESC, bucket) AS rn
+        FROM per_bucket
+    )
+    SELECT p.code, t.n_buckets, t.total_vol,
+           (p.mn + p.bucket*p.width)/100.0 AS poc_price_lo,
+           (p.mn + (p.bucket + 1)*p.width)/100.0 AS poc_price_hi,
+           FLOOR((CAST(p.vol AS DOUBLE)/t.total_vol)*1000000 + 0.5)/1000000.0
+               AS poc_vol_share
+    FROM poc p JOIN tot t USING (code) WHERE p.rn = 1 AND t.total_vol > 0
+    """,
+)
+def volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    c = bars.select(
+        "code",
+        F.round(F.col("close") * 100, 0).cast("long").alias("cents"),
+        F.col("volume").cast("long").alias("v"),
+    )
+    pc = Window.partitionBy("code")
+    rng = c.select(
+        "code",
+        "cents",
+        "v",
+        F.min("cents").over(pc).alias("mn"),
+        F.greatest(
+            (F.max("cents").over(pc) - F.min("cents").over(pc) + 19) / F.lit(20),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("width"),
+    )
+    bucketed = rng.select(
+        "code",
+        "mn",
+        "width",
+        F.expr("(cents - mn) DIV width").alias("bucket"),
+        "v",
+    )
+    per_bucket = bucketed.groupBy("code", "bucket").agg(
+        F.max("mn").alias("mn"),
+        F.max("width").alias("width"),
+        F.sum("v").alias("vol"),
+    )
+    tot = per_bucket.groupBy("code").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("vol").alias("total_vol"),
+    )
+    poc = per_bucket.select(
+        "code",
+        "mn",
+        "width",
+        "bucket",
+        "vol",
+        F.row_number()
+        .over(pc.orderBy(F.col("vol").desc(), "bucket"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        poc.join(tot, "code")
+        .filter(F.col("total_vol") > 0)
+        .select(
+            "code",
+            "n_buckets",
+            "total_vol",
+            ((F.col("mn") + F.col("bucket") * F.col("width")) / 100.0).alias(
+                "poc_price_lo"
+            ),
+            (
+                (F.col("mn") + (F.col("bucket") + 1) * F.col("width")) / 100.0
+            ).alias("poc_price_hi"),
+            round6(
+                F.col("vol").cast("double") / F.col("total_vol")
+            ).alias("poc_vol_share"),
+        )
+    )
