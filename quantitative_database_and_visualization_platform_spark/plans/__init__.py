@@ -32,110 +32,106 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-10 window. r9's 50 rows were all green. This window closes the
-# loop the r9 verdict pinned: (a) the 9 round-9 late additions (the r10
-# queue — every query registered before round 10 then has a driver row),
-# (b) the 5 new round-10 queries (margin_scored_pairs_ann: the
-# SRP-bucketed production form of margin mining — the last brute-force
-# scale-killer from the r9 audit; streaming_funnel_replay: the
-# batch-boundary replay surface for the stateful streaming funnel;
-# sequence_count_chain + window_funnel_strict: ClickHouse sequenceCount
-# and strict_order parity; hurst_rs_exponent: R/S long-memory regime
-# classifier completing the mean-reversion family — all oracle-verified
-# at sf0.001+sf0.01 and golden-tested before pinning), (c) the 6
-# ORACLE-BACKED r4-era
-# re-confirmations queued last round (materialized_turnover,
-# similarity_topk, like_filter_brand_stats, scalar_subquery_peer,
-# in_list_priority_stats, regex_extract_props — the queue also named
-# alpha_ic_scan/alpha101_subset, but those are rows-only by design and
-# may not burn hash-verifiable slots per test_gate_window; their
-# computations are hash-covered by the alpha101_a-d and alpha_ic_b/c/d
-# rows), and (d) 30 re-confirmations of the OLDEST remaining driver
-# rows (last gated r5), cheapest-first by measured spark+oracle cost
-# (ORACLE_TIMINGS.json), with the heaviest (alpha_ic_b/c/d, ~6 s each)
-# LAST for failure isolation — same rationale as r9: if a
-# memory-starved driver session dies at a heavy row, everything ordered
-# after it is lost, so the expendable re-confirmations sit at the tail.
-# The full window rehearsed 50/50 green in ONE driver-style session
-# (8 GB heap, hostile America/New_York TZ, sf0.01) in 110 s.
+# Round-11 window. r10's 50 rows were all green. This window closes the
+# loop the r10 verdict pinned: (a) the SEVENTEEN round-10 late additions
+# (the r11 queue — every query registered before round 11 then has a
+# driver row), (b) the TEN new round-11 queries — the three blocked
+# pair-screen production twins (top_correlated_pairs_blocked /
+# cointegration_screen_blocked / granger_causality_screen_blocked: the
+# universe-linear candidate scan the r10 verdict asked to register),
+# embedding_dbscan_sized (the planes_for_corpus production form — the
+# r10 verdict's other `weak`), and six new market panels
+# (updown_capture, semibeta_downside, comoment_coskew,
+# duration_clustering, lottery_max_factor, volume_profile_poc) — all
+# oracle-verified at sf0.001/0.01/0.1 and python-golden-tested before
+# pinning; and (c) 23 re-confirmations of the OLDEST remaining driver
+# rows (the 18 r5-era rows named in the r10 queue comment plus the 5
+# cheapest r6-era rows), cheapest-first by measured spark+oracle cost
+# (ORACLE_TIMINGS.json) with the heaviest last — same failure-isolation
+# rationale as r9/r10: if a memory-starved driver session dies at a
+# heavy row, everything after it is lost, so the expendable
+# re-confirmations sit at the tail. (alpha101_subset / alpha_ic_scan
+# remain the two rows-only r4 entries that may not burn hash slots;
+# their computations are hash-covered by the alpha101_a-d and
+# alpha_ic_b/c/d rows.)
 GATE_FIRST: list[str] = [
     # (a)+(b): never driver-verified — the round's point, bound first
-    "retention_weekly",
-    "sequence_match_chain",
-    "sequence_count_chain",
-    "window_funnel_strict",
-    "window_funnel_steps",
-    "streaming_funnel_replay",
-    "mean_reversion_halflife",
-    "kmv_set_overlap",
-    "dedup_simhash_wide",
-    "dedup_incremental",
-    "margin_scored_pairs",
-    "margin_scored_pairs_ann",
-    "residual_momentum",
-    "hurst_rs_exponent",
-    # (c): r4-era oracle-backed re-confirmations
-    "materialized_turnover",
-    "similarity_topk",
-    "like_filter_brand_stats",
-    "scalar_subquery_peer",
-    "in_list_priority_stats",
-    "regex_extract_props",
-    # (d): oldest (r5-era) re-confirmations, cheapest-first
-    "multimodal_meta",
-    "scalar_function_surface",
-    "dataset_split_train_val",
-    "latest_event_per_user",
-    "embedding_topk",
-    "dedup_exact",
-    "grouping_sets_priority_status",
-    "text_analysis",
-    "multimodal_decode",
-    "rollup_priority_status",
-    "window_function_surface",
-    "range_join_price_band",
-    "pivot_event_matrix",
-    "stock_available_range",
-    "tick_bars_minute",
-    "kpl_ladder",
-    "incremental_rollup_maintenance",
-    "multimodal_frame_sample",
-    "prev_trading_date",
-    "dedup_ngram_jaccard",
-    "kmv_distinct_sketch",
-    "json_props_stats",
-    "catalog_introspection",
-    "embedding_ann_srp",
-    "backtest_drawdown",
-    "set_ops_customer_pools",
-    "fuzzy_join_part_names",
-    # heaviest last (failure isolation)
-    "alpha_ic_c",
-    "alpha_ic_d",
-    "alpha_ic_b",
+    # (cheapest-first by measured cost)
+    "corwin_schultz_spread",
+    "vpin_flow_toxicity",
+    "omega_downside_panel",
+    "ulcer_index_martin",
+    "tracking_error_ir",
+    "arch_effect_q",
+    "winnowing_fingerprints",
+    "filter_cascade_report",
+    "inverse_vol_portfolio",
+    "boilerplate_segment_ratio",
+    "ewma_vol_riskmetrics",
+    "fama_macbeth_nw",
+    "embedding_dbscan_core",
+    "lottery_max_factor",
+    "volume_profile_poc",
+    "duration_clustering",
+    "updown_capture",
+    "semibeta_downside",
+    "comoment_coskew",
+    "embedding_dbscan_sized",
+    "top_correlated_pairs_blocked",
+    "cointegration_screen",
+    "ljung_box_q",
+    "granger_causality_screen",
+    "cointegration_screen_blocked",
+    "granger_causality_screen_blocked",
+    "pq_quantization_audit",
+    # (c): oldest re-confirmations (18 r5-era + 5 cheapest r6-era),
+    # cheapest-first, heaviest last
+    "weighted_resample_topk",
+    "doc_packing",
+    "benford_first_digit",
+    "dedup_impact_report",
+    "intraday_hour_profile",
+    "range_window_dollar_volume",
+    "yesterday_winners_performance",
+    "decontamination_ngram",
+    "corpus_curation",
+    "winsorize_returns",
+    "embedding_neardup",
+    "funnel_conversion",
+    "cms_heavy_hitters",
+    "market_index_history",
+    "asof_join_latest_order",
+    "backtest_decile_longshort",
+    "dedup_minhash_lsh",
+    "rolling_beta_market",
+    "repetition_quality",
+    "text_tfidf_topk",
+    "dedup_simhash",
+    "embedding_ann_ivf",
+    "stratified_sample_balanced",
 ]
 
-# Round-11 re-confirmation queue: everything registered through round 10
-# has a driver row once this window gates green; the natural r11 window
-# is the next-oldest re-confirmations (the remaining r5-era rows:
-# range_window_dollar_volume (displaced by hurst_rs_exponent),
-# funnel_conversion, embedding_neardup, yesterday_winners_performance,
-# winsorize_returns, cms_heavy_hitters, corpus_curation,
-# decontamination_ngram, asof_join_latest_order, market_index_history,
-# backtest_decile_longshort, stratified_sample_balanced, text_tfidf_topk,
-# repetition_quality, rolling_beta_market, dedup_minhash_lsh,
-# embedding_ann_ivf, dedup_simhash, ...) plus the SEVENTEEN queries ADDED
-# in round 10 after this window was pinned — these must take the first
-# slots: boilerplate_segment_ratio, ewma_vol_riskmetrics,
-# corwin_schultz_spread, cointegration_screen, ulcer_index_martin,
-# vpin_flow_toxicity, ljung_box_q, pq_quantization_audit,
-# arch_effect_q, tracking_error_ir, inverse_vol_portfolio,
-# winnowing_fingerprints, embedding_dbscan_core,
-# granger_causality_screen, omega_downside_panel, fama_macbeth_nw,
-# filter_cascade_report (each python-golden + oracle-verified at
-# sf0.001/0.01/0.1 in-round). tests/test_gate_window.py's
-# NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND lists make the queue
-# executable, not prose.
+# Round-12 re-confirmation queue: everything registered through round 11
+# has a driver row once this window gates green (nothing was added after
+# this window was pinned, so the never-verified spill is EMPTY); the
+# natural r12 window is the next-oldest re-confirmations — the remaining
+# 37 r6-era rows (acf_lag_profile, amihud_illiquidity,
+# backtest_turnover_cost, bpe_merge_candidates, calendar_dow_effect,
+# cluster_balanced_sample, dedup_containment, doc_novelty_score,
+# dsir_importance, event_study_car, exact_substring_dedup,
+# fama_macbeth_mom, fama_macbeth_summary, gap_open_stats,
+# kline_pattern_screen, l_diversity_report, lang_mix_drift,
+# ma_crossover_signals, market_share_by_nation, percentile_bands_daily,
+# pipeline_retention_funnel, rare_token_ratio, risk_adjusted_ratios,
+# roll_spread_estimator, scd2_history_build, sliding_window_stats,
+# source_mixing_weights, source_overlap_matrix, streak_analysis,
+# template_prefix_clusters, ttr_quality, underwater_duration,
+# var_cvar_daily, vocab_jsd_by_source, vol_term_structure,
+# vwap_slippage_daily, zipf_token_curve) plus the oldest r7 rows,
+# cheapest-first. Any query registered in round 12 after its window is
+# pinned must take the first slots of the round-13 window —
+# tests/test_gate_window.py's NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND
+# lists make the queue executable, not prose.
 
 
 def _apply_gate_order() -> None:

@@ -23,30 +23,13 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-9
-# (CORRECTNESS_r0{1..9}.json union: r9 closed the loop on everything
-# registered before round 9, so this is the 9 round-9 late additions
-# plus the queries registered in round 10). Each must sit in the r10
+# every query with no driver correctness row in any of rounds 1-10
+# (CORRECTNESS_r0{1..10}.json union: r10 closed the loop on everything
+# registered before round 10, so this is the 17 round-10 late additions
+# plus the queries registered in round 11). Each must sit in the r11
 # window OR in the explicitly-queued next-round spill.
 NEVER_DRIVER_VERIFIED = [
-    # round-9 late additions (the r10 queue)
-    "window_funnel_steps",
-    "margin_scored_pairs",
-    "dedup_incremental",
-    "kmv_set_overlap",
-    "mean_reversion_halflife",
-    "sequence_match_chain",
-    "retention_weekly",
-    "dedup_simhash_wide",
-    "residual_momentum",
-    # new in round 10 (oracle-verified at sf0.001+sf0.01 before pinning)
-    "margin_scored_pairs_ann",
-    "streaming_funnel_replay",
-    "sequence_count_chain",
-    "window_funnel_strict",
-    "hurst_rs_exponent",
-    # round-10 late additions (added AFTER the 50-slot window was
-    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
+    # round-10 late additions (the r11 queue)
     "boilerplate_segment_ratio",
     "ewma_vol_riskmetrics",
     "corwin_schultz_spread",
@@ -64,30 +47,25 @@ NEVER_DRIVER_VERIFIED = [
     "omega_downside_panel",
     "fama_macbeth_nw",
     "filter_cascade_report",
+    # new in round 11 (oracle-verified at sf0.001/0.01/0.1 +
+    # python-golden before pinning)
+    "top_correlated_pairs_blocked",
+    "cointegration_screen_blocked",
+    "granger_causality_screen_blocked",
+    "embedding_dbscan_sized",
+    "updown_capture",
+    "semibeta_downside",
+    "comoment_coskew",
+    "duration_clustering",
+    "lottery_max_factor",
+    "volume_profile_poc",
 ]
 
-# round-11 spill: queries ADDED in round 10 after the 50-slot window
-# was pinned; must stay in sync with the queue comment in
-# plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = [
-    "boilerplate_segment_ratio",
-    "ewma_vol_riskmetrics",
-    "corwin_schultz_spread",
-    "cointegration_screen",
-    "ulcer_index_martin",
-    "vpin_flow_toxicity",
-    "ljung_box_q",
-    "pq_quantization_audit",
-    "arch_effect_q",
-    "tracking_error_ir",
-    "inverse_vol_portfolio",
-    "winnowing_fingerprints",
-    "embedding_dbscan_core",
-    "granger_causality_screen",
-    "omega_downside_panel",
-    "fama_macbeth_nw",
-    "filter_cascade_report",
-]
+# round-12 spill: queries ADDED in round 11 after the 50-slot window
+# was pinned — none this round (the window was pinned after the last
+# r11 registration, so every never-verified query has a slot); must
+# stay in sync with the queue comment in plans/__init__.py
+QUEUED_NEXT_ROUND: list[str] = []
 
 
 def test_window_is_pinned_and_full():
