@@ -1,0 +1,76 @@
+"""Build N x key-offset replicas of the sf0.1 tables for scale sweeps.
+
+Reproduces the SCALING.md replica method (originally an ad-hoc round-4
+session; checked in as of round 11 so the sweeps are re-runnable):
+
+- events: N x the USER universe (user_id / event_id offset per replica,
+  identical price paths) - the panel grows along the entity axis,
+  exactly how a production universe grows.
+- documents: doc_id offset + a per-replica token appended to the text,
+  so near-dup structure is preserved instead of degenerating into
+  N-way exact-dup cliques.
+- embeddings: vec_id offset + a deterministic per-(replica, dim)
+  perturbation, so cluster structure is preserved without exact
+  duplicates.
+- every other table is copied through unchanged (the new-query sweeps
+  do not touch them; dimension tables must stay dimension-sized).
+
+Usage: python tools/make_replicas.py N [out_dir]
+  (default out_dir: /tmp/spark_graft_replica_{N}x)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quantitative_database_and_visualization_platform_spark.session import get_spark
+from quantitative_database_and_visualization_platform_spark.sources.catalog import TABLES, load_table
+
+SRC = "/root/testdata/sf0.1"
+
+
+def build(n: int, out: str) -> None:
+    spark = get_spark()
+    reps = spark.range(n).select(F.col("id").cast("int").alias("r"))
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        df = load_table(spark, SRC, t)
+        if t == "events":
+            df = df.crossJoin(F.broadcast(reps)).select(
+                (F.col("user_id") + F.col("r") * 10_000_000).alias("user_id"),
+                (F.col("event_id") + F.col("r").cast("long") * 1_000_000_000).alias(
+                    "event_id"
+                ),
+                *[c for c in df.columns if c not in ("user_id", "event_id")],
+            )
+        elif t == "documents":
+            df = df.crossJoin(F.broadcast(reps)).select(
+                (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" rtok"), F.col("r").cast("string")
+                ).alias("text"),
+                *[c for c in df.columns if c not in ("doc_id", "text")],
+            )
+        elif t == "embeddings":
+            df = df.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") + F.col("r") * 10_000_000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, j) ->"
+                    " CAST(x + ((r * 31 + j) % 7 - 3) * 0.001 AS FLOAT))"
+                ).alias("embedding"),
+                *[c for c in df.columns if c not in ("vec_id", "embedding")],
+            )
+        df.write.mode("overwrite").parquet(dst)
+        print(f"{t}: {spark.read.parquet(dst).count()} rows -> {dst}")
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1])
+    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/spark_graft_replica_{n}x"
+    build(n, out)
