@@ -584,3 +584,44 @@ def test_new_window_family_has_no_joins_or_python(spark):
             name,
             plan[:2000],
         )
+
+
+def test_blocked_pair_screens_join_on_block_key(spark):
+    """The blocked production twins' candidate self-join must carry the
+    block key as a HASH-JOIN EQUI KEY (not a post-join filter): a
+    refactor that drops it silently reverts the scan to universe².
+    The physical join keys must include both the date and the blk
+    column on each side."""
+    import re
+
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    for name in [
+        "top_correlated_pairs_blocked",
+        "cointegration_screen_blocked",
+        "granger_causality_screen_blocked",
+    ]:
+        plan = _plan(QUERIES[name](spark, SF))
+        joins = [
+            line
+            for line in plan.splitlines()
+            if re.search(r"HashJoin \[.*blk", line)
+        ]
+        assert joins, (name, plan[:3000])
+        # the blk key must be on BOTH sides of the equi-key lists
+        assert any(
+            "blk" in line.split("]")[0] and "blk_b" in line.split("]")[1]
+            for line in joins
+            if "]" in line
+        ), (name, joins)
+
+
+def test_market_leg_is_broadcast_calendar_aggregate(spark):
+    """The _rets_mkt_joined market leg (day-keyed mean) is
+    calendar-bounded and must broadcast back onto the panel — a shuffle
+    join there would add a panel-sized exchange for a calendar-sized
+    relation."""
+    from quantitative_database_and_visualization_platform_spark.plans import QUERIES
+
+    plan = _plan(QUERIES["updown_capture"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:3000]
