@@ -111,10 +111,13 @@ GATE_FIRST: list[str] = [
     "stratified_sample_balanced",
 ]
 
-# Round-12 re-confirmation queue: everything registered through round 11
-# has a driver row once this window gates green (nothing was added after
-# this window was pinned, so the never-verified spill is EMPTY); the
-# natural r12 window is the next-oldest re-confirmations — the remaining
+# Round-12 re-confirmation queue: once this window gates green, the only
+# queries without a driver row are the TWO round-11 late additions
+# (embedding_hamming_topk, drawdown_at_risk — registered after the
+# window was pinned; python-golden + oracle-verified at sf0.001/0.01/0.1
+# in-round), which must take the first slots of the round-12 window.
+# After those, the natural r12 window is the next-oldest
+# re-confirmations — the remaining
 # 37 r6-era rows (acf_lag_profile, amihud_illiquidity,
 # backtest_turnover_cost, bpe_merge_candidates, calendar_dow_effect,
 # cluster_balanced_sample, dedup_containment, doc_novelty_score,

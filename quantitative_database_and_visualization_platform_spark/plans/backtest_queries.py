@@ -6942,3 +6942,100 @@ def volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("poc_vol_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conditional drawdown at risk, CDaR 95 (new r11 late, Chekhlov-
+# Uryasev-Zabarankin 2005): the drawdown-TAIL statistic the family
+# still lacked — var_cvar_daily owns the return tail, ulcer_index the
+# drawdown RMS, backtest_drawdown the single max; CDaR_95 is the mean
+# of the WORST 5% of daily drawdown observations, the portfolio-
+# optimization-native risk measure between "max" (too pessimistic) and
+# "average" (too forgiving).
+#
+# Determinism: the ulcer convention — integer cents, integer running
+# max, per-day drawdown quantized to the 1e8 grid; the tail is an
+# exact-integer selection (row_number over (dq ASC, d), k = exact
+# ceil(n/20) = (n+19)//20) and the mean one division of integer sums.
+#
+# Scale shape: one partitionBy(code) ordered pass (running max + tail
+# rank ride the same sort), one code-keyed aggregate. No joins.
+# ---------------------------------------------------------------------------
+@query(
+    "drawdown_at_risk",
+    oracle=f"""
+    WITH {O_BARS},
+    c AS (
+        SELECT code, d, CAST(ROUND(close*100,0) AS BIGINT) AS cents
+        FROM bars
+    ), r AS (
+        SELECT code, d, cents,
+               MAX(cents) OVER (PARTITION BY code ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS mx
+        FROM c
+    ), p AS (
+        SELECT code, d,
+               CAST(ROUND((CAST(cents AS DOUBLE)/mx - 1)*100000000,0) AS BIGINT)
+                   AS dq
+        FROM r WHERE mx > 0
+    ), ranked AS (
+        SELECT code, dq,
+               ROW_NUMBER() OVER (PARTITION BY code ORDER BY dq, d) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY code) AS BIGINT) AS n
+        FROM p
+    ), agg AS (
+        SELECT code, MAX(n) AS n_days, (MAX(n) + 19) // 20 AS k,
+               MIN(dq) AS mindq,
+               SUM(CASE WHEN rn <= (n + 19) // 20 THEN dq END) AS tail_sum
+        FROM ranked GROUP BY code HAVING MAX(n) >= 20
+    )
+    SELECT code, n_days, k AS k_tail,
+           FLOOR((-mindq/100000000.0)*1000000 + 0.5)/1000000.0 AS max_drawdown,
+           FLOOR((-CAST(tail_sum AS DOUBLE)/k/100000000.0)*1000000 + 0.5)
+             /1000000.0 AS cdar_95
+    FROM agg
+    """,
+)
+def drawdown_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = bars.select(
+        "code", "d", F.round(F.col("close") * 100, 0).cast("long").alias("cents")
+    )
+    r = c.select("code", "d", "cents", F.max("cents").over(wc).alias("mx"))
+    p = r.filter(F.col("mx") > 0).select(
+        "code",
+        "d",
+        F.round((F.col("cents").cast("double") / F.col("mx") - 1) * 100_000_000, 0)
+        .cast("long")
+        .alias("dq"),
+    )
+    pc = Window.partitionBy("code")
+    ranked = p.select(
+        "code",
+        "dq",
+        F.row_number().over(pc.orderBy("dq", "d")).alias("rn"),
+        F.count(F.lit(1)).over(pc).alias("n"),
+    )
+    agg = (
+        ranked.groupBy("code")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.expr("(MAX(n) + 19) DIV 20").alias("k"),
+            F.min("dq").alias("mindq"),
+            F.sum(
+                F.when(F.expr("rn <= (n + 19) DIV 20"), F.col("dq"))
+            ).alias("tail_sum"),
+        )
+        .filter(F.col("n_days") >= 20)
+    )
+    return agg.select(
+        "code",
+        "n_days",
+        F.col("k").alias("k_tail"),
+        round6(-F.col("mindq") / 100_000_000.0).alias("max_drawdown"),
+        round6(
+            -F.col("tail_sum").cast("double") / F.col("k") / 100_000_000.0
+        ).alias("cdar_95"),
+    )

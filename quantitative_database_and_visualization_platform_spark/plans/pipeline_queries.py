@@ -6995,3 +6995,59 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-embedding Hamming top-k (new r11 late): the binary-quantization
+# retrieval path — binarize every embedding to its per-dimension SIGN
+# bits (the standard 32x-compression trick: 64 floats -> 64 bits) and
+# rank by Hamming distance to the probe, reporting the true cosine of
+# each hit as the quality column. Complements the quantization-audit
+# family (int8, PQ, Matryoshka measure REPRESENTATION loss; this is the
+# retrieval operator those audits justify) and the SRP family (srp
+# BUCKETS by random projections; this RANKS by sign-bit distance).
+#
+# Determinism: the sign bits and the Hamming sum are exact integers;
+# the tie-break is (hamming, vec_id); cosine is reported (ROUND 6dp,
+# the embedding_topk convention) but never ordered on.
+#
+# Scale shape: one scan computing a 64-term integer sum per row against
+# a broadcast 1-row probe + TakeOrderedAndProject — corpus-linear, no
+# shuffle. A production store packs the signature into an int64 column
+# once at ingest and ranks with XOR+popcount; this plan is the semantic
+# twin over the raw floats (the pack is a storage optimization, not an
+# operator change).
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_hamming_topk",
+    oracle=f"""
+    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           CAST(list_sum(list_transform(range(1, {DIMS + 1}),
+                i -> CASE WHEN (embedding[i] >= 0) != (p[i] >= 0)
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+           ROUND({o_cosine('embedding', 'p')}, 6) AS cos
+    FROM embeddings, probe
+    ORDER BY hamming, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__probe")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(embedding, __probe,"
+        " (x, y) -> IF((x >= CAST(0 AS FLOAT)) != (y >= CAST(0 AS FLOAT)), 1L, 0L)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    scored = emb.crossJoin(F.broadcast(probe)).select(
+        "vec_id",
+        "label",
+        ham.alias("hamming"),
+        F.round(cosine("embedding", "__probe"), 6).alias("cos"),
+    )
+    return scored.orderBy("hamming", "vec_id").limit(10)

@@ -59,13 +59,19 @@ NEVER_DRIVER_VERIFIED = [
     "duration_clustering",
     "lottery_max_factor",
     "volume_profile_poc",
+    # round-11 late additions (added AFTER the 50-slot window was
+    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
+    "embedding_hamming_topk",
+    "drawdown_at_risk",
 ]
 
 # round-12 spill: queries ADDED in round 11 after the 50-slot window
-# was pinned — none this round (the window was pinned after the last
-# r11 registration, so every never-verified query has a slot); must
-# stay in sync with the queue comment in plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = []
+# was pinned; must stay in sync with the queue comment in
+# plans/__init__.py
+QUEUED_NEXT_ROUND: list[str] = [
+    "embedding_hamming_topk",
+    "drawdown_at_risk",
+]
 
 
 def test_window_is_pinned_and_full():

@@ -416,3 +416,61 @@ def test_volume_profile_matches_python(spark):
             _round6(per_bucket[poc] / total),
         )
     assert want and got == want
+
+
+def test_hamming_topk_matches_python(spark):
+    got = [
+        (r["vec_id"], r["label"], r["hamming"], r["cos"])
+        for r in QUERIES["embedding_hamming_topk"](spark, SF).collect()
+    ]
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    rows = [
+        (int(r.vec_id), int(r.label), [float(x) for x in r.embedding])
+        for r in emb.itertuples()
+    ]
+    probe = next(v for vid, _, v in rows if vid == 0)
+    pbits = [x >= 0 for x in probe]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    scored = sorted(
+        (
+            (sum((x >= 0) != pb for x, pb in zip(v, pbits)), vid, lab, v)
+            for vid, lab, v in rows
+        )
+    )[:10]
+    want = [(vid, lab, h, cos(v, probe)) for h, vid, lab, v in scored]
+    assert want and got == want
+
+
+def test_drawdown_at_risk_matches_python(spark):
+    got = {
+        r["code"]: (r["n_days"], r["k_tail"], r["max_drawdown"], r["cdar_95"])
+        for r in QUERIES["drawdown_at_risk"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        cents = [_rq_half_away(c * 100) for c in grp["close"]]
+        dqs, mx = [], 0
+        for c in cents:
+            mx = max(mx, c)
+            if mx > 0:
+                dqs.append(_rq_half_away((c / mx - 1) * 100_000_000))
+        n = len(dqs)
+        if n < 20:
+            continue
+        k = (n + 19) // 20
+        tail = sorted(dqs)[:k]
+        want[code] = (
+            n,
+            k,
+            _round6(-min(dqs) / 1e8),
+            _round6(-sum(tail) / k / 1e8),
+        )
+    assert want and got == want
