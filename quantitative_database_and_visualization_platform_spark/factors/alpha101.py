@@ -282,7 +282,12 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.delta(close, 7, w).alias("d7"),
         ret.alias("ret"),
         (F.col("amount") / vol).alias("vwap"),
-        (log_v - F.lag(log_v, 2).over(w)).alias("dlv2"),
+        # round-to-9dp BEFORE the rank (sole consumer): JVM Math.log and
+        # DuckDB's libm log can differ by an ulp on the same volume, so
+        # two codes with identical (v_t, v_{t-2}) pairs could split their
+        # rank tie group — 992 alpha_002 swaps at sf0.1 (round-11
+        # mitigated-config alpha parity run)
+        F.round(log_v - F.lag(log_v, 2).over(w), 9).alias("dlv2"),
         ((close - open_) / open_).alias("intraday"),
         ts.ts_stddev(ret, 20, w).alias("std20"),
         (F.signum(ts.delta(vol, 1, w)) * (-1 * d1)).alias("alpha_012"),
@@ -396,11 +401,16 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         ts.ts_min(F.col("vwap") - close, 3, w).alias("a11_min"),
         ts.delta(vol, 3, w).alias("a11_dv"),
         ts.delta("ret", 3, w).alias("a14_dr3"),
-        # alpha_018 raw: intraday-vol std + body + close/open correlation
-        (
+        # alpha_018 raw: intraday-vol std + body + close/open correlation.
+        # round-to-9dp BEFORE the rank (sole consumer): the three-term
+        # float sum accumulates engine-order-dependent ulp error (Spark
+        # sequential vs DuckDB segment-tree window sums) — 119 rank
+        # swaps at sf0.1 (round-11 mitigated-config alpha parity run)
+        F.round(
             ts.ts_stddev(F.abs(close - open_), 5, w)
             + (close - open_)
-            + ts.ts_corr(close, open_, 10, w)
+            + ts.ts_corr(close, open_, 10, w),
+            9,
         ).alias("a18_raw"),
         (-1 * F.signum((close - ts.delay(close, 7, w)) + ts.delta(close, 7, w))).alias(
             "a19_sign"
@@ -440,7 +450,14 @@ def with_alphas(bars: DataFrame, checkpoint_dir: str | None = None) -> DataFrame
         (open_ - close).alias("d_oc"),
         (close / open_).alias("a38_co"),
         ts.ts_stddev(high, 10, w).alias("a40_std"),
-        ts.ts_mean(ts.delay(close, 5, w), 20, w).alias("a45_m"),
+        # round-to-9dp BEFORE the cross-sectional rank: the 20-day mean is
+        # a float accumulation (Spark windows sum sequentially, DuckDB via
+        # a segment tree), so two codes with mathematically-tied means can
+        # land an ulp apart on one engine and split the tie group — 12
+        # rank swaps at sf0.1 (found by the round-11 mitigated-config
+        # alpha parity run); its ONLY consumer is the rank, so rounding
+        # at creation is lossless for the formula
+        F.round(ts.ts_mean(ts.delay(close, 5, w), 20, w), 9).alias("a45_m"),
         ts.ts_corr(close, vol.cast("double"), 2, w).alias("a45_c1"),
         ts.ts_sum(close, 5, w).alias("s5c"),
         ts.ts_sum(close, 20, w).alias("s20c"),

@@ -224,7 +224,7 @@ def _o_alphas() -> str:
         FROM bars
     ), e2 AS (
         SELECT *, close/prev_close - 1 AS ret,
-               log_v - LAG(log_v, 2) OVER ({_W}) AS dlv2,
+               ROUND(log_v - LAG(log_v, 2) OVER ({_W}), 9) AS dlv2,
                (close - open)/open AS intraday,
                SIGN(volume - LAG(volume, 1) OVER ({_W})) * (-1 * d1) AS alpha_012,
                SQRT(high*low) - amount/volume AS alpha_041,
@@ -343,10 +343,10 @@ def _o_alphas() -> str:
                MIN(vc) OVER ({_f(3)}) AS a11_min,
                volume - LAG(volume, 3) OVER ({_W}) AS a11_dv,
                ret - LAG(ret, 3) OVER ({_W}) AS a14_dr3,
-               STDDEV_SAMP(ABS(close - open)) OVER ({_f(5)}) + (close - open)
+               ROUND(STDDEV_SAMP(ABS(close - open)) OVER ({_f(5)}) + (close - open)
                    + (CASE WHEN STDDEV_SAMP(close) OVER ({_f(10)}) > 0
                             AND STDDEV_SAMP(open) OVER ({_f(10)}) > 0
-                           THEN CORR(close, open) OVER ({_f(10)}) END) AS a18_raw,
+                           THEN CORR(close, open) OVER ({_f(10)}) END), 9) AS a18_raw,
                -1 * SIGN((close - lag7c) + d7) AS a19_sign,
                {_o_sum_fixed_expr('c19', 250)} AS a19_sum,
                CASE WHEN STDDEV_SAMP(high) OVER ({_f(5)}) > 0
@@ -371,7 +371,7 @@ def _o_alphas() -> str:
                STDDEV_SAMP(close) OVER ({_f(8)}) AS s8,
                AVG(close) OVER ({_f(2)}) AS m2,
                STDDEV_SAMP(high) OVER ({_f(10)}) AS a40_std,
-               AVG(lag5c) OVER ({_f(20)}) AS a45_m,
+               ROUND(AVG(lag5c) OVER ({_f(20)}), 9) AS a45_m,
                {_o_gcorr('close', 'volume', 2)} AS a45_c1,
                SUM(close) OVER ({_f(5)}) AS s5c,
                SUM(close) OVER ({_f(20)}) AS s20c,

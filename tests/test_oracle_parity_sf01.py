@@ -8,14 +8,21 @@ bench scale (int64 wrap in day-level OLS moments, global_ntile's
 exchange-reuse boundary skew, hurst's zero-close window membership, and
 ln(0) error-vs-NULL semantics). Three of the four were SILENT on Spark.
 
+Round 11 removed the alpha-chain exclusion: the pruned-split AND
+full-width alpha oracles complete at sf0.1 under the mitigated checker
+config (run_oracle: 16 threads + spill; ~100-120 s each), and running
+them found — and fixed — three more bench-scale-only divergences, all
+the same class: cross-sectional ranks of raw float window outputs whose
+tie groups split on engine-order ulp differences (alpha_045's 20-day
+mean, alpha_002's log-volume delta, alpha_018's three-term sum; all
+pre-rounded to 9dp at creation on both engines now, the established
+rank-input convention).
+
 Run with::
 
     SPARK_GRAFT_SWEEP_SF01=1 python -m pytest tests/test_oracle_parity_sf01.py -q
 
-Skipped by default: the sweep adds ~25 quiet-host minutes to the suite.
-The 101-alpha chains stay excluded as the documented DuckDB resource
-cliff (their values are pytest-verified at sf0.001/0.01 via the pruned
-splits).
+Skipped by default: the sweep adds ~45 quiet-host minutes to the suite.
 """
 
 from __future__ import annotations
@@ -28,34 +35,35 @@ from quantitative_database_and_visualization_platform_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.1"
 
-# DuckDB resource cliff at sf0.1 (the alpha CTE chains); values are
-# covered at sf0.001/0.01 by test_oracle_parity.py
-HEAVY_EXCLUDED = {
-    "alpha101_a",
-    "alpha101_b",
-    "alpha101_c",
-    "alpha101_d",
-    "alpha_ic_gate",
-    "alpha_ic_b",
-    "alpha_ic_c",
-    "alpha_ic_d",
-    "rank_ic_matrix",
-    "alpha_ic_scan",
-    "alpha101_subset",
-}
-
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_SWEEP_SF01"),
     reason="bench-scale sweep is opt-in: SPARK_GRAFT_SWEEP_SF01=1",
 )
 
 
-@pytest.mark.parametrize(
-    "name", [n for n in sorted(QUERIES) if n not in HEAVY_EXCLUDED]
-)
+@pytest.mark.parametrize("name", sorted(QUERIES))
 def test_sf01_parity(spark, name):
     from quantitative_database_and_visualization_platform_spark.plans.oracle_check import check_query
 
     problems = check_query(spark, SF, name)
     assert not problems, problems
     assert name in QUERIES
+
+
+@pytest.mark.parametrize("name", ["alpha101_subset", "alpha_ic_scan"])
+def test_sf01_full_width_alpha_parity(spark, name):
+    """The two rows-only gate entries get their FULL-WIDTH oracle
+    comparison at bench scale here (same mitigated-config run_oracle
+    path test_oracle_parity.py uses at sf0.001/0.01) — at sf0.1 each
+    oracle runs ~95-120 s."""
+    from quantitative_database_and_visualization_platform_spark.plans.alpha_queries import PYTEST_ONLY_ORACLES
+    from quantitative_database_and_visualization_platform_spark.plans.oracle_check import compare, run_oracle
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    try:
+        sdf = QUERIES[name](spark, SF).toArrow()
+    finally:
+        release_managed()
+    odf = run_oracle(SF, PYTEST_ONLY_ORACLES[name])
+    problems = compare(sdf, odf)
+    assert not problems, problems
