@@ -6355,13 +6355,21 @@ _O_RETS_MKT = f"""rets AS (
 def _rets_mkt_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _O_RETS_MKT: (code, d, rq, mq) — the market leg is
     a day-keyed aggregate broadcast back onto the panel (bounded by the
-    calendar, so the broadcast is safe at any universe size)."""
+    calendar, so the broadcast is safe at any universe size). The rets
+    relation is persisted so the panel build (events scan → bar
+    aggregate → lag window) runs ONCE, not once per leg — without it
+    the plan re-derives the whole panel for the market aggregate (plan
+    audit, round 11: 8 exchanges → 5)."""
+    from ..session import managed_persist
+
     bars = daily_bars(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"
     )
-    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    rets = managed_persist(
+        bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
+    )
     mkt = rets.groupBy("d").agg(
         F.floor(
             F.sum("rq").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
