@@ -560,3 +560,81 @@ def test_global_ntile_matches_window_ntile_property(spark, rows, n, num_ranges):
         df, n, ["v", "k"], partition_cols=["g"], num_ranges=num_ranges, out="b"
     )
     assert sorted(map(tuple, expg.collect())) == sorted(map(tuple, gotg.collect()))
+
+
+@given(st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_pair_blocks_formula_matches_oracle_twin(n):
+    """The blocked pair screens' Python block count must equal the
+    oracle's GREATEST(1, (n + 31) // 32) for ANY universe size — the
+    value hash binds only if both engines derive the identical integer."""
+    import duckdb
+
+    from quantitative_database_and_visualization_platform_spark.plans.backtest_queries import (
+        _PAIR_BLOCK_TARGET,
+    )
+
+    py = max(1, (n + _PAIR_BLOCK_TARGET - 1) // _PAIR_BLOCK_TARGET)
+    sql = duckdb.sql(
+        f"SELECT GREATEST(1, ({n} + {_PAIR_BLOCK_TARGET - 1}) // {_PAIR_BLOCK_TARGET})"
+    ).fetchone()[0]
+    assert py == sql
+
+
+@given(st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_planes_formula_matches_oracle_twin_property(n):
+    """planes_for_corpus vs the bin()/length oracle twin, over arbitrary
+    corpus sizes (the parametrized golden pins a fixed list; this
+    covers the space)."""
+    import duckdb
+
+    from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
+        planes_for_corpus,
+    )
+
+    sql = duckdb.sql(
+        f"SELECT GREATEST(1, length(bin(({n} - 1) // 256)))"
+    ).fetchone()[0]
+    assert sql == planes_for_corpus(n, 256)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from([-1, 1]), st.integers(min_value=0, max_value=50)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vpin_bucket_edge_three_way_agreement(signed):
+    """The r10-advice vpin edge: a leading k=0 row gives cum=0, where
+    truncating (engine DIV / //) and flooring (Python //) division
+    disagree on the negative operand. With the GREATEST/max clamp all
+    three implementations must agree for ANY signed volume sequence."""
+    import duckdb
+
+    total = sum(k for _, k in signed)
+    if total <= 0:
+        return
+    bsz = (total + 19) // 20
+    cum = 0
+    py_buckets = []
+    for _, k in signed:
+        cum += k
+        py_buckets.append(max(cum - 1, 0) // bsz)
+    rows = ",".join(
+        f"({i}, {k})" for i, (_, k) in enumerate(signed)
+    )
+    sql_buckets = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT GREATEST(cum - 1, 0) // {bsz} AS b FROM (
+                SELECT i, SUM(k) OVER (ORDER BY i) AS cum
+                FROM (VALUES {rows}) t(i, k)
+            ) ORDER BY i
+            """
+        ).fetchall()
+    ]
+    assert py_buckets == sql_buckets
