@@ -239,3 +239,50 @@ def test_two_phase_quota_pick_fallback_keeps_duplicate_keys(spark):
             from collections import Counter
 
             assert all(c == 2 for c in Counter(got).values()), Counter(got)
+
+
+def test_pair_blocking_shrinks_candidate_domain(spark):
+    """Executable form of the SCALING claim: the blocked candidate scan
+    visits a strict subset of the all-pairs domain, smaller by ~the
+    block count (universe/32 blocks at sf0.01 -> ~5x fewer pairs), and
+    every blocked pair shares a block."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+    from quantitative_database_and_visualization_platform_spark.plans.backtest_queries import (
+        _cand_pairs,
+        _pair_blocks,
+    )
+    from quantitative_database_and_visualization_platform_spark.session import release_managed
+
+    sf = "/root/testdata/sf0.01"
+    try:
+        bars = daily_bars(spark, sf)
+        w = Window.partitionBy("code").orderBy("d")
+        rets = bars.select(
+            "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
+        ).filter(F.col("ret").isNotNull())
+        nb = _pair_blocks(spark, sf)
+        assert nb >= 4  # the blocking must actually bite at this sf
+
+        def domain(n_blocks):
+            # distinct candidate PAIRS the scan generates (pre-corr)
+            a = rets.select(F.col("code").alias("ca"), "d")
+            b = rets.select(F.col("code").alias("cb"), F.col("d").alias("d_b"))
+            cond = (F.col("d") == F.col("d_b")) & (F.col("ca") < F.col("cb"))
+            if n_blocks is not None:
+                cond = cond & (F.col("ca") % n_blocks == F.col("cb") % n_blocks)
+            return (
+                a.join(b, cond).select("ca", "cb").distinct().count()
+            )
+
+        full, blocked = domain(None), domain(nb)
+        assert 0 < blocked < full
+        # expected shrink ~ nb; allow slack for uneven code-mod buckets
+        assert blocked <= full / (nb / 2), (full, blocked, nb)
+        # and the registered blocked query emits only within-block pairs
+        out = _cand_pairs(rets, nb, limit=20).collect()
+        assert out and all(r["ca"] % nb == r["cb"] % nb for r in out)
+    finally:
+        release_managed()
