@@ -53,7 +53,10 @@ GATE_WINDOW = 50
 # re-confirmations sit at the tail. (alpha101_subset / alpha_ic_scan
 # remain the two rows-only r4 entries that may not burn hash slots;
 # their computations are hash-covered by the alpha101_a-d and
-# alpha_ic_b/c/d rows.)
+# alpha_ic_b/c/d rows.) The full window rehearsed 50/50 green in ONE
+# driver-style session (8 GB heap, hostile America/New_York TZ,
+# sf0.01) twice this round — 85 s when pinned, 92 s re-rehearsed at
+# round close after the market-panel persist change.
 GATE_FIRST: list[str] = [
     # (a)+(b): never driver-verified — the round's point, bound first
     # (cheapest-first by measured cost)
