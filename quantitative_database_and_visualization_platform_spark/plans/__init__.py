@@ -115,10 +115,11 @@ GATE_FIRST: list[str] = [
 ]
 
 # Round-12 re-confirmation queue: once this window gates green, the only
-# queries without a driver row are the TWO round-11 late additions
-# (embedding_hamming_topk, drawdown_at_risk — registered after the
-# window was pinned; python-golden + oracle-verified at sf0.001/0.01/0.1
-# in-round), which must take the first slots of the round-12 window.
+# queries without a driver row are the THREE round-11 late additions
+# (embedding_hamming_topk, drawdown_at_risk, calendar_month_effect —
+# registered after the window was pinned; python-golden +
+# oracle-verified at sf0.001/0.01/0.1 in-round), which must take the
+# first slots of the round-12 window.
 # After those, the natural r12 window is the next-oldest
 # re-confirmations — the remaining
 # 37 r6-era rows (acf_lag_profile, amihud_illiquidity,

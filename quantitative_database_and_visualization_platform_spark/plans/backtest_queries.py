@@ -7047,3 +7047,80 @@ def drawdown_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.col("tail_sum").cast("double") / F.col("k") / 100_000_000.0
         ).alias("cdar_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-of-year seasonality panel (new r11 late): the calendar-anomaly
+# axis calendar_dow_effect doesn't cover — the January-effect family
+# (Rozeff-Kinney 1976). Per calendar month across the whole universe:
+# observation count, mean daily return, the one-sample t-stat against
+# zero, and the hit rate. The t-stat is what dow_effect lacks — it
+# turns "January looks higher" into a testable magnitude.
+#
+# Determinism: returns on the 1e8 grid; S and Q = Σr² accumulate in
+# decimal(38,0)/HUGEINT (Q would pass int64 at ~3,700 obs of ±50%
+# days — a 100× replica month holds ~800k obs); mean/t arithmetic runs
+# on identical doubles from exact integers.
+#
+# Scale shape: one lag window per entity, then a 12-bucket map-side-
+# combined aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "calendar_month_effect",
+    oracle=f"""
+    WITH {O_BARS},
+    rets AS (
+        SELECT code, d,
+               CAST(ROUND((close / LAG(close) OVER w - 1)*{_RS},0) AS BIGINT)
+                   AS ret_c
+        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
+        QUALIFY ret_c IS NOT NULL
+    ), agg AS (
+        SELECT CAST(month(d) AS INT) AS mth,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               SUM(CAST(ret_c AS HUGEINT)) AS s,
+               SUM(CAST(ret_c AS HUGEINT)*ret_c) AS q,
+               CAST(count_if(ret_c > 0) AS BIGINT) AS n_up
+        FROM rets GROUP BY month(d)
+    )
+    SELECT mth, n_obs,
+           FLOOR((CAST(s AS DOUBLE)/n_obs/{_RS})*1000000 + 0.5)/1000000.0
+               AS mean_ret,
+           CASE WHEN n_obs > 1
+                 AND CAST(n_obs AS HUGEINT)*q - s*s > 0 THEN
+             FLOOR(((CAST(s AS DOUBLE)/n_obs)
+                    / sqrt((CAST(n_obs AS DOUBLE)*CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
+                           /n_obs/(n_obs - 1)/n_obs))*1000000 + 0.5)/1000000.0
+           END AS t_stat,
+           FLOOR((n_up*1.0/n_obs)*1000000 + 0.5)/1000000.0 AS hit_rate
+    FROM agg
+    """,
+)
+def calendar_month_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("code").orderBy("d")
+    ret_c = F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0).cast(
+        "long"
+    )
+    rets = bars.select("d", ret_c.alias("ret_c")).filter(F.col("ret_c").isNotNull())
+    dec = F.col("ret_c").cast("decimal(38,0)")
+    agg = rets.groupBy(F.month("d").cast("int").alias("mth")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("q"),
+        F.count_if(F.col("ret_c") > 0).alias("n_up"),
+    )
+    nd = F.col("n_obs").cast("double")
+    sd, qd = F.col("s").cast("double"), F.col("q").cast("double")
+    var_num = (
+        F.col("n_obs").cast("decimal(38,0)") * F.col("q") - F.col("s") * F.col("s")
+    )
+    t = (sd / nd) / F.sqrt((nd * qd - sd * sd) / nd / (nd - 1) / nd)
+    return agg.select(
+        "mth",
+        "n_obs",
+        round6(sd / nd / _RS).alias("mean_ret"),
+        F.when((F.col("n_obs") > 1) & (var_num > 0), round6(t)).alias("t_stat"),
+        round6(F.col("n_up") * 1.0 / F.col("n_obs")).alias("hit_rate"),
+    )

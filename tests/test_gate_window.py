@@ -63,6 +63,7 @@ NEVER_DRIVER_VERIFIED = [
     # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
     "embedding_hamming_topk",
     "drawdown_at_risk",
+    "calendar_month_effect",
 ]
 
 # round-12 spill: queries ADDED in round 11 after the 50-slot window
@@ -71,6 +72,7 @@ NEVER_DRIVER_VERIFIED = [
 QUEUED_NEXT_ROUND: list[str] = [
     "embedding_hamming_topk",
     "drawdown_at_risk",
+    "calendar_month_effect",
 ]
 
 

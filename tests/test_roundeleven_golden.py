@@ -474,3 +474,33 @@ def test_drawdown_at_risk_matches_python(spark):
             _round6(-sum(tail) / k / 1e8),
         )
     assert want and got == want
+
+
+def test_calendar_month_effect_matches_python(spark):
+    got = {
+        r["mth"]: (r["n_obs"], r["mean_ret"], r["t_stat"], r["hit_rate"])
+        for r in QUERIES["calendar_month_effect"](spark, SF).collect()
+    }
+    per_month = defaultdict(list)
+    for code, grp in _bars_by_code(spark).items():
+        closes, days = list(grp["close"]), list(grp["d"])
+        for t in range(1, len(closes)):
+            rc = _rq_half_away((closes[t] / closes[t - 1] - 1) * 100_000_000)
+            per_month[days[t].month].append(rc)
+    want = {}
+    for mth, rs in per_month.items():
+        n, s = len(rs), sum(rs)
+        q = sum(r * r for r in rs)
+        var_num = n * q - s * s
+        tstat = (
+            _round6((s / n) / math.sqrt((n * q - s * s) / n / (n - 1) / n))
+            if n > 1 and var_num > 0
+            else None
+        )
+        want[mth] = (
+            n,
+            _round6(s / n / 100_000_000),
+            tstat,
+            _round6(sum(1 for r in rs if r > 0) / n),
+        )
+    assert want and got == want
