@@ -605,7 +605,7 @@ def test_blocked_pair_screens_join_on_block_key(spark):
         joins = [
             line
             for line in plan.splitlines()
-            if re.search(r"HashJoin \[.*blk", line)
+            if re.search(r"(HashJoin|SortMergeJoin) \[.*blk", line)
         ]
         assert joins, (name, plan[:3000])
         # the blk key must be on BOTH sides of the equi-key lists

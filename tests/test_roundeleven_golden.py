@@ -437,7 +437,7 @@ def test_hamming_topk_matches_python(spark):
             dot += x * y
             na += x * x
             nb += y * y
-        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+        return _round6(dot / (math.sqrt(na) * math.sqrt(nb)))
 
     scored = sorted(
         (

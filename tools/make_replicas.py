@@ -34,32 +34,56 @@ from quantitative_database_and_visualization_platform_spark.sources.catalog impo
 SRC = "/root/testdata/sf0.1"
 
 
+# replica key stride: base ids must be strictly below this or offset ids
+# collide across replicas (r11 ADVICE: the old int arithmetic also
+# silently wrapped at int32 for large N — ids are now offset in LONG)
+STRIDE = 10_000_000
+
+
+def _check_stride(spark, df, col: str, t: str) -> None:
+    mx = df.agg(F.max(col)).collect()[0][0]
+    assert mx is not None and mx < STRIDE, (
+        f"{t}.{col} max id {mx} >= replica stride {STRIDE}; "
+        f"raise STRIDE or the replica universe collides"
+    )
+
+
 def build(n: int, out: str) -> None:
     spark = get_spark()
-    reps = spark.range(n).select(F.col("id").cast("int").alias("r"))
+    # LONG replica index: keeps every offset id in int64 for any N that
+    # fits memory (int32 wrapped silently at N*stride > 2^31)
+    reps = spark.range(n).select(F.col("id").cast("long").alias("r"))
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
         dst = os.path.join(out, f"{t}.parquet")
         df = load_table(spark, SRC, t)
         if t == "events":
+            _check_stride(spark, df, "user_id", t)
             df = df.crossJoin(F.broadcast(reps)).select(
-                (F.col("user_id") + F.col("r") * 10_000_000).alias("user_id"),
-                (F.col("event_id") + F.col("r").cast("long") * 1_000_000_000).alias(
-                    "event_id"
+                (F.col("user_id").cast("long") + F.col("r") * STRIDE).alias(
+                    "user_id"
                 ),
+                (F.col("event_id").cast("long") + F.col("r") * 1_000_000_000)
+                .alias("event_id"),
                 *[c for c in df.columns if c not in ("user_id", "event_id")],
             )
         elif t == "documents":
+            _check_stride(spark, df, "doc_id", t)
             df = df.crossJoin(F.broadcast(reps)).select(
-                (F.col("doc_id") + F.col("r") * 10_000_000).alias("doc_id"),
+                (F.col("doc_id").cast("long") + F.col("r") * STRIDE).alias(
+                    "doc_id"
+                ),
                 F.concat(
                     F.col("text"), F.lit(" rtok"), F.col("r").cast("string")
                 ).alias("text"),
                 *[c for c in df.columns if c not in ("doc_id", "text")],
             )
         elif t == "embeddings":
+            _check_stride(spark, df, "vec_id", t)
             df = df.crossJoin(F.broadcast(reps)).select(
-                (F.col("vec_id") + F.col("r") * 10_000_000).alias("vec_id"),
+                (F.col("vec_id").cast("long") + F.col("r") * STRIDE).alias(
+                    "vec_id"
+                ),
                 F.expr(
                     "transform(embedding, (x, j) ->"
                     " CAST(x + ((r * 31 + j) % 7 - 3) * 0.001 AS FLOAT))"
