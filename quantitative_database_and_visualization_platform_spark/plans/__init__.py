@@ -32,113 +32,102 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-11 window. r10's 50 rows were all green. This window closes the
-# loop the r10 verdict pinned: (a) the SEVENTEEN round-10 late additions
-# (the r11 queue — every query registered before round 11 then has a
-# driver row), (b) the TEN new round-11 queries — the three blocked
-# pair-screen production twins (top_correlated_pairs_blocked /
-# cointegration_screen_blocked / granger_causality_screen_blocked: the
-# universe-linear candidate scan the r10 verdict asked to register),
-# embedding_dbscan_sized (the planes_for_corpus production form — the
-# r10 verdict's other `weak`), and six new market panels
-# (updown_capture, semibeta_downside, comoment_coskew,
-# duration_clustering, lottery_max_factor, volume_profile_poc) — all
-# oracle-verified at sf0.001/0.01/0.1 and python-golden-tested before
-# pinning; and (c) 23 re-confirmations of the OLDEST remaining driver
-# rows (the 18 r5-era rows named in the r10 queue comment plus the 5
-# cheapest r6-era rows), cheapest-first by measured spark+oracle cost
-# (ORACLE_TIMINGS.json) with the heaviest last — same failure-isolation
-# rationale as r9/r10: if a memory-starved driver session dies at a
-# heavy row, everything after it is lost, so the expendable
-# re-confirmations sit at the tail. (alpha101_subset / alpha_ic_scan
-# remain the two rows-only r4 entries that may not burn hash slots;
-# their computations are hash-covered by the alpha101_a-d and
-# alpha_ic_b/c/d rows.) The full window rehearsed 50/50 green in ONE
-# driver-style session (8 GB heap, hostile America/New_York TZ,
-# sf0.01) twice this round — 85 s when pinned, 92 s re-rehearsed at
-# round close after the market-panel persist change.
+# Round-12 window. r11's 50 rows were all green (288/291 registered
+# queries then had a cumulative hash-green driver row). This window
+# completes the registry: (a) the FOUR never-driver-verified queries —
+# the three round-11 late additions (embedding_hamming_topk,
+# drawdown_at_risk, calendar_month_effect, first in the r11 queue) plus
+# the one query new in round 12, repeated_span_pairs (the substring-
+# level exact-dedup modality the r11 verdict named as the last missing
+# pipeline operator; oracle-verified at sf0.001/0.01/0.1 and
+# python-golden-tested before pinning); (b) the re-gated
+# embedding_neardup — its only prior driver rows were 0-row-vs-0-row
+# (the r11 verdict's vacuous-row finding); the operator now derives its
+# threshold from the corpus (top ceil(n/100) quantized-cosine pairs)
+# so the re-confirmation binds on NON-EMPTY output; and (c) 45
+# re-confirmations of the OLDEST remaining driver rows — all 37 r6-era
+# rows named in the r11 queue comment plus the 8 cheapest r7-era rows —
+# cheapest-first by measured spark+oracle cost (ORACLE_TIMINGS.json)
+# with the heaviest last, the same failure-isolation rationale as
+# r9-r11. A green gate makes every registered query driver-verified on
+# its CURRENT form (292/292) — the first fully-bound registry.
+# (alpha101_subset / alpha_ic_scan remain the two rows-only r4 entries
+# that may not burn hash slots; their computations are hash-covered by
+# the alpha101_a-d and alpha_ic_b/c/d rows.)
 GATE_FIRST: list[str] = [
-    # (a)+(b): never driver-verified — the round's point, bound first
-    # (cheapest-first by measured cost)
-    "corwin_schultz_spread",
-    "vpin_flow_toxicity",
-    "omega_downside_panel",
-    "ulcer_index_martin",
-    "tracking_error_ir",
-    "arch_effect_q",
-    "winnowing_fingerprints",
-    "filter_cascade_report",
-    "inverse_vol_portfolio",
-    "boilerplate_segment_ratio",
-    "ewma_vol_riskmetrics",
-    "fama_macbeth_nw",
-    "embedding_dbscan_core",
-    "lottery_max_factor",
-    "volume_profile_poc",
-    "duration_clustering",
-    "updown_capture",
-    "semibeta_downside",
-    "comoment_coskew",
-    "embedding_dbscan_sized",
-    "top_correlated_pairs_blocked",
-    "cointegration_screen",
-    "ljung_box_q",
-    "granger_causality_screen",
-    "cointegration_screen_blocked",
-    "granger_causality_screen_blocked",
-    "pq_quantization_audit",
-    # (c): oldest re-confirmations (18 r5-era + 5 cheapest r6-era),
+    # (a) never driver-verified — bound first, cheapest-first
+    "embedding_hamming_topk",
+    "calendar_month_effect",
+    "drawdown_at_risk",
+    "repeated_span_pairs",
+    # (b)+(c): re-confirmations — all 37 r6-era rows, the 8 cheapest
+    # r7-era rows, and the re-gated non-vacuous embedding_neardup;
     # cheapest-first, heaviest last
-    "weighted_resample_topk",
-    "doc_packing",
-    "benford_first_digit",
-    "dedup_impact_report",
-    "intraday_hour_profile",
-    "range_window_dollar_volume",
-    "yesterday_winners_performance",
-    "decontamination_ngram",
-    "corpus_curation",
-    "winsorize_returns",
+    "interval_join_click_purchase",
+    "token_length_by_lang",
+    "shard_assignment_balance",
+    "sliding_window_stats",
+    "k_anonymity_customers",
+    "order_cadence_stats",
+    "template_prefix_clusters",
+    "merge_upsert_orders",
+    "length_histogram_by_source",
+    "out_of_orderness_profile",
+    "bpe_merge_candidates",
+    "ttr_quality",
+    "lang_mix_drift",
+    "source_mixing_weights",
+    "zipf_token_curve",
+    "roll_spread_estimator",
+    "l_diversity_report",
+    "vwap_slippage_daily",
+    "fama_macbeth_summary",
     "embedding_neardup",
-    "funnel_conversion",
-    "cms_heavy_hitters",
-    "market_index_history",
-    "asof_join_latest_order",
-    "backtest_decile_longshort",
-    "dedup_minhash_lsh",
-    "rolling_beta_market",
-    "repetition_quality",
-    "text_tfidf_topk",
-    "dedup_simhash",
-    "embedding_ann_ivf",
-    "stratified_sample_balanced",
+    "ma_crossover_signals",
+    "var_cvar_daily",
+    "percentile_bands_daily",
+    "calendar_dow_effect",
+    "amihud_illiquidity",
+    "gap_open_stats",
+    "rare_token_ratio",
+    "streak_analysis",
+    "risk_adjusted_ratios",
+    "doc_novelty_score",
+    "scd2_history_build",
+    "fama_macbeth_mom",
+    "underwater_duration",
+    "vocab_jsd_by_source",
+    "kline_pattern_screen",
+    "source_overlap_matrix",
+    "market_share_by_nation",
+    "acf_lag_profile",
+    "dsir_importance",
+    "exact_substring_dedup",
+    "pipeline_retention_funnel",
+    "vol_term_structure",
+    "cluster_balanced_sample",
+    "backtest_turnover_cost",
+    "dedup_containment",
+    "event_study_car",
 ]
 
-# Round-12 re-confirmation queue: once this window gates green, the only
-# queries without a driver row are the THREE round-11 late additions
-# (embedding_hamming_topk, drawdown_at_risk, calendar_month_effect —
-# registered after the window was pinned; python-golden +
-# oracle-verified at sf0.001/0.01/0.1 in-round), which must take the
-# first slots of the round-12 window.
-# After those, the natural r12 window is the next-oldest
-# re-confirmations — the remaining
-# 37 r6-era rows (acf_lag_profile, amihud_illiquidity,
-# backtest_turnover_cost, bpe_merge_candidates, calendar_dow_effect,
-# cluster_balanced_sample, dedup_containment, doc_novelty_score,
-# dsir_importance, event_study_car, exact_substring_dedup,
-# fama_macbeth_mom, fama_macbeth_summary, gap_open_stats,
-# kline_pattern_screen, l_diversity_report, lang_mix_drift,
-# ma_crossover_signals, market_share_by_nation, percentile_bands_daily,
-# pipeline_retention_funnel, rare_token_ratio, risk_adjusted_ratios,
-# roll_spread_estimator, scd2_history_build, sliding_window_stats,
-# source_mixing_weights, source_overlap_matrix, streak_analysis,
-# template_prefix_clusters, ttr_quality, underwater_duration,
-# var_cvar_daily, vocab_jsd_by_source, vol_term_structure,
-# vwap_slippage_daily, zipf_token_curve) plus the oldest r7 rows,
-# cheapest-first. Any query registered in round 12 after its window is
-# pinned must take the first slots of the round-13 window —
-# tests/test_gate_window.py's NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND
-# lists make the queue executable, not prose.
+# Round-13 queue: EMPTY as pinned — no query registered in round 12
+# after this window was set (repeated_span_pairs was registered before
+# pinning and sits in slot 4). Once this window gates green the
+# registry is fully driver-verified; the natural r13 window is the
+# next-oldest re-confirmations — the remaining 41 r7-era rows
+# (ab_test_lift, ann_recall_audit, bloom_decontamination, bm25_topk,
+# brinson_attribution, char_entropy_quality, cohort_retention_matrix,
+# conversion_attribution, corpus_overview, cross_factor_regression,
+# cube_nation_segment, data_profile_orders, data_quality_checks,
+# embedding_drift_by_label, embedding_rank_fusion,
+# event_transition_matrix, extreme_day_concentration,
+# forecast_eval_naive, hll_cumulative_users, hll_distinct_by_source,
+# langid_confusion, ...) plus the oldest r8 rows, cheapest-first. Any
+# query registered in round 13 after its window is pinned must take the
+# first slots of the round-14 window — tests/test_gate_window.py's
+# NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND lists make the queue
+# executable, not prose.
 
 
 def _apply_gate_order() -> None:

@@ -131,7 +131,12 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, key=["user_id"], version=[F.col("ts"), F.col("event_id")]
     )
     return latest.select(
-        "user_id", F.date_trunc("second", "ts").alias("last_ts"), "event_type", "value"
+        "user_id",
+        # date_trunc implicitly promotes NTZ to the instant type; cast
+        # back so the emitted value is session-TZ-independent (r12 sweep)
+        F.date_trunc("second", "ts").cast("timestamp_ntz").alias("last_ts"),
+        "event_type",
+        "value"
     )
 
 
@@ -1260,12 +1265,12 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "click").select(
         "user_id",
-        F.col("ts").cast("timestamp").alias("click_ts"),
+        F.col("ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("event_id").alias("click_id"),
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
-        F.col("ts").cast("timestamp").alias("purchase_ts"),
+        F.col("ts").cast("timestamp_ntz").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
     )
     touches = p.join(

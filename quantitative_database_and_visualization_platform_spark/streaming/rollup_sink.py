@@ -34,7 +34,7 @@ from .versioned_store import commit_store, read_store
 def _partial_rollup(df: DataFrame) -> DataFrame:
     """(day, event_type) partials with integer cents — mergeable exactly."""
     return (
-        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df.withColumn("ts", F.col("ts").cast("timestamp" if df.isStreaming else "timestamp_ntz"))
         .select(
             F.date_trunc("day", "ts").cast("date").alias("day"),
             "event_type",

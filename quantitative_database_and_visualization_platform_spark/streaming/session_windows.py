@@ -33,11 +33,17 @@ def session_stats(
     exact fixed-point value total. Works on a batch OR streaming events
     frame; pass ``watermark`` for append-mode streaming.
 
-    ``ts`` is cast through ``timestamp`` first: the driver's parquet may
-    carry TIMESTAMP_NTZ, which session_window/watermark reject — with
-    the session TZ pinned to UTC the cast is value-preserving.
+    ``ts`` stays TIMESTAMP_NTZ on the BATCH path (casting the naive
+    source to the instant type made session_start/session_end shift
+    with the session TZ — r12 hostile-TZ sweep finding); the streaming
+    path casts to the instant type, which EventTimeWatermark requires.
     """
-    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = events.withColumn(
+        "ts",
+        # streaming watermarks require the instant type; the batch twin
+        # keeps NTZ so emitted session bounds are session-TZ-independent
+        F.col("ts").cast("timestamp" if events.isStreaming else "timestamp_ntz"),
+    )
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
     return (

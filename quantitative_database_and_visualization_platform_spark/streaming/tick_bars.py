@@ -23,6 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _event_time_type(df: DataFrame) -> str:
+    """Event-time column type: streaming watermarks require the instant
+    TIMESTAMP type, but the batch twins keep TIMESTAMP_NTZ so their
+    emitted timestamps do not shift with the session time zone (r12
+    hostile-TZ sweep finding — the registered batch queries are the
+    driver-gated surface, and the naive source column must round-trip)."""
+    return "timestamp" if df.isStreaming else "timestamp_ntz"
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. Streaming sources need
     an explicit schema, so it is pinned from a batch read; the raw file
@@ -51,12 +60,14 @@ def streaming_minute_bars(events: DataFrame, watermark: str = "5 minutes") -> Da
     uses dropDuplicatesWithinWatermark — duplicates arriving within the
     watermark delay are dropped and state older than the watermark is
     evicted, bounding state by O(events per watermark window)."""
-    # event-time watermarks require TIMESTAMP; the driver's parquet may
-    # carry ts as TIMESTAMP_NTZ — with the session TZ pinned to UTC the
-    # cast is value-preserving (and a no-op for plain timestamps). Casting
-    # here keeps the batch twin on the identical path.
+    # Event-time type: streaming watermarks REQUIRE the instant type
+    # (EventTimeWatermark rejects TIMESTAMP_NTZ), but the BATCH twin
+    # keeps NTZ end-to-end — casting the NTZ source to the instant type
+    # made every emitted timestamp a function of the SESSION time zone
+    # (the r12 hostile-TZ sweep caught the shifted batch outputs; the
+    # streaming tests pin UTC, where the instant cast is value-exact).
     ticks = (
-        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        events.withColumn("ts", F.col("ts").cast(_event_time_type(events)))
         .withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
         .withColumn("turnover", F.col("value") * F.col("k"))  # compute-on-write
         .withWatermark("ts", watermark)
@@ -100,12 +111,12 @@ def click_purchase_interval_join(
     join, no state) for the parity test.
     """
     c = (
-        clicks.withColumn("click_ts", F.col("ts").cast("timestamp"))
+        clicks.withColumn("click_ts", F.col("ts").cast(_event_time_type(clicks)))
         .select("user_id", "click_ts", F.col("event_id").alias("click_id"))
         .withWatermark("click_ts", watermark)
     )
     p = (
-        purchases.withColumn("purchase_ts", F.col("ts").cast("timestamp"))
+        purchases.withColumn("purchase_ts", F.col("ts").cast(_event_time_type(purchases)))
         .select(
             F.col("user_id").alias("p_user"),
             "purchase_ts",
@@ -135,9 +146,9 @@ def sliding_type_stats(
     O(open windows × types) on an unbounded stream. The aggregation body
     is shared verbatim with the batch twin (same function, batch input).
     """
-    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-        "ts", watermark
-    )
+    ev = events.withColumn(
+        "ts", F.col("ts").cast(_event_time_type(events))
+    ).withWatermark("ts", watermark)
     return (
         ev.groupBy("event_type", F.window("ts", size, slide).alias("w"))
         .agg(
@@ -174,12 +185,12 @@ def click_purchase_outer_join(
     watermark closed, which the test mirrors.
     """
     c = (
-        clicks.withColumn("click_ts", F.col("ts").cast("timestamp"))
+        clicks.withColumn("click_ts", F.col("ts").cast(_event_time_type(clicks)))
         .select("user_id", "click_ts", F.col("event_id").alias("click_id"))
         .withWatermark("click_ts", watermark)
     )
     p = (
-        purchases.withColumn("purchase_ts", F.col("ts").cast("timestamp"))
+        purchases.withColumn("purchase_ts", F.col("ts").cast(_event_time_type(purchases)))
         .select(
             F.col("user_id").alias("p_user"),
             "purchase_ts",

@@ -23,57 +23,27 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-10
-# (CORRECTNESS_r0{1..10}.json union: r10 closed the loop on everything
-# registered before round 10, so this is the 17 round-10 late additions
-# plus the queries registered in round 11). Each must sit in the r11
-# window OR in the explicitly-queued next-round spill.
+# every query with no driver correctness row in any of rounds 1-11
+# (CORRECTNESS_r0{1..11}.json union: r11 closed the loop on everything
+# registered before round 11 except its own three late additions, so
+# this is those three plus the one query new in round 12). Each must
+# sit in the r12 window OR in the explicitly-queued next-round spill.
 NEVER_DRIVER_VERIFIED = [
-    # round-10 late additions (the r11 queue)
-    "boilerplate_segment_ratio",
-    "ewma_vol_riskmetrics",
-    "corwin_schultz_spread",
-    "cointegration_screen",
-    "ulcer_index_martin",
-    "vpin_flow_toxicity",
-    "ljung_box_q",
-    "pq_quantization_audit",
-    "arch_effect_q",
-    "tracking_error_ir",
-    "inverse_vol_portfolio",
-    "winnowing_fingerprints",
-    "embedding_dbscan_core",
-    "granger_causality_screen",
-    "omega_downside_panel",
-    "fama_macbeth_nw",
-    "filter_cascade_report",
-    # new in round 11 (oracle-verified at sf0.001/0.01/0.1 +
-    # python-golden before pinning)
-    "top_correlated_pairs_blocked",
-    "cointegration_screen_blocked",
-    "granger_causality_screen_blocked",
-    "embedding_dbscan_sized",
-    "updown_capture",
-    "semibeta_downside",
-    "comoment_coskew",
-    "duration_clustering",
-    "lottery_max_factor",
-    "volume_profile_poc",
-    # round-11 late additions (added AFTER the 50-slot window was
-    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
+    # round-11 late additions (the r12 queue; python-golden +
+    # oracle-verified at sf0.001/0.01/0.1 since round 11)
     "embedding_hamming_topk",
     "drawdown_at_risk",
     "calendar_month_effect",
+    # new in round 12 (registered BEFORE the window was pinned;
+    # oracle-verified at sf0.001/0.01/0.1 + python-golden)
+    "repeated_span_pairs",
 ]
 
-# round-12 spill: queries ADDED in round 11 after the 50-slot window
+# round-13 spill: queries ADDED in round 12 after the 50-slot window
 # was pinned; must stay in sync with the queue comment in
-# plans/__init__.py
-QUEUED_NEXT_ROUND: list[str] = [
-    "embedding_hamming_topk",
-    "drawdown_at_risk",
-    "calendar_month_effect",
-]
+# plans/__init__.py. EMPTY as pinned — every never-verified query sits
+# in the r12 window, so a green gate fully driver-verifies the registry.
+QUEUED_NEXT_ROUND: list[str] = []
 
 
 def test_window_is_pinned_and_full():
@@ -172,7 +142,13 @@ def test_window_query_returns_only_scalar_columns(spark, name):
     """Schema-only check (plan analysis, no job): the driver's pandas
     canonicalizer sort/hashes cell values, so ARRAY/MAP/STRUCT columns
     crash it (r4 kpl_ladder). Every window query must emit flat scalars.
-    """
+
+    Also red-lined here: no INSTANT-typed timestamp column (plain
+    TIMESTAMP, not NTZ) — an instant derived from the NTZ event-time
+    source renders through the session time zone, so its exported value
+    depends on the driver's TZ (the r12 hostile-TZ sweep caught five
+    queries shifting by the session offset; all event-time outputs are
+    TIMESTAMP_NTZ now)."""
     df = QUERIES[name](spark, SF_SMOKE)
     nested = [
         f.name
@@ -180,3 +156,7 @@ def test_window_query_returns_only_scalar_columns(spark, name):
         if f.dataType.typeName() in ("array", "map", "struct")
     ]
     assert nested == [], f"{name} emits nested columns {nested}"
+    instants = [
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"
+    ]
+    assert instants == [], f"{name} emits session-TZ-dependent columns {instants}"
