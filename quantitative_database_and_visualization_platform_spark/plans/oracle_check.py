@@ -126,6 +126,20 @@ def compare(spark_t: pa.Table, oracle_t: pa.Table) -> list[str]:
             "them tz-aware against Spark's naive timestamps and fails "
             "schema_match — CAST(... AS TIMESTAMP) in the oracle SQL"
         ]
+    # Spark-side tz-aware columns are the toArrow artifact of an INSTANT
+    # (plain TIMESTAMP) output: its exported value is a function of the
+    # session time zone, so the query only matches its oracle when the
+    # session happens to be UTC (the r12 hostile-TZ sweep caught five
+    # such queries shifting by the session offset). Event-time outputs
+    # must stay TIMESTAMP_NTZ — red-lined here so every parity run
+    # enforces it, not just the UTC-pinned driver gate.
+    spark_tz_bad = _tzaware_cols(spark_t)
+    if spark_tz_bad:
+        return [
+            f"spark columns {spark_tz_bad} are session-TZ-dependent "
+            "TIMESTAMP (instant) outputs: cast them to timestamp_ntz so "
+            "the emitted values do not shift with the session time zone"
+        ]
     a_cols, a_rows = _encode_table(spark_t)
     b_cols, b_rows = _encode_table(oracle_t)
     if a_cols != b_cols:

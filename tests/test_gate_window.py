@@ -130,8 +130,13 @@ def test_compare_rejects_tzaware_oracle():
     aware = pa.table(
         {"t": pa.array([dt.datetime(2020, 1, 1)], pa.timestamp("us", tz="UTC"))}
     )
-    # spark tz-aware (toArrow artifact) vs naive oracle: fine, values match
-    assert compare(aware, naive) == []
+    # naive both sides: fine
+    assert compare(naive, naive) == []
+    # tz-aware SPARK side (the toArrow artifact of an instant TIMESTAMP
+    # output): flagged since r12 — an instant's exported value shifts
+    # with the session TZ, so it only matches its oracle under UTC
+    problems = compare(aware, naive)
+    assert problems and "session-TZ-dependent" in problems[0]
     # tz-aware ORACLE: schema error even though the instants are identical
     problems = compare(naive, aware)
     assert problems and "TIMESTAMPTZ" in problems[0]
