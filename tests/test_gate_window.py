@@ -37,13 +37,21 @@ NEVER_DRIVER_VERIFIED = [
     # new in round 12 (registered BEFORE the window was pinned;
     # oracle-verified at sf0.001/0.01/0.1 + python-golden)
     "repeated_span_pairs",
+    # round-12 late additions (added AFTER the 50-slot window was
+    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
+    "variance_ratio_test",
+    "cusum_break_stat",
+    "mean_reversion_halflife",
 ]
 
 # round-13 spill: queries ADDED in round 12 after the 50-slot window
 # was pinned; must stay in sync with the queue comment in
-# plans/__init__.py. EMPTY as pinned — every never-verified query sits
-# in the r12 window, so a green gate fully driver-verifies the registry.
-QUEUED_NEXT_ROUND: list[str] = []
+# plans/__init__.py — they take the FIRST slots of the r13 window.
+QUEUED_NEXT_ROUND: list[str] = [
+    "variance_ratio_test",
+    "cusum_break_stat",
+    "mean_reversion_halflife",
+]
 
 
 def test_window_is_pinned_and_full():

@@ -140,3 +140,100 @@ def test_fixed_queries_are_session_tz_independent(spark):
             assert not problems, f"{name} under hostile TZ: {problems}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def _rq_half_away(v: float) -> int:
+    """ROUND(x, 0) half-away-from-zero, the convention both engines use."""
+    return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+
+def _round9_half_away(x: float) -> float:
+    s = 1.0 if x >= 0 else -1.0
+    return s * math.floor(abs(x) * 1e9 + 0.5) / 1e9
+
+
+def _bars_by_code(spark):
+    from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
+
+    bars = daily_bars(spark, SF).toPandas()
+    return {code: grp for code, grp in bars.sort_values("d").groupby("code")}
+
+
+def _rets(grp):
+    closes = list(grp["close"])
+    return [
+        _rq_half_away((c / p - 1) * 10_000)
+        for p, c in zip(closes, closes[1:])
+    ]
+
+
+def test_variance_ratio_matches_python(spark):
+    Q = 5
+    got = {
+        r["code"]: (r["n_days"], r["vr_5"], r["z_5"])
+        for r in QUERIES["variance_ratio_test"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        rq = _rets(grp)
+        n1 = len(rq)
+        s1, q1 = sum(rq), sum(x * x for x in rq)
+        if n1 < 20 or n1 * q1 - s1 * s1 <= 0:
+            continue
+        s5 = [sum(rq[i - Q + 1 : i + 1]) for i in range(Q - 1, n1)]
+        nq = len(s5)
+        sq, qq = sum(s5), sum(x * x for x in s5)
+        v1 = (n1 * q1 - s1 * s1) / n1 / n1
+        vq = (nq * qq - sq * sq) / nq / nq
+        vr = vq / (Q * v1)
+        z = (vr - 1) * math.sqrt(nq) / math.sqrt(2 * (2 * Q - 1) * (Q - 1) / (3 * Q))
+        want[code] = (n1, _round6(vr), _round6(z))
+    assert want and got == want
+
+
+def test_cusum_break_matches_python(spark):
+    got = {
+        r["code"]: (r["n_days"], r["cusum_stat"], r["break_frac"])
+        for r in QUERIES["cusum_break_stat"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        rq = _rets(grp)
+        n, t = len(rq), sum(rq)
+        q = sum(x * x for x in rq)
+        if n < 20 or n * q - t * t <= 0:
+            continue
+        best_bk, best_k, sk = -1, -1, 0
+        for k, x in enumerate(rq, start=1):
+            sk += x
+            bk = abs(n * sk - k * t)
+            if bk > best_bk:  # strictly greater == earliest day on ties
+                best_bk, best_k = bk, k
+        stat = best_bk / math.sqrt((n * q - t * t) * n)
+        want[code] = (n, _round6(stat), _round6(best_k / n))
+    assert want and got == want
+
+
+def test_halflife_matches_python(spark):
+    got = {
+        r["code"]: (r["n_days"], r["ar1_rho"], r["halflife_days"])
+        for r in QUERIES["mean_reversion_halflife"](spark, SF).collect()
+    }
+    want = {}
+    for code, grp in _bars_by_code(spark).items():
+        cents = [_rq_half_away(c * 100) for c in grp["close"]]
+        xs, ys = cents[:-1], [b - a for a, b in zip(cents, cents[1:])]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        if n < 20 or n * sxx - sx * sx <= 0:
+            continue
+        rho = 1.0 + (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        hl = (
+            _round6(-_round9_half_away(math.log(2)) / _round9_half_away(math.log(rho)))
+            if 0 < rho < 1
+            else None
+        )
+        want[code] = (n, _round6(rho), hl)
+    assert want and got == want
