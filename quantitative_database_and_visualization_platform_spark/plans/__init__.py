@@ -111,11 +111,10 @@ GATE_FIRST: list[str] = [
     "event_study_car",
 ]
 
-# Round-13 queue: the three round-12 late additions — the new market
-# panels variance_ratio_test, cusum_break_stat, mean_reversion_halflife
-# (registered AFTER this window was pinned; python-golden +
-# oracle-verified at sf0.001/0.01/0.1 in-round) — must take the first
-# slots of the round-13 window. After those, the natural r13 window is
+# Round-13 queue: the one round-12 late addition — the CUSUM
+# structural-break panel cusum_break_stat (registered AFTER this window
+# was pinned; python-golden + oracle-verified at sf0.001/0.01/0.1
+# in-round) — must take the first slot of the round-13 window. After those, the natural r13 window is
 # the next-oldest re-confirmations — the remaining 41 r7-era rows
 # (ab_test_lift, ann_recall_audit, bloom_decontamination, bm25_topk,
 # brinson_attribution, char_entropy_quality, cohort_retention_matrix,

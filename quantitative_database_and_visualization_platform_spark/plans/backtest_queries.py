@@ -7127,127 +7127,6 @@ def calendar_month_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Lo-MacKinlay variance ratio (new r12): the random-walk test the
-# autocorrelation family implies but never states — VR(q) =
-# Var(q-period return)/(q * Var(1-period)); VR < 1 is mean reversion,
-# VR > 1 momentum, and the homoskedastic z-stat (Lo-MacKinlay 1988)
-# turns the ratio into a testable magnitude. Complements
-# acf_lag_profile (per-lag rho) and ljung_box_q (joint white-noise
-# test) with the horizon-variance view a trading-rule designer uses.
-#
-# Determinism: returns on the 1e4 grid; the q-day overlapping sum is an
-# exact integer window sum; all four moments accumulate in
-# decimal(38,0)/HUGEINT; VR and z are ratios of identical doubles,
-# round6'd. Degenerate variance (integer compare) and short series
-# (< 20 returns — the drawdown_at_risk convention; the synthetic panel
-# carries 21-30 days per code) emit no row / NULL z.
-#
-# Scale shape: one code-keyed ordered pass (the lag return and the
-# q-day sum ride the same sort), one code-keyed aggregate. No joins.
-# ---------------------------------------------------------------------------
-_VR_Q = 5
-
-
-@query(
-    "variance_ratio_test",
-    oracle=f"""
-    WITH {{O_BARS}},
-    rets AS (
-        SELECT code, d,
-               CAST(ROUND((close / LAG(close) OVER w - 1)*{{_FM_S}},0) AS BIGINT)
-                   AS rq
-        FROM bars WINDOW w AS (PARTITION BY code ORDER BY d)
-        QUALIFY rq IS NOT NULL
-    ), sq AS (
-        SELECT code, rq,
-               SUM(rq) OVER (PARTITION BY code ORDER BY d
-                             ROWS BETWEEN {_VR_Q - 1} PRECEDING AND CURRENT ROW)
-                   AS s5,
-               ROW_NUMBER() OVER (PARTITION BY code ORDER BY d) AS rn
-        FROM rets
-    ), m AS (
-        SELECT code,
-               CAST(COUNT(*) AS BIGINT) AS n1,
-               SUM(CAST(rq AS HUGEINT)) AS s1,
-               SUM(CAST(rq AS HUGEINT)*rq) AS q1,
-               CAST(count_if(rn >= {_VR_Q}) AS BIGINT) AS nq,
-               SUM(CASE WHEN rn >= {_VR_Q} THEN CAST(s5 AS HUGEINT) END) AS sq_,
-               SUM(CASE WHEN rn >= {_VR_Q} THEN CAST(s5 AS HUGEINT)*s5 END) AS qq
-        FROM sq GROUP BY code
-        HAVING COUNT(*) >= 20 AND COUNT(*)*SUM(CAST(rq AS HUGEINT)*rq)
-               - SUM(CAST(rq AS HUGEINT))*SUM(CAST(rq AS HUGEINT)) > 0
-    )
-    SELECT code, n1 AS n_days,
-           FLOOR(((CAST(CAST(nq AS HUGEINT)*qq - sq_*sq_ AS DOUBLE)
-                   /CAST(nq AS DOUBLE)/nq)
-                  /({_VR_Q}*CAST(CAST(n1 AS HUGEINT)*q1 - s1*s1 AS DOUBLE)
-                    /CAST(n1 AS DOUBLE)/n1))*1000000 + 0.5)/1000000.0 AS vr_5,
-           FLOOR((((CAST(CAST(nq AS HUGEINT)*qq - sq_*sq_ AS DOUBLE)
-                    /CAST(nq AS DOUBLE)/nq)
-                   /({_VR_Q}*CAST(CAST(n1 AS HUGEINT)*q1 - s1*s1 AS DOUBLE)
-                     /CAST(n1 AS DOUBLE)/n1) - 1)
-                  * sqrt(CAST(nq AS DOUBLE))
-                  / sqrt(2.0*(2*{_VR_Q} - 1)*({_VR_Q} - 1)/(3.0*{_VR_Q})))
-                 *1000000 + 0.5)/1000000.0 AS z_5
-    FROM m
-    """.replace("{O_BARS}", O_BARS).replace("{_FM_S}", str(_FM_S)),
-)
-def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
-    w = Window.partitionBy("code").orderBy("d")
-    rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
-        "long"
-    )
-    rets = bars.select("code", "d", rq.alias("rq")).filter(F.col("rq").isNotNull())
-    ws = w.rowsBetween(1 - _VR_Q, 0)
-    sq = rets.select(
-        "code",
-        "rq",
-        F.sum("rq").over(ws).alias("s5"),
-        F.row_number().over(w).alias("rn"),
-    )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")
-    inq = F.col("rn") >= _VR_Q
-    m = (
-        sq.groupBy("code")
-        .agg(
-            F.count(F.lit(1)).alias("n1"),
-            F.sum(dec("rq")).alias("s1"),
-            F.sum(dec("rq") * dec("rq")).alias("q1"),
-            F.count_if(inq).alias("nq"),
-            F.sum(F.when(inq, dec("s5"))).alias("sq_"),
-            F.sum(F.when(inq, dec("s5") * dec("s5"))).alias("qq"),
-        )
-        .filter(
-            (F.col("n1") >= 20)
-            & (dec("n1") * F.col("q1") - F.col("s1") * F.col("s1") > 0)
-        )
-    )
-    v1 = (
-        (dec("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("double")
-        / F.col("n1").cast("double")
-        / F.col("n1")
-    )
-    vq = (
-        (dec("nq") * F.col("qq") - F.col("sq_") * F.col("sq_")).cast("double")
-        / F.col("nq").cast("double")
-        / F.col("nq")
-    )
-    vr = vq / (_VR_Q * v1)
-    z = (
-        (vr - 1)
-        * F.sqrt(F.col("nq").cast("double"))
-        / F.sqrt(F.lit(2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q)))
-    )
-    return m.select(
-        "code",
-        F.col("n1").alias("n_days"),
-        round6(vr).alias("vr_5"),
-        round6(z).alias("z_5"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # CUSUM mean-shift statistic (new r12, Brown-Durbin-Evans class): the
 # structural-break panel — max_k |n*S_k - k*T| scaled by sigma*n^1.5,
 # with the break LOCATION (the day attaining the max, earliest on
@@ -7366,94 +7245,3 @@ def cusum_break_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# AR(1) mean-reversion half-life (new r12, the Ornstein-Uhlenbeck
-# discretization pairs traders size positions with): regress the price
-# CHANGE on the lagged price level; rho = 1 + slope, half-life =
-# -ln(2)/ln(rho) days when 0 < rho < 1 (a unit root or explosive fit
-# emits NULL half-life but still reports rho). The per-name companion
-# to cointegration_screen's pair-level spread stationarity.
-#
-# Determinism: prices as exact integer cents; OLS moments in
-# decimal(38,0)/HUGEINT; rho is one ratio of identical doubles. The
-# log follows the text_tfidf_topk convention — LN output rounded to
-# 9dp on BOTH engines before the division (JVM Math.log and libm can
-# differ by one ulp) — then round6.
-#
-# Scale shape: one code-keyed lag pass, one code-keyed aggregate.
-# ---------------------------------------------------------------------------
-@query(
-    "mean_reversion_halflife",
-    oracle=f"""
-    WITH {{O_BARS}},
-    px AS (
-        SELECT code, d, CAST(ROUND(close*100,0) AS BIGINT) AS cents,
-               LAG(CAST(ROUND(close*100,0) AS BIGINT))
-                   OVER (PARTITION BY code ORDER BY d) AS prev
-        FROM bars
-    ), obs AS (
-        SELECT code, prev AS x, cents - prev AS y FROM px WHERE prev IS NOT NULL
-    ), m AS (
-        SELECT code, CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(CAST(x AS HUGEINT)) AS sx,
-               SUM(CAST(y AS HUGEINT)) AS sy,
-               SUM(CAST(x AS HUGEINT)*y) AS sxy,
-               SUM(CAST(x AS HUGEINT)*x) AS sxx
-        FROM obs GROUP BY code
-        HAVING COUNT(*) >= 20
-           AND COUNT(*)*SUM(CAST(x AS HUGEINT)*x)
-               - SUM(CAST(x AS HUGEINT))*SUM(CAST(x AS HUGEINT)) > 0
-    ), fit AS (
-        SELECT code, n,
-               1.0 + CAST(CAST(n AS HUGEINT)*sxy - sx*sy AS DOUBLE)
-                     / CAST(CAST(n AS HUGEINT)*sxx - sx*sx AS DOUBLE) AS rho
-        FROM m
-    )
-    SELECT code, n AS n_days,
-           FLOOR(rho*1000000 + 0.5)/1000000.0 AS ar1_rho,
-           CASE WHEN rho > 0 AND rho < 1 THEN
-             FLOOR((-ROUND(LN(2), 9)/ROUND(LN(rho), 9))*1000000 + 0.5)
-               /1000000.0
-           END AS halflife_days
-    FROM fit
-    """.replace("{O_BARS}", O_BARS),
-)
-def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
-    w = Window.partitionBy("code").orderBy("d")
-    cents = F.round(F.col("close") * 100, 0).cast("long")
-    px = bars.select(
-        "code", "d", cents.alias("cents"), F.lag(cents).over(w).alias("prev")
-    )
-    obs = px.filter(F.col("prev").isNotNull()).select(
-        "code",
-        F.col("prev").alias("x"),
-        (F.col("cents") - F.col("prev")).alias("y"),
-    )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")
-    m = (
-        obs.groupBy("code")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(dec("x")).alias("sx"),
-            F.sum(dec("y")).alias("sy"),
-            F.sum(dec("x") * dec("y")).alias("sxy"),
-            F.sum(dec("x") * dec("x")).alias("sxx"),
-        )
-        .filter(
-            (F.col("n") >= 20)
-            & (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
-        )
-    )
-    rho = (
-        F.lit(1.0)
-        + (dec("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (dec("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
-    hl = -F.round(F.log(F.lit(2.0)), 9) / F.round(F.log(rho), 9)
-    return m.select(
-        "code",
-        F.col("n").alias("n_days"),
-        round6(rho).alias("ar1_rho"),
-        F.when((rho > 0) & (rho < 1), round6(hl)).alias("halflife_days"),
-    )

@@ -31,6 +31,17 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # Loud duplicate guard (r12): registration is last-writer-wins
+        # on a plain dict, so a name collision silently REPLACES an
+        # already-gated query — round 12 briefly shadowed the r8/r9
+        # variance_ratio_test and mean_reversion_halflife with new
+        # definitions and only a downstream golden caught it. Fail at
+        # import, where the collision is written, not at the gate.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(already registered by {QUERIES[name].__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -37,20 +37,16 @@ NEVER_DRIVER_VERIFIED = [
     # new in round 12 (registered BEFORE the window was pinned;
     # oracle-verified at sf0.001/0.01/0.1 + python-golden)
     "repeated_span_pairs",
-    # round-12 late additions (added AFTER the 50-slot window was
+    # round-12 late addition (added AFTER the 50-slot window was
     # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
-    "variance_ratio_test",
     "cusum_break_stat",
-    "mean_reversion_halflife",
 ]
 
 # round-13 spill: queries ADDED in round 12 after the 50-slot window
 # was pinned; must stay in sync with the queue comment in
 # plans/__init__.py — they take the FIRST slots of the r13 window.
 QUEUED_NEXT_ROUND: list[str] = [
-    "variance_ratio_test",
     "cusum_break_stat",
-    "mean_reversion_halflife",
 ]
 
 
@@ -173,3 +169,17 @@ def test_window_query_returns_only_scalar_columns(spark, name):
         f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp"
     ]
     assert instants == [], f"{name} emits session-TZ-dependent columns {instants}"
+
+
+def test_duplicate_registration_raises():
+    """Registration is a plain dict, so a name collision used to silently
+    REPLACE an already-gated query (round 12 briefly shadowed the r8/r9
+    variance_ratio_test / mean_reversion_halflife with new definitions;
+    only a downstream golden caught it). The registry must fail at
+    import time instead."""
+    from quantitative_database_and_visualization_platform_spark.plans.registry import query
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        @query("pricing_summary")
+        def _dup(spark, sf_dir):  # pragma: no cover
+            raise AssertionError

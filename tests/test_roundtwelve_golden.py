@@ -167,30 +167,6 @@ def _rets(grp):
     ]
 
 
-def test_variance_ratio_matches_python(spark):
-    Q = 5
-    got = {
-        r["code"]: (r["n_days"], r["vr_5"], r["z_5"])
-        for r in QUERIES["variance_ratio_test"](spark, SF).collect()
-    }
-    want = {}
-    for code, grp in _bars_by_code(spark).items():
-        rq = _rets(grp)
-        n1 = len(rq)
-        s1, q1 = sum(rq), sum(x * x for x in rq)
-        if n1 < 20 or n1 * q1 - s1 * s1 <= 0:
-            continue
-        s5 = [sum(rq[i - Q + 1 : i + 1]) for i in range(Q - 1, n1)]
-        nq = len(s5)
-        sq, qq = sum(s5), sum(x * x for x in s5)
-        v1 = (n1 * q1 - s1 * s1) / n1 / n1
-        vq = (nq * qq - sq * sq) / nq / nq
-        vr = vq / (Q * v1)
-        z = (vr - 1) * math.sqrt(nq) / math.sqrt(2 * (2 * Q - 1) * (Q - 1) / (3 * Q))
-        want[code] = (n1, _round6(vr), _round6(z))
-    assert want and got == want
-
-
 def test_cusum_break_matches_python(spark):
     got = {
         r["code"]: (r["n_days"], r["cusum_stat"], r["break_frac"])
@@ -211,29 +187,4 @@ def test_cusum_break_matches_python(spark):
                 best_bk, best_k = bk, k
         stat = best_bk / math.sqrt((n * q - t * t) * n)
         want[code] = (n, _round6(stat), _round6(best_k / n))
-    assert want and got == want
-
-
-def test_halflife_matches_python(spark):
-    got = {
-        r["code"]: (r["n_days"], r["ar1_rho"], r["halflife_days"])
-        for r in QUERIES["mean_reversion_halflife"](spark, SF).collect()
-    }
-    want = {}
-    for code, grp in _bars_by_code(spark).items():
-        cents = [_rq_half_away(c * 100) for c in grp["close"]]
-        xs, ys = cents[:-1], [b - a for a, b in zip(cents, cents[1:])]
-        n = len(xs)
-        sx, sy = sum(xs), sum(ys)
-        sxy = sum(x * y for x, y in zip(xs, ys))
-        sxx = sum(x * x for x in xs)
-        if n < 20 or n * sxx - sx * sx <= 0:
-            continue
-        rho = 1.0 + (n * sxy - sx * sy) / (n * sxx - sx * sx)
-        hl = (
-            _round6(-_round9_half_away(math.log(2)) / _round9_half_away(math.log(rho)))
-            if 0 < rho < 1
-            else None
-        )
-        want[code] = (n, _round6(rho), hl)
     assert want and got == want
