@@ -52,8 +52,15 @@ def planes_for_corpus(n_vectors: int, target_bucket: int = 256) -> int:
     2^p·t ⟺ (n-1)//t ∈ [2^(p-1), 2^p−1] ⟺ bit_length p), so the DuckDB
     oracle twin (`o_planes_cte`: length(bin(...)) over the same integer)
     re-derives the same count with no libm-boundary risk."""
-    if n_vectors <= 0 or target_bucket <= 0:
-        raise ValueError("n_vectors and target_bucket must be positive")
+    if target_bucket <= 0:
+        raise ValueError("target_bucket must be positive")
+    if n_vectors <= 0:
+        # empty corpus (r12 empty-input sweep): any plane count buckets
+        # zero vectors identically; 1 keeps the key cheap and the Spark
+        # plan construction alive. The oracle twin never evaluates its
+        # plane count on an empty corpus (no rows reach the bucket
+        # lambda), so the clamp cannot diverge from it.
+        return 1
     return max(1, ((n_vectors - 1) // target_bucket).bit_length())
 
 

@@ -180,6 +180,12 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS order_cnt,
            {o_sum_fixed('o_totalprice')} AS total_amount
     FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    -- Spark emits NO grouping-set rows over an empty relation (the SQL
+    -- standard and DuckDB emit the () grand-total row with COUNT 0);
+    -- the operator contract here is Spark's — subtotal rows exist only
+    -- for non-empty slices — pinned by dropping DuckDB's empty-input
+    -- grand-total row (r12 empty-input sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,6 +1662,13 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-sized lineage so the 10 iterations replan on a tiny leaf
     edges = edges.join(outw, "src").localCheckpoint()
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph (r12 empty-input sweep: the 1/n seed divided by
+        # zero on the driver): both engines agree the result is no rows
+        return nodes.select(
+            F.col("node").alias("nationkey"),
+            F.lit(None).cast("double").alias("pagerank"),
+        )
     r = nodes.select(
         "node",
         F.lit(int(round(1_000_000_000_000.0 / n_nodes))).alias("r_p"),

@@ -144,7 +144,7 @@ def scalar_subquery_peer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)                        AS order_cnt,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE event_type = 'error') AS error_cnt,
-           (SELECT CAST(count_if(l_returnflag = 'R') AS BIGINT) FROM lineitem)  AS returned_cnt
+           (SELECT CAST(COALESCE(count_if(l_returnflag = 'R'), 0) AS BIGINT) FROM lineitem)  AS returned_cnt
     """,
 )
 def multi_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:

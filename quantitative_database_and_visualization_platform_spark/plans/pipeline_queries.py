@@ -4658,11 +4658,13 @@ def _o_minhash_pr() -> str:
         FROM exact e FULL OUTER JOIN cand c
           ON e.a_id = c.a_id AND e.b_id = c.b_id
     )
-    SELECT CAST(count_if(is_exact) AS BIGINT) AS n_exact,
-           CAST(count_if(is_cand) AS BIGINT) AS n_cand,
-           CAST(count_if(is_exact AND is_cand) AS BIGINT) AS tp,
-           CAST(count_if(is_cand AND NOT is_exact) AS BIGINT) AS fp,
-           CAST(count_if(is_exact AND NOT is_cand) AS BIGINT) AS fn,
+    -- COALESCE: DuckDB count_if is NULL over zero rows, Spark's is 0
+    -- (r12 empty-input sweep)
+    SELECT CAST(COALESCE(count_if(is_exact), 0) AS BIGINT) AS n_exact,
+           CAST(COALESCE(count_if(is_cand), 0) AS BIGINT) AS n_cand,
+           CAST(COALESCE(count_if(is_exact AND is_cand), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(count_if(is_cand AND NOT is_exact), 0) AS BIGINT) AS fp,
+           CAST(COALESCE(count_if(is_exact AND NOT is_cand), 0) AS BIGINT) AS fn,
            FLOOR((count_if(is_exact AND is_cand)*1.0
                   / NULLIF(count_if(is_cand), 0))*1000000 + 0.5)/1000000.0
              AS precision,
@@ -4742,12 +4744,21 @@ def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold axis is 4 rows — broadcast it against the pair relation
     j = pairs.crossJoin(F.broadcast(th))
     keep = F.col("jaccard") >= F.col("thr")
-    return j.groupBy("thr").agg(
+    agg = j.groupBy("thr").agg(
         F.count_if(keep).alias("n_pairs"),
         (
             F.countDistinct(F.when(keep, F.col("a_id")))
             + F.countDistinct(F.when(keep, F.col("b_id")))
         ).alias("n_doc_slots"),
+    )
+    # re-anchor on the 4-row threshold grid: the report must show every
+    # threshold even when NO pair survives anywhere (the oracle's
+    # grid LEFT JOIN does; a bare groupBy over zero pairs emits zero
+    # rows — r12 empty-input sweep). 4-row join, plan-free cost.
+    return th.join(agg, "thr", "left").select(
+        "thr",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_doc_slots", F.lit(0)).alias("n_doc_slots"),
     )
 
 

@@ -42,8 +42,10 @@ from .registry import (
     oracle=f"""
     SELECT {o_sum_fixed('l_extendedprice')} AS total_amount,
            ROUND(median(l_discount), 6)     AS median_discount,
-           CAST(count_if(l_returnflag = 'R') AS BIGINT)  AS cnt_returned,
-           CAST(count_if(l_returnflag <> 'R') AS BIGINT) AS cnt_kept,
+           CAST(COALESCE(count_if(l_returnflag = 'R'), 0) AS BIGINT)
+               AS cnt_returned,
+           CAST(COALESCE(count_if(l_returnflag <> 'R'), 0) AS BIGINT)
+               AS cnt_kept,
            CAST(COUNT(*) AS BIGINT)         AS cnt_rows
     FROM lineitem
     """,
@@ -1195,6 +1197,11 @@ def supplier_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFram
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     GROUP BY CUBE (n.n_name, c.c_mktsegment)
+    -- Spark emits NO grouping-set rows over an empty relation (the SQL
+    -- standard and DuckDB emit the () grand-total row with COUNT 0);
+    -- the operator contract here is Spark's — pinned by dropping
+    -- DuckDB's empty-input grand-total row (r12 empty-input sweep)
+    HAVING COUNT(*) > 0
     """,
 )
 def cube_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1840,7 +1847,13 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         outs.append(
-            stats.crossJoin(F.broadcast(top3)).select(
+            # filter: a global aggregate over ZERO rows still emits its
+            # one all-NULL row, but the oracle's GROUP BY emits none —
+            # drop it so both engines report nothing for an empty fact
+            # (r12 empty-input sweep)
+            stats.filter(F.col("n_rows").isNotNull())
+            .crossJoin(F.broadcast(top3))
+            .select(
                 F.lit(c).alias("key_col"),
                 "n_rows",
                 "n_keys",
