@@ -61,3 +61,20 @@ def sector_id(sector_type: Column, sector_name: Column) -> Column:
     """Deterministic 16-hex sector id = md5(type + name)[:16]
     (`Project report.md:606-617`)."""
     return F.substring(F.md5(F.concat_ws("|", sector_type, sector_name)), 1, 16)
+
+
+def trunc_ntz_second(ts: Column) -> Column:
+    """Second-truncate a TIMESTAMP_NTZ without leaving the NTZ domain.
+
+    ``date_trunc`` promotes NTZ to the instant type and the cast back
+    converts through the session time zone, so a naive timestamp that
+    falls inside a DST *gap* of the session zone does not round-trip
+    (e.g. under America/New_York, 2024-03-10 02:30:45 came back as
+    03:30:45). Rebuilding from extracted parts via ``make_timestamp_ntz``
+    never touches the session zone. Field extraction + make_timestamp_ntz
+    are all codegen'd JVM expressions — still the fast path at scale.
+    """
+    return F.make_timestamp_ntz(
+        F.year(ts), F.month(ts), F.dayofmonth(ts),
+        F.hour(ts), F.minute(ts), F.second(ts),
+    )

@@ -32,100 +32,90 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-12 window. r11's 50 rows were all green (288/291 registered
-# queries then had a cumulative hash-green driver row). This window
-# completes the registry: (a) the FOUR never-driver-verified queries —
-# the three round-11 late additions (embedding_hamming_topk,
-# drawdown_at_risk, calendar_month_effect, first in the r11 queue) plus
-# the one query new in round 12, repeated_span_pairs (the substring-
-# level exact-dedup modality the r11 verdict named as the last missing
-# pipeline operator; oracle-verified at sf0.001/0.01/0.1 and
-# python-golden-tested before pinning); (b) the re-gated
-# embedding_neardup — its only prior driver rows were 0-row-vs-0-row
-# (the r11 verdict's vacuous-row finding); the operator now derives its
-# threshold from the corpus (top ceil(n/100) quantized-cosine pairs)
-# so the re-confirmation binds on NON-EMPTY output; and (c) 45
-# re-confirmations of the OLDEST remaining driver rows — all 37 r6-era
-# rows named in the r11 queue comment plus the 8 cheapest r7-era rows —
-# cheapest-first by measured spark+oracle cost (ORACLE_TIMINGS.json)
-# with the heaviest last, the same failure-isolation rationale as
-# r9-r11. A green gate makes every registered query driver-verified on
-# its CURRENT form (292/292) — the first fully-bound registry.
+# Round-13 window. r12's 50 rows were all green — 290 of 293 registered
+# queries now carry a cumulative hash-green driver row. This window
+# closes the last gap and rotates the oldest rows: (a) slot 1 is
+# cusum_break_stat, the ONE registered query with no driver row (the
+# r12 late addition; python-golden + oracle-verified at
+# sf0.001/0.01/0.1 since round 12 — r12 verdict "Next round" item 1);
+# (b) all 41 remaining r7-era re-confirmations — the oldest
+# unre-confirmed rows in the registry (ab_test_lift ... walkforward_splits,
+# the exact set named in the r12 queue comment); (c) the 8 cheapest
+# r8-era rows (session_window_stats, top_revenue_supplier_quarter,
+# top_value_parts, pii_scrub_report, hard_negative_mining,
+# idle_high_balance_customers, int8_quantization_audit,
+# variance_ratio_test) to fill the window. Order: cusum_break_stat
+# first, then cheapest-first by measured spark+oracle cost
+# (ORACLE_TIMINGS.json) with the heaviest last — the same
+# failure-isolation rationale as r9-r12. A green gate leaves every
+# driver row ≤ 5 rounds stale with the oldest at the r8 boundary.
 # (alpha101_subset / alpha_ic_scan remain the two rows-only r4 entries
 # that may not burn hash slots; their computations are hash-covered by
 # the alpha101_a-d and alpha_ic_b/c/d rows.)
 GATE_FIRST: list[str] = [
-    # (a) never driver-verified — bound first, cheapest-first
-    "embedding_hamming_topk",
-    "calendar_month_effect",
-    "drawdown_at_risk",
-    "repeated_span_pairs",
-    # (b)+(c): re-confirmations — all 37 r6-era rows, the 8 cheapest
-    # r7-era rows, and the re-gated non-vacuous embedding_neardup;
-    # cheapest-first, heaviest last
-    "interval_join_click_purchase",
-    "token_length_by_lang",
-    "shard_assignment_balance",
-    "sliding_window_stats",
-    "k_anonymity_customers",
-    "order_cadence_stats",
-    "template_prefix_clusters",
-    "merge_upsert_orders",
-    "length_histogram_by_source",
-    "out_of_orderness_profile",
-    "bpe_merge_candidates",
-    "ttr_quality",
-    "lang_mix_drift",
-    "source_mixing_weights",
-    "zipf_token_curve",
-    "roll_spread_estimator",
-    "l_diversity_report",
-    "vwap_slippage_daily",
-    "fama_macbeth_summary",
-    "embedding_neardup",
-    "ma_crossover_signals",
-    "var_cvar_daily",
-    "percentile_bands_daily",
-    "calendar_dow_effect",
-    "amihud_illiquidity",
-    "gap_open_stats",
-    "rare_token_ratio",
-    "streak_analysis",
-    "risk_adjusted_ratios",
-    "doc_novelty_score",
-    "scd2_history_build",
-    "fama_macbeth_mom",
-    "underwater_duration",
-    "vocab_jsd_by_source",
-    "kline_pattern_screen",
-    "source_overlap_matrix",
-    "market_share_by_nation",
-    "acf_lag_profile",
-    "dsir_importance",
-    "exact_substring_dedup",
-    "pipeline_retention_funnel",
-    "vol_term_structure",
-    "cluster_balanced_sample",
-    "backtest_turnover_cost",
-    "dedup_containment",
-    "event_study_car",
+    # slot 1: the one never-driver-verified query
+    "cusum_break_stat",
+    # 41 r7-era + 8 cheapest r8-era re-confirmations, cheapest-first
+    "session_window_stats",
+    "top_revenue_supplier_quarter",
+    "top_value_parts",
+    "conversion_attribution",
+    "ab_test_lift",
+    "pii_scrub_report",
+    "volume_anomaly_days",
+    "cube_nation_segment",
+    "vocab_coverage_curve",
+    "hard_negative_mining",
+    "idle_high_balance_customers",
+    "int8_quantization_audit",
+    "token_pmi_pairs",
+    "variance_ratio_test",
+    "volume_price_corr",
+    "order_lineitem_reconciliation",
+    "corpus_overview",
+    "panel_gap_report",
+    "data_profile_orders",
+    "order_priority_delay",
+    "robust_volume_outliers",
+    "m4_downsample_close",
+    "neardup_threshold_sweep",
+    "top_correlated_pairs",
+    "mixture_temperature_weights",
+    "data_quality_checks",
+    "langid_confusion",
+    "nation_trade_balance",
+    "snapshot_diff_orders",
+    "forecast_eval_naive",
+    "brinson_attribution",
+    "cross_factor_regression",
+    "sql_interface_revenue",
+    "hll_cumulative_users",
+    "sector_breadth_daily",
+    "bm25_topk",
+    "supplier_concentration_by_type",
+    "market_concentration_daily",
+    "hll_distinct_by_source",
+    "walkforward_splits",
+    "cohort_retention_matrix",
+    "event_transition_matrix",
+    "ann_recall_audit",
+    "minhash_accuracy_audit",
+    "bloom_decontamination",
+    "embedding_rank_fusion",
+    "char_entropy_quality",
+    "embedding_drift_by_label",
+    "extreme_day_concentration",
 ]
 
-# Round-13 queue: the one round-12 late addition — the CUSUM
-# structural-break panel cusum_break_stat (registered AFTER this window
-# was pinned; python-golden + oracle-verified at sf0.001/0.01/0.1
-# in-round) — must take the first slot of the round-13 window. After those, the natural r13 window is
-# the next-oldest re-confirmations — the remaining 41 r7-era rows
-# (ab_test_lift, ann_recall_audit, bloom_decontamination, bm25_topk,
-# brinson_attribution, char_entropy_quality, cohort_retention_matrix,
-# conversion_attribution, corpus_overview, cross_factor_regression,
-# cube_nation_segment, data_profile_orders, data_quality_checks,
-# embedding_drift_by_label, embedding_rank_fusion,
-# event_transition_matrix, extreme_day_concentration,
-# forecast_eval_naive, hll_cumulative_users, hll_distinct_by_source,
-# langid_confusion, ...) plus the oldest r8 rows, cheapest-first. Any
-# query registered in round 13 after its window is pinned must take the
-# first slots of the round-14 window — tests/test_gate_window.py's
+# Round-14 queue: empty so far — every query registered before round 13
+# either sits in this window or already carries a cumulative hash-green
+# driver row ≤ 5 rounds old. The natural r14 window is the remaining 42
+# r8-era re-confirmations (bootstrap_sharpe_ci, chunk_level_dedup,
+# cross_source_dup_matrix, curriculum_phases, cusum_changepoint,
+# dedup_connected_components, doc_chunking_overlap, ...) plus the
+# cheapest r9-era rows, cheapest-first. Any query registered in round
+# 13 AFTER this window was pinned must take the first slots of the
+# round-14 window — tests/test_gate_window.py's
 # NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND lists make the queue
 # executable, not prose.
 

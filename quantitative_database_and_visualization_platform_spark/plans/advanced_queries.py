@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalar import trunc_ntz_second
 from ..operators.relational import asof_join, band_self_join, latest_row_per_key
 from ..pipeline.sketches import kmv_distinct_estimate, o_kmv_distinct_estimate
 from ..sources.catalog import load_table
@@ -132,9 +133,10 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return latest.select(
         "user_id",
-        # date_trunc implicitly promotes NTZ to the instant type; cast
-        # back so the emitted value is session-TZ-independent (r12 sweep)
-        F.date_trunc("second", "ts").cast("timestamp_ntz").alias("last_ts"),
+        # truncate WITHOUT leaving the NTZ domain: date_trunc promotes to
+        # the instant type and the round-trip through the session zone
+        # shifts naive timestamps that fall in a DST gap (r12 ADVICE)
+        trunc_ntz_second(F.col("ts")).alias("last_ts"),
         "event_type",
         "value"
     )
@@ -159,7 +161,7 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     wide = (
-        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        events.withColumn("day", F.col("ts").cast("date"))
         .groupBy("day")
         .pivot("event_type", list(_EVENT_TYPES))
         .agg(sum_fixed("value"))
@@ -527,7 +529,7 @@ def set_ops_customer_pools(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
-        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.col("ts").cast("date").alias("day"),
         "event_type",
         "value",
     )
@@ -805,7 +807,7 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     act = ev.select(
         "user_id",
-        F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date").alias("wk"),
+        F.trunc(F.col("ts").cast("date"), "week").alias("wk"),
     ).distinct()
     cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     sizes = cohort.groupBy("cohort_wk").agg(

@@ -233,7 +233,7 @@ def _o_value() -> str:
 @query("factor_value", oracle=_o_value())
 def factor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = daily_bars(spark, sf_dir)
-    joined = bars.withColumn("mo", F.date_trunc("month", F.col("d")).cast("date")).join(
+    joined = bars.withColumn("mo", F.trunc(F.col("d"), "month")).join(
         F.broadcast(fundamentals(bars)), ["code", "mo"], "left"
     )
     derived = with_derived(joined)
@@ -471,7 +471,7 @@ def monthly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     bars = daily_bars(spark, sf_dir)
-    mo = F.date_trunc("month", F.col("d")).cast("date")
+    mo = F.trunc(F.col("d"), "month")
     w_asc = Window.partitionBy("code", mo).orderBy("d")
     w_desc = Window.partitionBy("code", mo).orderBy(F.col("d").desc())
     flagged = bars.select(
@@ -526,7 +526,7 @@ def weekly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     bars = daily_bars(spark, sf_dir)
-    wk = F.date_trunc("week", F.col("d")).cast("date")
+    wk = F.trunc(F.col("d"), "week")
     w_asc = Window.partitionBy("code", wk).orderBy("d")
     w_desc = Window.partitionBy("code", wk).orderBy(F.col("d").desc())
     flagged = bars.select(

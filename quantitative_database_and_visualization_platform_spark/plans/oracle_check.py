@@ -202,6 +202,7 @@ def main() -> None:  # pragma: no cover
     only = sys.argv[2:] or list(QUERIES)
     spark = get_spark("oracle-check")
     failed = 0
+    rows_only_green = 0
     for name in only:
         try:
             problems = check_query(spark, sf_dir, name)
@@ -210,11 +211,20 @@ def main() -> None:  # pragma: no cover
         status = "OK" if not problems else "FAIL"
         if problems:
             failed += 1
+        elif name not in ORACLES:
+            rows_only_green += 1
         extra = "" if name in ORACLES else " (rows-only, no oracle)"
         print(f"[{status}] {name}{extra}")
         for p in problems:
             print(f"       {p}")
-    print(f"{len(only) - failed}/{len(only)} queries match")
+    # split the summary so the headline number cannot be read as N
+    # value-hash matches when some queries carry only a rows-only check
+    # (r12 verdict "What's wrong" #4)
+    hashed_green = len(only) - failed - rows_only_green
+    print(
+        f"{len(only) - failed}/{len(only)} queries match "
+        f"({hashed_green} value-hashed + {rows_only_green} rows-only)"
+    )
     sys.exit(1 if failed else 0)
 
 

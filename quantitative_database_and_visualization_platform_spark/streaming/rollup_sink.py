@@ -36,7 +36,12 @@ def _partial_rollup(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("ts", F.col("ts").cast("timestamp" if df.isStreaming else "timestamp_ntz"))
         .select(
-            F.date_trunc("day", "ts").cast("date").alias("day"),
+            # direct cast-to-date: for the batch NTZ path this never
+            # touches the session zone (date_trunc would promote to the
+            # instant type and shift DST-gap-local times — r12 ADVICE);
+            # for the streaming instant path it is the same local-day
+            # bucket date_trunc('day') produced
+            F.col("ts").cast("date").alias("day"),
             "event_type",
             "value",
         )

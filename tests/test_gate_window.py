@@ -23,31 +23,22 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-11
-# (CORRECTNESS_r0{1..11}.json union: r11 closed the loop on everything
-# registered before round 11 except its own three late additions, so
-# this is those three plus the one query new in round 12). Each must
-# sit in the r12 window OR in the explicitly-queued next-round spill.
+# every query with no driver correctness row in any of rounds 1-12
+# (CORRECTNESS_r0{1..12}.json union: r12 closed the loop on everything
+# registered before round 12 except its own one late addition). Each
+# must sit in the r13 window OR in the explicitly-queued next-round
+# spill.
 NEVER_DRIVER_VERIFIED = [
-    # round-11 late additions (the r12 queue; python-golden +
-    # oracle-verified at sf0.001/0.01/0.1 since round 11)
-    "embedding_hamming_topk",
-    "drawdown_at_risk",
-    "calendar_month_effect",
-    # new in round 12 (registered BEFORE the window was pinned;
-    # oracle-verified at sf0.001/0.01/0.1 + python-golden)
-    "repeated_span_pairs",
-    # round-12 late addition (added AFTER the 50-slot window was
-    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1)
+    # round-12 late addition (added AFTER the r12 50-slot window was
+    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1);
+    # slot 1 of the r13 window
     "cusum_break_stat",
 ]
 
-# round-13 spill: queries ADDED in round 12 after the 50-slot window
+# round-14 spill: queries ADDED in round 13 after the 50-slot window
 # was pinned; must stay in sync with the queue comment in
-# plans/__init__.py — they take the FIRST slots of the r13 window.
-QUEUED_NEXT_ROUND: list[str] = [
-    "cusum_break_stat",
-]
+# plans/__init__.py — they take the FIRST slots of the r14 window.
+QUEUED_NEXT_ROUND: list[str] = []
 
 
 def test_window_is_pinned_and_full():

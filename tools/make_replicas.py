@@ -36,15 +36,21 @@ SRC = "/root/testdata/sf0.1"
 
 # replica key stride: base ids must be strictly below this or offset ids
 # collide across replicas (r11 ADVICE: the old int arithmetic also
-# silently wrapped at int32 for large N — ids are now offset in LONG)
+# silently wrapped at int32 for large N — ids are now offset in LONG).
+# event_id carries its own wider stride (event cardinality ≈ 40× user
+# cardinality at sf0.1) and is guarded against THAT stride, not the
+# shared one (r12 verdict: the guard previously covered only
+# user_id/doc_id/vec_id, so a base event_id ≥ 1e9 would have collided
+# silently).
 STRIDE = 10_000_000
+EVENT_STRIDE = 1_000_000_000
 
 
-def _check_stride(spark, df, col: str, t: str) -> None:
+def _check_stride(spark, df, col: str, t: str, stride: int = STRIDE) -> None:
     mx = df.agg(F.max(col)).collect()[0][0]
-    assert mx is not None and mx < STRIDE, (
-        f"{t}.{col} max id {mx} >= replica stride {STRIDE}; "
-        f"raise STRIDE or the replica universe collides"
+    assert mx is not None and mx < stride, (
+        f"{t}.{col} max id {mx} >= replica stride {stride}; "
+        f"raise the stride or the replica universe collides"
     )
 
 
@@ -59,11 +65,12 @@ def build(n: int, out: str) -> None:
         df = load_table(spark, SRC, t)
         if t == "events":
             _check_stride(spark, df, "user_id", t)
+            _check_stride(spark, df, "event_id", t, EVENT_STRIDE)
             df = df.crossJoin(F.broadcast(reps)).select(
                 (F.col("user_id").cast("long") + F.col("r") * STRIDE).alias(
                     "user_id"
                 ),
-                (F.col("event_id").cast("long") + F.col("r") * 1_000_000_000)
+                (F.col("event_id").cast("long") + F.col("r") * EVENT_STRIDE)
                 .alias("event_id"),
                 *[c for c in df.columns if c not in ("user_id", "event_id")],
             )

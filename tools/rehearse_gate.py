@@ -31,14 +31,15 @@ def main() -> int:
 
     t0 = time.time()
     bad = []
+    n = len(GATE_FIRST)
     for i, name in enumerate(GATE_FIRST, 1):
         t = time.time()
         problems = check_query(spark, sf, name)
         status = "OK" if not problems else f"FAIL {problems}"
-        print(f"[{i:2d}/50] {name}: {status} ({time.time()-t:.1f}s)", flush=True)
+        print(f"[{i:2d}/{n}] {name}: {status} ({time.time()-t:.1f}s)", flush=True)
         if problems:
             bad.append(name)
-    print(f"{50 - len(bad)}/50 green in {time.time()-t0:.0f}s")
+    print(f"{n - len(bad)}/{n} green in {time.time()-t0:.0f}s")
     return 1 if bad else 0
 
 
