@@ -479,3 +479,81 @@ def connected_components(
     return total.select(
         F.col("node").alias("doc_id"), F.col("root").alias("component")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr span anchoring (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better"): content-defined mod-anchored k-gram
+# hashes select ~1/A of span starts, each anchored position emits the
+# md5 of the exact L-token span. Shared between the batch
+# repeated_span_pairs query and the streaming anchor sink — extracted in
+# round 13 so both forms hash identical spans by construction.
+# ---------------------------------------------------------------------------
+SPAN_K = 4  # anchor k-gram width (tokens)
+SPAN_L = 50  # span length (tokens) — the ExactSubstr granularity
+SPAN_A = 4  # anchor modulus: expected anchor density 1/A
+
+
+def span_anchor_table(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, sh) DISTINCT anchored-span md5 hashes of the normalized
+    text. One scan per doc; the span array is persisted by the CALLER
+    before any explode-consuming plan (the Generate re-collapse trap).
+    Returns the already-exploded distinct relation."""
+    from ..session import managed_persist
+    from .sketches import kmv_hash
+
+    w = F.split(normalized_text(text), " ")
+    npos = F.size(w) - (SPAN_L - 1)
+
+    def _span(p):  # anchored positions emit the span's md5, others NULL
+        anchor = kmv_hash(F.array_join(F.slice(w, p + 1, SPAN_K), " "))
+        return F.when(
+            anchor % SPAN_A == 0,
+            F.md5(F.array_join(F.slice(w, p + 1, SPAN_L), " ")),
+        )
+
+    arr = F.filter(
+        F.transform(F.sequence(F.lit(0), (npos - 1).cast("int")), _span),
+        lambda x: x.isNotNull(),
+    )
+    spark = docs.sparkSession
+    sp = managed_persist(
+        docs.filter(F.size(w) >= SPAN_L)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", arr.alias("spans"))
+    )
+    return sp.select("doc_id", F.explode("spans").alias("sh")).distinct()
+
+
+def span_pair_rollup(anchors: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, shared_spans, span_frac) from a distinct
+    (doc_id, sh) anchor relation: span-hash equi-join (Σ bucket² =
+    duplication mass, never n²), pair rollup, overlap fraction against
+    the smaller doc's anchor count. See BROADCAST_SAFE_DOCS for the
+    n_docs contract."""
+    sizes = anchors.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = anchors.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = anchors.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    if n_docs is not None and n_docs > BROADCAST_SAFE_DOCS:
+        # corpus-sized post-aggregate relations: never broadcast
+        b = b.hint("shuffle_hash")
+        sizes = sizes.hint("shuffle_hash")
+    pairs = (
+        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_spans",
+            _round6(
+                F.col("shared_spans").cast("double") / F.least("na", "nb")
+            ).alias("span_frac"),
+        )
+    )

@@ -1615,9 +1615,12 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct, one span-hash equi-join (bucket mass = duplication mass,
 # shuffle_hash-pinned past BROADCAST_SAFE_DOCS), one pair rollup.
 # ---------------------------------------------------------------------------
-_RSP_K = 4  # anchor k-gram width (tokens)
-_RSP_L = 50  # span length (tokens) — the ExactSubstr granularity
-_RSP_A = 4  # anchor modulus: expected anchor density 1/A
+# single source of truth for the span parameters is pipeline/dedup.py
+# (shared with the streaming anchor sink); the oracle below re-derives
+# the same spans from these aliases
+_RSP_K = dd.SPAN_K  # anchor k-gram width (tokens)
+_RSP_L = dd.SPAN_L  # span length (tokens) — the ExactSubstr granularity
+_RSP_A = dd.SPAN_A  # anchor modulus: expected anchor density 1/A
 
 
 def _o_rsp_spans() -> str:
@@ -1657,61 +1660,14 @@ def _o_rsp_spans() -> str:
     """,
 )
 def repeated_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", dd.normalized_text("text").alias("t")
-    )
-    w = F.split("t", " ")
-    npos = F.size(w) - (_RSP_L - 1)
-
-    def _span(p):  # anchored positions emit the span's md5, others NULL
-        anchor = sk.kmv_hash(F.array_join(F.slice(w, p + 1, _RSP_K), " "))
-        return F.when(
-            anchor % _RSP_A == 0,
-            F.md5(F.array_join(F.slice(w, p + 1, _RSP_L), " ")),
-        )
-
-    arr = F.filter(
-        F.transform(F.sequence(F.lit(0), (npos - 1).cast("int")), _span),
-        lambda x: x.isNotNull(),
-    )
-    # persist the ARRAY table, then explode from the cached leaf (the
-    # exact_substring_dedup precedent: exploding the computed array
-    # directly re-evaluates the collapsed span-building projection per
-    # element — O(len²)/doc)
-    sp = managed_persist(
-        docs.filter(F.size(w) >= _RSP_L)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", arr.alias("spans"))
-    )
-    anch = managed_persist(
-        sp.select("doc_id", F.explode("spans").alias("sh")).distinct()
-    )
-    sizes = anch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a = anch.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = anch.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    if _n_docs(spark, sf_dir) > dd.BROADCAST_SAFE_DOCS:
-        # corpus-sized post-aggregate relations: never broadcast
-        b = b.hint("shuffle_hash")
-        sizes = sizes.hint("shuffle_hash")
-    pairs = (
-        a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_spans"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared_spans",
-            round6(
-                F.col("shared_spans").cast("double") / F.least("na", "nb")
-            ).alias("span_frac"),
-        )
-    )
+    # anchor building + pair rollup live in pipeline/dedup.py since r13
+    # so the streaming anchor sink (streaming/span_dedup.py) hashes
+    # identical spans by construction; the anchor relation is persisted
+    # here because the rollup consumes it three times (sizes + both join
+    # sides)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    anch = managed_persist(dd.span_anchor_table(docs))
+    return dd.span_pair_rollup(anch, n_docs=_n_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -6,6 +6,7 @@ event-time streaming job with watermarked late-data handling.
 from .hll_sink import read_hll_estimates, start_hll_sink  # noqa: F401
 from .rollup_sink import read_rollup, start_rollup_sink  # noqa: F401
 from .session_windows import session_stats  # noqa: F401
+from .span_dedup import read_span_pairs, start_span_anchor_sink  # noqa: F401
 from .stateful import running_user_stats, streaming_funnel_levels  # noqa: F401
 from .tick_bars import (  # noqa: F401
     click_purchase_interval_join,

@@ -966,3 +966,58 @@ def test_streaming_funnel_matches_batch_across_microbatches(spark):
         assert (got_pd.groupby("user_id").size() > 1).any()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_span_anchors_match_batch(spark):
+    """Streaming ExactSubstr twin (r13): documents delivered across >= 3
+    micro-batches through the span-anchor sink must yield EXACTLY the
+    batch repeated_span_pairs output — anchors are deterministic in the
+    text and the pair rollup is shared code, so parity is to the bit.
+    A replayed stream (fresh checkpoint, same store) must be a no-op."""
+    import shutil
+    import tempfile
+
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        repeated_span_pairs,
+    )
+    from quantitative_database_and_visualization_platform_spark.sources.catalog import load_table
+    from quantitative_database_and_visualization_platform_spark.streaming import (
+        read_span_pairs,
+        start_span_anchor_sink,
+    )
+
+    def canon(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["shared_spans"], r["span_frac"])
+            for r in df.collect()
+        )
+
+    tmp = tempfile.mkdtemp(prefix="qdvp_span_")
+    try:
+        docs = load_table(spark, SF, "documents").select("doc_id", "text")
+        # >= 3 micro-batches: one input file per trigger
+        docs.repartition(3).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{tmp}/in").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        q = start_span_anchor_sink(stream, f"{tmp}/store")
+        q.awaitTermination(180)
+        want = canon(repeated_span_pairs(spark, SF))
+        got = canon(read_span_pairs(spark, f"{tmp}/store"))
+        assert got == want and len(want) > 0
+
+        # replay: fresh checkpoint restarts batch ids at 0 — every batch
+        # is <= the stored high-water mark and must be skipped
+        shutil.rmtree(f"{tmp}/store_ckpt", ignore_errors=True)
+        stream2 = (
+            spark.readStream.schema(spark.read.parquet(f"{tmp}/in").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in")
+        )
+        q2 = start_span_anchor_sink(stream2, f"{tmp}/store")
+        q2.awaitTermination(180)
+        assert canon(read_span_pairs(spark, f"{tmp}/store")) == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
