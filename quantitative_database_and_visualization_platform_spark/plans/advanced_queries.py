@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import trunc_ntz_second
 from ..operators.relational import asof_join, band_self_join, latest_row_per_key
+
+
+def _round_half_up_jvm(x: float) -> int:
+    """Exactly F.round(x, 0).cast('long') for non-negative doubles.
+
+    Spark's Round on DoubleType goes BigDecimal.valueOf(x) — i.e. the
+    SHORTEST decimal repr of the double — then HALF_UP. Python's
+    repr(float) is the same shortest repr, so Decimal(repr(x)) with
+    ROUND_HALF_UP reproduces the JVM result bit-for-bit (a plain
+    floor(x + 0.5) diverges one ulp below .5 boundaries, e.g.
+    0.49999999999999994 + 0.5 == 1.0 in binary)."""
+    import decimal as _dec
+
+    return int(
+        _dec.Decimal(repr(x)).quantize(_dec.Decimal(1), rounding=_dec.ROUND_HALF_UP)
+    )
 from ..pipeline.sketches import kmv_distinct_estimate, o_kmv_distinct_estimate
 from ..sources.catalog import load_table
 from .registry import o_sum_fixed, query, sum_fixed
@@ -1660,10 +1676,22 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
-    # the edge graph is nation²-bounded: localCheckpoint truncates the
-    # fact-sized lineage so the 10 iterations replan on a tiny leaf
-    edges = edges.join(outw, "src").localCheckpoint()
-    n_nodes = nodes.count()
+    # The edge graph is nation²-bounded (≤ 625 + 25 self-loop rows at
+    # every sf — a FIXED-cardinality relation), so the 10 damped
+    # iterations run on the DRIVER over one bounded collect: the r12
+    # envelope measurement showed the old per-iteration
+    # join+groupBy+localCheckpoint chain spent ~2 s scheduling ~20 tiny
+    # Spark jobs to move ~650 rows around. The fact-sized aggregation
+    # (the actual 100 TB work) stays distributed; only the
+    # dimension-bounded recursion moves. Integer math is unchanged:
+    # 1e12-quantized ranks, each contribution term HALF_UP-rounded
+    # before summing — `_round_half_up_jvm` reproduces F.round's
+    # BigDecimal(shortest-repr) HALF_UP exactly, so the driver loop is
+    # bit-identical to the old Spark loop and to the DuckDB recursive
+    # CTE.
+    erows = edges.join(outw, "src").collect()  # nation²-bounded
+    node_rows = [int(r["node"]) for r in nodes.collect()]  # ≤ nations
+    n_nodes = len(node_rows)
     if n_nodes == 0:
         # empty graph (r12 empty-input sweep: the 1/n seed divided by
         # zero on the driver): both engines agree the result is no rows
@@ -1671,29 +1699,20 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("nationkey"),
             F.lit(None).cast("double").alias("pagerank"),
         )
-    r = nodes.select(
-        "node",
-        F.lit(int(round(1_000_000_000_000.0 / n_nodes))).alias("r_p"),
-    )
+    rank = {n: int(round(1_000_000_000_000.0 / n_nodes)) for n in node_rows}
+    base = int(round(150_000_000_000.0 / n_nodes))
     for _ in range(10):
-        r = (
-            edges.join(r, edges.src == r.node)
-            .select(
-                F.col("dst").alias("node"),
-                F.round(0.85 * F.col("r_p") * F.col("w") / F.col("tw"), 0)
-                .cast("long")
-                .alias("term"),
-            )
-            .groupBy("node")
-            .agg(
-                (
-                    F.lit(int(round(150_000_000_000.0 / n_nodes)))
-                    + F.sum("term")
-                ).alias("r_p")
-            )
-            .localCheckpoint()
-        )
-    return r.select(
+        nxt: dict[int, int] = {}
+        for e in erows:
+            r_p = rank[int(e["src"])]
+            term = _round_half_up_jvm(0.85 * r_p * e["w"] / e["tw"])
+            dst = int(e["dst"])
+            nxt[dst] = nxt.get(dst, 0) + term
+        rank = {n: base + t for n, t in nxt.items()}
+    out = spark.createDataFrame(
+        [(n, r) for n, r in sorted(rank.items())], "node bigint, r_p bigint"
+    )
+    return out.select(
         F.col("node").alias("nationkey"),
         (F.floor(F.col("r_p") / 1_000_000_000_000.0 * 1_000_000 + F.lit(0.5))
          / 1_000_000.0).alias("pagerank"),
@@ -2094,8 +2113,6 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def trade_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import managed_persist
-
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2118,35 +2135,34 @@ def trade_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # nation²-bounded: the unpartitioned rank window runs on <= 625 rows
     rk = Window.orderBy(F.desc("w"), "src", "dst")
-    ranked = managed_persist(
-        rev.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") <= 40)
-    )
-    e = ranked.select("src", "dst")
-    # source = src of the heaviest edge: one bounded 1-row driver read
-    top = ranked.filter(F.col("rk") == 1).collect()
-    if not top:  # empty trade graph: no source — empty, like the oracle
+    ranked = rev.withColumn("rk", F.row_number().over(rk)).filter(F.col("rk") <= 40)
+    # The ranked relation is ≤ 40 rows BY CONSTRUCTION (rank cutoff), so
+    # the BFS runs on the DRIVER over one bounded collect — the old
+    # per-hop Spark loop (join + distinct + anti-join + count +
+    # localCheckpoint per hop) spent ~2 s scheduling ~10 tiny jobs to
+    # walk a 40-edge graph (r13 envelope measurement). The fact-sized
+    # revenue aggregation that BUILDS the graph stays distributed; hop
+    # order and results are identical (BFS over integer sets, no float).
+    erows = ranked.orderBy("rk").collect()
+    if not erows:  # empty trade graph: no source — empty, like the oracle
         return spark.createDataFrame([], "nationkey bigint, hops int")
-    source = int(top[0]["src"])
-    spark_s = li.sparkSession
-    visited = spark_s.createDataFrame(
-        [(source, 0)], "node bigint, hops int"
-    ).localCheckpoint(eager=True)
-    frontier = visited
+    source = int(erows[0]["src"])
+    adj: dict[int, list[int]] = {}
+    for e in erows:
+        adj.setdefault(int(e["src"]), []).append(int(e["dst"]))
+    hops = {source: 0}
+    frontier = [source]
     for h in range(1, 9):
-        nxt = (
-            frontier.join(F.broadcast(e), F.col("node") == F.col("src"))
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("hops", F.lit(h))
+        nxt = sorted(
+            {d for n in frontier for d in adj.get(n, ()) if d not in hops}
         )
-        # frontier cardinality is a bounded scalar per round (BFS invariant)
-        if nxt.count() == 0:
+        if not nxt:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        for d in nxt:
+            hops[d] = h
         frontier = nxt
-    return visited.select(
-        F.col("node").alias("nationkey"), F.col("hops").cast("int").alias("hops")
+    return spark.createDataFrame(
+        sorted(hops.items()), "nationkey bigint, hops int"
     )
 
 

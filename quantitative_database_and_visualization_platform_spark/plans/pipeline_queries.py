@@ -6676,37 +6676,88 @@ def _o_pq() -> str:
 
 @query("pq_quantization_audit", oracle=_o_pq())
 def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..pipeline.embeddings import ivf_centroids, l2_dist2, nearest_centroid
+    from ..pipeline.embeddings import l2_dist2
 
     emb = managed_persist(
         load_table(spark, sf_dir, "embeddings").repartition(
             spark.sparkContext.defaultParallelism
         )
     )
-    parts = []
-    for m in range(_PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("embedding", m * _PQ_SUB + 1, _PQ_SUB).alias("e")
-        )
-        seeds = (
-            sub.orderBy("vec_id")
-            .limit(_PQ_K)
-            .select(F.col("vec_id").alias("__cid"), F.col("e").alias("__cent"))
-        )
-        a1 = nearest_centroid(sub, seeds, "e", "vec_id")
-        cents = ivf_centroids(a1, "e").select(
-            F.col("cid").alias("__cid"), "__cent"
-        )
-        pairs = sub.crossJoin(F.broadcast(cents)).withColumn(
-            "__dq",
+    # ONE pass over all M subspaces: the subspace index rides along as a
+    # key column instead of M separate plan subtrees (the old per-m loop
+    # scheduled M independent seed/assign/refine/broadcast chains — ~3 s
+    # of job overhead at sf0.01 for identical arithmetic, r13 envelope).
+    # Every per-m relation below is the old one with m added to its
+    # grouping/partition keys, so values are unchanged by construction.
+    sub = managed_persist(
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.slice(
+                                "embedding", m * _PQ_SUB + 1, _PQ_SUB
+                            ).alias("e"),
+                        )
+                        for m in range(_PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        ).select("vec_id", F.col("s.m").alias("m"), F.col("s.e").alias("e"))
+    )
+    # seeds per m = the subvectors of the _PQ_K lowest vec_ids (the old
+    # orderBy(vec_id).limit(K) picked the same K ids for every m)
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(_PQ_K)
+    seeds = sub.join(F.broadcast(seed_ids), "vec_id").select(
+        "m", F.col("vec_id").alias("__cid"), F.col("e").alias("__cent")
+    )
+    pick1 = Window.partitionBy("vec_id", "m").orderBy("__dist", "__cid")
+    a1 = (
+        sub.join(F.broadcast(seeds), "m")
+        .withColumn(
+            "__dist",
             F.floor(l2_dist2("e", "__cent") * 1_000_000 + F.lit(0.5)).cast("long"),
         )
-        pick = Window.partitionBy("vec_id").orderBy("__dq", "__cid")
-        parts.append(
-            pairs.withColumn("__rn", F.row_number().over(pick))
-            .filter(F.col("__rn") == 1)
-            .select("vec_id", F.col("__dq").alias(f"dq{m}"))
+        .withColumn("__rn", F.row_number().over(pick1))
+        .filter(F.col("__rn") == 1)
+        .select("m", "vec_id", "e", F.col("__cid").alias("cid"))
+    )
+    # one Lloyd refinement with engine-exact fixed-point means, per (m, cid)
+    per_dim = (
+        a1.select("m", "cid", F.posexplode("e").alias("dim", "x"))
+        .groupBy("m", "cid", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
         )
+        .select(
+            "m",
+            "cid",
+            "dim",
+            ((F.col("qs").cast("double") / F.col("n")) / 1_000_000.0).alias("c"),
+        )
+    )
+    cents = per_dim.groupBy("m", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("__cent")
+    ).select("m", F.col("cid").alias("__cid"), "__cent")
+    pairs = sub.join(F.broadcast(cents), "m").withColumn(
+        "__dq",
+        F.floor(l2_dist2("e", "__cent") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    pick = Window.partitionBy("vec_id", "m").orderBy("__dq", "__cid")
+    dq = (
+        pairs.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .groupBy("vec_id")
+        .agg(F.sum("__dq").alias("dq_sum"), F.count(F.lit(1)).alias("__nm"))
+        .filter(F.col("__nm") == _PQ_M)  # the old M-way inner join
+    )
     norm = emb.select(
         "vec_id",
         "label",
@@ -6716,13 +6767,8 @@ def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         ).alias("n2"),
     )
-    tot = norm
-    for p in parts:
-        tot = tot.join(p, "vec_id")
-    err2 = (
-        sum(F.col(f"dq{m}") for m in range(1, _PQ_M)) + F.col("dq0")
-    ) / 1_000_000.0
-    rel = tot.filter(F.col("n2") > 0).select(
+    err2 = F.col("dq_sum") / 1_000_000.0
+    rel = norm.join(dq, "vec_id").filter(F.col("n2") > 0).select(
         "label",
         F.floor(err2 / F.col("n2") * 1_000_000 + F.lit(0.5))
         .cast("long")

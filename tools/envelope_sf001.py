@@ -73,13 +73,24 @@ def main() -> int:
     oracle_total = time.monotonic() - t_o0
 
     load1 = os.getloadavg()[0]
+    # the ENVELOPE ratio compares MATCHED PAIRS only: a rows-only query
+    # (no oracle) has no DuckDB counterpart doing the same computation,
+    # so counting its Spark time against zero oracle time inflates the
+    # ratio with a comparison that does not exist (first run: the
+    # alpha_ic_scan cache build alone added 36 s / 0.35× to the naive
+    # quotient). The unmatched Spark time is still reported, separately.
+    matched_spark = sum(v for k, v in spark_s.items() if k in ORACLES)
+    unmatched = {k: v for k, v in spark_s.items() if k not in ORACLES}
+    ratio = matched_spark / oracle_total
     payload = {
         "sf_dir": sf_dir,
         "n_queries": len(QUERIES),
         "n_oracles": len(ORACLES),
         "spark_total_s": round(spark_total, 1),
+        "spark_matched_s": round(matched_spark, 1),
+        "spark_unmatched_s": {k: round(v, 2) for k, v in unmatched.items()},
         "oracle_total_s": round(oracle_total, 1),
-        "ratio": round(spark_total / oracle_total, 3),
+        "ratio": round(ratio, 3),
         "loadavg_start": round(load0, 2),
         "loadavg_end": round(load1, 2),
         "duckdb_version": duckdb.__version__,
@@ -89,8 +100,9 @@ def main() -> int:
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     print(
-        f"ENVELOPE: spark {spark_total:.1f}s vs duckdb {oracle_total:.1f}s "
-        f"= {spark_total / oracle_total:.2f}x (load {load0:.1f}->{load1:.1f}) -> {out}"
+        f"ENVELOPE: spark {matched_spark:.1f}s (matched; {spark_total:.1f}s "
+        f"incl rows-only) vs duckdb {oracle_total:.1f}s = {ratio:.2f}x "
+        f"(load {load0:.1f}->{load1:.1f}) -> {out}"
     )
     return 0
 
