@@ -37,6 +37,7 @@ O_BARS = """
                    ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
                                       ORDER BY ts DESC, event_id DESC) AS rn_z
             FROM events
+            WHERE value IS NOT NULL AND props IS NOT NULL
         )
         GROUP BY user_id, CAST(ts AS DATE)
     )
@@ -104,8 +105,18 @@ def fundamentals(bars: DataFrame) -> DataFrame:
 
 def daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(code, d, open, high, low, close, volume, amount) daily panel."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "k", F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    # A tick with no price or no volume payload is a malformed record (the
+    # condition a 100 TB lake hits routinely — failed parses, sensor gaps);
+    # it must not participate in bar construction: a NULL value elected as
+    # the rn_a/rn_z open/close pick would NULL the bar, and downstream
+    # factor recursions (EMA, ts_* windows, ranks) have engine-specific
+    # NULL semantics. Dropping the row BEFORE the window flags keeps both
+    # engines bit-identical (same WHERE in O_BARS) and is a no-op on clean
+    # data (r13 NULL-saturated sweep, tests/test_null_saturated_inputs.py).
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("props").isNotNull())
+        .withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
     )
     day = F.to_date("ts")
     w_asc = Window.partitionBy("user_id", day).orderBy("ts", "event_id")

@@ -91,7 +91,16 @@ def decode_documents(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
     no shuffle)."""
     import functools
 
-    withblob = attach_blob(df).select("doc_id", "content")
+    # a missing payload cannot be decoded: rows with NULL content are
+    # excluded BEFORE the Arrow boundary — otherwise every decoder
+    # (stub's len(), Pillow's BytesIO) raises inside the Python worker
+    # on the first NULL of a batch (r13 NULL-saturated sweep). Callers'
+    # oracles carry the matching text IS NOT NULL. No-op on clean data.
+    withblob = (
+        attach_blob(df)
+        .select("doc_id", "content")
+        .filter(F.col("content").isNotNull())
+    )
     fn = functools.partial(decode_batch, use_real_codec=use_real_codec)
     return withblob.mapInPandas(fn, schema=DECODED_SCHEMA)
 

@@ -22,13 +22,22 @@ def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
     lang_pred / quality_score / fingerprint."""
     t = normalized_text(text)
     out = df.withColumn("__t", t).withColumn("__w", F.split(F.col("__t"), " "))
-    n = F.size("__w")
+    # every feature is NULL for a NULL text (failed crawl/parse — the
+    # 100 TB-lake condition): without the guard Spark's size(NULL) is -1
+    # (legacy sizeOfNull) and both engines' NULL-skipping least() turns
+    # a NULL quality term into 1.0, so a bodyless doc scores as perfect
+    # english (r13 NULL-saturated sweep). o_text_features carries the
+    # same CASE WHEN guard; no-op on clean data.
+    has_t = F.col("__t").isNotNull()
+    n = F.when(has_t, F.size("__w"))
     stop_list = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
     stop_ratio = F.expr(f"CAST(size(filter(__w, x -> x IN ({stop_list}))) AS DOUBLE)") / n
     # single-space-normalized text: total token chars = length - (n - 1)
     avg_len = (F.length("__t").cast("double") - n + 1) / n
-    quality = 0.6 * F.least(n / 100.0, F.lit(1.0)) + 0.4 * F.least(
-        stop_ratio * 10, F.lit(1.0)
+    quality = F.when(
+        has_t,
+        0.6 * F.least(n / 100.0, F.lit(1.0))
+        + 0.4 * F.least(stop_ratio * 10, F.lit(1.0)),
     )
     return (
         out.withColumn("n_tokens", n.cast("long"))
@@ -36,11 +45,17 @@ def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
             # F.lit for the pattern: embedding it in a SQL string literal
             # would strip the backslashes
             "n_tokens_bpe",
-            F.size(F.regexp_extract_all("__t", F.lit(TOKEN_REGEX), F.lit(0))).cast("long"),
+            F.when(
+                has_t,
+                F.size(F.regexp_extract_all("__t", F.lit(TOKEN_REGEX), F.lit(0))),
+            ).cast("long"),
         )
         .withColumn("avg_token_len", avg_len)
         .withColumn("stopword_ratio", stop_ratio)
-        .withColumn("lang_pred", F.when(stop_ratio > 0.03, "en").otherwise("other"))
+        .withColumn(
+            "lang_pred",
+            F.when(stop_ratio > 0.03, "en").when(has_t, "other"),
+        )
         .withColumn("quality_score", quality)
         .withColumn("fingerprint", F.substring(F.md5("__t"), 1, 16))
         .drop("__t", "__w")
@@ -52,7 +67,10 @@ def o_text_features(stopwords: tuple[str, ...] = EN_STOPWORDS) -> dict[str, str]
     and word list `w`)."""
     stop_list = ", ".join(f"'{s}'" for s in stopwords)
     stop = f"CAST(len(list_filter(w, x -> x IN ({stop_list}))) AS DOUBLE) / len(w)"
-    return {
+    # every feature NULL for NULL text, mirroring with_text_features:
+    # DuckDB's NULL-skipping LEAST would otherwise score a bodyless doc
+    # 1.0 and CASE ELSE would language-tag it (r13 NULL-saturated sweep)
+    exprs = {
         "n_tokens": "CAST(len(w) AS BIGINT)",
         "n_tokens_bpe": f"CAST(len(regexp_extract_all(t, '{TOKEN_REGEX}')) AS BIGINT)",
         "avg_token_len": "(CAST(length(t) AS DOUBLE) - len(w) + 1) / len(w)",
@@ -60,6 +78,10 @@ def o_text_features(stopwords: tuple[str, ...] = EN_STOPWORDS) -> dict[str, str]
         "lang_pred": f"CASE WHEN {stop} > 0.03 THEN 'en' ELSE 'other' END",
         "quality_score": f"0.6 * LEAST(len(w) / 100.0, 1.0) + 0.4 * LEAST(({stop}) * 10, 1.0)",
         "fingerprint": "substring(md5(t), 1, 16)",
+    }
+    return {
+        name: f"CASE WHEN t IS NULL THEN NULL ELSE ({expr}) END"
+        for name, expr in exprs.items()
     }
 
 
@@ -118,8 +140,16 @@ def chunk_tokens(df: DataFrame, chunk: int = 64, stride: int = 48) -> DataFrame:
     bound emitted fully-redundant clamped tails)."""
     from ..session import managed_persist
 
+    # a bodyless doc has no chunks: without the filter Spark's
+    # size(NULL) = -1 still emits one k=0 chunk whose hash is md5('') —
+    # a constant that equijoins EVERY bodyless doc with every other in
+    # chunk-level dedup (1711 phantom pairs at sf0.001; r13
+    # NULL-saturated sweep). Callers' oracles carry the matching
+    # `WHERE t IS NOT NULL`. No-op on clean data.
     wdf = managed_persist(
-        df.withColumn("__w", F.split(normalized_text("text"), " ")).drop("text")
+        df.filter(F.col("text").isNotNull())
+        .withColumn("__w", F.split(normalized_text("text"), " "))
+        .drop("text")
     )
     ch = wdf.withColumn(
         "__k",

@@ -470,14 +470,20 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          AND UNBOUNDED FOLLOWING) AS third_lowest_bal,
            COALESCE(LAG(c_acctbal) OVER w, 0.0) AS prev_bal
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal NULLS LAST, c_custkey)
     """,
 )
 def window_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import round6
 
     customer = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    # NULL ordering pinned explicitly: Spark's ascending default is
+    # nulls-FIRST, DuckDB's is nulls-LAST, so an unparseable balance
+    # silently reorders the whole rank surface (r13 NULL-saturated
+    # sweep). NULLS LAST on both engines; no-op on clean data.
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc_nulls_last(), "c_custkey"
+    )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return customer.select(
         "c_custkey",

@@ -30,6 +30,7 @@ _O_PANEL = """
                SUM(CAST(ROUND(value*100,0) AS BIGINT))/100.0 AS val,
                CAST(SUM(CAST(regexp_extract(props, '(\\d+)', 1) AS INT)) AS BIGINT) AS k_sum
         FROM events
+        WHERE value IS NOT NULL AND props IS NOT NULL
         GROUP BY user_id, CAST(ts AS DATE)
     )
 """
@@ -44,7 +45,15 @@ _O_FWD = """
 
 
 def _panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # malformed ticks (NULL value/props) are dropped before the panel
+    # rollup on BOTH engines (same WHERE in _O_PANEL): an all-NULL
+    # (user, day) group otherwise emits a NULL-measure panel row whose
+    # cross-sectional rank is engine-defined (Spark nulls-first vs
+    # DuckDB nulls-last). Same policy as factors/panel.py daily_bars;
+    # no-op on clean data (r13 NULL-saturated sweep).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("props").isNotNull()
+    )
     k = F.regexp_extract("props", r"(\d+)", 1).cast("int")
     return ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias("val"),

@@ -559,14 +559,21 @@ def _o_ivf_assign() -> str:
     k-means coarse quantizer) used by embedding_ann_ivf and
     cluster_balanced_sample."""
     d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
-    return f"""seeds AS (
-        SELECT vec_id AS scid, embedding AS s FROM embeddings ORDER BY vec_id LIMIT 8
+    # vecs: a failed embedding (NULL array) is not part of the vector
+    # index on either engine — a NULL seed distance otherwise wins every
+    # Spark argmin (nulls-first) while DuckDB ranks it last (r13
+    # NULL-saturated sweep); Spark twins filter at load
+    return f"""vecs AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS scid, embedding AS s FROM vecs ORDER BY vec_id LIMIT 8
     ), a1 AS (
         SELECT vec_id, label, embedding, cid FROM (
             SELECT e.vec_id, e.label, e.embedding, s.scid AS cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                        ORDER BY {d6(o_l2_dist2('e.embedding', 's.s'))}, s.scid) AS rn
-            FROM embeddings e, seeds s
+            FROM vecs e, seeds s
         ) WHERE rn = 1
     ), cents AS ({o_ivf_cents('a1')}
     ), a2 AS (
@@ -574,7 +581,7 @@ def _o_ivf_assign() -> str:
             SELECT e.vec_id, e.label, e.embedding, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                        ORDER BY {d6(o_l2_dist2('e.embedding', 'c.cent'))}, c.cid) AS rn
-            FROM embeddings e, cents c
+            FROM vecs e, cents c
         ) WHERE rn = 1
     )"""
 
@@ -583,7 +590,7 @@ def _o_ivf() -> str:
     d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
     return f"""
     WITH {_o_ivf_assign()}, probe AS (
-        SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+        SELECT embedding AS p FROM vecs WHERE vec_id = 0
     ), pclusters AS (
         SELECT cid FROM (
             SELECT c.cid,
@@ -604,8 +611,13 @@ def _o_ivf() -> str:
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings (NULL array) are not indexed: a NULL seed/probe
+    # distance wins Spark's argmin (nulls-first) while DuckDB ranks it
+    # last (r13 NULL-saturated sweep; `vecs` CTE on the oracle side)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     seeds = (
         emb.orderBy("vec_id")
@@ -972,6 +984,7 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((octet_length(encode(text)) // 7) % 64 + 16 AS BIGINT) AS height,
            CAST(octet_length(encode(text)) % 5 + 1 AS BIGINT) AS n_frames
     FROM documents
+    WHERE text IS NOT NULL
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,6 +1004,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(octet_length(encode(text)) % 5 + 1 AS BIGINT) AS n_frames
         FROM documents
+        WHERE text IS NOT NULL
     ), idx AS (
         SELECT doc_id, n_bytes, n_frames,
                LEAST(3, n_frames) AS kk
@@ -1291,6 +1305,7 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_O_NORM}, toks AS (
         SELECT words.doc_id, d.source, len(w) AS n_tokens
         FROM words JOIN documents d ON words.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL
     ), c AS (
         SELECT doc_id, source, n_tokens,
                SUM(n_tokens) OVER (
@@ -1305,7 +1320,15 @@ def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # a bodyless doc has nothing to pack: excluded on both engines
+    # (Spark's size(split(NULL)) = -1 would otherwise shrink the running
+    # token cursor and shift every later pack boundary in the shard;
+    # r13 NULL-saturated sweep). No-op on clean data.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
     n_tokens = F.size(F.split(dd.normalized_text("text"), " "))
     w = (
         Window.partitionBy("source")
@@ -1868,14 +1891,17 @@ _SEM_EPS = 0.35
 def _o_semdedup() -> str:
     d6 = lambda d: f"CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT)"
     return f"""
-    WITH RECURSIVE seeds AS (
-        SELECT vec_id AS scid, embedding AS s FROM embeddings ORDER BY vec_id LIMIT 8
+    WITH RECURSIVE vsem AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS scid, embedding AS s FROM vsem ORDER BY vec_id LIMIT 8
     ), a1 AS (
         SELECT vec_id, embedding, cid FROM (
             SELECT e.vec_id, e.embedding, s.scid AS cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                        ORDER BY {d6(o_l2_dist2('e.embedding', 's.s'))}, s.scid) AS rn
-            FROM embeddings e, seeds s
+            FROM vsem e, seeds s
         ) WHERE rn = 1
     ), cents AS ({o_ivf_cents('a1')}
     ), a2 AS (
@@ -1883,7 +1909,7 @@ def _o_semdedup() -> str:
             SELECT e.vec_id, e.embedding, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                        ORDER BY {d6(o_l2_dist2('e.embedding', 'c.cent'))}, c.cid) AS rn
-            FROM embeddings e, cents c
+            FROM vsem e, cents c
         ) WHERE rn = 1
     ), ad AS (
         SELECT a2.vec_id, a2.cid, a2.embedding,
@@ -1923,8 +1949,12 @@ def _o_semdedup() -> str:
 
 @query("semdedup_prune", oracle=_o_semdedup())
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings are not indexed (same policy + rationale as
+    # embedding_ann_ivf; `vsem` CTE on the oracle side)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     seeds = (
         emb.orderBy("vec_id")
@@ -2225,6 +2255,7 @@ _CHUNK, _STRIDE = 64, 48
                UNNEST(range(0, GREATEST(0,
                    (len(w) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}) + 1)) AS k
         FROM words
+        WHERE t IS NOT NULL
     )
     SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
            CAST(k * {_STRIDE} AS BIGINT) AS start_tok,
@@ -2398,6 +2429,7 @@ def zipf_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_O_NORM},
     p AS (
         SELECT doc_id, array_to_string(w[1:8], ' ') AS prefix_text FROM words
+        WHERE t IS NOT NULL
     )
     SELECT md5(prefix_text) AS prefix_hash, prefix_text,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2408,7 +2440,15 @@ def zipf_token_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # a bodyless doc has no prefix: excluded on both engines (Spark's
+    # concat_ws over a NULL array is '' — md5('') would cluster every
+    # bodyless doc as one "template" while DuckDB's array_to_string
+    # yields NULL; r13 NULL-saturated sweep). No-op on clean data.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
     pre = docs.select(
         "doc_id",
         "source",
@@ -2470,8 +2510,12 @@ def template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings are not indexed (same policy + rationale as
+    # embedding_ann_ivf; oracle side is the shared `vecs` CTE)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     seeds = (
         emb.orderBy("vec_id")
@@ -2737,6 +2781,7 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                UNNEST(range(0, GREATEST(0,
                    (len(w) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}) + 1)) AS k
         FROM words
+        WHERE t IS NOT NULL
     ),
     hashes AS (
         SELECT DISTINCT doc_id,
@@ -2788,6 +2833,7 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (
         SELECT w.doc_id, d.source, CAST(len(w.w) AS BIGINT) AS n_tokens
         FROM words w JOIN documents d ON w.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL
     )
     SELECT source,
            CAST(FLOOR(LOG2(n_tokens + 1)) AS BIGINT) AS len_bin,
@@ -2798,7 +2844,14 @@ def chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def length_histogram_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # a bodyless doc has no sequence length: excluded on both engines
+    # (Spark size(split(NULL)) is -1, which would fabricate a negative
+    # len_bin; r13 NULL-saturated sweep). No-op on clean data.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
     n = docs.select(
         "source",
         F.size(F.split(dd.normalized_text("text"), " ")).cast("long").alias(
@@ -3298,6 +3351,7 @@ _BM25_B = 0.75
     WITH {_O_NORM},
     dl AS (
         SELECT doc_id, CAST(len(w) AS BIGINT) AS dlen FROM words
+        WHERE t IS NOT NULL
     ),
     stats AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3344,9 +3398,15 @@ _BM25_B = 0.75
     """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a retrieval index holds only docs with bodies: bodyless docs are
+    # excluded on both engines BEFORE the corpus stats (Spark's
+    # size(NULL) = -1 dlen would otherwise shrink tot_len while DuckDB
+    # skips the NULL, skewing avgdl and every BM25 score; r13
+    # NULL-saturated sweep). No-op on clean data.
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism)
     )
     words = managed_persist(
@@ -3661,10 +3721,12 @@ def hll_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_drift_by_label",
     oracle=f"""
     WITH ref AS (
-        SELECT label AS k, embedding FROM embeddings WHERE vec_id % 2 = 0
+        SELECT label AS k, embedding FROM embeddings
+        WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
     ),
     cur AS (
-        SELECT label AS k, embedding FROM embeddings WHERE vec_id % 2 = 1
+        SELECT label AS k, embedding FROM embeddings
+        WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
     ),
     cref AS ({o_ivf_cents("ref", cid="k")}),
     ccur AS ({o_ivf_cents("cur", cid="k")}),
@@ -3680,8 +3742,13 @@ def hll_rolling_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings carry no position: excluded from both halves on
+    # both engines before the centroid means and the member counts
+    # (r13 NULL-saturated sweep). No-op on clean data.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ref = emb.filter(F.col("vec_id") % 2 == 0).select(
         F.col("label").alias("k"), "embedding"
@@ -4306,6 +4373,7 @@ def vocab_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN w.doc_id = MIN(w.doc_id) OVER (PARTITION BY md5(w.t))
                     THEN 1 ELSE 0 END AS keep
         FROM words w JOIN documents d ON w.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS docs_before,
@@ -4318,7 +4386,16 @@ def vocab_jsd_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # bodyless docs are not duplicates of each other: md5(NULL) is NULL
+    # on both engines, so the keep-first window would otherwise collapse
+    # every NULL-text doc into one "duplicate" group (and Spark's
+    # size(split(NULL)) = -1 corrupts the token mass; r13 NULL-saturated
+    # sweep). Excluded on both engines; no-op on clean data.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
     t = dd.normalized_text("text")
     base = docs.select(
         "doc_id",
@@ -4506,8 +4583,12 @@ def _o_cluster_profile() -> str:
 
 @query("embedding_cluster_profile", oracle=_o_cluster_profile())
 def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings are not indexed (same policy + rationale as
+    # embedding_ann_ivf; oracle side is the shared `vecs` CTE)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     seeds = (
         emb.orderBy("vec_id")
@@ -4787,7 +4868,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned AS (
         SELECT ('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 13))::BIGINT % 16
                  AS shard,
-               CAST(len(w.w) AS BIGINT) AS n_tok
+               COALESCE(CAST(len(w.w) AS BIGINT), 0) AS n_tok
         FROM words w
     ), shards AS (
         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4811,7 +4892,16 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             % 16
         ).alias("shard"),
-        F.size(F.split(dd.normalized_text("text"), " ")).cast("long").alias("n_tok"),
+        # every doc gets a shard (assignment keys on doc_id, not body);
+        # a bodyless doc carries token load 0 on BOTH engines — without
+        # the guard Spark's size(split(NULL)) is -1 while DuckDB's
+        # len(NULL) is NULL (r13 NULL-saturated sweep)
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(dd.normalized_text("text"), " ")).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_tok"),
     )
     shards = assigned.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -4851,6 +4941,7 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tok,
                {o_text_features()['quality_score']} AS q
         FROM words w
+        WHERE w.t IS NOT NULL
     ), binned AS (
         SELECT doc_id, n_tok,
                NTILE(5) OVER (ORDER BY n_tok, doc_id) AS len_q,
@@ -4865,7 +4956,14 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # a bodyless doc has neither a length quintile nor a quality band —
+    # excluded from the curation grid on both engines (a NULL n_tok
+    # would rank engine-defined inside NTILE; r13 NULL-saturated sweep)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     feat = with_text_features(docs).select(
         "doc_id", F.col("n_tokens").alias("n_tok"), "quality_score"
     )
@@ -5006,12 +5104,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_silhouette",
     oracle=f"""
-    WITH cents AS ({o_ivf_cents('embeddings', cid='label')}),
+    WITH vs AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+    ),
+    cents AS ({o_ivf_cents('vs', cid='label')}),
     d AS (
         SELECT e.vec_id, e.label, c.label AS clabel,
                CAST(FLOOR({o_l2_dist2('e.embedding', 'c.cent')} * 1000000 + 0.5)
                     AS BIGINT) AS d2q
-        FROM embeddings e, cents c
+        FROM vs e, cents c
     ), ab AS (
         SELECT vec_id, label,
                MIN(CASE WHEN clabel =  label THEN d2q END) AS a,
@@ -5030,8 +5132,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings are excluded from centroids AND members on both
+    # engines (a NULL member otherwise shifts the per-label counts; r13
+    # NULL-saturated sweep). No-op on clean data.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     cents = ivf_centroids(emb, "embedding", cid="label").withColumnRenamed(
         "label", "clabel"
@@ -5093,6 +5200,7 @@ _PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
                     || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
         FROM documents
+        WHERE text IS NOT NULL
     ), scrubbed AS (
         SELECT doc_id, source, t,
                len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_em,
@@ -5114,9 +5222,14 @@ _PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
     """,
 )
 def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a bodyless doc has nothing to scrub: excluded on both engines
+    # (concat(NULL, needle) is NULL on both, but Spark then counts
+    # size(regexp_extract_all(NULL)) = -1 per pattern while DuckDB
+    # skips the NULL; r13 NULL-saturated sweep). No-op on clean data.
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
         .repartition(spark.sparkContext.defaultParallelism)
     )
     t = F.concat(
@@ -6621,6 +6734,7 @@ def _o_pq() -> str:
         dist_cent = o_l2_dist2("x.e", "c.cent", _PQ_SUB)
         chains.append(f"""sub{m} AS (
         SELECT vec_id, label, embedding[{lo}:{hi}] AS e FROM embeddings
+        WHERE embedding IS NOT NULL
     ), seeds{m} AS (
         SELECT vec_id AS scid, e AS s FROM sub{m} ORDER BY vec_id LIMIT {_PQ_K}
     ), a1_{m} AS (
@@ -6656,6 +6770,7 @@ def _o_pq() -> str:
                    i -> CAST(embedding[i] AS DOUBLE)
                         * CAST(embedding[i] AS DOUBLE))) AS n2
         FROM embeddings
+        WHERE embedding IS NOT NULL
     ),
     tot AS (
         SELECT n.vec_id, n.label, ({errsum})/1000000.0 AS err2, n.n2
@@ -6678,10 +6793,12 @@ def _o_pq() -> str:
 def pq_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.embeddings import l2_dist2
 
+    # failed embeddings are not quantized (same index policy as
+    # embedding_ann_ivf; matching WHERE in every oracle sub-CTE)
     emb = managed_persist(
-        load_table(spark, sf_dir, "embeddings").repartition(
-            spark.sparkContext.defaultParallelism
-        )
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     # ONE pass over all M subspaces: the subspace index rides along as a
     # key column instead of M separate plan subtrees (the old per-m loop
@@ -7226,20 +7343,28 @@ def filter_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_hamming_topk",
     oracle=f"""
-    WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    WITH vh AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), probe AS (SELECT embedding AS p FROM vh WHERE vec_id = 0)
     SELECT vec_id, label,
            CAST(list_sum(list_transform(range(1, {DIMS + 1}),
                 i -> CASE WHEN (embedding[i] >= 0) != (p[i] >= 0)
                           THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
            {o_round6(o_cosine('embedding', 'p'))} AS cos
-    FROM embeddings, probe
+    FROM vh, probe
     ORDER BY hamming, vec_id
     LIMIT 10
     """,
 )
 def embedding_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+    # failed embeddings are not indexed: a NULL hamming distance sorts
+    # nulls-first in Spark but nulls-last in DuckDB, so one NULL probe
+    # or member flips the whole top-k (r13 NULL-saturated sweep)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     probe = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__probe")

@@ -880,6 +880,7 @@ def nation_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey AS k,
                CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
         FROM orders
+        WHERE o_totalprice IS NOT NULL
     ), b AS (
         SELECT k, c, NTILE(10) OVER (ORDER BY c, k) AS bucket FROM v
     )
@@ -892,7 +893,13 @@ def nation_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # NULL prices are excluded from the value distribution on both
+    # engines (ANALYZE-style statistics track null_count separately; a
+    # NULL inside the rank order is engine-defined — Spark nulls-first
+    # vs DuckDB nulls-last, r13 NULL-saturated sweep). No-op on clean data.
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     v = o.select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
@@ -1720,6 +1727,7 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                l.l_extendedprice / l.l_quantity AS up,
                CAST(l.l_quantity AS BIGINT) AS w
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity IS NOT NULL AND l.l_extendedprice IS NOT NULL
     ), c AS (
         SELECT p_brand, up, w,
                CAST(SUM(w) OVER (PARTITION BY p_brand
@@ -1739,7 +1747,13 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def weighted_median_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # a line with a NULL quantity or price has no defined unit price or
+    # weight — excluded on both engines before the cumulative-weight
+    # walk (a NULL `up` sorts nulls-first in Spark, nulls-last in
+    # DuckDB, shifting the median pick; r13 NULL-saturated sweep).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     u = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
         "p_brand",

@@ -121,6 +121,7 @@ def rolling_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, value,
                list(value) OVER ({_W_SQL} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_id, user_id,
            ROUND((len(list_filter(l, x -> x < value))
@@ -133,7 +134,11 @@ def rolling_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_rank_argmax_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    # malformed ticks (NULL value) are excluded from the series on BOTH
+    # engines: Spark's collect_list DROPS NULLs while DuckDB's list()
+    # keeps them, so a NULL inside the frame silently shifts every
+    # list-derived stat (r13 NULL-saturated sweep). No-op on clean data.
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     w = _w()
     return ev.select(
         "event_id",
@@ -161,10 +166,15 @@ def ts_rank_argmax_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(value / (FIRST_VALUE(value)
                OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1, 6) AS norm_to_first
     FROM events
+    WHERE value IS NOT NULL
     """,
 )
 def cumulative_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    # NULL-value ticks excluded on both engines: a NULL elected as the
+    # series' FIRST_VALUE poisons norm_to_first for the whole entity,
+    # and Spark/DuckDB disagree on which row that is once NULL ordering
+    # enters (r13 NULL-saturated sweep). No-op on clean data.
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     w = _w()
     cum = ts.cumulative(w)
     return ev.select(
@@ -214,6 +224,7 @@ def rolling_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, value,
                list(value) OVER ({_W_SQL} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_id, user_id,
            ROUND(list_sum(list_transform(range(1, len(l)+1),
@@ -224,8 +235,15 @@ def rolling_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ema_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trim to the columns the EMA needs before applyInPandas — every
-    # column crosses the Arrow boundary twice
-    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    # column crosses the Arrow boundary twice. NULL-value ticks are
+    # excluded on both engines: pandas ewm skips NaN in-place (the NULL
+    # occupies a row but not the recursion) while the oracle's closed
+    # form weights it as a list slot (r13 NULL-saturated sweep).
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "user_id", "ts", "value")
+    )
     out = ts.with_ema_columns(ev, {"ema_12_raw": ("value", 12.0)}, "user_id", "ts", "event_id")
     return out.select(
         "event_id", "user_id", F.round("ema_12_raw", 6).alias("ema_12")
