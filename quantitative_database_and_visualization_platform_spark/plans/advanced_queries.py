@@ -935,18 +935,25 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderdate", "dt"),
         ("o_orderpriority", "pr"),
     ]
-    out = None
-    for col, p in rows:
-        part = s.select(
+    # Unpivot the ONE aggregated row with a single explode, not a
+    # 5-way union of selects over `s`: a union duplicates the whole
+    # aggregation subtree per branch, so the r12 plan scanned and
+    # re-aggregated the orders table FIVE times (two branches demoted
+    # to SortAggregate by the string min/max buffers). One subtree →
+    # one scan/aggregate pass; the Generate runs on the 1-row result
+    # (optimization round r13, guide §7.2 "duplicated subtrees").
+    structs = [
+        F.struct(
             F.lit(col).alias("col"),
-            "n_rows",
+            F.col("n_rows").alias("n_rows"),
             F.col(f"{p}_nulls").alias("n_nulls"),
             F.col(f"{p}_dist").alias("n_distinct"),
             F.col(f"{p}_min").alias("min_repr"),
             F.col(f"{p}_max").alias("max_repr"),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        for col, p in rows
+    ]
+    return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 # ---------------------------------------------------------------------------
@@ -1018,34 +1025,48 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain = (
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     )
-    bad_prio = o.filter(~F.col("o_orderpriority").isin(*domain)).agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    neg_price = o.filter(F.col("o_totalprice") < 0).agg(
-        F.count(F.lit(1)).alias("v")
-    )
     d = F.to_date("o_orderdate")
-    stale = o.filter(
-        (d < F.lit("1992-01-01").cast("date")) | (d > F.lit("1998-12-31").cast("date"))
-    ).agg(F.count(F.lit(1)).alias("v"))
+    # The three predicate checks share ONE scan+aggregate pass (r13
+    # optimization round): as separate filter().agg() branches each was
+    # its own full orders scan in the unioned plan (guide §7.2
+    # duplicated subtrees). count_if(p) == count of filter(p) rows: a
+    # NULL predicate input yields NULL, which neither the filter nor
+    # count_if counts. The 1-row result unpivots via explode.
+    flat = o.agg(
+        F.count_if(~F.col("o_orderpriority").isin(*domain)).alias("bp"),
+        F.count_if(F.col("o_totalprice") < 0).alias("np"),
+        F.count_if(
+            (d < F.lit("1992-01-01").cast("date"))
+            | (d > F.lit("1998-12-31").cast("date"))
+        ).alias("st"),
+    )
+    flat_rows = flat.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("domain_orderpriority").alias("check_name"), F.col("bp").alias("v")),
+                F.struct(F.lit("nonnegative_totalprice").alias("check_name"), F.col("np").alias("v")),
+                F.struct(F.lit("orderdate_in_window").alias("check_name"), F.col("st").alias("v")),
+            ).alias("a")
+        ).alias("r")
+    ).select("r.check_name", F.col("r.v").alias("v"))
 
     checks = [
         ("unique_orderkey", dup),
         ("fk_orders_customer", orphan_cust),
         ("fk_lineitem_orders", orphan_li),
-        ("domain_orderpriority", bad_prio),
-        ("nonnegative_totalprice", neg_price),
-        ("orderdate_in_window", stale),
     ]
     out = None
     for name, df in checks:
         part = df.select(
             F.lit(name).alias("check_name"),
-            F.col("v").alias("n_violations"),
-            (F.col("v") == 0).alias("passed"),
+            F.col("v"),
         )
         out = part if out is None else out.unionByName(part)
-    return out
+    return out.unionByName(flat_rows).select(
+        "check_name",
+        F.col("v").alias("n_violations"),
+        (F.col("v") == 0).alias("passed"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1549,23 +1570,33 @@ def scd2_history_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_orderpriority"
     )
-    v1 = o.select("k", F.lit(1).alias("ver"), F.col("o_orderpriority").alias("attr"))
-    v2 = o.select(
+    # one scan + explode builds all three snapshot versions; the r12
+    # 3-way union re-scanned orders once per version (r13 optimization
+    # round, guide §7.2 duplicated subtrees). Same rows: each struct is
+    # exactly one union branch's (ver, attr) projection.
+    snaps = o.select(
         "k",
-        F.lit(2).alias("ver"),
-        F.when(F.col("k") % 5 == 0, "9-REVISED")
-        .otherwise(F.col("o_orderpriority"))
-        .alias("attr"),
-    )
-    v3 = o.select(
-        "k",
-        F.lit(3).alias("ver"),
-        F.when(F.col("k") % 3 == 0, "8-FINAL")
-        .when(F.col("k") % 5 == 0, "9-REVISED")
-        .otherwise(F.col("o_orderpriority"))
-        .alias("attr"),
-    )
-    snaps = v1.unionByName(v2).unionByName(v3)
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("ver"), F.col("o_orderpriority").alias("attr")
+                ),
+                F.struct(
+                    F.lit(2).alias("ver"),
+                    F.when(F.col("k") % 5 == 0, "9-REVISED")
+                    .otherwise(F.col("o_orderpriority"))
+                    .alias("attr"),
+                ),
+                F.struct(
+                    F.lit(3).alias("ver"),
+                    F.when(F.col("k") % 3 == 0, "8-FINAL")
+                    .when(F.col("k") % 5 == 0, "9-REVISED")
+                    .otherwise(F.col("o_orderpriority"))
+                    .alias("attr"),
+                ),
+            )
+        ).alias("e"),
+    ).select("k", F.col("e.ver").alias("ver"), F.col("e.attr").alias("attr"))
     w = Window.partitionBy("k").orderBy("ver")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chg = (
@@ -1926,11 +1957,19 @@ def order_priority_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nation_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import managed_persist
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    e = (
+    # persist the distinct edge set (≤ nation² rows): it feeds FIVE
+    # consumers (e1/e2/e3 of the triangle join + both sides of deg), and
+    # without the barrier each consumer re-planned the fact-sized
+    # lineitem⋈orders derivation — the r12 plan held 14 SortMergeJoins,
+    # i.e. the full fact shuffle ran ~5× for a ≤300-row relation (r13
+    # optimization round, guide §5 caching / §7.2 duplicated subtrees).
+    e = managed_persist(
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

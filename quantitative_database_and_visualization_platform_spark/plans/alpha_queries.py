@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..factors.alpha101 import ALPHA_COLS, with_alphas
-from ..factors.panel import O_BARS, daily_bars
+from ..factors.panel import O_BARS, bars_table
 from ..session import context_key
 from .oracle_prune import prune_alpha_oracle
 from .registry import query
@@ -1124,7 +1124,7 @@ def _o_alpha_ic(cols: list[str]) -> str:
 def _ic_scan(spark: SparkSession, sf_dir: str, cols: list[str]) -> DataFrame:
     from pyspark.sql import Window
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     alphas = _alpha_table(spark, sf_dir).select("code", "d", *cols)
     fwd = bars.select(
         "code",
@@ -1288,7 +1288,7 @@ def _alpha_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "101-alpha cache build (a ~1 GB heap OOM-kills the "
                 "SparkContext); launch with spark.driver.memory >= 2g"
             )
-        out = with_alphas(daily_bars(spark, sf_dir))
+        out = with_alphas(bars_table(spark, sf_dir))
         # floor-based 6dp rounding, not ROUND: alpha values are products
         # of rank rationals whose shortest decimal representation often
         # ends in a literal "...5" right at the rounding boundary, and

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..factors.panel import O_BARS, daily_bars
+from ..factors.panel import O_BARS, bars_table
 from .registry import o_round6, query, round6
 
 # fixed-point scale for returns (≈1e-8 resolution; 150 names × 30 days of
@@ -62,7 +62,7 @@ _RS = 100_000_000
     """,
 )
 def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -128,7 +128,7 @@ def backtest_decile_longshort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def market_index_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -166,7 +166,7 @@ def market_index_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stock_available_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_bars(spark, sf_dir).groupBy("code").agg(
+    return bars_table(spark, sf_dir).groupBy("code").agg(
         F.min("d").alias("first_d"),
         F.max("d").alias("last_d"),
         F.count(F.lit(1)).alias("n_days"),
@@ -182,7 +182,7 @@ def stock_available_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def prev_trading_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    days = daily_bars(spark, sf_dir).select("d").distinct()
+    days = bars_table(spark, sf_dir).select("d").distinct()
     latest = days.agg(F.max("d").alias("__mx"))
     return (
         days.join(F.broadcast(latest))
@@ -223,7 +223,7 @@ def prev_trading_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def yesterday_winners_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code",
@@ -274,7 +274,7 @@ def yesterday_winners_performance(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def winsorize_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -314,7 +314,7 @@ def winsorize_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def range_window_dollar_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     # DataFrame rangeBetween frames are numeric — order by epoch day
     day_num = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
     w = (
@@ -367,7 +367,7 @@ def range_window_dollar_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_beta_market(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -421,7 +421,7 @@ def rolling_beta_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def backtest_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rets = bars.select(
@@ -507,7 +507,7 @@ def backtest_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def backtest_turnover_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -628,7 +628,7 @@ _FM_S = 10_000
     """,
 )
 def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -719,7 +719,7 @@ def fama_macbeth_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fama_macbeth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -831,7 +831,7 @@ def fama_macbeth_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     trail = w.rowsBetween(-20, -1)
     panel0 = bars.select(
@@ -924,7 +924,7 @@ _VS = 10_000
     """,
 )
 def vwap_slippage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     slip = F.col("close") / (F.col("amount") / F.col("volume")) - 1
     sq = F.round(slip * _VS, 0).cast("long")
     m = (
@@ -1019,7 +1019,7 @@ def vwap_slippage_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     two = [
         r["code"]
         for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
@@ -1149,7 +1149,7 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -1269,7 +1269,7 @@ def walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def purged_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -1402,7 +1402,7 @@ def purged_kfold_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -1532,7 +1532,7 @@ _XS = 100_000  # quantization scale for regression inputs
     """,
 )
 def cross_factor_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "d",
@@ -1631,7 +1631,7 @@ def cross_factor_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     tw = (
         Window.partitionBy("code").orderBy("d").rowsBetween(-10, -1)
     )
@@ -1689,7 +1689,7 @@ def volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def panel_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir).select("code", "d")
+    bars = bars_table(spark, sf_dir).select("code", "d")
     cal = (
         bars.select("d")
         .distinct()
@@ -1745,7 +1745,7 @@ def panel_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def forecast_eval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     p = bars.select(
         "code",
@@ -1829,7 +1829,7 @@ _M4_W = 16
     """,
 )
 def m4_downsample_close(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     cw = Window.partitionBy("code")
     idx = bars.select(
         "code",
@@ -1905,7 +1905,7 @@ def m4_downsample_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_correlated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import managed_persist
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = managed_persist(
         bars.select(
@@ -2068,7 +2068,7 @@ def top_correlated_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-domain blocking block comment above."""
     from ..session import managed_persist
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = managed_persist(
         bars.select(
@@ -2126,7 +2126,7 @@ def top_correlated_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def robust_volume_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import round6
 
-    bars = daily_bars(spark, sf_dir).select(
+    bars = bars_table(spark, sf_dir).select(
         "code", F.col("volume").cast("long").alias("v")
     )
     med = bars.groupBy("code").agg(
@@ -2191,7 +2191,7 @@ def robust_volume_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def market_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import round6
 
-    bars = daily_bars(spark, sf_dir).filter(F.col("amount") > 0)
+    bars = bars_table(spark, sf_dir).filter(F.col("amount") > 0)
     amt = bars.select(
         "d", "code", F.floor(F.col("amount") * 100 + F.lit(0.5)).cast("long").alias("ac")
     )
@@ -2270,7 +2270,7 @@ def market_concentration_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ic_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import round6
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -2281,12 +2281,31 @@ def ic_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(1, 6)
         ],
     ).filter(F.col("mom").isNotNull())
-    longf = None
-    for h in range(1, 6):
-        part = panel.filter(F.col(f"f{h}").isNotNull()).select(
-            "d", "mom", F.lit(h).alias("h"), F.col(f"f{h}").alias("fwd")
+    # One explode over the 5 horizon columns, not a 5-way union of
+    # filters over `panel`: each union branch re-planned the whole
+    # bars→window subtree, so the r12 plan ran the 6-expression lag/lead
+    # window FIVE times (10 parquet scans). The array elements are plain
+    # window-output attributes (no recomputation inside Generate), and
+    # `h` stays a literal per element so the rows are identical to the
+    # union's (optimization round r13, guide §7.2 duplicated subtrees).
+    longf = (
+        panel.select(
+            "d",
+            "mom",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(h).alias("h"), F.col(f"f{h}").alias("fwd")
+                        )
+                        for h in range(1, 6)
+                    ]
+                )
+            ).alias("e"),
         )
-        longf = part if longf is None else longf.unionByName(part)
+        .select("d", "mom", F.col("e.h").alias("h"), F.col("e.fwd").alias("fwd"))
+        .filter(F.col("fwd").isNotNull())
+    )
     avg_rank = lambda c: (
         F.rank().over(Window.partitionBy("h", "d").orderBy(c))
         + (F.count(F.lit(1)).over(Window.partitionBy("h", "d", c)) - 1) / 2.0
@@ -2345,7 +2364,7 @@ def ic_decay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code",
@@ -2422,7 +2441,7 @@ def var_cvar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rets = bars.select(
@@ -2484,7 +2503,7 @@ def underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def calendar_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "d",
@@ -2544,7 +2563,7 @@ def calendar_dow_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kline_pattern_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     body = F.abs(F.col("close") - F.col("open"))
     upper = F.col("high") - F.greatest("open", "close")
@@ -2622,7 +2641,7 @@ def kline_pattern_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "d",
@@ -2697,7 +2716,7 @@ def percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code",
@@ -2759,7 +2778,7 @@ def acf_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code",
@@ -2817,7 +2836,7 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def roll_spread_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     dp = bars.select(
         "code",
@@ -2896,7 +2915,7 @@ def roll_spread_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def vol_term_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     # 1e4 quantization: |ret| reaches ~1e4 in this panel, so 1e4 scale
     # keeps r*r window sums inside int64 (1e8 scale would overflow — the
@@ -2976,7 +2995,7 @@ def vol_term_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gap_open_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     gaps = bars.select(
         "code",
@@ -3032,7 +3051,7 @@ def gap_open_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def streak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     ret_c = F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0).cast(
         "long"
@@ -3117,7 +3136,7 @@ def streak_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def risk_adjusted_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rets = bars.select(
@@ -3211,7 +3230,7 @@ def risk_adjusted_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     cents = F.round(F.col("close") * 100, 0).cast("long")
     m = bars.select(
@@ -3340,7 +3359,7 @@ def intraday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def volume_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     x = bars.select(
         "code",
@@ -3392,7 +3411,7 @@ def volume_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def extreme_day_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code",
@@ -3461,7 +3480,7 @@ def extreme_day_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sector_breadth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w20 = Window.partitionBy("code").orderBy("d").rowsBetween(-19, 0)
     cents = F.round(F.col("close") * 100, 0).cast("long")
     m = bars.select(
@@ -3543,7 +3562,7 @@ def sector_breadth_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     prev = F.lag("close").over(w)
     # positivity guards mirror the oracle (see its t CTE comment)
@@ -3631,7 +3650,7 @@ def ohlc_vol_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def kyle_lambda_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     sv = F.col("volume") * F.when(F.col("close") > F.col("open"), 1).when(
         F.col("close") < F.col("open"), -1
@@ -3707,7 +3726,7 @@ def kyle_lambda_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def seasonal_dow_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     daily = bars.groupBy("d").agg(F.sum("volume").cast("long").alias("v"))
     # ~#days rows: the unpartitioned centered window is calendar-bounded
     # (30 days on this panel, ~250/yr in production), never fact-sized
@@ -3786,7 +3805,7 @@ def seasonal_dow_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     prev = F.lag("close").over(w)
     t = bars.select(
@@ -3881,7 +3900,7 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def leadlag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     two = [
         r["code"]
         for r in bars.select("code").distinct().orderBy("code").limit(2).collect()
@@ -3975,7 +3994,7 @@ def leadlag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     zk = (
         F.round((F.col("close") / F.lag("close").over(w) - 1) * 10_000, 0).cast("long")
@@ -4067,7 +4086,7 @@ _BB_B, _BB_L = 50, 5
     """,
 )
 def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     t = bars.select(
         "code",
@@ -4177,7 +4196,7 @@ def bootstrap_sharpe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     t = bars.select(
         "code",
@@ -4301,7 +4320,7 @@ def _theil_sen_windowed(bars: DataFrame, n: int) -> DataFrame:
     """,
 )
 def theil_sen_trend_w20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     # full 20-row windows only: the factor convention (min_periods = n),
     # and n_pairs == 190 iff the frame is full
     return _theil_sen_windowed(bars, 20).filter(F.col("n_pairs") == 190)
@@ -4367,7 +4386,7 @@ def theil_sen_trend_w20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mean_reversion_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     c = F.round(F.col("close") * 100, 0).cast("long")
     xy = bars.select(
@@ -4514,7 +4533,7 @@ def _o_huge_to_double(x: str) -> str:
     """,
 )
 def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.floor(
         (F.col("close") / F.lag("close").over(w) - 1) * _RS + F.lit(0.5)
@@ -4665,7 +4684,7 @@ def hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def residual_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -4773,7 +4792,7 @@ _EWMA_CAP = 200_000  # |ln ret| <= 20 on the 1e4 grid
     """,
 )
 def ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     prev = F.lag("close").over(w)
     rq_raw = F.when(
@@ -4888,7 +4907,7 @@ def ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def corwin_schultz_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     x = F.when(
         F.col("low") > 0,
@@ -5057,7 +5076,7 @@ def _coint_impl(
 ) -> DataFrame:
     from ..session import managed_persist
 
-    bars = managed_persist(daily_bars(spark, sf_dir))
+    bars = managed_persist(bars_table(spark, sf_dir))
     w = Window.partitionBy("code").orderBy("d")
     rets = bars.select(
         "code", "d", (F.col("close") / F.lag("close").over(w) - 1).alias("ret")
@@ -5233,7 +5252,7 @@ def _coint_impl(
     """,
 )
 def ulcer_index_martin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     cents = F.round(F.col("close") * 100, 0).cast("long")
     r = bars.select(
@@ -5562,7 +5581,7 @@ def _lb_q_frame(rets: DataFrame) -> DataFrame:
 
 @query("ljung_box_q", oracle=_lb_q_sql())
 def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"
@@ -5584,7 +5603,7 @@ def ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("arch_effect_q", oracle=_lb_q_sql(_LB_ARCH_CTE))
 def arch_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     r = F.round((F.col("close") / F.lag("close").over(w) - 1) * _ARCH_S, 0).cast(
         "long"
@@ -5654,7 +5673,7 @@ def arch_effect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tracking_error_ir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"
@@ -5772,7 +5791,7 @@ def tracking_error_ir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     tw = w.rowsBetween(-19, 0)
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
@@ -5966,7 +5985,7 @@ def _granger_impl(
 ) -> DataFrame:
     from ..session import managed_persist
 
-    bars = managed_persist(daily_bars(spark, sf_dir))
+    bars = managed_persist(bars_table(spark, sf_dir))
     w = Window.partitionBy("code").orderBy("d")
     rets = managed_persist(
         bars.select(
@@ -6104,7 +6123,7 @@ def _granger_impl(
     """,
 )
 def omega_downside_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"
@@ -6234,7 +6253,7 @@ def omega_downside_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     panel = bars.select(
         "code",
@@ -6362,7 +6381,7 @@ def _rets_mkt_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit, round 11: 8 exchanges → 5)."""
     from ..session import managed_persist
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"
@@ -6802,7 +6821,7 @@ def duration_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lottery_max_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"
@@ -6887,7 +6906,7 @@ def lottery_max_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     c = bars.select(
         "code",
         F.round(F.col("close") * 100, 0).cast("long").alias("cents"),
@@ -7005,7 +7024,7 @@ def volume_profile_poc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def drawdown_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     c = bars.select(
@@ -7098,7 +7117,7 @@ def drawdown_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def calendar_month_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     ret_c = F.round((F.col("close") / F.lag("close").over(w) - 1) * _RS, 0).cast(
         "long"
@@ -7187,7 +7206,7 @@ def calendar_month_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.replace("{O_BARS}", O_BARS).replace("{_FM_S}", str(_FM_S)),
 )
 def cusum_break_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     w = Window.partitionBy("code").orderBy("d")
     rq = F.round((F.col("close") / F.lag("close").over(w) - 1) * _FM_S, 0).cast(
         "long"

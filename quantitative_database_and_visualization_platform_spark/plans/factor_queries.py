@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..factors.ema_family import EMA_FAMILY_COLS, with_ema_family
-from ..factors.panel import O_BARS, O_FUND, daily_bars, fundamentals
+from ..factors.panel import O_BARS, O_FUND, bars_table, fundamentals
 from ..factors.suites import (
     MOMENTUM_GATES,
     TECHNICAL_GATES,
@@ -141,7 +141,7 @@ def _o_technical() -> str:
 
 @query("factor_technical", oracle=_o_technical())
 def factor_technical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    derived = with_derived(daily_bars(spark, sf_dir))
+    derived = with_derived(bars_table(spark, sf_dir))
     return build_suite(derived, technical_columns(entity_window("code", "d")), TECHNICAL_GATES)
 
 
@@ -193,7 +193,7 @@ def _o_momentum() -> str:
 
 @query("factor_momentum", oracle=_o_momentum())
 def factor_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    derived = with_derived(daily_bars(spark, sf_dir))
+    derived = with_derived(bars_table(spark, sf_dir))
     return build_suite(derived, momentum_columns(entity_window("code", "d")), MOMENTUM_GATES)
 
 
@@ -232,7 +232,7 @@ def _o_value() -> str:
 
 @query("factor_value", oracle=_o_value())
 def factor_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     joined = bars.withColumn("mo", F.trunc(F.col("d"), "month")).join(
         F.broadcast(fundamentals(bars)), ["code", "mo"], "left"
     )
@@ -346,7 +346,7 @@ def _o_ema_family() -> str:
 def factor_ema_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import round6
 
-    out = with_ema_family(daily_bars(spark, sf_dir))
+    out = with_ema_family(bars_table(spark, sf_dir))
     return out.select(
         "code", "d", *[round6(c).alias(c) for c in EMA_FAMILY_COLS]
     )
@@ -400,7 +400,7 @@ def kline_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import top_k
 
     w = entity_window("code", "d")
-    derived = with_derived(daily_bars(spark, sf_dir))
+    derived = with_derived(bars_table(spark, sf_dir))
     cols = technical_columns(w)
     feat = derived.select(
         "code",
@@ -470,7 +470,7 @@ def monthly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a month bucket — deterministic open/close picks, integer-exact sums."""
     from pyspark.sql import Window
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     mo = F.trunc(F.col("d"), "month")
     w_asc = Window.partitionBy("code", mo).orderBy("d")
     w_desc = Window.partitionBy("code", mo).orderBy(F.col("d").desc())
@@ -525,7 +525,7 @@ def monthly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weekly_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    bars = daily_bars(spark, sf_dir)
+    bars = bars_table(spark, sf_dir)
     wk = F.trunc(F.col("d"), "week")
     w_asc = Window.partitionBy("code", wk).orderBy("d")
     w_desc = Window.partitionBy("code", wk).orderBy(F.col("d").desc())
@@ -591,7 +591,7 @@ def screener_factor_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import top_k
 
     w = entity_window("code", "d")
-    derived = with_derived(daily_bars(spark, sf_dir))
+    derived = with_derived(bars_table(spark, sf_dir))
     close, prev = F.col("close"), F.col("prev_close")
     avg_up = ts.ts_mean(F.greatest(close - prev, F.lit(0.0)), 14, w)
     avg_down = ts.ts_mean(F.greatest(prev - close, F.lit(0.0)), 14, w)

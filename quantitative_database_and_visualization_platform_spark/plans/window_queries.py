@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Window
 
-from ..factors.panel import O_BARS, daily_bars
+from ..factors.panel import O_BARS, bars_table
 from ..operators import timeseries as ts
 from ..sources.catalog import load_table
 from .registry import query
@@ -504,7 +504,7 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def calendar_ffill_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = daily_bars(spark, sf_dir).select("code", "d", "close")
+    bars = bars_table(spark, sf_dir).select("code", "d", "close")
     dates = bars.select("d").distinct()
     codes = bars.select("code").distinct()
     spine = codes.crossJoin(dates)
