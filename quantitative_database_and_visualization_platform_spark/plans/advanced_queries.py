@@ -935,25 +935,27 @@ def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderdate", "dt"),
         ("o_orderpriority", "pr"),
     ]
-    # Unpivot the ONE aggregated row with a single explode, not a
-    # 5-way union of selects over `s`: a union duplicates the whole
-    # aggregation subtree per branch, so the r12 plan scanned and
-    # re-aggregated the orders table FIVE times (two branches demoted
-    # to SortAggregate by the string min/max buffers). One subtree →
-    # one scan/aggregate pass; the Generate runs on the 1-row result
-    # (optimization round r13, guide §7.2 "duplicated subtrees").
-    structs = [
-        F.struct(
+    # Deliberately a 5-way union of selects over `s`, NOT a single
+    # combined aggregate + explode: the r13 optimization round tried the
+    # one-subtree form and it is 2.6× SLOWER (0.90 → 2.36 s warm median
+    # at sf0.1) — fusing five count(DISTINCT col) into one aggregate
+    # forces the multi-distinct Expand (5× the input rows) through a
+    # 26-function aggregate that the string min/max buffers demote to
+    # SortAggregate. As separate union branches each distinct compiles
+    # to its own 2-stage hash plan over the cheap scan. Guide §1.1: the
+    # "ideal" single-pass plan lost to the measured one.
+    out = None
+    for col, p in rows:
+        part = s.select(
             F.lit(col).alias("col"),
-            F.col("n_rows").alias("n_rows"),
+            "n_rows",
             F.col(f"{p}_nulls").alias("n_nulls"),
             F.col(f"{p}_dist").alias("n_distinct"),
             F.col(f"{p}_min").alias("min_repr"),
             F.col(f"{p}_max").alias("max_repr"),
         )
-        for col, p in rows
-    ]
-    return s.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
