@@ -187,20 +187,20 @@ _BARS_CACHE: dict[tuple, DataFrame] = {}
 # + key, 1 date, 5 numeric cols + object overhead); only used to SIZE the
 # leaf's partitions, never for correctness.
 _BAR_ROW_BYTES = 100
-_LEAF_TARGET_BYTES = 64 << 20
 
 
 def _leaf_partitions(spark: SparkSession, n_rows: int) -> int:
-    """Scale-adaptive leaf partition count: ~64 MB of bar rows per
-    partition, floored at min(defaultParallelism, 4). The floor exists
-    because broadcast-BUILD chains over the leaf run at leaf parallelism
-    with no exchange to re-spread them (measured at sf0.1, warm medians:
+    """Scale-adaptive leaf partition count (see session.checkpoint_sized,
+    which enforces the same rule): ~64 MB of bar rows per partition,
+    floored at min(defaultParallelism, 4). The floor exists because
+    broadcast-BUILD chains over the leaf run at leaf parallelism with no
+    exchange to re-spread them (measured at sf0.1, warm medians:
     cointegration_screen 8.7 s on a 1-partition leaf, 1.9 s at 4); the
     ceiling-by-bytes exists because a 32-partition leaf of a 4 MB panel
     turns every one of a query's leaf scans into 32 micro-tasks
     (cointegration_screen 6.0 s at 32). At production scale the bytes
     term dominates and the floor never binds."""
-    by_bytes = max(1, -(-n_rows * _BAR_ROW_BYTES // _LEAF_TARGET_BYTES))
+    by_bytes = max(1, -(-n_rows * _BAR_ROW_BYTES // (64 << 20)))
     return max(min(spark.sparkContext.defaultParallelism, 4), by_bytes)
 
 
@@ -209,30 +209,13 @@ def bars_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     `daily_bars` materialized once per (session, sf_dir)."""
     import os
 
+    from ..session import checkpoint_sized
+
     sig = path_sig(os.path.join(sf_dir, "events.parquet"))
     key = (context_key(spark), sf_dir, sig)
     df = _BARS_CACHE.get(key)
     if df is None:
-        prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            df = daily_bars(spark, sf_dir).localCheckpoint(eager=True)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
-        # re-materialize the leaf at a size-derived partition count — the
-        # raw leaf inherits shuffle.partitions from the build agg (a
-        # core-count constant, not a data-sized one). The coalesce must
-        # be CHECKPOINTED, not left as a lazy Coalesce node over the raw
-        # blocks: interleaved A/B at sf0.1 measured cointegration_screen
-        # med 4.3 s on physically-merged blocks vs 7.3 s through a lazy
-        # Coalesce scan. The second checkpoint is one pass over the
-        # in-memory panel (ms here; seconds at 100 TB where the panel is
-        # the post-aggregation bar table, orders smaller than events);
-        # the raw leaf's blocks are freed by the ContextCleaner once the
-        # reference drops.
-        target = _leaf_partitions(spark, df.count())
-        if target < df.rdd.getNumPartitions():
-            df = df.coalesce(target).localCheckpoint(eager=True)
+        df = checkpoint_sized(spark, daily_bars(spark, sf_dir), _BAR_ROW_BYTES)
         for k in [k for k in _BARS_CACHE if k[:2] == key[:2]]:
             del _BARS_CACHE[k]
         _BARS_CACHE[key] = df

@@ -95,6 +95,37 @@ def _quiet_window_warnings(spark: SparkSession) -> SparkSession:
 _MANAGED: list = []
 
 
+def checkpoint_sized(spark, df, row_bytes: int, floor: int = 4):
+    """Eager localCheckpoint re-materialized at a data-sized partition
+    count (~64 MB of rows per partition, floored at
+    min(defaultParallelism, floor)).
+
+    A raw checkpoint leaf inherits shuffle.partitions from its build —
+    a core-count constant — so every downstream scan of a small panel
+    becomes a micro-task storm (r13: cointegration_screen 6.0 s on a
+    32-partition 4 MB leaf vs 1.9 s at 4); a 1-partition leaf serializes
+    broadcast-build chains that ride leaf parallelism with no exchange
+    (8.7 s). The coalesce is RE-CHECKPOINTED because a lazy Coalesce
+    over raw blocks measured 1.7x slower than physically merged blocks
+    (interleaved A/B, same session). AQE is off for the build jobs
+    (re-planning overhead only; the leaf is consumed under AQE).
+    `row_bytes` is a per-row unsafe-format estimate used only for
+    SIZING, never correctness."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        leaf = df.localCheckpoint(eager=True)
+        target = max(
+            min(spark.sparkContext.defaultParallelism, floor),
+            -(-leaf.count() * row_bytes // (64 << 20)),
+        )
+        if target < leaf.rdd.getNumPartitions():
+            leaf = leaf.coalesce(target).localCheckpoint(eager=True)
+        return leaf
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def managed_persist(df):
     df = df.persist()
     _MANAGED.append(df)

@@ -150,6 +150,46 @@ def test_bars_leaf_partitions_are_size_derived(spark):
     assert _leaf_partitions(spark, 10_000_000_000) >= 10_000
 
 
+def test_ivf_chain_memoizes_and_matches_raw_chain(spark):
+    """The shared session-materialized k-means chain must (a) be built
+    once per (session, sf_dir) and (b) be value-identical to the raw
+    seeds→assign→refine→reassign derivation it replaced at four query
+    sites (the chain is bit-deterministic: floor-quantized distances,
+    fixed-point centroid means)."""
+    from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
+        ivf_centroids,
+        nearest_centroid,
+    )
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        _ivf_chain,
+    )
+
+    a2, cents = _ivf_chain(spark, SF)
+    a2b, centsb = _ivf_chain(spark, SF)
+    assert a2 is a2b and cents is centsb
+
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cent"))
+    )
+    a1 = nearest_centroid(emb, seeds, "embedding", "vec_id")
+    raw_cents = ivf_centroids(a1, "embedding").select(
+        F.col("cid").alias("__cid"), "__cent"
+    )
+    raw_a2 = nearest_centroid(emb, raw_cents, "embedding", "vec_id")
+    assert cents.exceptAll(raw_cents).count() == 0
+    assert raw_cents.exceptAll(cents).count() == 0
+    assert a2.exceptAll(raw_a2).count() == 0
+    assert raw_a2.exceptAll(a2).count() == 0
+    assert a2.count() == raw_a2.count() > 0
+
+
 def test_bars_table_invalidates_on_rewrite(spark, tmp_path):
     import duckdb
 
