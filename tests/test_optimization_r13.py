@@ -190,6 +190,29 @@ def test_ivf_chain_memoizes_and_matches_raw_chain(spark):
     assert a2.count() == raw_a2.count() > 0
 
 
+def test_shingles_table_memoizes_and_matches_raw(spark):
+    """The shared shingle leaf must be built once per (session, sf_dir,
+    k, distinct) and be value-identical to `dd.with_shingles` over the
+    raw documents table (twelve registered queries consume it)."""
+    from quantitative_database_and_visualization_platform_spark.pipeline import (
+        dedup as dd,
+    )
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        _shingles_table,
+    )
+
+    a = _shingles_table(spark, SF, k=3)
+    b = _shingles_table(spark, SF, k=3)
+    assert a is b
+    assert a is not _shingles_table(spark, SF, k=5)
+    raw = dd.with_shingles(load_table(spark, SF, "documents"), k=3)
+    got = a.select("doc_id", F.explode_outer("shingles").alias("g"))
+    want = raw.select("doc_id", F.explode_outer("shingles").alias("g"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
+
+
 def test_bars_table_invalidates_on_rewrite(spark, tmp_path):
     import duckdb
 
