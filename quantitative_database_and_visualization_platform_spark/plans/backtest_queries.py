@@ -557,12 +557,18 @@ def backtest_turnover_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
             / _RS
         ).alias("short_ret"),
     )
+    # explicit broadcast: tl/ts are calendar-bounded (one row per
+    # rebalance date per leg), but they now derive from the bars LEAF,
+    # whose LogicalRDD has no size statistics — Catalyst falls back to
+    # SortMergeJoin without the hint (the one broadcast the r13 leaf
+    # migration lost across all 293 plans; safe at any scale because the
+    # relation is bounded by trading days, not data volume)
     tl = tv.filter(F.col("leg") == "L").select("d", F.col("turnover").alias("to_l"))
     ts = tv.filter(F.col("leg") == "S").select("d", F.col("turnover").alias("to_s"))
     ls = F.col("long_ret") - F.col("short_ret")
     return (
-        daily.join(tl, "d")
-        .join(ts, "d")
+        daily.join(F.broadcast(tl), "d")
+        .join(F.broadcast(ts), "d")
         .select(
             "d",
             round6(F.col("to_l")).alias("to_long"),
