@@ -37,6 +37,40 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Shared session-materialized tables (bars / IVF / shingles, r13) are
+# built from parquet inside the FIRST consumer's timed region, which made
+# that consumer's bench number "its own cost + the shared build" and
+# confounded round-over-round per-query diffs (r13 verdict item 2:
+# acf_lag_profile absorbed the bars build, cluster_balanced_sample the
+# IVF chain, bloom_decontamination the shingle leaves). A full-suite run
+# now times each build as an explicit `_build:*` pseudo-query BEFORE the
+# query loop, so consumer queries report their standalone cost. Additive
+# only: no existing entry is removed or renamed, the same computation is
+# still timed from the parquet inputs inside the same session, and the
+# one-line JSON contract is unchanged. Subset runs (explicit argv) skip
+# the pre-builds so a targeted probe still measures build+query like the
+# old protocol (and like the driver's correctness gate does).
+def _shared_builds() -> dict:
+    from quantitative_database_and_visualization_platform_spark.factors.panel import (
+        bars_table,
+    )
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        _ivf_chain,
+        _shingles_table,
+    )
+
+    def build_shingles(spark, sf_dir):
+        _shingles_table(spark, sf_dir, k=3, distinct=True)
+        _shingles_table(spark, sf_dir, k=3, distinct=False)
+        _shingles_table(spark, sf_dir, k=5, distinct=True)
+
+    return {
+        "_build:bars": lambda spark, sf_dir: bars_table(spark, sf_dir),
+        "_build:ivf": lambda spark, sf_dir: _ivf_chain(spark, sf_dir),
+        "_build:shingles": build_shingles,
+    }
+
+
 try:
     _LOAD_START = round(os.getloadavg()[0], 2)
 except OSError:
@@ -52,6 +86,18 @@ def main() -> None:
     _execute(QUERIES["global_market_stats"](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    if not sys.argv[1:]:  # full-suite run: itemize the shared-table builds
+        for name, build in _shared_builds().items():
+            t0 = time.perf_counter()
+            try:
+                build(spark, sf_dir)
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — keep the suite running
+                print(
+                    f"# bench error in {name}: {type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+                timings[name] = -1.0
     for name in names:
         t0 = time.perf_counter()
         try:
