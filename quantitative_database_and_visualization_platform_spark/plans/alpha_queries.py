@@ -1288,7 +1288,31 @@ def _alpha_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "101-alpha cache build (a ~1 GB heap OOM-kills the "
                 "SparkContext); launch with spark.driver.memory >= 2g"
             )
-        out = with_alphas(bars_table(spark, sf_dir))
+        # The alpha build reads a defaultParallelism-floored bars leaf,
+        # NOT the shared 4-partition `bars_table` leaf the other ~83 bar
+        # consumers use (r14 item 1, guide §2.2): the ~66k-expression DAG
+        # collapses hundreds of row-level arithmetic projections below
+        # its first exchange, and with AQE off for the build those
+        # pre-shuffle stages ride leaf parallelism with nothing to
+        # re-spread them — cold fresh-JVM probes (tools/alpha_probe.py,
+        # n=3 interleaved, r14 host) measured build exec 81/83/157 s on
+        # the 4-partition leaf (unstable: 4 long tasks on 32 cores are
+        # at the mercy of JIT/GC stalls) vs 58/60 s on the
+        # defaultParallelism leaf and 63/67 s recomputing from events.
+        # The small-floor leaf stays right for the OTHER consumers
+        # (broadcast-chain micro-task storms, r13 §6 measurements); this
+        # one consumer is the documented exception. At 100 TB the
+        # bytes-derived term dominates both floors and they converge.
+        from ..factors.panel import _BAR_ROW_BYTES, daily_bars
+        from ..session import checkpoint_sized
+
+        alpha_bars = checkpoint_sized(
+            spark,
+            daily_bars(spark, sf_dir),
+            _BAR_ROW_BYTES,
+            floor=spark.sparkContext.defaultParallelism,
+        )
+        out = with_alphas(alpha_bars)
         # floor-based 6dp rounding, not ROUND: alpha values are products
         # of rank rationals whose shortest decimal representation often
         # ends in a literal "...5" right at the rounding boundary, and

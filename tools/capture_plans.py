@@ -21,7 +21,11 @@ from quantitative_database_and_visualization_platform_spark.session import (
     release_managed,
 )
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
+)
 
 
 def main() -> None:
