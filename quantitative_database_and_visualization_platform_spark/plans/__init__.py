@@ -32,90 +32,77 @@ from . import backtest_queries  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 GATE_WINDOW = 50
 
-# Round-13 window. r12's 50 rows were all green — 290 of 293 registered
-# queries now carry a cumulative hash-green driver row. This window
-# closes the last gap and rotates the oldest rows: (a) slot 1 is
-# cusum_break_stat, the ONE registered query with no driver row (the
-# r12 late addition; python-golden + oracle-verified at
-# sf0.001/0.01/0.1 since round 12 — r12 verdict "Next round" item 1);
-# (b) all 41 remaining r7-era re-confirmations — the oldest
-# unre-confirmed rows in the registry (ab_test_lift ... walkforward_splits,
-# the exact set named in the r12 queue comment); (c) the 8 cheapest
-# r8-era rows (session_window_stats, top_revenue_supplier_quarter,
-# top_value_parts, pii_scrub_report, hard_negative_mining,
-# idle_high_balance_customers, int8_quantization_audit,
-# variance_ratio_test) to fill the window. Order: cusum_break_stat
-# first, then cheapest-first by measured spark+oracle cost
+# Round-14 window. r13's 50 rows were all green — every registered
+# query now carries a cumulative hash-green driver row (291 value-hashed
+# + the two rows-only alpha entries whose computations are hash-covered
+# by alpha101_a-d / alpha_ic_b-d). This window executes the r13 queue
+# comment verbatim: the 42 remaining r8-era re-confirmations (the oldest
+# rows in the registry) plus the 8 cheapest r9-era rows to fill the
+# window, ordered cheapest-first by measured spark+oracle cost
 # (ORACLE_TIMINGS.json) with the heaviest last — the same
-# failure-isolation rationale as r9-r12. A green gate leaves every
-# driver row ≤ 5 rounds stale with the oldest at the r8 boundary.
-# (alpha101_subset / alpha_ic_scan remain the two rows-only r4 entries
-# that may not burn hash slots; their computations are hash-covered by
-# the alpha101_a-d and alpha_ic_b/c/d rows.)
+# failure-isolation rationale as r9-r13. A green gate leaves every
+# driver row ≤ 5 rounds stale with the oldest at the r9 boundary.
 GATE_FIRST: list[str] = [
-    # slot 1: the one never-driver-verified query
-    "cusum_break_stat",
-    # 41 r7-era + 8 cheapest r8-era re-confirmations, cheapest-first
-    "session_window_stats",
-    "top_revenue_supplier_quarter",
-    "top_value_parts",
-    "conversion_attribution",
-    "ab_test_lift",
-    "pii_scrub_report",
-    "volume_anomaly_days",
-    "cube_nation_segment",
-    "vocab_coverage_curve",
-    "hard_negative_mining",
-    "idle_high_balance_customers",
-    "int8_quantization_audit",
-    "token_pmi_pairs",
-    "variance_ratio_test",
-    "volume_price_corr",
-    "order_lineitem_reconciliation",
-    "corpus_overview",
-    "panel_gap_report",
-    "data_profile_orders",
-    "order_priority_delay",
-    "robust_volume_outliers",
-    "m4_downsample_close",
-    "neardup_threshold_sweep",
-    "top_correlated_pairs",
-    "mixture_temperature_weights",
-    "data_quality_checks",
-    "langid_confusion",
-    "nation_trade_balance",
-    "snapshot_diff_orders",
-    "forecast_eval_naive",
-    "brinson_attribution",
-    "cross_factor_regression",
-    "sql_interface_revenue",
-    "hll_cumulative_users",
-    "sector_breadth_daily",
-    "bm25_topk",
-    "supplier_concentration_by_type",
-    "market_concentration_daily",
-    "hll_distinct_by_source",
-    "walkforward_splits",
-    "cohort_retention_matrix",
-    "event_transition_matrix",
-    "ann_recall_audit",
-    "minhash_accuracy_audit",
-    "bloom_decontamination",
-    "embedding_rank_fusion",
-    "char_entropy_quality",
-    "embedding_drift_by_label",
-    "extreme_day_concentration",
+    # 42 r8-era + 8 cheapest r9-era re-confirmations, cheapest-first
+    "point_lookup",
+    "multi_scalar_subquery",
+    "monthly_bars_rollup",
+    "distinct_segments_nations",
+    "global_market_stats",
+    "histogram_value_bins",
+    "doc_chunking_overlap",
+    "rolling_product",
+    "cumulative_ops",
+    "cusum_changepoint",
+    "kyle_lambda_daily",
+    "seasonal_dow_volume",
+    "ohlc_vol_estimators",
+    "curriculum_phases",
+    "gini_revenue_by_nation",
+    "chunk_level_dedup",
+    "small_qty_order_revenue",
+    "theil_sen_trend",
+    "embedding_cluster_profile",
+    "t_closeness_report",
+    "weighted_median_unit_price",
+    "split_leakage_audit",
+    "kaplan_meier_ship_times",
+    "sole_problem_supplier",
+    "leadlag_cross_correlation",
+    "dominant_supplier_parts",
+    "min_unit_cost_supplier",
+    "join_skew_report",
+    "hll_rolling_users_7d",
+    "event_path_trigrams",
+    "histogram_equi_depth",
+    "pairs_spread_zscore",
+    "length_quality_grid",
+    "ic_decay_profile",
+    "trade_reachability_hops",
+    "embedding_silhouette",
+    "rake_keywords",
+    "matryoshka_dim_audit",
+    "bootstrap_sharpe_ci",
+    "nation_spend_quartiles",
+    "lm_perplexity_buckets",
+    "pagerank_nation_trade",
+    "rfm_customer_scores",
+    "cross_source_dup_matrix",
+    "dedup_connected_components",
+    "neardup_cluster_sizes",
+    "nation_trade_triangles",
+    "neardup_canonical",
+    "semdedup_prune",
+    "minhash_pr_audit",
 ]
 
-# Round-14 queue: empty so far — every query registered before round 13
-# either sits in this window or already carries a cumulative hash-green
-# driver row ≤ 5 rounds old. The natural r14 window is the remaining 42
-# r8-era re-confirmations (bootstrap_sharpe_ci, chunk_level_dedup,
-# cross_source_dup_matrix, curriculum_phases, cusum_changepoint,
-# dedup_connected_components, doc_chunking_overlap, ...) plus the
-# cheapest r9-era rows, cheapest-first. Any query registered in round
-# 13 AFTER this window was pinned must take the first slots of the
-# round-14 window — tests/test_gate_window.py's
+# Round-15 queue: empty — no query was registered after this window was
+# pinned (r14 is an optimization round; registrations are frozen). The
+# natural r15 window is the remaining 37 r9-era re-confirmations
+# (alpha101_a-d, alpha_ic_gate, calendar_ffill_panel, decile_returns,
+# factor_momentum/technical/value, ...) plus the cheapest r10-era rows,
+# cheapest-first. Any query registered AFTER this window was pinned must
+# take the first slots of the next window — tests/test_gate_window.py's
 # NEVER_DRIVER_VERIFIED/QUEUED_NEXT_ROUND lists make the queue
 # executable, not prose.
 

@@ -23,21 +23,17 @@ from quantitative_database_and_visualization_platform_spark.plans import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
-# every query with no driver correctness row in any of rounds 1-12
-# (CORRECTNESS_r0{1..12}.json union: r12 closed the loop on everything
-# registered before round 12 except its own one late addition). Each
-# must sit in the r13 window OR in the explicitly-queued next-round
-# spill.
-NEVER_DRIVER_VERIFIED = [
-    # round-12 late addition (added AFTER the r12 50-slot window was
-    # pinned; python-golden + oracle-verified at sf0.001/0.01/0.1);
-    # slot 1 of the r13 window
-    "cusum_break_stat",
-]
+# every query with no driver correctness row in any of rounds 1-13
+# (CORRECTNESS_r0{1..13}.json union: cusum_break_stat took r13 window
+# slot 1 and passed, closing the last gap — every registered query now
+# carries a cumulative driver row). Each would have to sit in the r14
+# window OR in the explicitly-queued next-round spill.
+NEVER_DRIVER_VERIFIED: list[str] = []
 
-# round-14 spill: queries ADDED in round 13 after the 50-slot window
+# round-15 spill: queries ADDED in round 14 after the 50-slot window
 # was pinned; must stay in sync with the queue comment in
-# plans/__init__.py — they take the FIRST slots of the r14 window.
+# plans/__init__.py — they take the FIRST slots of the r15 window.
+# (r14 is an optimization round: registrations are frozen, so empty.)
 QUEUED_NEXT_ROUND: list[str] = []
 
 
