@@ -27,6 +27,7 @@ def _ts(s: str) -> dt.datetime:
     return dt.datetime.fromisoformat(s)
 
 
+@pytest.mark.full_tier  # r14 smoke split (see conftest)
 def test_asof_join_backward_semantics(spark):
     left = spark.createDataFrame(
         [
@@ -59,6 +60,7 @@ def test_asof_join_backward_semantics(spark):
     assert len(out) == 5  # every left row survives exactly once
 
 
+@pytest.mark.full_tier  # r14 smoke split (see conftest)
 def test_asof_join_tolerance_nulls_stale_matches(spark):
     left = spark.createDataFrame(
         [Row(k=1, t=_ts("2024-01-10T00:00:00"), name="stale")]
@@ -175,6 +177,7 @@ def test_connected_components_chains_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.full_tier  # r14 smoke split (see conftest)
 def test_connected_components_multi_partition_no_duplicate_rows(spark):
     """Force the >1-edge-partition path (production shape at >500k edges)
     on a chain graph: every node must appear EXACTLY once with the chain

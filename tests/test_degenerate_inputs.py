@@ -33,6 +33,9 @@ from quantitative_database_and_visualization_platform_spark.plans.oracle_check i
 )
 from quantitative_database_and_visualization_platform_spark.sources.catalog import TABLES
 
+# exhaustive 293-query sweep: builder tier (r14 smoke split, see conftest)
+pytestmark = pytest.mark.full_tier
+
 SRC = "/root/testdata/sf0.001"
 
 

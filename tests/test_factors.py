@@ -19,6 +19,10 @@ SF = "/root/testdata/sf0.001"
 SF_CKPT = os.environ.get("SPARK_GRAFT_CKPT_SF", SF)
 
 
+import pytest
+
+
+@pytest.mark.full_tier  # ~80 s: builds the alpha DAG twice (r14 smoke split)
 def test_alpha_checkpoints_match_unchcked(spark):
     from quantitative_database_and_visualization_platform_spark.factors.alpha101 import (
         ALPHA_COLS,

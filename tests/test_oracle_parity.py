@@ -18,8 +18,49 @@ from quantitative_database_and_visualization_platform_spark.plans.oracle_check i
 
 SF_TEST = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
+# Smoke-tier parity subset (r14 split, see conftest): one query per
+# operator family, biased to the paths the optimization rounds touch
+# (shared bars/IVF/shingle leaves, the alpha build, the ntile machinery,
+# graph persists). The FULL 293-query sweep runs with
+# SPARK_GRAFT_FULL_TESTS=1 — and the driver's own gate hash-verifies the
+# 50-query GATE_FIRST window on every round regardless.
+SMOKE_PARITY = {
+    # relational / scan / longtail
+    "pricing_summary", "point_lookup", "asof_join_latest_order",
+    "cube_nation_segment", "scd2_history_build", "data_quality_checks",
+    "rfm_customer_scores", "snapshot_diff_orders", "merge_upsert_orders",
+    # window / session / calendar
+    "sessionization", "sliding_window_stats", "rolling_corr_cov",
+    "event_path_trigrams",
+    # bars consumers (shared leaf) + factor + backtest
+    "factor_momentum", "event_study_car", "kline_pattern_screen",
+    "ma_crossover_signals", "hurst_rs_exponent",
+    # cross-section / IC / alpha (alpha101_a pays the build — the r14
+    # change — and value-hashes a quarter of the 101 columns)
+    "cross_section_ops", "rank_ic_matrix", "alpha101_a",
+    # dedup / similarity (shingle leaf, spans, simhash, containment)
+    "dedup_minhash_lsh", "dedup_simhash", "repeated_span_pairs",
+    "dedup_containment", "exact_substring_dedup",
+    # embeddings (IVF leaf, SRP, dbscan, silhouette)
+    "embedding_ann_ivf", "semdedup_prune", "embedding_dbscan_core",
+    "embedding_silhouette", "mutual_nearest_pairs_ann",
+    # text quality / sketches / pipeline
+    "text_tfidf_topk", "char_entropy_quality", "repetition_quality",
+    "hll_distinct_by_source", "bloom_decontamination", "dsir_importance",
+    "pipeline_retention_funnel",
+    # sampling / splits / graph
+    "stratified_sample_balanced", "walkforward_splits",
+    "pagerank_nation_trade", "nation_trade_triangles",
+}
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in SMOKE_PARITY else pytest.param(n, marks=pytest.mark.full_tier)
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_matches_oracle(spark, name):
     problems = check_query(spark, SF_TEST, name)
     assert not problems, f"{name}: " + "; ".join(problems)
@@ -35,6 +76,7 @@ def test_every_query_has_oracle_or_is_flagged():
     assert set(missing) <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
+@pytest.mark.full_tier  # ~80 s of DuckDB full-width alpha chains
 @pytest.mark.parametrize("name", ["alpha101_subset", "alpha_ic_scan"])
 def test_full_width_alpha_oracles(spark, name):
     """The full 101-column twins, driver-excluded but still enforced here
@@ -57,8 +99,19 @@ def test_full_width_alpha_oracles(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+# smoke tier keeps the two worst-case members (alpha101_c carries the
+# peak mmap count of the alpha101 parts, alpha_ic_gate of the IC family);
+# the other six run in the full tier — the budget only moves when the
+# alpha oracles themselves change, which optimization rounds freeze.
+_GATE_SURVIVE_SMOKE = {"alpha101_c", "alpha_ic_gate"}
+
+
 @pytest.mark.parametrize(
-    "name", sorted(n for n in ORACLES if n.startswith(("alpha101_", "alpha_ic_")))
+    "name",
+    [
+        n if n in _GATE_SURVIVE_SMOKE else pytest.param(n, marks=pytest.mark.full_tier)
+        for n in sorted(n for n in ORACLES if n.startswith(("alpha101_", "alpha_ic_")))
+    ],
 )
 def test_gate_oracle_survives_default_duckdb(name):
     """Regression test for the empty round-3 gate: every alpha-family

@@ -28,6 +28,7 @@ def _write(df, path):
 # never fires this (211 censored rows outlast the last event), so build a
 # panel with NO censored survivor: every order ships inside the horizon.
 # ---------------------------------------------------------------------------
+@pytest.mark.full_tier  # r14 smoke split (see conftest)
 def test_kaplan_meier_survival_exactly_zero_when_risk_set_exhausts(spark, tmp_path):
     sf = str(tmp_path / "km")
     orders = spark.createDataFrame(
@@ -184,6 +185,7 @@ def test_stratified_sample_empty_corpus(spark, tmp_path):
     assert out.columns == ["doc_id", "lang"]
 
 
+@pytest.mark.full_tier  # r14 smoke split (see conftest)
 def test_trade_reachability_empty_graph(spark, tmp_path):
     sf = str(tmp_path / "empty_trade")
     _write(

@@ -9,6 +9,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 from quantitative_database_and_visualization_platform_spark.factors.panel import daily_bars
 from quantitative_database_and_visualization_platform_spark.pipeline.embeddings import (
     DIMS,
@@ -437,6 +439,7 @@ def test_sequence_match_matches_python(spark):
     assert 0 < n_sep <= n_users
 
 
+@pytest.mark.full_tier  # r14 smoke split (see conftest)
 def test_alpha_build_fails_fast_on_tiny_heap_keeping_session_alive():
     """r9 rehearsal finding: a default 1 GB local-mode driver OOM-kills
     the whole SparkContext mid-alpha-build, poisoning every query after

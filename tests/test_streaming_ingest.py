@@ -6,7 +6,12 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
+
+# streaming/batch parity sweeps run minutes of micro-batch work and have
+# no bench surface: builder tier (r14 smoke split, see conftest)
+pytestmark = pytest.mark.full_tier
 
 SF = "/root/testdata/sf0.001"
 
