@@ -64,10 +64,22 @@ def _shared_builds() -> dict:
         _shingles_table(spark, sf_dir, k=3, distinct=False)
         _shingles_table(spark, sf_dir, k=5, distinct=True)
 
+    from quantitative_database_and_visualization_platform_spark.plans.pipeline_queries import (
+        _ngram_pairs,
+    )
+
     return {
         "_build:bars": lambda spark, sf_dir: bars_table(spark, sf_dir),
         "_build:ivf": lambda spark, sf_dir: _ivf_chain(spark, sf_dir),
         "_build:shingles": build_shingles,
+        # the shared PPJoin pair table (prefix filter + jaccard verify):
+        # cross_source_dup_matrix, its first alphabetical consumer, was
+        # still absorbing this build (r14; same rationale as the three
+        # entries above). The alpha cache build is deliberately NOT
+        # itemized: alpha101_a's round-over-round comparability IS the
+        # build (the r13 verdict's item-1 done-criterion is stated in
+        # terms of it).
+        "_build:ngram_pairs": lambda spark, sf_dir: _ngram_pairs(spark, sf_dir),
     }
 
 
